@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`/`oracleSql` are assembled from the per-package registries;
+  * every entry is one operator row from SURVEY.md §2.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All engine capabilities, in registry order. */
+  def registry: Seq[EngineQuery] =
+    Relational.all ++ WindowOps.all ++ Scalar.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The reference's marquee sample question — "가장 최근 주문 5개 보여줘"
+    * ("show the 5 most recent orders", sql_generator.py:211) — answered
+    * with customer + nation context along the FK join graph
+    * (SURVEY.md §7.3): scan → broadcast joins → project → top-k.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("c_name"), col("n_name"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      .limit(5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Headline subset timed by `graft.Bench`. */
+  def benchQueries: Seq[EngineQuery] = registry.filter(_.bench)
 }

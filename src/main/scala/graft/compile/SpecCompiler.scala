@@ -1,0 +1,138 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan}
+
+import graft.model._
+
+/** QuerySpec → DataFrame compiler (SURVEY.md §3.1, §7.4).
+  *
+  * The reference delegates planning to an LLM + remote DB; our engine
+  * compiles a declarative `QuerySpec` into a DataFrame logical plan and
+  * lets Catalyst do predicate pushdown / column pruning / join selection.
+  * Mandatory catalog filters (sample_metadata.py:76-80, 158-162) are
+  * injected at scan time so every optimization below sees them.
+  */
+final class SpecCompiler(resolve: String => DataFrame, catalog: CatalogModel) {
+
+  /** Scan a table with the catalog's mandatory filters applied. */
+  def scan(table: String): DataFrame =
+    MandatoryFilters(resolve(table), table, catalog)
+
+  def compile(spec: QuerySpec): DataFrame = {
+    var df = scan(spec.table)
+
+    df = spec.joins.foldLeft(df) { (acc, j) =>
+      acc.join(scan(j.table), expr(j.on), j.joinType)
+    }
+
+    spec.filters.foreach(f => df = df.filter(expr(f)))
+
+    if (spec.groupBy.nonEmpty || spec.aggregates.nonEmpty) {
+      val aggCols = spec.aggregates.map(a => expr(a.expr).as(a.alias))
+      df =
+        if (spec.groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(spec.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      spec.having.foreach(h => df = df.filter(expr(h)))
+    }
+
+    if (spec.select.nonEmpty) df = df.select(spec.select.map(expr): _*)
+
+    if (spec.orderBy.nonEmpty) {
+      val sortCols: Seq[Column] = spec.orderBy.map { o =>
+        val c = expr(o.expr)
+        if (o.ascending) c.asc else c.desc
+      }
+      df = df.orderBy(sortCols: _*)
+    }
+
+    spec.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
+object SpecCompiler {
+  /** Compiler over the fixture parquet directory. */
+  def forParquetDir(spark: SparkSession, dir: String,
+      catalog: CatalogModel = CatalogModel(dbType = "parquet")): SpecCompiler =
+    new SpecCompiler(name => spark.read.parquet(s"$dir/$name.parquet"), catalog)
+}
+
+/** Plan-level auto-LIMIT — the reference's one genuine rewrite
+  * (db_connector.py:213-224): append the default cap unless the query
+  * already has one. The reference checks for the substring "LIMIT"
+  * (misfires on a column literally named `limit`); ours inspects the
+  * logical plan, so only a real Limit node suppresses injection.
+  */
+object ResultLimiter {
+  def hasLimit(plan: LogicalPlan): Boolean = plan match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case _ => plan.children.exists(hasLimit)
+  }
+
+  def apply(df: DataFrame, defaultLimit: Int = 10): DataFrame =
+    if (hasLimit(df.queryExecution.logical)) df else df.limit(defaultLimit)
+}
+
+/** Catalog-constraint injection (SURVEY.md §4): every scan of a table with
+  * `mandatory_filters` gets those predicates appended — the engine-side
+  * equivalent of the prompt-time soft-delete hints
+  * (sample_metadata.py:76-80: "is_deleted = false";
+  * :158-162: "status != 'resigned'").
+  *
+  * Injected at spec-compile time (before Catalyst) so the predicates push
+  * down into the source scan like any user filter.
+  */
+object MandatoryFilters {
+  def filtersFor(table: String, catalog: CatalogModel): Seq[String] = {
+    val cols = catalog.table(table).map(_.columns.map(_.name).toSet).getOrElse(Set.empty)
+    catalog.constraints.mandatoryFilters.filter { f =>
+      // apply a filter only when the table actually has the referenced column
+      cols.isEmpty || cols.exists(c => f.contains(c))
+    }
+  }
+
+  def apply(df: DataFrame, table: String, catalog: CatalogModel): DataFrame =
+    filtersFor(table, catalog).foldLeft(df)((d, f) => d.filter(expr(f)))
+}
+
+/** Destructive-keyword safety gate (sql_generator.py:253-266): the
+  * reference blocks NL requests naming delete/drop/truncate/… and tags
+  * responses `is_blocked`. Ours validates the *plan*: a read-only engine
+  * rejects specs/SQL that mutate state.
+  */
+object SafetyValidator {
+  /** Keyword set mirrored from the reference's blocklist
+    * (sql_generator.py:255-258), deduplicated to SQL commands.
+    */
+  val destructiveCommands: Set[String] =
+    Set("delete", "drop", "truncate", "update", "insert", "alter", "create",
+      "grant", "revoke", "merge")
+
+  /** Validate raw SQL text by its first command token (plan-level check:
+    * we parse rather than substring-match the whole text).
+    */
+  def validateSql(sql: String): Either[String, Unit] = {
+    val head = sql.trim.split("\\s+").headOption.map(_.toLowerCase).getOrElse("")
+    if (destructiveCommands.contains(head))
+      Left(s"blocked: destructive command '$head' (read-only engine)")
+    else Right(())
+  }
+
+  /** An NL request is blocked when it names a destructive operation —
+    * observable contract of the reference demo planner
+    * (sql_generator.py:253-266).
+    */
+  def validateRequest(request: String): Either[String, Unit] = {
+    val lower = request.toLowerCase
+    val korean = Map("삭제" -> "delete", "드롭" -> "drop", "지워" -> "delete",
+      "수정" -> "update", "변경" -> "update", "추가" -> "insert", "업데이트" -> "update")
+    val hit = destructiveCommands.find(k => lower.contains(k))
+      .orElse(korean.collectFirst { case (k, v) if request.contains(k) => v })
+    hit match {
+      case Some(op) => Left(s"blocked: request asks for destructive operation '$op'")
+      case None => Right(())
+    }
+  }
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import Det._
+
+/** Scalar-function surface (SURVEY.md §2.8): string, date/time, math,
+  * conditional, cast/format, JSON, array + higher-order. All Catalyst
+  * built-ins (whole-stage-codegen'd) — no UDFs anywhere.
+  *
+  * Cross-engine determinism notes (vs the DuckDB oracle):
+  *  - floor/ceil/sqrt on doubles are IEEE-exact → safe; ln/exp/pow are
+  *    libm-dependent → never used in oracle-checked outputs.
+  *  - double→int casts truncate in Spark but round in DuckDB → always
+  *    floor() first on both sides.
+  *  - Spark dayofweek is 1=Sunday; DuckDB 0=Sunday → oracle adds 1.
+  */
+object Scalar {
+
+  /** String functions over name/segment columns (columns the reference
+    * schemas exercise: sample_metadata.py:16-17, 53).
+    */
+  val q26 = EngineQuery(
+    "q26_scalar_string",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lname"),
+          upper(col("c_mktsegment")).as("useg"),
+          concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cname"),
+          substring(col("c_name"), 10, 5).as("sub"),
+          trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          col("c_name").like("%001%").as("has_001"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              lower(c_name) AS lname,
+              upper(c_mktsegment) AS useg,
+              concat(c_name, '#', c_mktsegment) AS cname,
+              substring(c_name, 10, 5) AS sub,
+              trim(concat('  ', c_name, '  ')) AS trimmed,
+              length(c_name) AS name_len,
+              regexp_replace(c_name, 'Customer', 'Cust') AS repl,
+              lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+              c_name LIKE '%001%' AS has_001
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Date/time functions (reference date columns: order_date, hire_date,
+    * created_at — sample_metadata.py:18, 50, 98; "날짜 형식 표준화"
+    * transform, sql_generator.py:304).
+    */
+  val q27 = EngineQuery(
+    "q27_scalar_datetime",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since_95"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("timestamp")
+            .as("plus_30d"),
+          last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+              year(o_orderdate) AS y,
+              month(o_orderdate) AS m,
+              day(o_orderdate) AS d,
+              quarter(o_orderdate) AS qtr,
+              dayofweek(o_orderdate) + 1 AS dow,
+              date_trunc('month', o_orderdate) AS month_start,
+              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS days_since_95,
+              CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+              strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Math + conditional (CASE/COALESCE/NULLIF — the "NULL 값 기본값 처리"
+    * transform family, sql_generator.py:303).
+    */
+  val q28 = EngineQuery(
+    "q28_scalar_math_case",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 2)
+            .as("discount_amt"),
+          abs(dec2(col("l_extendedprice")) - lit(50000).cast(D2)).as("dist_50k"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          (col("l_partkey") % 7).as("part_mod"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          when(col("l_quantity") > 40, "heavy")
+            .when(col("l_quantity") > 20, "mid")
+            .otherwise("light").as("weight_class"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("flag_or_none"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              round(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2)), 2) AS discount_amt,
+              abs(CAST(l_extendedprice AS DECIMAL(18,2)) -
+                  CAST(50000 AS DECIMAL(18,2))) AS dist_50k,
+              CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+              l_partkey % 7 AS part_mod,
+              sqrt(l_quantity) AS qty_sqrt,
+              CASE WHEN l_quantity > 40 THEN 'heavy'
+                   WHEN l_quantity > 20 THEN 'mid'
+                   ELSE 'light' END AS weight_class,
+              coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+              greatest(l_discount, l_tax) AS max_rate,
+              least(l_discount, l_tax) AS min_rate
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Cast / format round-trips ("데이터 타입 검증" transform,
+    * sql_generator.py:305).
+    */
+  val q29 = EngineQuery(
+    "q29_cast_format",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+          to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+            .cast("timestamp").as("day_back"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast(LongType).as("key_back"),
+          floor(col("o_totalprice")).as("price_int"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          (col("o_orderstatus") === "F").as("is_final"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+              CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP)
+                AS day_back,
+              CAST(o_orderkey AS VARCHAR) AS key_str,
+              CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+              CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+              CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+              o_orderstatus = 'F' AS is_final
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** JSON extraction over `events.props` (SURVEY.md §2.8 [ext]). */
+  val q30 = EngineQuery(
+    "q30_json",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+              SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+              MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Array basics over `embeddings.embedding` (ARRAY<FLOAT>). Element
+    * reads are exact (no arithmetic); the norm uses exact decimal
+    * accumulation (order-independent, engine-portable).
+    */
+  val q31 = EngineQuery(
+    "q31_array_ops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+          element_at(col("embedding"), -1).cast(DoubleType).as("last_val"),
+          slice(col("embedding"), 1, 3).as("head3"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+              len(embedding) AS dim,
+              CAST(embedding[1] AS DOUBLE) AS first_val,
+              CAST(embedding[-1] AS DOUBLE) AS last_val,
+              embedding[1:3] AS head3
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** Higher-order array functions (transform/filter/aggregate) — the
+    * codegen-friendly path for vector math (SURVEY.md §2.8 [ext]); the
+    * exact-decimal fold makes the L2 norm oracle-checkable.
+    */
+  val q32 = EngineQuery(
+    "q32_higher_order",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val x = col("x")
+      t.embeddings
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          transform(slice(col("embedding"), 1, 3), x => x + x).as("doubled_head"),
+          aggregate(col("embedding"),
+            lit(0).cast(DecimalType(20, 12)),
+            (acc, v) => (acc + (v.cast(DoubleType) * v.cast(DoubleType))
+              .cast(DecimalType(28, 12))).cast(DecimalType(20, 12)))
+            .cast(DoubleType).as("norm2"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+              len(list_filter(embedding, x -> x > 0)) AS n_pos,
+              list_transform(embedding[1:3], x -> x + x) AS doubled_head,
+              (SELECT CAST(SUM(CAST(v*v AS DECIMAL(28,12))) AS DOUBLE)
+               FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS v) u) AS norm2
+            FROM embeddings ORDER BY vec_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q26, q27, q28, q29, q30, q31, q32)
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver's Parquet fixture tables (TESTDATA.md).
+  *
+  * Mirrors the reference's catalog surface (db_connector.py:90-176 exposes
+  * named tables); here the "catalog" is a directory of Parquet files. All
+  * reads go through `spark.read.parquet` so Catalyst gets predicate
+  * pushdown + column pruning for free — at 100 TB these scans are the
+  * dominant cost and must prune at the source.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and truncate to a
+    * micros TimestampType — exactly what DuckDB does natively, so oracle
+    * comparisons agree.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every fixture table as a temp view for `spark.sql` paths. */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
