@@ -1,0 +1,231 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{EngineQuery, Tables}
+import PortableHash._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.4 [ext]; north star BASELINE.json).
+  *
+  * Scale design: every variant is shuffle-bounded by its bucket key —
+  * exact dedup shuffles on the content hash, MinHash-LSH on (band,
+  * signature), SimHash on the fingerprint, n-gram Jaccard on the shingle,
+  * embedding near-dup on (label, bucket). No all-pairs comparison ever
+  * materializes; at 100 TB each stage is a hash-partitioned groupBy/join.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct text (keep min doc_id).
+    * One hash shuffle on the content key — the 100 TB path is
+    * groupBy(md5(text)), identical semantics.
+    */
+  val q40 = EngineQuery(
+    "q40_dedup_exact",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), md5(col("text")).as("text_md5"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies,
+              md5(text) AS text_md5
+            FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** MinHash + LSH near-dup candidates: 3-word shingles → 16 portable
+    * minhashes → 8 bands of 2 → docs sharing a band signature.
+    * Candidate pairs come from the band-bucket self-join (the LSH step) —
+    * cost is bounded by bucket sizes, never |docs|² .
+    */
+  val q41 = EngineQuery(
+    "q41_dedup_minhash_lsh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val sh = toks.select(col("doc_id"),
+        explode(shingles3(col("ws"))).as("s"))
+      val g = sh.select(col("doc_id"), charHash(col("s")).as("gh"))
+      val mh = g
+        .select(col("doc_id"), col("gh"),
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(permute(col("gh"), col("j"))).as("h"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr("j div 2").as("band"))
+        .agg(concat_ws(":",
+          transform(sort_array(collect_list(struct(col("j"), col("h")))),
+            x => x.getField("h").cast("string"))).as("sig"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws FROM documents
+            ), sh AS (
+              SELECT doc_id, UNNEST(list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws)-1)])) s
+              FROM toks WHERE len(ws) >= 3
+            ), g AS (
+              SELECT doc_id,
+                list_sum([ascii(s[i]) * ((i*i*2654435761 + i*97) % 1000000007)
+                  for i in range(1, length(s)+1)]) % 1000000007 AS gh
+              FROM sh
+            ), mh AS (
+              SELECT doc_id, j.j,
+                MIN(((2*j.j+1)*gh + 7919*j.j) % 1000000007) AS h
+              FROM g, (SELECT UNNEST(range(0,16)) j) j
+              GROUP BY doc_id, j.j
+            ), bands AS (
+              SELECT doc_id, j // 2 AS band,
+                string_agg(CAST(h AS VARCHAR), ':' ORDER BY j) AS sig
+              FROM mh GROUP BY doc_id, j // 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SimHash-16 fingerprint per document: token hashes vote per bit,
+    * sign of the balance sets the bit. Near-dup docs land on nearby
+    * fingerprints (Hamming distance); the fingerprint itself is the
+    * shuffle key at scale.
+    */
+  val q42 = EngineQuery(
+    "q42_dedup_simhash",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val wh = toks.select(col("doc_id"), charHash(col("w")).as("gh"))
+      val bits = wh
+        .select(col("doc_id"), col("gh"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("(gh div (1 << b)) % 2") === 1, 1)
+          .otherwise(-1)).as("bal"))
+      bits
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("bal") >= 0, expr("1 << b")).otherwise(0L))
+          .cast(LongType).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, UNNEST(string_split(trim(text), ' ')) w
+              FROM documents
+            ), wh AS (
+              SELECT doc_id,
+                list_sum([ascii(w[i]) * ((i*i*2654435761 + i*97) % 1000000007)
+                  for i in range(1, length(w)+1)]) % 1000000007 AS gh
+              FROM toks WHERE length(w) > 0
+            ), bits AS (
+              SELECT doc_id, b.b,
+                SUM(CASE WHEN (gh // (1 << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+              FROM wh, (SELECT UNNEST(range(0,16)) b) b
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+              CAST(SUM(CASE WHEN bal >= 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+                AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** N-gram Jaccard similarity on 3-word shingles, bucketed by
+    * (lang, source) so the pair space stays bounded. Output: pairs
+    * sharing >= 2 shingles with their exact Jaccard.
+    */
+  val q43 = EngineQuery(
+    "q43_dedup_ngram_jaccard",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(shingles3(col("ws"))).as("s"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("s"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("s"))
+      val inter = a.join(b, Seq("lang", "source", "s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(col("ni") >= 2)
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("ni"),
+          (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+            .as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang, source, string_split(trim(text), ' ') ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, lang, source, UNNEST(list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws)-1)])) s
+              FROM toks WHERE len(ws) >= 3
+            ), cnt AS (
+              SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+                AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT doc_a, doc_b, ni,
+              CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+            FROM inter
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            ORDER BY doc_a, doc_b"""))
+
+  /** Embedding-cosine near-dup: top-20 same-label pairs by exact dot
+    * product (vectors are unit-norm, so dot = cosine). The label is the
+    * blocking key; the dot is a per-row zip_with/aggregate fold — no
+    * explode, no shuffle beyond the label self-join.
+    */
+  val q44 = EngineQuery(
+    "q44_dedup_embed_cosine",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.embeddings.select(col("vec_id").as("ia"), col("label"),
+        col("embedding").as("ea"))
+      val b = t.embeddings.select(col("vec_id").as("ib"), col("label"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), exactDot(col("ea"), col("eb")).as("dot"))
+        .orderBy(col("dot").desc, col("ia"), col("ib"))
+        .limit(20)
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), dots AS (
+              SELECT a.vec_id ia, b.vec_id ib,
+                CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+              FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos
+                AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT ia, ib, dot FROM dots
+            ORDER BY dot DESC, ia, ib LIMIT 20"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,68 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Engine-portable deterministic hashing for the dedup/similarity ops.
+  *
+  * Spark's builtin `hash()`/`xxhash64` are not reproducible in ANSI SQL, so
+  * they can't be oracle-checked. Instead we use a positional polynomial
+  * hash over character codes with per-position multipliers that need no
+  * recursion:
+  *
+  *   m(i) = (i*i*2654435761 + i*97) mod P        (P = 1e9+7, Knuth constant)
+  *   g(s) = ( SUM_i ascii(s_i) * m(i) ) mod P
+  *
+  * Every term fits in int64 (ascii<=127, m<P=1e9+7, |s|<=~1e3), the SUM is
+  * order-independent integer math, and the same formula is a one-liner in
+  * DuckDB list comprehensions — so MinHash/SimHash built on it hash-match
+  * the oracle exactly. All expressed through codegen-friendly higher-order
+  * functions; no UDFs, fully distributed.
+  */
+object PortableHash {
+  val P = 1000000007L
+
+  /** Positional multiplier m(i) for a 1-based position column. */
+  private def mult(i: Column): Column = {
+    val il = i.cast(LongType)
+    (il * il * lit(2654435761L) + il * lit(97L)) % P
+  }
+
+  /** g(s): portable char-level hash of a string column. */
+  def charHash(s: Column): Column = {
+    val chars = split(s, "")
+    val terms = transform(sequence(lit(1), length(s)),
+      i => ascii(element_at(chars, i)).cast(LongType) * mult(i))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % P
+  }
+
+  /** j-th MinHash permutation of a base hash g: ((2j+1)*g + 7919j) mod P. */
+  def permute(g: Column, j: Column): Column = {
+    val jl = j.cast(LongType)
+    ((lit(2L) * jl + lit(1L)) * g + lit(7919L) * jl) % P
+  }
+
+  /** Exact decimal dot product of two float arrays — order-independent
+    * (decimal addition is exact), hence bit-identical to any other exact
+    * evaluation of the same products. Final value as DOUBLE.
+    */
+  def exactDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(28, 12))),
+      lit(0).cast(DecimalType(20, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(20, 12)))
+      .cast(DoubleType)
+
+  /** Whitespace tokens of trimmed text (mirrors DuckDB
+    * `string_split(trim(text), ' ')`).
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Distinct 3-word shingles of a token array (needs >= 3 tokens). */
+  def shingles3(ws: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2))))
+}

@@ -1,0 +1,129 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{EngineQuery, Tables}
+import PortableHash._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2.4 [ext]). Vectors are unit-norm, so cosine = dot.
+  *
+  * Scale story: q50 is the exact baseline (bounded query set × all
+  * candidates — fine when queries are few or the candidate side is
+  * broadcastable); q51 is the scale path — sign-random-projection LSH
+  * buckets co-partition candidates so the pair space is per-bucket, and
+  * the bucket id is computed per-row with no shuffle at all.
+  */
+object Similarity {
+
+  /** Brute-force exact top-k: fixed query set (vec_id < 10) against all
+    * candidates; per-query top-8 by (dot DESC, vec_id). At scale the
+    * query side is broadcast and the candidate scan streams.
+    */
+  val q50 = EngineQuery(
+    "q50_knn_brute",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val c = t.embeddings
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), exactDot(col("eq"), col("ec")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), q AS (SELECT * FROM ex WHERE vec_id < 10),
+            dots AS (
+              SELECT q.vec_id qid, c.vec_id cid,
+                CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS sim
+              FROM q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
+              GROUP BY 1, 2
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid) rn
+              FROM dots
+            )
+            SELECT qid, cid, sim, rn FROM rk WHERE rn <= 8
+            ORDER BY qid, rn"""),
+    bench = true)
+
+  /** Sign-random-projection LSH: 8 deterministic pseudo-random
+    * hyperplanes (component signs from the portable hash formula), bucket
+    * = 8 sign bits; near-dup candidates only within a bucket. Exact
+    * decimal signed sums keep the bucket assignment engine-portable.
+    */
+  val q51 = EngineQuery(
+    "q51_knn_lsh_buckets",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1
+      val signedSum = (emb: org.apache.spark.sql.Column, p: Int) =>
+        aggregate(
+          zip_with(emb, sequence(lit(1), size(emb)), (v, c) => {
+            val h = ((lit(p.toLong * 31L) + c.cast("long")) * lit(2654435761L)) % lit(P)
+            (when(h % 2 === 0, v.cast(DoubleType)).otherwise(-v.cast(DoubleType)))
+              .cast(DecimalType(28, 12))
+          }),
+          lit(0).cast(DecimalType(20, 12)),
+          (acc, v) => (acc + v).cast(DecimalType(20, 12)))
+      val withBucket = t.embeddings.select(
+        col("vec_id"), col("embedding"),
+        (0 until 8).map(p =>
+          when(signedSum(col("embedding"), p) >= 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+      val a = withBucket.select(col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("bucket"))
+      val b = withBucket.select(col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("ia") < col("ib"))
+        .select(col("bucket"), col("ia"), col("ib"),
+          exactDot(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") > 0.2)
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some("""WITH sgn AS (
+              SELECT vec_id, p.p,
+                CASE WHEN (SELECT SUM(CASE
+                    WHEN ((p.p*31 + u.pos) * 2654435761) % 1000000007 % 2 = 0
+                    THEN CAST(CAST(u.v AS DOUBLE) AS DECIMAL(28,12))
+                    ELSE CAST(-CAST(u.v AS DOUBLE) AS DECIMAL(28,12)) END)
+                  FROM (SELECT UNNEST(embedding) v,
+                          generate_subscripts(embedding, 1) pos) u) >= 0
+                THEN (1 << p.p) ELSE 0 END AS bit
+              FROM embeddings, (SELECT UNNEST(range(0,8)) p) p
+            ), buckets AS (
+              SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+              FROM sgn GROUP BY vec_id
+            ), ex AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id ia, b.vec_id ib, a.bucket
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), dots AS (
+              SELECT p.bucket, p.ia, p.ib,
+                CAST(SUM(CAST(xa.v * xb.v AS DECIMAL(28,12))) AS DOUBLE) AS sim
+              FROM pairs p
+              JOIN ex xa ON xa.vec_id = p.ia
+              JOIN ex xb ON xb.vec_id = p.ib AND xa.pos = xb.pos
+              GROUP BY 1, 2, 3
+            )
+            SELECT bucket, ia, ib, sim FROM dots WHERE sim > 0.2
+            ORDER BY ia, ib"""))
+
+  val all: Seq[EngineQuery] = Seq(q50, q51)
+}

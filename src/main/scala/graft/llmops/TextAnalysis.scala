@@ -1,0 +1,185 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.{EngineQuery, Tables}
+import PortableHash._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.8 [ext]):
+  * language-ID, quality scoring, token counting, fingerprinting. All
+  * per-row (no shuffle) except the stopword counts, which are one
+  * explode + groupBy(doc_id) — linear and partition-local at scale.
+  */
+object TextAnalysis {
+
+  private val lexEn = Seq("the", "a", "of", "and", "to")
+  private val lexEs = Seq("el", "la", "de", "que", "y")
+  private val lexDe = Seq("der", "die", "das", "und", "ist")
+  private val lexFr = Seq("le", "les", "et", "en", "une")
+
+  private def inList(c: Column, words: Seq[String]): Column =
+    sum(when(c.isin(words: _*), 1).otherwise(0))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Language-ID by stopword-lexicon voting (n-gram heuristic family):
+    * count lexicon hits per language, argmax with a fixed priority order.
+    */
+  val q60 = EngineQuery(
+    "q60_text_langid",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      val scores = toks.groupBy(col("doc_id"), col("lang")).agg(
+        inList(col("w"), lexEn).as("s_en"),
+        inList(col("w"), lexEs).as("s_es"),
+        inList(col("w"), lexDe).as("s_de"),
+        inList(col("w"), lexFr).as("s_fr"))
+      scores
+        .withColumn("predicted",
+          when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+            .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr"), col("predicted"), col("lang").as("labeled"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, lang, UNNEST(string_split(trim(text), ' ')) w
+               FROM documents
+             ), scores AS (
+               SELECT doc_id, lang,
+                 SUM(CASE WHEN w IN ${sqlList(lexEn)} THEN 1 ELSE 0 END) AS s_en,
+                 SUM(CASE WHEN w IN ${sqlList(lexEs)} THEN 1 ELSE 0 END) AS s_es,
+                 SUM(CASE WHEN w IN ${sqlList(lexDe)} THEN 1 ELSE 0 END) AS s_de,
+                 SUM(CASE WHEN w IN ${sqlList(lexFr)} THEN 1 ELSE 0 END) AS s_fr
+               FROM toks GROUP BY doc_id, lang
+             )
+             SELECT doc_id, s_en, s_es, s_de, s_fr,
+               CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS predicted,
+               lang AS labeled
+             FROM scores ORDER BY doc_id"""))
+
+  /** Quality scoring from surface statistics (length / punctuation /
+    * casing / word-shape ratios). Pure per-row arithmetic — identical
+    * doubles on both engines, no rounding needed.
+    */
+  val q61 = EngineQuery(
+    "q61_text_quality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val txt = col("text")
+      val trimmed = trim(txt)
+      val nChars = length(txt)
+      val nSpaces = length(trimmed) - length(regexp_replace(trimmed, " ", ""))
+      val nWords = when(length(trimmed) === 0, 0).otherwise(nSpaces + 1)
+      val nLetters = length(trimmed) - nSpaces
+      val nUpper = nChars - length(regexp_replace(txt, "[A-Z]", ""))
+      val nPunct = nChars - length(regexp_replace(txt, "[.,!?]", ""))
+      val avgWordLen = when(nWords === 0, 0.0)
+        .otherwise(nLetters.cast(DoubleType) / nWords)
+      val punctRatio = when(nChars === 0, 0.0)
+        .otherwise(nPunct.cast(DoubleType) / nChars)
+      val score = least(lit(1.0), nWords.cast(DoubleType) / 100.0) *
+        (lit(1.0) - punctRatio)
+      t.documents
+        .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+          nUpper.as("n_upper"), nPunct.as("n_punct"),
+          avgWordLen.as("avg_word_len"), punctRatio.as("punct_ratio"),
+          score.as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              length(text) AS n_chars,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(trim(text))
+                        - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+              END AS n_words,
+              length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS n_upper,
+              length(text) - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                AS n_punct,
+              CASE WHEN length(trim(text)) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(trim(text), ' ', '', 'g'))
+                        AS DOUBLE)
+                        / (length(trim(text))
+                           - length(regexp_replace(trim(text), ' ', '', 'g')) + 1)
+              END AS avg_word_len,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text)
+                        - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                        AS DOUBLE) / length(text)
+              END AS punct_ratio,
+              least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(trim(text))
+                        - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+                   END) / 100.0)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text)
+                        - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                        AS DOUBLE) / length(text) END) AS quality_score
+            FROM documents ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens (arithmetic — immune to split-edge
+    * differences), BPE-ish regex token estimate, distinct token count.
+    */
+  val q62 = EngineQuery(
+    "q62_text_token_count",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val trimmed = trim(col("text"))
+      val nSpaces = length(trimmed) - length(regexp_replace(trimmed, " ", ""))
+      val nWs = when(length(trimmed) === 0, 0).otherwise(nSpaces + 1)
+      t.documents
+        .select(col("doc_id"),
+          nWs.as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(trim(text))
+                        - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+              END AS n_ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS n_bpe_tokens,
+              len(list_distinct(string_split(trim(text), ' ')))
+                AS n_distinct_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: md5 of normalized text + the portable
+    * rolling hash (char-polynomial) — both content-addressable keys for
+    * downstream exact dedup at scale.
+    */
+  val q63 = EngineQuery(
+    "q63_text_fingerprint",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val normalized = regexp_replace(lower(trim(col("text"))), " +", " ")
+      t.documents
+        .select(col("doc_id"),
+          md5(normalized.cast("binary")).as("fp_md5"),
+          charHash(normalized).as("fp_roll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_md5,
+              list_sum([ascii(regexp_replace(lower(trim(text)), ' +', ' ', 'g')[i])
+                  * ((i*i*2654435761 + i*97) % 1000000007)
+                for i in range(1,
+                  length(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))+1)])
+                % 1000000007 AS fp_roll
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63)
+}
