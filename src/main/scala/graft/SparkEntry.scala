@@ -14,9 +14,10 @@ object SparkEntry {
 
   /** All engine capabilities, in registry order. */
   def registry: Seq[EngineQuery] =
-    Relational.all ++ WindowOps.all ++ Scalar.all ++
+    Relational.all ++ WindowOps.all ++ Scalar.all ++ EventOps.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
-      graft.llmops.TextAnalysis.all
+      graft.llmops.TextAnalysis.all ++ graft.llmops.Multimodal.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,68 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+
+/** Catalog introspection (SURVEY.md §2.1, §3.3): produces the reference's
+  * metadata JSON shape (db_connector.py:155-167 — tables, columns with
+  * type/nullable, PK/FK, relationship edges, constraints) from a Spark
+  * source. O(tables), never O(rows) — at 100 TB this reads footers and
+  * catalogs only.
+  */
+object MetadataExtractor {
+
+  /** FK graph of the fixture layout (FIXTURES.md §B) — the parquet-dir
+    * analog of SQLAlchemy FK introspection (db_connector.py:115-126).
+    */
+  val fixtureRelationships: Seq[Relationship] = Seq(
+    Relationship("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    Relationship("lineitem", "l_partkey", "part", "p_partkey"),
+    Relationship("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    Relationship("orders", "o_custkey", "customer", "c_custkey"),
+    Relationship("customer", "c_nationkey", "nation", "n_nationkey"),
+    Relationship("nation", "n_regionkey", "region", "r_regionkey"),
+    Relationship("supplier", "s_nationkey", "nation", "n_nationkey"),
+    Relationship("events", "user_id", "customer", "c_custkey"))
+
+  private val fixturePks: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Extract a CatalogModel from a directory of parquet tables (schema
+    * from footers; FK/PK from the fixture graph).
+    */
+  def fromParquetDir(spark: SparkSession, dir: String,
+      tables: Seq[String] = graft.ops.Tables.names): CatalogModel = {
+    val fkByTable = fixtureRelationships
+      .groupBy(_.fromTable)
+      .map { case (t, rs) =>
+        t -> rs.map(r => r.fromColumn -> s"${r.toTable}.${r.toColumn}").toMap
+      }
+    val present = tables.filter { n =>
+      new java.io.File(s"$dir/$n.parquet").exists()
+    }
+    val tableModels = present.map { name =>
+      val schema =
+        if (name == "events") graft.ops.Tables(spark, dir).events.schema
+        else spark.read.parquet(s"$dir/$name.parquet").schema
+      TableModel(name, s"fixture table $name", schema.fields.toSeq.map { f =>
+        ColumnModel(
+          name = f.name,
+          dataType = f.dataType.sql,
+          nullable = f.nullable,
+          primaryKey = fixturePks.get(name).contains(f.name),
+          foreignKey = fkByTable.getOrElse(name, Map.empty).get(f.name))
+      })
+    }
+    CatalogModel(
+      dbType = "parquet",
+      dbVersion = spark.version,
+      tables = tableModels,
+      relationships = fixtureRelationships.filter(r =>
+        present.contains(r.fromTable) && present.contains(r.toTable)))
+  }
+}

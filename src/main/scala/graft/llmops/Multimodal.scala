@@ -1,0 +1,118 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{EngineQuery, Tables}
+
+/** Multimodal columns (north star [ext]): media payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches.
+  *
+  * No image/audio codecs exist in this container, so the DECODE step is a
+  * clearly-marked deterministic stub ([[FakeDecoder]]); everything
+  * Spark-side — the asset schema, binary column handling, batched
+  * per-partition processing shape, and metadata derivation — is real and
+  * tested. Swapping [[FakeDecoder.decode]] for a JNI/codec call is the
+  * only change needed in production.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false)))
+
+  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** STUB decoder — stands in for the image/audio codec that is not
+    * available here. Deterministic on the payload bytes so tests and
+    * oracles are stable. Production replaces only this object.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val n = if (payload == null) 0L else payload.length.toLong
+      val width = (16 + n % 64).toInt
+      val height = (16 + (n * 7) % 64).toInt
+      val frames = (1 + n % 8).toInt
+      // 4-dim "feature": leading byte values normalized — fake but stable
+      val feat = (0 until 4).map { i =>
+        if (payload == null || payload.length <= i) 0f
+        else (payload(i) & 0xff) / 255f
+      }.toArray
+      (width, height, frames, feat)
+    }
+  }
+
+  /** Documents rendered as binary media assets (the fixture set has no
+    * real media; text bytes stand in for the payload).
+    */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id").as("asset_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast(BinaryType).as("payload"),
+      octet_length(col("text")).cast(LongType).as("n_bytes"),
+      md5(col("text").cast(BinaryType)).as("checksum"))
+
+  /** Batched per-partition decode — the real plumbing: executors stream
+    * partitions of binary payloads through the decoder, emitting typed
+    * features. This is where `mapInPandas`/Arrow batches would sit in a
+    * Python pipeline; in Scala it is a partition-local iterator (no
+    * shuffle, no driver materialization).
+    */
+  def decodeFeatures(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    val rdd = assetsDf.select("asset_id", "payload").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (w, h, f, feat) = FakeDecoder.decode(payload)
+          Row(id, w, h, f, feat)
+        }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Driver-gate query: the SQL-expressible slice of the multimodal
+    * pipeline — binary payloads, byte lengths, checksums, and the
+    * deterministic stub metadata (pure integer arithmetic, so the oracle
+    * can replicate it).
+    */
+  val q70 = EngineQuery(
+    "q70_multimodal_meta",
+    (s, dir) => {
+      val nBytes = octet_length(col("text")).cast(LongType)
+      Tables(s, dir).documents.select(
+        col("doc_id").as("asset_id"),
+        col("text").cast(BinaryType).as("payload"),
+        nBytes.as("n_bytes"),
+        md5(col("text").cast(BinaryType)).as("checksum"),
+        (lit(16) + nBytes % 64).cast(IntegerType).as("width"),
+        (lit(16) + (nBytes * 7) % 64).cast(IntegerType).as("height"),
+        (lit(1) + nBytes % 8).cast(IntegerType).as("n_frames"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""SELECT doc_id AS asset_id,
+              CAST(text AS BLOB) AS payload,
+              octet_length(CAST(text AS BLOB)) AS n_bytes,
+              md5(text) AS checksum,
+              CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS width,
+              CAST(16 + (octet_length(CAST(text AS BLOB)) * 7) % 64 AS INT)
+                AS height,
+              CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames
+            FROM documents ORDER BY asset_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q70)
+}

@@ -29,12 +29,16 @@ object PortableHash {
     (il * il * lit(2654435761L) + il * lit(97L)) % P
   }
 
-  /** g(s): portable char-level hash of a string column. */
+  /** g(s): portable char-level hash of a string column. NULL for the
+    * empty string (mirrors `list_sum([]) % P` = NULL in the SQL oracle;
+    * Spark's `sequence(1, 0)` would otherwise descend).
+    */
   def charHash(s: Column): Column = {
     val chars = split(s, "")
     val terms = transform(sequence(lit(1), length(s)),
       i => ascii(element_at(chars, i)).cast(LongType) * mult(i))
-    aggregate(terms, lit(0L), (acc, x) => acc + x) % P
+    when(length(s) === 0, lit(null).cast(LongType))
+      .otherwise(aggregate(terms, lit(0L), (acc, x) => acc + x) % P)
   }
 
   /** j-th MinHash permutation of a base hash g: ((2j+1)*g + 7919j) mod P. */

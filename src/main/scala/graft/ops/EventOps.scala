@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Time-series / event operators over `events` (SURVEY.md §2.9 [ext]).
+  * These are the BATCH TWINS of the streaming operators in
+  * `graft.streaming` — identical semantics so the DuckDB oracle can check
+  * them (it can only verify batch), and so streaming output can be
+  * asserted equal to the batch result in tests.
+  */
+object EventOps {
+
+  /** Tumbling window aggregation — batch twin of
+    * `groupBy(window($"ts", "10 minutes"))`. Epoch-aligned (Spark's
+    * window origin), mirrored in SQL by integer micros arithmetic.
+    */
+  val q90 = EngineQuery(
+    "q90_window_tumbling",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          toDouble(sum(dec2(col("value")))).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+          col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some("""SELECT
+              make_timestamp((epoch_us(ts)//600000000)*600000000) AS win_start,
+              make_timestamp((epoch_us(ts)//600000000)*600000000
+                + 600000000) AS win_end,
+              event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"""),
+    bench = true)
+
+  /** Session windows (30-minute gap) per user — batch twin of
+    * `session_window($"ts", "30 minutes")`; oracle uses the
+    * gaps-and-islands formulation. Session end = last event + gap.
+    */
+  val q91 = EngineQuery(
+    "q91_session_window",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          toDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH s AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM s
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s2 GROUP BY user_id, sess
+            ORDER BY user_id, session_start"""))
+
+  /** Keyed dedup — first event per (user, type); the deterministic batch
+    * twin of streaming `dropDuplicates`/`dropDuplicatesWithinWatermark`
+    * (which keep an arbitrary first — ours pins the earliest by
+    * (ts, event_id) so it is checkable).
+    */
+  val q92 = EngineQuery(
+    "q92_event_dedup_first",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id, ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** As-of join (SURVEY.md §2.3 [ext]): each event matched to the
+    * customer's latest order at-or-before the event time.
+    *
+    * Spark has no batch as-of join; this is the union-sort technique —
+    * union both sides tagged, one window pass carrying the last order
+    * forward. ONE shuffle on the key, linear in |orders|+|events|; never
+    * builds the (event × order) pair space, so it scales where a
+    * theta-join would not. Orders are first deduped to one per
+    * (custkey, date) — max orderkey — because as-of is ambiguous on ties.
+    * Oracle uses DuckDB's native ASOF LEFT JOIN.
+    */
+  val q93 = EngineQuery(
+    "q93_asof_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o = t.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          lit(0).as("typ"), col("o_orderkey"),
+          col("o_orderdate").as("ord_date"),
+          lit(null).cast("long").as("event_id"))
+      val e = t.events
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          lit(1).as("typ"), lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp").as("ord_date"), col("event_id"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("typ"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("carried_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("carried_date", last(col("ord_date"), ignoreNulls = true).over(w))
+        .filter(col("typ") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("carried_key").as("o_orderkey"),
+          col("carried_date").as("o_orderdate"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93)
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.compile.{DemoPlanner, SpecCompiler}
+import graft.etl.EtlRunner
+import graft.model._
+import Det._
+
+/** Driver-gate queries that exercise the engine's own machinery — the
+  * spec compiler, mandatory-filter injection, demo planner, and ETL
+  * runner — end-to-end through the same DuckDB oracle as plain operators.
+  */
+object PipelineQueries {
+
+  /** Fixture catalog for the parquet tables, with an engine-level
+    * mandatory filter on orders — the analog of the reference's
+    * soft-delete constraint ("is_deleted = false",
+    * sample_metadata.py:76-80) over this schema.
+    */
+  def parquetCatalog: CatalogModel = CatalogModel(
+    dbType = "parquet",
+    tables = Seq(
+      TableModel("orders", "customer orders", Seq(
+        ColumnModel("o_orderkey", "BIGINT", primaryKey = true),
+        ColumnModel("o_custkey", "BIGINT",
+          foreignKey = Some("customer.c_custkey")),
+        ColumnModel("o_orderstatus", "VARCHAR(1)"),
+        ColumnModel("o_totalprice", "DOUBLE"),
+        ColumnModel("o_orderdate", "TIMESTAMP"),
+        ColumnModel("o_orderpriority", "VARCHAR(20)"))),
+      TableModel("customer", "customers", Seq(
+        ColumnModel("c_custkey", "BIGINT", primaryKey = true),
+        ColumnModel("c_name", "VARCHAR(25)"),
+        ColumnModel("c_nationkey", "INTEGER",
+          foreignKey = Some("nation.n_nationkey")),
+        ColumnModel("c_acctbal", "DOUBLE"),
+        ColumnModel("c_mktsegment", "VARCHAR(10)")))),
+    relationships = Seq(
+      Relationship("orders", "o_custkey", "customer", "c_custkey"),
+      Relationship("customer", "c_nationkey", "nation", "n_nationkey")),
+    constraints = Constraints(
+      softDeleteRule = Some("o_orderstatus != 'F'"),
+      validStatusValues = Map("o_orderstatus" -> Seq("F", "O", "P")),
+      mandatoryFilters = Seq("o_orderstatus != 'F'")))
+
+  /** Demo-planner golden path through the driver gate: plan "orders"
+    * preview → compile → execute. Observable contract of the reference
+    * demo mode (sql_generator.py:274-281): first-5-column projection,
+    * catalog mandatory filter, LIMIT 10.
+    */
+  val q81 = EngineQuery(
+    "q81_demo_planner",
+    (s, dir) => {
+      val catalog = parquetCatalog
+      val compiler = SpecCompiler.forParquetDir(s, dir, catalog)
+      val spec = DemoPlanner.toSpec(catalog.table("orders").get, catalog)
+      compiler.compile(spec)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate
+            FROM orders WHERE o_orderstatus != 'F'
+            ORDER BY o_orderkey LIMIT 10"""))
+
+  /** SpecCompiler breadth: join + group + having + sort through the
+    * declarative QuerySpec IR (mandatory filter injected on the orders
+    * scan by the compiler, not written in the spec).
+    */
+  val q82 = EngineQuery(
+    "q82_spec_compiler_join",
+    (s, dir) => {
+      val compiler = SpecCompiler.forParquetDir(s, dir, parquetCatalog)
+      compiler.compile(QuerySpec(
+        table = "orders",
+        joins = Seq(JoinSpec("customer", "o_custkey = c_custkey")),
+        groupBy = Seq("c_mktsegment"),
+        aggregates = Seq(
+          AggSpec("count(1)", "n_orders"),
+          AggSpec(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double)",
+            "revenue")),
+        having = Some("n_orders > 10"),
+        orderBy = Seq(OrderSpec("c_mktsegment"))))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderstatus != 'F'
+            GROUP BY c_mktsegment HAVING COUNT(*) > 10
+            ORDER BY c_mktsegment"""))
+
+  /** ETL pipeline through the driver gate: extract orders → null-default
+    * priority → standardize the order date → validate/derive → overwrite-
+    * load → re-read the sink. Mirrors the reference demo pipeline's steps
+    * (sql_generator.py:296-311).
+    */
+  val q80 = EngineQuery(
+    "q80_etl_pipeline",
+    (s, dir) => {
+      val warehouse =
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+      val runner = new EtlRunner(s,
+        name => Tables(s, dir).table(name), warehouse)
+      val spec = EtlSpec(
+        extract = ExtractSpec(Seq("orders"),
+          conditions = Seq("o_orderdate IS NOT NULL")),
+        transform = Seq(
+          TransformStep.NullDefault(Map("o_orderpriority" -> "'UNKNOWN'")),
+          TransformStep.DateStandardize("o_orderdate", "yyyy-MM-dd"),
+          TransformStep.TypeValidate("o_totalprice", "double"),
+          TransformStep.Derive("net_price",
+            "cast(cast(o_totalprice as decimal(18,2)) * 0.9 as double)"),
+          TransformStep.FilterRows("o_totalprice > 0")),
+        load = LoadSpec("processed_orders", "overwrite"))
+      runner.run(spec).orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, coalesce(o_orderpriority, 'UNKNOWN') AS o_orderpriority,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_std,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9 AS DOUBLE)
+                AS net_price
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice > 0
+            ORDER BY o_orderkey"""))
+
+  val all: Seq[EngineQuery] = Seq(q80, q81, q82)
+}

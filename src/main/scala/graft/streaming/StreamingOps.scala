@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.ops.Det._
+
+/** Structured Streaming surface (SURVEY.md §2.9 [ext]) — streaming twins
+  * of the batch event operators in `graft.ops.EventOps`, so every
+  * streaming transform has an oracle-checkable batch equivalent (the
+  * DuckDB oracle can only verify batch semantics).
+  *
+  * Sources are `readStream` over the events parquet layout; sinks in
+  * tests are the memory sink driven by `processAllAvailable()`. At scale
+  * the same plans run against Kafka/file sources with watermark-bounded
+  * state — nothing here holds unbounded state except the explicitly
+  * stateful example.
+  */
+object StreamingOps {
+
+  /** Raw parquet schema of the events fixture (ts is TIMESTAMP(NANOS),
+    * surfaced as long nanos — see `graft.ops.Tables#events`).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark — streaming twin of
+    * EventOps.q90 (same grouping, same aggregates).
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        toDouble(sum(dec2(col("value")))).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — streaming twin of
+    * EventOps.q91.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
+  /** Watermarked streaming dedup on (user_id, event_type) — twin of
+    * EventOps.q92's keyed dedup (streaming keeps the first arrival).
+    */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Explicit stateful processing: running event count + value sum per
+    * user via mapGroupsWithState — the `KeyValueGroupedDataset` custom-
+    * state surface. State is one small struct per key, watermark-free
+    * (bounded by key cardinality).
+    */
+  final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+  def statefulUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), dec2(col("value")).cast("double").as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserAgg](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (pn, pv) = state.getOption.getOrElse((0L, 0.0))
+          var n = pn
+          var v = pv
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          UserAgg(uid, n, v)
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.EtlRunner
+import graft.model._
+import graft.ops.Tables
+
+class EtlRunnerSpec extends SparkTestBase {
+
+  private def runner(warehouse: String) =
+    new EtlRunner(spark, name => Tables(spark, sfDir).table(name), warehouse)
+
+  test("transform steps compose: null-default, date-standardize, derive, filter") {
+    val r = runner(java.nio.file.Files.createTempDirectory("etl1").toString)
+    val out = r.transform(r.extract(ExtractSpec(Seq("orders"))), Seq(
+      TransformStep.NullDefault(Map("o_orderpriority" -> "'UNKNOWN'")),
+      TransformStep.DateStandardize("o_orderdate"),
+      TransformStep.Derive("big", "o_totalprice > 300000"),
+      TransformStep.FilterRows("big")))
+    assert(out.columns.contains("o_orderdate_std"))
+    assert(out.filter(col("o_totalprice") <= 300000).count() == 0)
+    val std = out.select("o_orderdate_std").head().getString(0)
+    assert(std.matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
+  test("TypeValidate drops rows that fail the cast") {
+    import spark.implicits._
+    val df = Seq("1", "2", "oops", "4").toDF("v")
+    val r = runner(java.nio.file.Files.createTempDirectory("etl2").toString)
+    val out = r.applyStep(df, TransformStep.TypeValidate("v", "int"))
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 4))
+  }
+
+  test("load round-trips with overwrite and append write modes") {
+    val wh = java.nio.file.Files.createTempDirectory("etl3").toString
+    val r = runner(wh)
+    val src = Tables(spark, sfDir).orders.limit(100)
+    val first = r.load(src, LoadSpec("t_out", "overwrite"))
+    assert(first.count() == 100)
+    val second = r.load(src, LoadSpec("t_out", "append"))
+    assert(second.count() == 200)
+    val third = r.load(src, LoadSpec("t_out", "overwrite"))
+    assert(third.count() == 100)
+    // reference contract allows only append|overwrite (sql_generator.py:46)
+    intercept[IllegalArgumentException] {
+      r.load(src, LoadSpec("t_out", "merge"))
+    }
+  }
+
+  test("full spec run: extract -> transform -> load") {
+    val wh = java.nio.file.Files.createTempDirectory("etl4").toString
+    val out = runner(wh).run(EtlSpec(
+      extract = ExtractSpec(Seq("orders"), Seq("o_orderstatus = 'F'")),
+      transform = Seq(TransformStep.Derive("y", "year(o_orderdate)")),
+      load = LoadSpec("processed_orders", "overwrite")))
+    assert(out.filter(col("o_orderstatus") =!= "F").count() == 0)
+    assert(out.columns.contains("y"))
+    assert(new java.io.File(s"$wh/processed_orders").exists())
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.llmops._
+import graft.ops.Tables
+
+class LlmopsSpec extends SparkTestBase {
+
+  test("PortableHash.charHash matches its SQL formula (reference value)") {
+    import spark.implicits._
+    // independently computed: g("ab") with m(i)=(i*i*2654435761+i*97)%P
+    val p = 1000000007L
+    def m(i: Long) = (i * i * 2654435761L + i * 97L) % p
+    val expected = (97L * m(1) + 98L * m(2)) % p
+    val got = Seq("ab").toDF("s")
+      .select(PortableHash.charHash(col("s")).as("h")).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("PortableHash.charHash is deterministic and spreads values") {
+    import spark.implicits._
+    val words = Seq("spark", "spark", "sparl", "kraps", "", "a")
+    val hs = words.toDF("s").select(PortableHash.charHash(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(hs(0) == hs(1))          // deterministic
+    assert(hs(0) != hs(2))          // single-char change moves the hash
+    assert(hs(0) != hs(3))          // positional: anagram differs
+  }
+
+  test("exactDot equals an independently computed decimal dot product") {
+    import spark.implicits._
+    val a = Array(0.5f, -0.25f, 0.125f)
+    val b = Array(1.0f, 2.0f, 4.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(PortableHash.exactDot(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(got == 0.5 - 0.5 + 0.5)
+  }
+
+  test("exact dedup output is a subset with distinct keys (property)") {
+    val t = Tables(spark, sfDir)
+    val out = Dedup.q40.run(spark, sfDir).collect()
+    val inputIds = t.documents.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).forall(inputIds.contains)) // keep_id ⊆ input
+    assert(out.map(_.getString(2)).distinct.length == out.length) // distinct md5
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.q41.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full-signature matches (8/8 bands) must be true near-dups; at least
+    // one planted pair exists in the fixture
+    val strong = pairs.filter(_._3 >= 7)
+    assert(strong.nonEmpty)
+    val t = Tables(spark, sfDir)
+    val texts = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    strong.foreach { case (a, b, _) =>
+      val ta = texts(a).split(" ").toSet
+      val tb = texts(b).split(" ").toSet
+      val j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      assert(j > 0.5, s"pair ($a,$b) bands>=7 but token jaccard $j")
+    }
+  }
+
+  test("filter partition property: filter(p) + filter(!p) = all (scalacheck)") {
+    val t = Tables(spark, sfDir)
+    val total = t.orders.count()
+    val prop = Prop.forAll(Gen.choose(0.0, 500000.0)) { threshold =>
+      val p = col("o_totalprice") > threshold
+      t.orders.filter(p).count() + t.orders.filter(!p).count() == total
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("Multimodal decode plumbing: partition-local batch produces typed features") {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val assets = Multimodal.assets(spark, sfDir)
+    assert(shape(assets.schema) == shape(Multimodal.assetSchema))
+    val feats = Multimodal.decodeFeatures(assets)
+    assert(shape(feats.schema) == shape(Multimodal.featureSchema))
+    val rows = feats.orderBy(col("asset_id")).limit(5).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 16 && r.getInt(1) < 80)   // width in stub range
+      assert(r.getSeq[Float](4).length == 4)          // fixed feature shape
+    }
+    // deterministic stub: same payload -> same features
+    val again = Multimodal.decodeFeatures(assets)
+      .orderBy(col("asset_id")).limit(5).collect()
+    assert(rows.map(_.toString) sameElements again.map(_.toString))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventOps, Tables}
+import graft.streaming.StreamingOps
+
+/** Streaming twins must equal their batch counterparts — the oracle can
+  * only check batch, so these tests close the loop for streaming
+  * semantics (SURVEY.md §2.9).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  /** Stage the single events parquet file into a directory (streaming
+    * file source lists directories).
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg == batch twin (q90 grouping)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(StreamingOps.tumblingAgg(stream), "tumbling",
+      "complete")
+      .orderBy(col("win_start"), col("event_type")).collect()
+    val want = EventOps.q90.run(spark, sfDir)
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("win_start"), col("event_type")).collect()
+    assert(got.map(_.toString) sameElements want.map(_.toString))
+  }
+
+  test("streaming session windows == batch twin (q91 grouping)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(StreamingOps.sessionAgg(stream), "sessions",
+      "complete")
+      .orderBy(col("user_id"), col("session_start")).collect()
+    val want = EventOps.q91.run(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start")).collect()
+    assert(got.map(_.toString) sameElements want.map(_.toString))
+  }
+
+  test("streaming dedup-within-watermark keeps one row per key") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(StreamingOps.dedupByKey(stream), "dedup", "append")
+    val batchKeys = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(got.select("user_id", "event_type").distinct().count() == batchKeys)
+    assert(got.count() == batchKeys)
+  }
+
+  test("mapGroupsWithState running counts == batch groupBy (final state)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(
+      StreamingOps.statefulUserCounts(spark, stream), "stateful", "update")
+    // one micro-batch -> emitted state is the final count per user
+    val gotMap = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Tables(spark, sfDir).events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotMap.keySet == want.keySet)
+    want.foreach { case (k, (n, v)) =>
+      assert(gotMap(k)._1 == n, s"count for user $k")
+      assert(math.abs(gotMap(k)._2 - v) < 1e-6, s"sum for user $k")
+    }
+  }
+}
