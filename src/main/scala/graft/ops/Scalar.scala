@@ -210,7 +210,8 @@ object Scalar {
 
   /** Higher-order array functions (transform/filter/aggregate) — the
     * codegen-friendly path for vector math (SURVEY.md §2.8 [ext]); the
-    * exact-decimal fold makes the L2 norm oracle-checkable.
+    * fixed-point integer fold (floor(v*1e7), exact int64 sum) makes the
+    * L2 norm bit-identical across engines.
     */
   val q32 = EngineQuery(
     "q32_higher_order",
@@ -222,17 +223,18 @@ object Scalar {
           col("vec_id"),
           size(filter(col("embedding"), x => x > 0)).as("n_pos"),
           transform(slice(col("embedding"), 1, 3), x => x + x).as("doubled_head"),
-          aggregate(col("embedding"),
-            lit(0).cast(DecimalType(20, 12)),
-            (acc, v) => (acc + (v.cast(DoubleType) * v.cast(DoubleType))
-              .cast(DecimalType(28, 12))).cast(DecimalType(20, 12)))
-            .cast(DoubleType).as("norm2"))
+          (aggregate(col("embedding"), lit(0L), (acc, v) => {
+            val f = floor(v.cast(DoubleType) * lit(1e7)).cast(LongType)
+            acc + f * f
+          }).cast(DoubleType) / lit(1e14)).as("norm2"))
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id,
               len(list_filter(embedding, x -> x > 0)) AS n_pos,
               list_transform(embedding[1:3], x -> x + x) AS doubled_head,
-              (SELECT CAST(SUM(CAST(v*v AS DECIMAL(28,12))) AS DOUBLE)
+              (SELECT CAST(SUM(CAST(FLOOR(v*10000000.0) AS BIGINT)
+                          * CAST(FLOOR(v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0
                FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS v) u) AS norm2
             FROM embeddings ORDER BY vec_id"""))
 
