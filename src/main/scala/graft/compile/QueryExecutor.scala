@@ -1,0 +1,66 @@
+package graft.compile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.ResultSet
+
+/** SQL-text execution path (SURVEY.md §3.2) — the engine-side equivalent
+  * of the reference's `POST /api/db/execute` (main.py:209-217 →
+  * db_connector.py:207-257): strip trailing ';', safety-gate, execute,
+  * auto-LIMIT, serialize.
+  *
+  * Differences by design: execution happens on Spark (not a remote DB),
+  * the safety gate is command-token-based (not substring), and the LIMIT
+  * injection is plan-level (`ResultLimiter`), fixing the reference's
+  * substring false-positive on columns named "limit".
+  */
+final class QueryExecutor(spark: SparkSession) {
+
+  /** Execute SQL text with the reference's guardrails; default result cap
+    * 10 rows (main.py:66).
+    */
+  def execute(sql: String, limit: Int = 10): DataFrame = {
+    val cleaned = sql.trim.stripSuffix(";")
+    SafetyValidator.validateSql(cleaned) match {
+      case Left(reason) => throw new IllegalArgumentException(reason)
+      case Right(())    => ResultLimiter(spark.sql(cleaned), limit)
+    }
+  }
+
+  /** Execute + serialize to the reference's result-set JSON shape. */
+  def executeToResultSet(sql: String, limit: Int = 10): ResultSet =
+    ResultSink.toResultSet(execute(sql, limit))
+}
+
+/** Result sink (SURVEY.md §2.1): rows → `[{col: serialized_value}]` +
+  * row_count, mirroring `_serialize_value` (db_connector.py:259-265:
+  * datetime→isoformat, Decimal→number-as-string, other non-primitives→
+  * str). The boundary collect is always limit-bounded by contract.
+  */
+object ResultSink {
+
+  def serializeValue(v: Any): String = v match {
+    case null                        => null
+    case ts: java.sql.Timestamp      => ts.toInstant.toString
+    case t: java.time.Instant        => t.toString
+    case t: java.time.LocalDateTime  => t.toString // TIMESTAMP_NTZ
+    case d: java.sql.Date            => d.toString
+    case d: java.time.LocalDate      => d.toString
+    case b: Array[Byte]              => java.util.Base64.getEncoder.encodeToString(b)
+    case bd: java.math.BigDecimal    => bd.toPlainString
+    case bd: scala.math.BigDecimal   => bd.bigDecimal.toPlainString
+    case s: scala.collection.Seq[_]  =>
+      s.map(serializeValue).mkString("[", ",", "]")
+    case other                       => other.toString
+  }
+
+  def toResultSet(df: DataFrame): ResultSet = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq.map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> serializeValue(r.get(i))
+      }.toMap
+    }
+    ResultSet(columns = cols, data = rows, rowCount = rows.length)
+  }
+}

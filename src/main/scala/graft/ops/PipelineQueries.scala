@@ -124,5 +124,47 @@ object PipelineQueries {
             WHERE o_orderdate IS NOT NULL AND o_totalprice > 0
             ORDER BY o_orderkey"""))
 
-  val all: Seq[EngineQuery] = Seq(q80, q81, q82)
+  /** SQL-text execution path (the reference's /api/db/execute): temp
+    * views + `spark.sql` + safety gate + plan-level auto-LIMIT.
+    */
+  val q83 = EngineQuery(
+    "q83_sql_text_exec",
+    (s, dir) => {
+      Tables(s, dir).registerAll()
+      new graft.compile.QueryExecutor(s).execute(
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;""")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+            LIMIT 10"""))
+
+  /** Explicit GROUPING SETS through the SQL surface (SURVEY.md §2.4 —
+    * the rollup/cube family's general form).
+    */
+  val q84 = EngineQuery(
+    "q84_grouping_sets_sql",
+    (s, dir) => {
+      Tables(s, dir).registerAll()
+      new graft.compile.QueryExecutor(s).execute(
+        """SELECT CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+             CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+             c_mktsegment, c_nationkey, count(*) AS n
+           FROM customer
+           GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+           ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+             c_nationkey NULLS FIRST""",
+        limit = 1000000)
+    },
+    Some("""SELECT CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+              CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+              c_mktsegment, c_nationkey, count(*) AS n
+            FROM customer
+            GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+            ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+              c_nationkey NULLS FIRST"""))
+
+  val all: Seq[EngineQuery] = Seq(q80, q81, q82, q83, q84)
 }

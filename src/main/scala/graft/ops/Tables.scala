@@ -34,9 +34,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Register every fixture table as a temp view for `spark.sql` paths. */
-  def registerAll(): Unit =
-    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+  /** Register every fixture table as a temp view for `spark.sql` paths.
+    * `events` goes through its converting loader (nanos timestamps).
+    */
+  def registerAll(): Unit = Tables.names.foreach { n =>
+    val df = if (n == "events") events else table(n)
+    df.createOrReplaceTempView(n)
+  }
 }
 
 object Tables {

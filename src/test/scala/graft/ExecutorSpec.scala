@@ -1,0 +1,44 @@
+package graft
+
+import graft.compile.{QueryExecutor, ResultSink}
+import graft.sources.Connectors
+import graft.ops.Tables
+
+class ExecutorSpec extends SparkTestBase {
+
+  test("QueryExecutor strips ';', injects auto-limit, blocks writes") {
+    Tables(spark, sfDir).registerAll()
+    val ex = new QueryExecutor(spark)
+    assert(ex.execute("SELECT * FROM orders;").count() == 10) // auto-limit
+    assert(ex.execute("SELECT * FROM orders LIMIT 3").count() == 3)
+    intercept[IllegalArgumentException] {
+      ex.execute("DROP TABLE orders")
+    }
+  }
+
+  test("ResultSink serializes to the reference result-set shape") {
+    Tables(spark, sfDir).registerAll()
+    val rs = new QueryExecutor(spark).executeToResultSet(
+      "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders ORDER BY o_orderkey",
+      limit = 2)
+    assert(rs.rowCount == 2)
+    assert(rs.columns == Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+    assert(rs.data.head("o_orderkey") == "0")
+    // timestamps serialize ISO-8601 (mirrors datetime.isoformat; NTZ here)
+    assert(rs.data.head("o_orderdate").startsWith("1997-01-15T00:00"))
+  }
+
+  test("JDBC connector builds the reference URL templates") {
+    val pg = Connectors.JdbcConf("postgresql", "db.example", 5432, "shop",
+      "u", "p")
+    assert(Connectors.jdbcUrl(pg) == "jdbc:postgresql://db.example:5432/shop")
+    val my = pg.copy(dbType = "mysql", port = 3306)
+    assert(Connectors.jdbcUrl(my) == "jdbc:mysql://db.example:3306/shop")
+    intercept[IllegalArgumentException] {
+      Connectors.jdbcUrl(pg.copy(dbType = "oracle"))
+    }
+    // reader is configured but unexecuted (no live DB in this env)
+    val reader = Connectors.jdbc(spark, pg)
+    assert(reader != null)
+  }
+}
