@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All engine capabilities, in registry order. */
   def registry: Seq[EngineQuery] =
-    Relational.all ++ WindowOps.all ++ Scalar.all ++ EventOps.all ++
+    Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
+      EventOps.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Multimodal.all ++
       PipelineQueries.all

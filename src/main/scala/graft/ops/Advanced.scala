@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Det._
+
+/** Advanced relational surface (SURVEY.md §2 [surface]): subqueries,
+  * ALL-variant set ops, pivot, ordered string aggregation, exact
+  * percentiles, and the salted-join skew technique.
+  */
+object Advanced {
+
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance. The average runs in exact decimal on both sides (a double
+    * AVG is order-dependent and would flip rows sitting near the mean).
+    */
+  val q33 = EngineQuery(
+    "q33_correlated_subquery",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val natAvg = t.customer
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg((toDouble(sum(dec2(col("c_acctbal")))) / count(lit(1))).as("nat_avg"))
+      t.customer
+        .join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nat_avg"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("nat_avg"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+              (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)
+               FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nat_avg
+            FROM customer c
+            WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / COUNT(*)
+                               FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+            ORDER BY c_custkey"""))
+
+  /** IN-subquery (uncorrelated): orders of BUILDING-segment customers. */
+  val q34 = EngineQuery(
+    "q34_in_subquery",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      t.orders
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (SURVEY.md §2.7). */
+  val q35 = EngineQuery(
+    "q35_set_ops_all",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val all = t.orders.select(col("o_custkey"))
+      val f = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val ex = all.exceptAll(f)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_left"))
+      val in = all.intersectAll(f)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_both"))
+      ex.join(in, Seq("o_custkey"), "full")
+        .select(col("o_custkey"), col("n_left"), col("n_both"))
+        .orderBy(col("o_custkey").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+              SELECT o_custkey, COUNT(*) AS n_left FROM (
+                SELECT o_custkey FROM orders
+                EXCEPT ALL
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+              GROUP BY o_custkey
+            ), ins AS (
+              SELECT o_custkey, COUNT(*) AS n_both FROM (
+                SELECT o_custkey FROM orders
+                INTERSECT ALL
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+              GROUP BY o_custkey
+            )
+            SELECT coalesce(ex.o_custkey, ins.o_custkey) AS o_custkey,
+              ex.n_left, ins.n_both
+            FROM ex FULL JOIN ins ON ex.o_custkey = ins.o_custkey
+            ORDER BY o_custkey NULLS FIRST"""))
+
+  /** Pivot: segment counts as columns per nation (conditional aggregation
+    * in the oracle — the relational core of PIVOT).
+    */
+  val q36 = EngineQuery(
+    "q36_pivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey,
+              COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+              COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS "BUILDING",
+              COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS "FURNITURE",
+              COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+              COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** Ordered string aggregation (string_agg / collect_list + sort). */
+  val q37 = EngineQuery(
+    "q37_string_agg",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",",
+          array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(*) AS n
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Salted join — the skew-mitigation technique with identical
+    * semantics: fact rows carry a deterministic salt, the dim side is
+    * exploded across all salt values, and the join key becomes
+    * (key, salt) so one hot key spreads over N partitions. The oracle is
+    * the UNSALTED join — proving the technique is semantics-preserving.
+    */
+  val q38 = EngineQuery(
+    "q38_salted_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val salts = 8
+      val fact = t.lineitem.withColumn("salt",
+        (col("l_linenumber") % salts).cast(LongType))
+      val dim = t.orders
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey")
+            && fact("salt") === dim("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          toDouble(sum(dec2(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Exact percentiles with linear interpolation (quantile_cont).
+    * Quality-threshold computation for training-data pipelines; the
+    * approximate scale path is approx_percentile (not oracle-comparable).
+    */
+  val q39 = EngineQuery(
+    "q39_percentiles",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              quantile_cont(l_extendedprice, 0.25) AS p25_price,
+              quantile_cont(l_extendedprice, 0.99) AS p99_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39)
+}
