@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregate (SURVEY.md §2.10): per-group top-k by score,
+  * as an `Aggregator[IN, BUF, OUT]` registered through `functions.udaf`.
+  *
+  * This is the bounded-state alternative to window row_number top-k: the
+  * buffer holds at most k (score, id) pairs per group, so map-side
+  * partial aggregation prunes before the shuffle — for per-bucket top-k
+  * similarity at 100 TB the exchange carries k rows per (partition ×
+  * bucket) instead of every candidate row.
+  */
+final case class ScoredId(score: Double, id: Long)
+
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
+
+  private def prune(xs: List[ScoredId]): List[ScoredId] =
+    xs.sortBy(x => (-x.score, x.id)).take(k)
+
+  override def zero: List[ScoredId] = Nil
+  override def reduce(buf: List[ScoredId], a: ScoredId): List[ScoredId] =
+    prune(a :: buf)
+  override def merge(b1: List[ScoredId], b2: List[ScoredId]): List[ScoredId] =
+    prune(b1 ++ b2)
+  override def finish(buf: List[ScoredId]): Seq[ScoredId] = prune(buf)
+  override def bufferEncoder: Encoder[List[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object TopK {
+  /** top_k(score, id): Column aggregate usable in `.agg(...)`. */
+  def topK(k: Int)(score: Column, id: Column): Column = {
+    implicit val inEnc: Encoder[ScoredId] = Encoders.product[ScoredId]
+    udaf(new TopKAggregator(k)).apply(score, id)
+  }
+}

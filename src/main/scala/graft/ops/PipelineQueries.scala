@@ -166,5 +166,76 @@ object PipelineQueries {
             ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
               c_nationkey NULLS FIRST"""))
 
-  val all: Seq[EngineQuery] = Seq(q80, q81, q82, q83, q84)
+  /** Catalog/metadata scan as rows (SURVEY.md §2.1): the reference's
+    * metadata JSON shape flattened. O(tables) — parquet footers only.
+    * Spark/DuckDB spell type names differently, so this is a rows-only
+    * check (no oracle).
+    */
+  val q85 = EngineQuery(
+    "q85_catalog_scan",
+    (s, dir) => {
+      import s.implicits._
+      val cat = graft.catalog.MetadataExtractor.fromParquetDir(s, dir)
+      cat.tables.flatMap { t =>
+        t.columns.map(c => (t.name, c.name, c.dataType, c.nullable,
+          c.primaryKey, c.foreignKey.getOrElse("")))
+      }.toDF("table_name", "column_name", "data_type", "nullable",
+        "primary_key", "foreign_key")
+        .orderBy(col("table_name"), col("column_name"))
+    },
+    None)
+
+  /** FK join-graph navigation (SURVEY.md §2.3): shortest path
+    * lineitem→region resolved by BFS (via supplier→nation, 3 hops) and
+    * compiled to chained broadcast equi-joins — the engine-side
+    * replacement for the join-path hints the reference hands its LLM.
+    */
+  val q86 = EngineQuery(
+    "q86_join_graph_path",
+    (s, dir) => {
+      val cat = graft.catalog.MetadataExtractor.fromParquetDir(s, dir)
+      val graph = new graft.compile.JoinGraph(cat)
+      graph.join(name => Tables(s, dir).table(name), "lineitem", "region")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"),
+          toDouble(sum(dec2(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Custom typed aggregate (SURVEY.md §2.10): per-segment top-3 orders
+    * via the TopKAggregator UDAF — bounded k-element state with map-side
+    * pruning; oracle is the window row_number formulation.
+    */
+  val q87 = EngineQuery(
+    "q87_topk_udaf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopK.topK(3)(col("o_totalprice"),
+          col("o_orderkey")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey,
+              o_totalprice
+            FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
+
+  val all: Seq[EngineQuery] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
 }

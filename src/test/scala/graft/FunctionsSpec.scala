@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.compile.JoinGraph
+import graft.functions.TimeOfDay
+import graft.ops.Tables
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("JoinGraph finds the shortest FK path and rejects unreachable pairs") {
+    val cat = graft.catalog.MetadataExtractor.fromParquetDir(spark, sfDir)
+    val g = new JoinGraph(cat)
+    // lineitem -> region: via supplier -> nation (3 hops), not via
+    // orders -> customer -> nation (4 hops)
+    val p = g.path("lineitem", "region").get
+    assert(p.map(_.render) == Seq(
+      "lineitem.l_suppkey -> supplier.s_suppkey",
+      "supplier.s_nationkey -> nation.n_nationkey",
+      "nation.n_regionkey -> region.r_regionkey"))
+    assert(g.path("region", "region").contains(Nil))
+    assert(g.path("documents", "region").isEmpty)
+    intercept[IllegalArgumentException] {
+      g.join(n => Tables(spark, sfDir).table(n), "documents", "region")
+    }
+  }
+
+  test("JoinGraph join walks the path in either edge direction") {
+    val cat = graft.catalog.MetadataExtractor.fromParquetDir(spark, sfDir)
+    val g = new JoinGraph(cat)
+    // region -> lineitem traverses FK edges backwards
+    val n = g.join(nm => Tables(spark, sfDir).table(nm), "region", "lineitem")
+      .count()
+    assert(n == Tables(spark, sfDir).lineitem.count())
+  }
+
+  test("TimeOfDay round-trips, validates, and handles midnight wrap") {
+    import spark.implicits._
+    val df = Seq("09:30:00", "23:59:59", "7:05", "bad", "25:00:00")
+      .toDF("t")
+      .select(col("t"), TimeOfDay.toSeconds(col("t")).as("s"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(rows("09:30:00") == 9 * 3600 + 30 * 60)
+    assert(rows("23:59:59") == 86399)
+    assert(rows("7:05") == 7 * 3600 + 5 * 60)
+    assert(rows("bad") == -1)       // malformed -> null
+    assert(rows("25:00:00") == -1)  // out of range -> null
+    val back = Seq(34200).toDF("s")
+      .select(TimeOfDay.fromSeconds(col("s"))).head().getString(0)
+    assert(back == "09:30:00")
+    // overnight shift: 22:00 -> 06:00 = 8h
+    val diff = Seq(("22:00:00", "06:00:00")).toDF("a", "b")
+      .select(TimeOfDay.diffSeconds(col("a"), col("b"))).head().getInt(0)
+    assert(diff == 8 * 3600)
+  }
+
+  test("csv and json sources round-trip the orders table") {
+    val t = Tables(spark, sfDir)
+    val src = t.orders.withColumn("o_orderdate",
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    src.write.option("header", "true").csv(s"$dir/csv")
+    src.write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    val json = spark.read.json(s"$dir/json")
+    assert(csv.count() == src.count())
+    assert(json.count() == src.count())
+    assert(csv.columns.sorted.toSeq == src.columns.sorted.toSeq)
+  }
+
+  test("DML sink passthrough: INSERT INTO a catalog table via SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("dml").toString
+    spark.sql("DROP TABLE IF EXISTS dml_target")
+    spark.sql(
+      s"CREATE TABLE dml_target (id BIGINT, name STRING) USING parquet " +
+        s"LOCATION '$wh/dml_target'")
+    spark.sql("INSERT INTO dml_target VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO dml_target SELECT c_custkey, c_name FROM " +
+      "parquet.`" + sfDir + "/customer.parquet` WHERE c_custkey < 3")
+    assert(spark.table("dml_target").count() == 5)
+    spark.sql("DROP TABLE dml_target")
+  }
+}
