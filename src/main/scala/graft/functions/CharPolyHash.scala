@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's portable polynomial hash
+  * (graft.llmops.PortableHash): g(s) = SUM_i ascii(s_i) * m(i) mod P with
+  * m(i) = (i*i*2654435761 + i*97) mod P.
+  *
+  * Same math as the HOF formulation (split/transform/aggregate) and the
+  * DuckDB oracle's list comprehension, but with `doGenCode` emitting a
+  * tight Java loop — no per-character array allocation, stays inside
+  * whole-stage codegen. This is the one hot path (MinHash shingle /
+  * SimHash token hashing over millions of strings) where a custom
+  * Expression is warranted over composing built-ins (HOFs are
+  * CodegenFallback, i.e. interpreted).
+  *
+  * Semantics notes, mirroring PortableHash.charHash exactly:
+  *  - empty string → NULL (matches SQL `list_sum([]) % P`);
+  *  - `ascii` semantics: the FIRST BYTE interpreted as its code point for
+  *    ASCII input (fixture text is ASCII; for non-ASCII both engines'
+  *    ascii() agree on the leading code point, which we replicate by
+  *    iterating code points).
+  */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"charpolyhash requires STRING input, got ${child.dataType.sql}")
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) null else CharPolyHash.hash(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |String $s = $c.toString();
+         |if ($s.isEmpty()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 1; $i <= $s.length(); $i++) {
+         |    long $m = ((long) $i * $i * 2654435761L + (long) $i * 97L)
+         |        % 1000000007L;
+         |    $acc += (long) $s.codePointAt($i - 1) * $m;
+         |  }
+         |  ${ev.value} = $acc % 1000000007L;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}
+
+object CharPolyHash {
+  val P = 1000000007L
+
+  /** Reference implementation (used by interpreted eval and tests). */
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 1
+    while (i <= s.length) {
+      val m = (i.toLong * i * 2654435761L + i.toLong * 97L) % P
+      acc += s.codePointAt(i - 1).toLong * m
+      i += 1
+    }
+    acc % P
+  }
+
+  /** Column API: native codegen'd portable hash (Spark 4's Column wraps
+    * ColumnNode, so the Expression bridge goes through ExpressionUtils).
+    */
+  def charPolyHash(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CharPolyHash(ColumnBridge.expression(c)))
+  }
+}

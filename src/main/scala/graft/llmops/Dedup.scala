@@ -51,9 +51,11 @@ object Dedup {
       val sh = toks.select(col("doc_id"),
         explode(shingles3(col("ws"))).as("s"))
       // hash each DISTINCT shingle once, broadcast back — ~10x fewer
-      // charHash evaluations than hashing per (doc, shingle) row
+      // hash evaluations than hashing per (doc, shingle) row; the native
+      // codegen'd expression (CharPolyHash) computes the same g(s) as
+      // the HOF/oracle formulation without per-char array allocation
       val distinctHashes = sh.select(col("s")).distinct()
-        .withColumn("gh", charHash(col("s")))
+        .withColumn("gh", graft.functions.CharPolyHash.charPolyHash(col("s")))
       val g = sh.join(broadcast(distinctHashes), "s")
         .select(col("doc_id"), col("gh"))
       val mh = g
@@ -113,7 +115,8 @@ object Dedup {
       val toks = t.documents
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
-      val wh = toks.select(col("doc_id"), charHash(col("w")).as("gh"))
+      val wh = toks.select(col("doc_id"),
+        graft.functions.CharPolyHash.charPolyHash(col("w")).as("gh"))
       val bits = wh
         .select(col("doc_id"), col("gh"),
           explode(sequence(lit(0), lit(15))).as("b"))

@@ -169,7 +169,7 @@ object TextAnalysis {
       t.documents
         .select(col("doc_id"),
           md5(normalized.cast("binary")).as("fp_md5"),
-          charHash(normalized).as("fp_roll"))
+          graft.functions.CharPolyHash.charPolyHash(normalized).as("fp_roll"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,

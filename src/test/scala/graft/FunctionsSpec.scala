@@ -55,6 +55,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(diff == 8 * 3600)
   }
 
+  test("native CharPolyHash == HOF charHash == reference impl") {
+    import spark.implicits._
+    import graft.functions.CharPolyHash
+    val t = Tables(spark, sfDir)
+    val both = t.documents
+      .select(
+        CharPolyHash.charPolyHash(col("text")).as("native"),
+        graft.llmops.PortableHash.charHash(col("text")).as("hof"),
+        col("text"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) == CharPolyHash.hash(r.getString(2)))
+    }
+    // empty string -> NULL on both paths
+    val e = Seq("").toDF("s")
+      .select(CharPolyHash.charPolyHash(col("s")),
+        graft.llmops.PortableHash.charHash(col("s"))).head()
+    assert(e.isNullAt(0) && e.isNullAt(1))
+  }
+
   test("csv and json sources round-trip the orders table") {
     val t = Tables(spark, sfDir)
     val src = t.orders.withColumn("o_orderdate",
