@@ -158,5 +158,90 @@ object Similarity {
             SELECT bucket, ia, ib, sim FROM dots WHERE sim > 0.2
             ORDER BY ia, ib"""))
 
-  val all: Seq[EngineQuery] = Seq(q50, q51)
+  /** IVF-style ANN: assign every vector to its nearest "centroid" (here
+    * a deterministic seed set — the first 16 vectors — standing in for
+    * trained k-means centroids so the oracle can replicate assignment),
+    * then answer queries by probing the top-2 cells only. The 100 TB
+    * shape: centroids broadcast, assignment is a per-row argmax (no
+    * shuffle), search shuffles on cell id — candidates per query are
+    * |cell|·nprobe, never |corpus|.
+    */
+  val q52 = EngineQuery(
+    "q52_knn_ivf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nCentroids = 16
+      val centroids = t.embeddings.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      def nearest(df: org.apache.spark.sql.DataFrame, idCol: String,
+          embCol: String, keep: Int) = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("cdot").desc, col("cid"))
+        df.crossJoin(broadcast(centroids))
+          .select(col(idCol), col(embCol), col("cid"),
+            exactDot(col(embCol), col("ec")).as("cdot"))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= keep)
+      }
+      val assign = nearest(t.embeddings.select(col("vec_id"),
+        col("embedding")), "vec_id", "embedding", 1)
+        .select(col("vec_id").as("member_id"), col("cid").as("cell"),
+          col("embedding").as("em"))
+      val probes = nearest(t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        "qid", "eq", 2)
+        .select(col("qid"), col("eq"), col("cid").as("cell"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("member_id"))
+      probes.join(assign, Seq("cell"))
+        .filter(col("qid") =!= col("member_id"))
+        .select(col("qid"), col("member_id"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("member_id").as("cid"), col("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), exc AS (SELECT vec_id AS cid, v, pos FROM ex WHERE vec_id < 16),
+            cdots AS (
+              SELECT e.vec_id, c.cid,
+                CAST(SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
+                       * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                  / 100000000000000.0 AS cdot
+              FROM ex e JOIN exc c ON e.pos = c.pos
+              GROUP BY 1, 2
+            ), assign AS (
+              SELECT vec_id AS member_id, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, cid) crn FROM cdots) x
+              WHERE crn = 1
+            ), probes AS (
+              SELECT vec_id AS qid, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, cid) crn FROM cdots
+                WHERE vec_id < 10) x
+              WHERE crn <= 2
+            ), cand AS (
+              SELECT p.qid, a.member_id FROM probes p
+              JOIN assign a ON a.cell = p.cell AND a.member_id != p.qid
+            ), dots AS (
+              SELECT c.qid, c.member_id,
+                CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                       * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                  / 100000000000000.0 AS sim
+              FROM cand c
+              JOIN ex q ON q.vec_id = c.qid
+              JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+              GROUP BY 1, 2
+            )
+            SELECT qid, member_id AS cid, sim, rn FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, member_id) rn FROM dots) x
+            WHERE rn <= 8 ORDER BY qid, rn"""))
+
+  val all: Seq[EngineQuery] = Seq(q50, q51, q52)
 }

@@ -142,5 +142,37 @@ object EventOps {
             ORDER BY e.event_id"""),
     bench = true)
 
-  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93)
+  /** Interval (time-range) join: each click attributed to the same
+    * user's purchases within the next 30 minutes. Equi-join on the user
+    * key + range predicate — the pair space is per-user, and the range
+    * condition is exactly what bounds stream-stream join state in the
+    * streaming twin (StreamingOps.attributionJoin).
+    */
+  val q94 = EngineQuery(
+    "q94_interval_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("purchase_ts") > col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"), col("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+              p.event_id AS purchase_id, c.ts AS click_ts,
+              p.ts AS purchase_ts, p.value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+              AND c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            ORDER BY c.user_id, click_id, purchase_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93, q94)
 }

@@ -69,6 +69,29 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join — streaming twin of EventOps.q94:
+    * clicks joined to the same user's purchases within 30 minutes. The
+    * watermarks + time-range condition bound join state on both sides
+    * (Spark evicts buffered rows once the range can no longer match).
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Explicit stateful processing: running event count + value sum per
     * user via mapGroupsWithState — the `KeyValueGroupedDataset` custom-
     * state surface. State is one small struct per key, watermark-free

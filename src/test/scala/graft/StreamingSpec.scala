@@ -64,6 +64,15 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == batchKeys)
   }
 
+  test("stream-stream interval join == batch twin (q94)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(StreamingOps.attributionJoin(stream),
+      "attribution", "append")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id")).collect()
+    val want = EventOps.q94.run(spark, sfDir).collect()
+    assert(got.map(_.toString) sameElements want.map(_.toString))
+  }
+
   test("mapGroupsWithState running counts == batch groupBy (final state)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(
