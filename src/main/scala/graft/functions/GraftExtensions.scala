@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine function registration (SURVEY.md §2.10).
+  *
+  * Two paths to the same registry entry:
+  *  - [[GraftExtensions]] for session construction
+  *    (`SparkSession.builder().withExtensions(new GraftExtensions)`), the
+  *    idiomatic deployment hook on a cluster;
+  *  - [[GraftFunctions.register]] for an already-running session (tests,
+  *    notebooks) — extensions are ignored by `getOrCreate` when a session
+  *    already exists.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("charpolyhash",
+      new ExpressionInfo(classOf[CharPolyHash].getName, "charpolyhash"),
+      (exprs: Seq[Expression]) => CharPolyHash(exprs.head)))
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

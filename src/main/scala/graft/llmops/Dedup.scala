@@ -58,16 +58,21 @@ object Dedup {
         .withColumn("gh", graft.functions.CharPolyHash.charPolyHash(col("s")))
       val g = sh.join(broadcast(distinctHashes), "s")
         .select(col("doc_id"), col("gh"))
-      val mh = g
-        .select(col("doc_id"), col("gh"),
-          explode(sequence(lit(0), lit(15))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(permute(col("gh"), col("j"))).as("h"))
+      // all 16 minhashes as parallel MIN aggregates in ONE hash-agg —
+      // no 16-way row explode, no second shuffle; map-side partial MIN
+      // means the exchange carries 16 longs per (partition × doc)
+      val mh = g.groupBy(col("doc_id"))
+        .agg(min(permute(col("gh"), lit(0))).as("h0"),
+          (1 until 16).map(j =>
+            min(permute(col("gh"), lit(j))).as(s"h$j")): _*)
       val bands = mh
-        .groupBy(col("doc_id"), expr("j div 2").as("band"))
-        .agg(concat_ws(":",
-          transform(sort_array(collect_list(struct(col("j"), col("h")))),
-            x => x.getField("h").cast("string"))).as("sig"))
+        .select(col("doc_id"),
+          explode(array((0 until 8).map(b => struct(
+            lit(b).as("band"),
+            concat_ws(":", col(s"h${2 * b}").cast("string"),
+              col(s"h${2 * b + 1}").cast("string")).as("sig"))): _*))
+            .as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       a.join(b, Seq("band", "sig"))

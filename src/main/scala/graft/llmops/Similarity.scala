@@ -77,38 +77,27 @@ object Similarity {
     "q51_knn_lsh_buckets",
     (s, dir) => {
       val t = Tables(s, dir)
-      // sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1
-      val signedTerm = (p: Int, v: org.apache.spark.sql.Column,
-          c: org.apache.spark.sql.Column) => {
-        val h = ((lit(p.toLong * 31L) + c.cast("long")) * lit(2654435761L)) % lit(P)
-        when(h % 2 === 0, v.cast(DoubleType)).otherwise(-v.cast(DoubleType))
-      }
-      val signedSumExact = (emb: org.apache.spark.sql.Column, p: Int) =>
-        aggregate(
-          zip_with(emb, sequence(lit(1), size(emb)), (v, c) => {
-            val h = ((lit(p.toLong * 31L) + c.cast("long")) * lit(2654435761L)) % lit(P)
-            when(h % 2 === 0, fixedPoint(v)).otherwise(-fixedPoint(v))
-          }),
-          lit(0L), (acc, v) => acc + v)
-      val signedSumFast = (emb: org.apache.spark.sql.Column, p: Int) =>
-        aggregate(
-          zip_with(emb, sequence(lit(1), size(emb)),
-            (v, c) => signedTerm(p, v, c)),
-          lit(0.0), (acc, v) => acc + v)
-      // fast path: the double sum decides the sign unless it sits within
-      // 1e-4 of zero (fixed-point quantization shifts the sum by at most
-      // dims/1e7 ~ 6.4e-6); only then pay for the exact integer fold.
-      // Bucket is bit-identical to the oracle's fixed-point formulation
-      // either way.
-      val bit = (p: Int) => {
-        val fast = signedSumFast(col("embedding"), p)
-        when(abs(fast) > 1e-4, fast >= 0)
-          .otherwise(signedSumExact(col("embedding"), p) >= 0)
-      }
-      val withBucket = t.embeddings.select(
-        col("vec_id"), col("embedding"),
-        (0 until 8).map(p => when(bit(p), lit(1L << p)).otherwise(0L))
+      // sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1.
+      // One posexplode + 8 codegen'd signed fixed-point SUM aggregates:
+      // exact int64 sums (bit-identical to the oracle), no interpreted
+      // HOF lambdas, map-side partial aggregation before the exchange.
+      val ex = t.embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      val terms = ex.select(col("vec_id") +: (0 until 8).map { p =>
+        val h = ((lit(p.toLong * 31L) + (col("pos0") + 1).cast("long"))
+          * lit(2654435761L)) % lit(P)
+        when(h % 2 === 0, fixedPoint(col("v")))
+          .otherwise(-fixedPoint(col("v"))).as(s"t$p")
+      }: _*)
+      val sums = terms.groupBy(col("vec_id"))
+        .agg(sum(col("t0")).as("s0"),
+          (1 until 8).map(p => sum(col(s"t$p")).as(s"s$p")): _*)
+      val buckets = sums.select(col("vec_id"),
+        (0 until 8).map(p =>
+          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
           .reduce(_ + _).as("bucket"))
+      val withBucket = t.embeddings.join(broadcast(buckets), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("bucket"))
       val a = withBucket.select(col("vec_id").as("ia"),
         col("embedding").as("ea"), col("bucket"))
       val b = withBucket.select(col("vec_id").as("ib"),

@@ -185,5 +185,21 @@ object Advanced {
               quantile_cont(l_extendedprice, 0.99) AS p99_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39)
+  /** approx_percentile — the sketch-based scale path for q39's exact
+    * percentiles (bounded memory at any cardinality). Sketch estimates
+    * are engine-specific → rows-only check.
+    */
+  val q39b = EngineQuery(
+    "q39b_approx_percentile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_pcts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b)
 }

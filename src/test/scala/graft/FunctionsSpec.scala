@@ -76,6 +76,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(e.isNullAt(0) && e.isNullAt(1))
   }
 
+  test("GraftFunctions registers charpolyhash for the SQL surface") {
+    import graft.functions.{CharPolyHash, GraftFunctions}
+    GraftFunctions.register(spark)
+    Tables(spark, sfDir).registerAll()
+    val rows = spark.sql(
+      "SELECT doc_id, charpolyhash(text) AS h FROM documents ORDER BY doc_id LIMIT 3")
+      .collect()
+    val texts = Tables(spark, sfDir).documents
+      .orderBy(col("doc_id")).limit(3).collect().map(_.getString(1))
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(1) == CharPolyHash.hash(t))
+    }
+  }
+
   test("csv and json sources round-trip the orders table") {
     val t = Tables(spark, sfDir)
     val src = t.orders.withColumn("o_orderdate",
