@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
       EventOps.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
-      graft.llmops.TextAnalysis.all ++ graft.llmops.Multimodal.all ++
+      graft.llmops.TextAnalysis.all ++ graft.llmops.Curation.all ++
+      graft.llmops.Multimodal.all ++
       PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Demonstrates the SCALING.md claim that bucketing both join sides by
+  * the key makes a fact-fact join co-located: with broadcast disabled,
+  * the bucketed join plan contains NO shuffle exchange.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed fact-fact join plans with zero shuffle exchange") {
+    val t = Tables(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("buckets").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself reads co-located buckets: no exchange below it
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      val joinSection = plan.split("\n").dropWhile(!_.contains("SortMergeJoin"))
+        .takeWhile(l => !l.contains("HashAggregate") || l.contains("SortMergeJoin"))
+      assert(!joinSection.exists(_.contains("Exchange")),
+        s"bucketed join should not shuffle:\n${joinSection.mkString("\n")}")
+      // result still correct
+      val n = joined.agg(sum(col("n"))).head().getLong(0)
+      assert(n == t.lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
