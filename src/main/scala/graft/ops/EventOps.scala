@@ -174,5 +174,60 @@ object EventOps {
               AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
             ORDER BY c.user_id, click_id, purchase_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93, q94)
+  /** Funnel analysis: per-user first signup → first click → first
+    * purchase, sequenced by timestamps; one conditional-MIN aggregation
+    * pass, no joins — at scale a single shuffle on user_id.
+    */
+  val q95 = EngineQuery(
+    "q95_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val f = t.events.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("s"),
+        min(when(col("event_type") === "click", col("ts"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      f.agg(
+        count(lit(1)).as("users"),
+        count(col("s")).as("signed"),
+        count(when(col("c") > col("s"), 1)).as("clicked_after"),
+        count(when(col("p") > col("c") && col("c") > col("s"), 1))
+          .as("converted"))
+    },
+    Some("""WITH f AS (
+              SELECT user_id,
+                MIN(ts) FILTER (event_type = 'signup') s,
+                MIN(ts) FILTER (event_type = 'click') c,
+                MIN(ts) FILTER (event_type = 'purchase') p
+              FROM events GROUP BY user_id)
+            SELECT COUNT(*) AS users, COUNT(s) AS signed,
+              COUNT(CASE WHEN c > s THEN 1 END) AS clicked_after,
+              COUNT(CASE WHEN p > c AND c > s THEN 1 END) AS converted
+            FROM f"""))
+
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * per (cohort, activity day). Two aggregations + one equi-join on
+    * user_id — the first-seen side is small (one row per user) and
+    * broadcastable at scale.
+    */
+  val q96 = EngineQuery(
+    "q96_cohort_retention",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val firstSeen = t.events.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      t.events
+        .join(broadcast(firstSeen), Seq("user_id"))
+        .groupBy(col("cohort"), date_trunc("day", col("ts")).as("act_day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("act_day"))
+    },
+    Some("""WITH first AS (
+              SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+              FROM events GROUP BY user_id)
+            SELECT f.cohort, date_trunc('day', e.ts) AS act_day,
+              COUNT(DISTINCT e.user_id) AS n_active
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort, act_day"""))
+
+  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93, q94, q95, q96)
 }

@@ -50,6 +50,40 @@ object Scalar {
               c_name LIKE '%001%' AS has_001
             FROM customer ORDER BY c_custkey"""))
 
+  /** String functions, second batch: positional/affix/segment operations.
+    * (initcap exists in Spark but not DuckDB — excluded from the oracle
+    * surface.)
+    */
+  val q26b = EngineQuery(
+    "q26b_scalar_string_more",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .select(
+          col("c_custkey"),
+          reverse(col("c_name")).as("rev"),
+          repeat(col("c_mktsegment"), 2).as("seg2"),
+          translate(col("c_name"), "0", "#").as("trans"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          col("c_name").startsWith("Customer").as("is_cust"),
+          col("c_name").endsWith("1").as("ends_1"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("num_part"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 3)").as("r3"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              reverse(c_name) AS rev,
+              repeat(c_mktsegment, 2) AS seg2,
+              translate(c_name, '0', '#') AS trans,
+              strpos(c_name, '#') AS hash_pos,
+              starts_with(c_name, 'Customer') AS is_cust,
+              ends_with(c_name, '1') AS ends_1,
+              split_part(c_name, '#', 2) AS num_part,
+              left(c_name, 8) AS l8,
+              right(c_name, 3) AS r3
+            FROM customer ORDER BY c_custkey"""))
+
   /** Date/time functions (reference date columns: order_date, hire_date,
     * created_at — sample_metadata.py:18, 50, 98; "날짜 형식 표준화"
     * transform, sql_generator.py:304).
@@ -238,5 +272,5 @@ object Scalar {
                FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS v) u) AS norm2
             FROM embeddings ORDER BY vec_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q26, q27, q28, q29, q30, q31, q32)
+  val all: Seq[EngineQuery] = Seq(q26, q26b, q27, q28, q29, q30, q31, q32)
 }

@@ -77,6 +77,22 @@ class LlmopsSpec extends SparkTestBase {
     assert(result.passed, result.status.toString)
   }
 
+  test("Curation gate drops junk docs and dedup collapses clones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a perfectly reasonable document with many words inside"),
+      (2L, "en", "a perfectly reasonable document with many words inside"),
+      (3L, "en", "short doc"),                       // < 5 words -> gated
+      (4L, "en", "!!!! ???? ,,,, .... yes no ok !!"), // punct-heavy -> gated
+      (5L, "en", "another fine document that easily passes the filters"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.curate(docs).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(byId.keySet == Set(1L, 5L))  // 2 deduped into 1; 3,4 gated out
+    assert(byId(1L) == 2)               // n_copies records the clone
+    assert(byId(5L) == 1)
+  }
+
   test("Multimodal decode plumbing: partition-local batch produces typed features") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
