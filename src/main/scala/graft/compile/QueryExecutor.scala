@@ -21,7 +21,12 @@ final class QueryExecutor(spark: SparkSession) {
     */
   def execute(sql: String, limit: Int = 10): DataFrame = {
     val cleaned = sql.trim.stripSuffix(";")
-    SafetyValidator.validateSql(cleaned) match {
+    val gate = for {
+      _ <- SafetyValidator.validateSql(cleaned)
+      parsed = spark.sessionState.sqlParser.parsePlan(cleaned)
+      _ <- SafetyValidator.validatePlan(parsed)
+    } yield ()
+    gate match {
       case Left(reason) => throw new IllegalArgumentException(reason)
       case Right(())    => ResultLimiter(spark.sql(cleaned), limit)
     }

@@ -21,10 +21,14 @@ final class SpecCompiler(resolve: String => DataFrame, catalog: CatalogModel) {
     MandatoryFilters(resolve(table), table, catalog)
 
   def compile(spec: QuerySpec): DataFrame = {
-    var df = scan(spec.table)
+    // every scan carries its table name (or explicit alias) so join
+    // conditions may use qualified column references — required for
+    // self-joins and for suggester-emitted "t1.col = t2.col" conditions
+    var df = scan(spec.table).as(spec.table)
 
     df = spec.joins.foldLeft(df) { (acc, j) =>
-      acc.join(scan(j.table), expr(j.on), j.joinType)
+      acc.join(scan(j.table).as(j.alias.getOrElse(j.table)),
+        expr(j.on), j.joinType)
     }
 
     spec.filters.foreach(f => df = df.filter(expr(f)))
@@ -66,9 +70,20 @@ object SpecCompiler {
   * logical plan, so only a real Limit node suppresses injection.
   */
 object ResultLimiter {
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort, SubqueryAlias, WithCTE}
+
+  /** True only when the OUTERMOST operator (through row-preserving
+    * wrappers) is a Limit. Recursing into all children would let a LIMIT
+    * inside a subquery suppress the outer cap — and then the bounded
+    * result-sink collect becomes unbounded.
+    */
   def hasLimit(plan: LogicalPlan): Boolean = plan match {
     case _: GlobalLimit | _: LocalLimit => true
-    case _ => plan.children.exists(hasLimit)
+    case p: Project       => hasLimit(p.child)
+    case s: Sort          => hasLimit(s.child)
+    case a: SubqueryAlias => hasLimit(a.child)
+    case w: WithCTE       => hasLimit(w.plan)
+    case _                => false
   }
 
   def apply(df: DataFrame, defaultLimit: Int = 10): DataFrame =
@@ -85,13 +100,24 @@ object ResultLimiter {
   * down into the source scan like any user filter.
   */
 object MandatoryFilters {
-  def filtersFor(table: String, catalog: CatalogModel): Seq[String] = {
-    val cols = catalog.table(table).map(_.columns.map(_.name).toSet).getOrElse(Set.empty)
-    catalog.constraints.mandatoryFilters.filter { f =>
-      // apply a filter only when the table actually has the referenced column
-      cols.isEmpty || cols.exists(c => f.contains(c))
+  private val Identifier = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Filters whose referenced identifiers are all columns of `table`.
+    * Tables unknown to the catalog get NO filters (we can't know their
+    * columns); matching is by whole identifier, not substring, so a
+    * column name that happens to appear inside another table's filter
+    * text doesn't trigger a spurious injection.
+    */
+  def filtersFor(table: String, catalog: CatalogModel): Seq[String] =
+    catalog.table(table) match {
+      case None => Nil
+      case Some(t) =>
+        val cols = t.columns.map(_.name.toLowerCase).toSet
+        catalog.constraints.mandatoryFilters.filter { f =>
+          val idents = Identifier.findAllIn(f).map(_.toLowerCase).toSet
+          idents.exists(cols.contains)
+        }
     }
-  }
 
   def apply(df: DataFrame, table: String, catalog: CatalogModel): DataFrame =
     filtersFor(table, catalog).foldLeft(df)((d, f) => d.filter(expr(f)))
@@ -110,14 +136,40 @@ object SafetyValidator {
     Set("delete", "drop", "truncate", "update", "insert", "alter", "create",
       "grant", "revoke", "merge")
 
-  /** Validate raw SQL text by its first command token (plan-level check:
-    * we parse rather than substring-match the whole text).
+  /** Fast text-level check: leading comments stripped, then the first
+    * command token. (A comment would otherwise hide the verb —
+    * "-- x\nDROP TABLE t" must not pass.)
     */
   def validateSql(sql: String): Either[String, Unit] = {
-    val head = sql.trim.split("\\s+").headOption.map(_.toLowerCase).getOrElse("")
+    val noComments = sql
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("(?m)--.*$", " ")
+    val head = noComments.trim.split("\\s+").headOption
+      .map(_.toLowerCase).getOrElse("")
     if (destructiveCommands.contains(head))
       Left(s"blocked: destructive command '$head' (read-only engine)")
     else Right(())
+  }
+
+  /** Plan-level check — the authoritative gate: any parsed Command (DDL)
+    * or INSERT, anywhere in the plan (e.g. behind a CTE), is a write.
+    * Token checks can be evaded ("WITH t AS (...) INSERT INTO ...");
+    * the parsed plan cannot.
+    */
+  def validatePlan(plan: LogicalPlan): Either[String, Unit] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+    val write = plan match {
+      case _: Command => Some(plan.nodeName)
+      case _ => plan.collectFirst {
+        case c: Command => c.nodeName
+        case i: InsertIntoStatement => i.nodeName
+      }
+    }
+    write match {
+      case Some(node) =>
+        Left(s"blocked: plan contains write operator $node (read-only engine)")
+      case None => Right(())
+    }
   }
 
   /** An NL request is blocked when it names a destructive operation —
@@ -125,10 +177,12 @@ object SafetyValidator {
     * (sql_generator.py:253-266).
     */
   def validateRequest(request: String): Either[String, Unit] = {
-    val lower = request.toLowerCase
+    // whole-word match: "show customers created this month" must NOT
+    // trip on the substring "create"
+    val words = request.toLowerCase.split("[^a-z]+").toSet
     val korean = Map("삭제" -> "delete", "드롭" -> "drop", "지워" -> "delete",
       "수정" -> "update", "변경" -> "update", "추가" -> "insert", "업데이트" -> "update")
-    val hit = destructiveCommands.find(k => lower.contains(k))
+    val hit = destructiveCommands.find(words.contains)
       .orElse(korean.collectFirst { case (k, v) if request.contains(k) => v })
     hit match {
       case Some(op) => Left(s"blocked: request asks for destructive operation '$op'")

@@ -47,17 +47,26 @@ case class CharPolyHash(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val ci = ctx.freshName("ci")
+      val cp = ctx.freshName("cp")
       val m = ctx.freshName("m")
+      // iterate CODE POINTS (not UTF-16 units) so positions match the
+      // HOF formulation and DuckDB, which both index characters —
+      // surrogate pairs count as one position
       s"""
          |String $s = $c.toString();
          |if ($s.isEmpty()) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $acc = 0L;
-         |  for (int $i = 1; $i <= $s.length(); $i++) {
-         |    long $m = ((long) $i * $i * 2654435761L + (long) $i * 97L)
-         |        % 1000000007L;
-         |    $acc += (long) $s.codePointAt($i - 1) * $m;
+         |  int $ci = 0;
+         |  long $i = 1;
+         |  while ($ci < $s.length()) {
+         |    int $cp = $s.codePointAt($ci);
+         |    long $m = ($i * $i * 2654435761L + $i * 97L) % 1000000007L;
+         |    $acc += (long) $cp * $m;
+         |    $ci += Character.charCount($cp);
+         |    $i++;
          |  }
          |  ${ev.value} = $acc % 1000000007L;
          |}
@@ -72,13 +81,18 @@ case class CharPolyHash(child: Expression) extends UnaryExpression {
 object CharPolyHash {
   val P = 1000000007L
 
-  /** Reference implementation (used by interpreted eval and tests). */
+  /** Reference implementation (used by interpreted eval and tests).
+    * Code-point positions, mirroring the codegen loop.
+    */
   def hash(s: String): Long = {
     var acc = 0L
-    var i = 1
-    while (i <= s.length) {
-      val m = (i.toLong * i * 2654435761L + i.toLong * 97L) % P
-      acc += s.codePointAt(i - 1).toLong * m
+    var ci = 0
+    var i = 1L
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val m = (i * i * 2654435761L + i * 97L) % P
+      acc += cp.toLong * m
+      ci += Character.charCount(cp)
       i += 1
     }
     acc % P

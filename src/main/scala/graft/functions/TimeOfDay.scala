@@ -22,9 +22,14 @@ object TimeOfDay {
     val parts = split(time, ":")
     val h = try_element_at(parts, lit(1)).try_cast(IntegerType)
     val m = try_element_at(parts, lit(2)).try_cast(IntegerType)
-    val s = coalesce(try_element_at(parts, lit(3)).try_cast(IntegerType), lit(0))
-    when(h.isNull || m.isNull || h < 0 || h > 23 || m < 0 || m > 59, null)
-      .otherwise(h * 3600 + m * 60 + s)
+    val sRaw = try_element_at(parts, lit(3))
+    val s = sRaw.try_cast(IntegerType)
+    // a PRESENT-but-malformed or out-of-range seconds field is invalid;
+    // an ABSENT one ("HH:mm") defaults to 0
+    val secondsBad = sRaw.isNotNull && (s.isNull || s < 0 || s > 59)
+    when(h.isNull || m.isNull || h < 0 || h > 23 || m < 0 || m > 59
+      || secondsBad || size(parts) > 3, null)
+      .otherwise(h * 3600 + m * 60 + coalesce(s, lit(0)))
   }
 
   /** seconds since midnight → "HH:mm:ss". */

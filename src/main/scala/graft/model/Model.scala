@@ -77,7 +77,8 @@ final case class QuerySpec(
 final case class JoinSpec(
     table: String,
     on: String,                                   // SQL join condition
-    joinType: String = "inner")
+    joinType: String = "inner",
+    alias: Option[String] = None)                 // needed for self-joins
 
 final case class AggSpec(expr: String, alias: String)
 

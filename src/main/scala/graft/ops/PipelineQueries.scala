@@ -98,8 +98,10 @@ object PipelineQueries {
   val q80 = EngineQuery(
     "q80_etl_pipeline",
     (s, dir) => {
-      val warehouse =
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+      // unique per invocation: a fixed path would let two concurrent
+      // runs (e.g. Verify + Bench) overwrite each other's sink mid-read
+      val warehouse = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_warehouse_${java.util.UUID.randomUUID().toString.take(8)}"
       val runner = new EtlRunner(s,
         name => Tables(s, dir).table(name), warehouse)
       val spec = EtlSpec(

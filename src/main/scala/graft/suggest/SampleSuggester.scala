@@ -46,7 +46,7 @@ object SampleSuggester {
       QuerySpec(r.fromTable,
         joins = Seq(JoinSpec(r.toTable,
           s"${r.fromTable}.${r.fromColumn} = parent.${r.toColumn}",
-          joinType = "left")),
+          joinType = "left", alias = Some("parent"))),
         limit = Some(10)))
     (scans ++ topK ++ groupCounts ++ joins ++ selfJoins).take(max)
   }

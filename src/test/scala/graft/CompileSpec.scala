@@ -26,6 +26,16 @@ class CompileSpec extends SparkTestBase {
     assert(ResultLimiter(df, 5).count() == 5)
   }
 
+  test("ResultLimiter: a LIMIT inside a subquery does not suppress the outer cap") {
+    val t = Tables(spark, sfDir)
+    val inner = t.orders.limit(5).select(col("o_orderkey"))
+    val joined = t.lineitem.join(inner, col("l_orderkey") === col("o_orderkey"))
+    // inner limit must NOT count as the outer query's limit
+    assert(ResultLimiter(joined, 3).count() <= 3)
+    // but a real outer limit still suppresses injection
+    assert(ResultLimiter(joined.limit(2), 7).count() == 2)
+  }
+
   test("SafetyValidator blocks destructive SQL commands, allows reads") {
     assert(SafetyValidator.validateSql("SELECT * FROM t").isRight)
     assert(SafetyValidator.validateSql("  WITH x AS (SELECT 1) SELECT * FROM x").isRight)
@@ -41,6 +51,24 @@ class CompileSpec extends SparkTestBase {
     assert(SafetyValidator.validateRequest("show me all users").isRight)
     assert(SafetyValidator.validateRequest("please DROP the users table").isLeft)
     assert(SafetyValidator.validateRequest("사용자 테이블 삭제해줘").isLeft)
+    // whole-word matching: mentioning created_at/updated columns is benign
+    assert(SafetyValidator.validateRequest("show customers created this month").isRight)
+    assert(SafetyValidator.validateRequest("latest updated orders").isRight)
+  }
+
+  test("SafetyValidator catches writes hidden behind comments and CTEs") {
+    assert(SafetyValidator.validateSql("-- preview\nDROP TABLE orders").isLeft)
+    assert(SafetyValidator.validateSql("/* x */ TRUNCATE TABLE t").isLeft)
+    val parser = spark.sessionState.sqlParser
+    // CTE-wrapped INSERT parses to a non-Command root; the plan gate
+    // must still find the InsertIntoStatement
+    val cte = parser.parsePlan(
+      "WITH t AS (SELECT 1 AS a) INSERT INTO sink SELECT * FROM t")
+    assert(SafetyValidator.validatePlan(cte).isLeft)
+    assert(SafetyValidator.validatePlan(
+      parser.parsePlan("SELECT * FROM orders")).isRight)
+    assert(SafetyValidator.validatePlan(
+      parser.parsePlan("DROP TABLE orders")).isLeft)
   }
 
   test("MandatoryFilters applies catalog constraints to matching tables only") {
@@ -50,6 +78,11 @@ class CompileSpec extends SparkTestBase {
     assert(filtered.filter(col("o_orderstatus") === "F").count() == 0)
     // customer has no o_orderstatus column -> constraint not applied
     assert(MandatoryFilters.filtersFor("customer", cat).isEmpty)
+    // a table UNKNOWN to the catalog gets no filters (we can't know its
+    // columns -- applying one would fail with UNRESOLVED_COLUMN)
+    assert(MandatoryFilters.filtersFor("nation", cat).isEmpty)
+    val compiler = SpecCompiler.forParquetDir(spark, sfDir, cat)
+    assert(compiler.compile(QuerySpec(table = "nation")).count() == 25)
   }
 
   test("DemoPlanner golden contract: postgres e-commerce sample") {
@@ -92,16 +125,19 @@ class CompileSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
-  test("SampleSuggester emits <=10 compilable specs covering the pattern mix") {
+  test("SampleSuggester specs ALL compile and execute (no truncation hiding)") {
     val cat = graft.catalog.MetadataExtractor.fromParquetDir(spark, sfDir)
-    val suggestions = graft.suggest.SampleSuggester.suggest(cat)
-    assert(suggestions.nonEmpty && suggestions.size <= 10)
+    // default cap
+    assert(graft.suggest.SampleSuggester.suggest(cat).size <= 10)
+    // uncapped: every pattern (incl. qualified join conditions) must
+    // compile -- truncation must not hide broken specs
+    val all = graft.suggest.SampleSuggester.suggest(cat, max = 100)
     val compiler = SpecCompiler.forParquetDir(spark, sfDir, cat)
-    // every suggested spec must compile and execute
-    suggestions.foreach { sg =>
+    all.foreach { sg =>
       val n = compiler.compile(sg.spec).count()
       assert(n >= 0, sg.title)
     }
+    assert(all.exists(_.spec.joins.nonEmpty))
   }
 
   test("MetadataExtractor produces the reference catalog shape") {

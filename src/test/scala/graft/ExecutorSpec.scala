@@ -14,6 +14,19 @@ class ExecutorSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ex.execute("DROP TABLE orders")
     }
+    // writes hidden behind comments or CTEs are caught by the plan gate
+    intercept[IllegalArgumentException] {
+      ex.execute("-- just a preview\nDROP TABLE orders")
+    }
+    intercept[IllegalArgumentException] {
+      ex.execute("WITH t AS (SELECT 1 AS a) INSERT INTO orders SELECT * FROM t")
+    }
+    // a subquery LIMIT does not suppress the outer auto-cap
+    val sub = ex.execute(
+      """SELECT * FROM lineitem l
+         JOIN (SELECT o_orderkey FROM orders LIMIT 5) o
+           ON l.l_orderkey = o.o_orderkey""")
+    assert(sub.count() <= 10)
   }
 
   test("ResultSink serializes to the reference result-set shape") {

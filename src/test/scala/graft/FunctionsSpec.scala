@@ -46,6 +46,10 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows("7:05") == 7 * 3600 + 5 * 60)
     assert(rows("bad") == -1)       // malformed -> null
     assert(rows("25:00:00") == -1)  // out of range -> null
+    // malformed or out-of-range SECONDS must also be null, not 0
+    val badSecs = Seq("09:30:oops", "10:00:99", "10:00:-5", "1:2:3:4")
+      .toDF("t").select(TimeOfDay.toSeconds(col("t"))).collect()
+    assert(badSecs.forall(_.isNullAt(0)))
     val back = Seq(34200).toDF("s")
       .select(TimeOfDay.fromSeconds(col("s"))).head().getString(0)
     assert(back == "09:30:00")
@@ -74,6 +78,17 @@ class FunctionsSpec extends SparkTestBase {
       .select(CharPolyHash.charPolyHash(col("s")),
         graft.llmops.PortableHash.charHash(col("s"))).head()
     assert(e.isNullAt(0) && e.isNullAt(1))
+    // supplementary (non-BMP) characters count as ONE position, so the
+    // native loop must match the code-point reference impl
+    val astral = "😀a" // emoji + 'a'
+    val na = Seq(astral).toDF("s")
+      .select(CharPolyHash.charPolyHash(col("s"))).head().getLong(0)
+    assert(na == CharPolyHash.hash(astral))
+    // 'a' sits at code-point position 2: hash must equal a hand-built sum
+    val p = 1000000007L
+    def mlt(i: Long) = (i * i * 2654435761L + i * 97L) % p
+    assert(CharPolyHash.hash(astral) ==
+      (0x1F600L * mlt(1) + 'a'.toLong * mlt(2)) % p)
   }
 
   test("GraftFunctions registers charpolyhash for the SQL surface") {
