@@ -22,13 +22,18 @@ object Relational {
     "q01_scan_project",
     (s, dir) => {
       val t = Tables(s, dir)
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
+      // the ORDER BY must cover every output column so any remaining
+      // ties are identical rows (deterministic either way)
       t.lineitem
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""),
     bench = true)
 
   /** Predicate surface: =, !=, <, BETWEEN, IN, LIKE, AND/OR/NOT

@@ -147,7 +147,12 @@ object Scalar {
             .as("flag_or_none"),
           greatest(col("l_discount"), col("l_tax")).as("max_rate"),
           least(col("l_discount"), col("l_tax")).as("min_rate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique: extend the sort over
+        // every source column the outputs derive from, so remaining ties
+        // are identical output rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_quantity"), col("l_partkey"), col("l_returnflag"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
               round(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -164,7 +169,9 @@ object Scalar {
               coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
               greatest(l_discount, l_tax) AS max_rate,
               least(l_discount, l_tax) AS min_rate
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount,
+              l_tax, l_quantity, l_partkey, l_returnflag"""))
 
   /** Cast / format round-trips ("데이터 타입 검증" transform,
     * sql_generator.py:305).

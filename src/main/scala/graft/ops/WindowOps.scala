@@ -59,24 +59,30 @@ object WindowOps {
     "q23_window_running_sum",
     (s, dir) => {
       val t = Tables(s, dir)
+      // (l_orderkey, l_linenumber) is NOT unique: the window order adds
+      // l_quantity so tied rows accumulate deterministically (equal-
+      // quantity ties are interchangeable), and the outer sort adds the
+      // running value itself to totalize the output order
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.lineitem
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate"),
           toDouble(sum(dec2(col("l_quantity"))).over(w)).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-          col("l_linenumber"))
+          col("l_linenumber"), col("running_qty"))
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                 AS running_qty
             FROM lineitem
-            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""),
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+              running_qty"""),
     bench = true)
 
   /** rank / dense_rank / ntile / percent_rank within a partition. */
