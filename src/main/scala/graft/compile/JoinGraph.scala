@@ -1,6 +1,6 @@
 package graft.compile
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{broadcast, expr}
 
 import graft.model._

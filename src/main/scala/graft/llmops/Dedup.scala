@@ -2,7 +2,6 @@ package graft.llmops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import org.apache.spark.sql.expressions.Window
 
 import graft.ops.{EngineQuery, Tables}
 import PortableHash._

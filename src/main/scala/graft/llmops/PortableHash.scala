@@ -2,7 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Engine-portable deterministic hashing for the dedup/similarity ops.
   *

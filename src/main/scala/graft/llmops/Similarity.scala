@@ -1,7 +1,6 @@
 package graft.llmops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.expressions.Window
 
 import graft.ops.{EngineQuery, Tables}
