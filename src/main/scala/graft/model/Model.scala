@@ -128,4 +128,28 @@ final case class GenerateResult(
 final case class ResultSet(
     columns: Seq[String],
     data: Seq[Map[String, String]],
-    rowCount: Int)
+    rowCount: Int) {
+
+  /** Render to the reference's exact JSON field names:
+    * {"columns": [...], "data": [{col: val}...], "row_count": N}.
+    */
+  def toJsonString: String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val cols = columns.map(q).mkString("[", ",", "]")
+    val rows = data.map { row =>
+      columns.map { c =>
+        val v = row.getOrElse(c, null)
+        s"${q(c)}: ${if (v == null) "null" else q(v)}"
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"columns": $cols, "data": $rows, "row_count": $rowCount}"""
+  }
+}

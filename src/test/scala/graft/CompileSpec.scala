@@ -140,6 +140,35 @@ class CompileSpec extends SparkTestBase {
     assert(all.exists(_.spec.joins.nonEmpty))
   }
 
+  test("ValidationOps enforces ENUM valid_status_values from the catalog") {
+    import spark.implicits._
+    // mirrors employees.status ENUM('active','resigned','on_leave')
+    val cat = graft.catalog.SampleCatalogs.mysqlHr
+    val df = Seq((1L, "active"), (2L, "resigned"), (3L, "fired"),
+      (4L, null.asInstanceOf[String])).toDF("id", "status")
+    val bad = ValidationOps.violations(df, "employees", cat).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("invalid_column") == "status")
+    assert(bad.head.getAs[String]("invalid_value") == "fired")
+    val kept = ValidationOps.enforce(df, "employees", cat)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L)) // null passes, 'fired' dropped
+    // a table with no constraints validates trivially
+    assert(ValidationOps.violations(df, "departments", cat).count() == 0)
+  }
+
+  test("ResultSet renders the reference JSON field names") {
+    val rs = graft.model.ResultSet(
+      columns = Seq("id", "name"),
+      data = Seq(Map("id" -> "1", "name" -> "a\"b"), Map("id" -> "2", "name" -> null)),
+      rowCount = 2)
+    val json = rs.toJsonString
+    assert(json.contains("\"row_count\": 2"))
+    assert(json.contains("\"columns\": [\"id\",\"name\"]"))
+    assert(json.contains("\"name\": \"a\\\"b\""))
+    assert(json.contains("\"name\": null"))
+  }
+
   test("MetadataExtractor produces the reference catalog shape") {
     val cat = graft.catalog.MetadataExtractor.fromParquetDir(spark, sfDir)
     assert(cat.tables.map(_.name).contains("lineitem"))
