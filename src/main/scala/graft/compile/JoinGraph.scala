@@ -42,21 +42,26 @@ final class JoinGraph(catalog: CatalogModel) {
   }
 
   /** Join `from` to `to` along the shortest FK path. Each hop toward a
-    * dim table (the FK's target) is broadcast.
+    * dim table (the FK's target) is broadcast. Every scan is aliased by
+    * its table name and conditions are table-qualified — unqualified
+    * names are ambiguous the moment two tables on the path share a
+    * column name (e.g. a PK/FK both called `id`).
     */
   def join(resolve: String => DataFrame, from: String, to: String): DataFrame = {
     val edges = path(from, to).getOrElse(throw new IllegalArgumentException(
       s"no FK path from '$from' to '$to' in catalog"))
     var current = from
-    var df = resolve(from)
+    var df = resolve(from).as(from)
     for (edge <- edges) {
       val (next, cond) =
         if (edge.fromTable == current)
-          (edge.toTable, s"${edge.fromColumn} = ${edge.toColumn}")
-        else (edge.fromTable, s"${edge.toColumn} = ${edge.fromColumn}")
+          (edge.toTable,
+            s"$current.${edge.fromColumn} = ${edge.toTable}.${edge.toColumn}")
+        else (edge.fromTable,
+          s"$current.${edge.toColumn} = ${edge.fromTable}.${edge.fromColumn}")
       val nextDf =
-        if (next == edge.toTable) broadcast(resolve(next)) // dim side of FK
-        else resolve(next)
+        if (next == edge.toTable) broadcast(resolve(next).as(next)) // dim side
+        else resolve(next).as(next)
       df = df.join(nextDf, expr(cond))
       current = next
     }

@@ -13,13 +13,22 @@ import graft.model.CatalogModel
   */
 object ValidationOps {
 
-  /** Keys of `validStatusValues` are "table.column" or bare "column". */
+  /** Keys of `validStatusValues` are "table.column" or bare "column".
+    * A table-qualified key deterministically overrides a bare one for
+    * the same column; results are sorted by column name so downstream
+    * when-chains evaluate in a stable order (Map iteration order is not
+    * a contract).
+    */
   private def constraintsFor(table: String, catalog: CatalogModel)
-      : Map[String, Seq[String]] =
-    catalog.constraints.validStatusValues.collect {
+      : Seq[(String, Seq[String])] = {
+    val bare = catalog.constraints.validStatusValues.collect {
       case (k, vs) if !k.contains(".") => k -> vs
+    }
+    val qualified = catalog.constraints.validStatusValues.collect {
       case (k, vs) if k.startsWith(s"$table.") => k.split("\\.")(1) -> vs
     }
+    (bare ++ qualified).toSeq.sortBy(_._1) // qualified wins via ++ override
+  }
 
   /** Rows of `df` violating any ENUM constraint of `table`, tagged with
     * the offending column and value. Empty result = valid table.
@@ -31,7 +40,7 @@ object ValidationOps {
       .select(df.columns.map(col): _*)
       .withColumn("invalid_column", lit(null).cast("string"))
       .withColumn("invalid_value", lit(null).cast("string"))
-    val checks = cons.toSeq.map { case (c, allowed) =>
+    val checks = cons.map { case (c, allowed) =>
       (col(c).isNotNull && !col(c).isin(allowed: _*), c)
     }
     val anyBad = checks.map(_._1).reduce(_ || _)

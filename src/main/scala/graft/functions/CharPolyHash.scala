@@ -63,12 +63,18 @@ case class CharPolyHash(child: Expression) extends UnaryExpression {
          |  long $i = 1;
          |  while ($ci < $s.length()) {
          |    int $cp = $s.codePointAt($ci);
-         |    long $m = ($i * $i * 2654435761L + $i * 97L) % 1000000007L;
-         |    $acc += (long) $cp * $m;
+         |    // reduced form: i*i*K wraps Long for i >= ~58,900; (i*i %P)*K
+         |    // stays in range and is congruent (identical value where the
+         |    // naive form doesn't wrap)
+         |    long $m = (($i * $i % 1000000007L) * 2654435761L
+         |        + $i * 97L) % 1000000007L;
+         |    // reduce mod P each step: an unreduced sum wraps Long on
+         |    // long/astral inputs while the oracle's exact sum does not
+         |    $acc = ($acc + (long) $cp * $m) % 1000000007L;
          |    $ci += Character.charCount($cp);
          |    $i++;
          |  }
-         |  ${ev.value} = $acc % 1000000007L;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -90,12 +96,12 @@ object CharPolyHash {
     var i = 1L
     while (ci < s.length) {
       val cp = s.codePointAt(ci)
-      val m = (i * i * 2654435761L + i * 97L) % P
-      acc += cp.toLong * m
+      val m = ((i * i % P) * 2654435761L + i * 97L) % P // reduced: no wrap
+      acc = (acc + cp.toLong * m) % P // per-step mod: no Long wrap
       ci += Character.charCount(cp)
       i += 1
     }
-    acc % P
+    acc
   }
 
   /** Column API: native codegen'd portable hash (Spark 4's Column wraps

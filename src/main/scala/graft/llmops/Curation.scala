@@ -21,20 +21,15 @@ object Curation {
   val MinWords = 5
   val MaxPunctRatio = 0.10
 
-  /** The curation plan over a `documents`-shaped frame. */
+  /** The curation plan over a `documents`-shaped frame. Stats come from
+    * the shared [[TextStats]] expressions, so the gate agrees with the
+    * reported q61/q63 statistics by construction.
+    */
   def curate(docs: DataFrame): DataFrame = {
-    val trimmed = trim(col("text"))
-    val nSpaces = length(trimmed) - length(regexp_replace(trimmed, " ", ""))
-    val nWords = when(length(trimmed) === 0, 0).otherwise(nSpaces + 1)
-    val nPunct = length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?]", ""))
-    val punctRatio = when(length(col("text")) === 0, 0.0)
-      .otherwise(nPunct.cast(DoubleType) / length(col("text")))
-    val normalized = regexp_replace(lower(trimmed), " +", " ")
-
     val staged = docs.select(col("doc_id"), col("lang"), col("text"),
-      nWords.as("n_words"), punctRatio.as("punct_ratio"),
-      md5(normalized.cast("binary")).as("fp"))
+      TextStats.nWords(col("text")).as("n_words"),
+      TextStats.punctRatio(col("text")).as("punct_ratio"),
+      TextStats.fingerprintMd5(col("text")).as("fp"))
 
     val gated = staged
       .filter(col("n_words") >= MinWords && col("punct_ratio") <= MaxPunctRatio)

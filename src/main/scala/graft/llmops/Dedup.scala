@@ -49,14 +49,12 @@ object Dedup {
         .filter(size(col("ws")) >= 3)
       val sh = toks.select(col("doc_id"),
         explode(shingles3(col("ws"))).as("s"))
-      // hash each DISTINCT shingle once, broadcast back — ~10x fewer
-      // hash evaluations than hashing per (doc, shingle) row; the native
-      // codegen'd expression (CharPolyHash) computes the same g(s) as
-      // the HOF/oracle formulation without per-char array allocation
-      val distinctHashes = sh.select(col("s")).distinct()
-        .withColumn("gh", graft.functions.CharPolyHash.charPolyHash(col("s")))
-      val g = sh.join(broadcast(distinctHashes), "s")
-        .select(col("doc_id"), col("gh"))
+      // hash per (doc, shingle) row with the native codegen'd expression
+      // (CharPolyHash): a pure map stage, no shuffle and no driver-side
+      // collection — a distinct+broadcast of the global shingle
+      // dictionary would be unbounded at corpus scale
+      val g = sh.select(col("doc_id"),
+        graft.functions.CharPolyHash.charPolyHash(col("s")).as("gh"))
       // all 16 minhashes as parallel MIN aggregates in ONE hash-agg —
       // no 16-way row explode, no second shuffle; map-side partial MIN
       // means the exchange carries 16 longs per (partition × doc)

@@ -23,10 +23,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object PortableHash {
   val P = 1000000007L
 
-  /** Positional multiplier m(i) for a 1-based position column. */
+  /** Positional multiplier m(i) for a 1-based position column. Reduced
+    * form ((i*i mod P)*K mod-chained): congruent to the naive
+    * i*i*K + i*97 everywhere the naive form doesn't wrap Long
+    * (i < ~58,900), and correct beyond it.
+    */
   private def mult(i: Column): Column = {
     val il = i.cast(LongType)
-    (il * il * lit(2654435761L) + il * lit(97L)) % P
+    ((il * il % P) * lit(2654435761L) + il * lit(97L)) % P
   }
 
   /** g(s): portable char-level hash of a string column. NULL for the
@@ -37,8 +41,11 @@ object PortableHash {
     val chars = split(s, "")
     val terms = transform(sequence(lit(1), length(s)),
       i => ascii(element_at(chars, i)).cast(LongType) * mult(i))
+    // fold with per-step mod: an unreduced Long sum wraps on very long
+    // inputs while the SQL oracle's exact sum does not (same residue
+    // either way when nothing wraps)
     when(length(s) === 0, lit(null).cast(LongType))
-      .otherwise(aggregate(terms, lit(0L), (acc, x) => acc + x) % P)
+      .otherwise(aggregate(terms, lit(0L), (acc, x) => (acc + x) % P))
   }
 
   /** j-th MinHash permutation of a base hash g: ((2j+1)*g + 7919j) mod P. */

@@ -95,7 +95,10 @@ object Similarity {
         (0 until 8).map(p =>
           when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
           .reduce(_ + _).as("bucket"))
-      val withBucket = t.embeddings.join(broadcast(buckets), "vec_id")
+      // plain equi-join (no broadcast hint): buckets has one row per
+      // embedding, so a forced broadcast would be unbounded at corpus
+      // scale — Catalyst/AQE picks broadcast locally where it fits
+      val withBucket = t.embeddings.join(buckets, "vec_id")
         .select(col("vec_id"), col("embedding"), col("bucket"))
       val a = withBucket.select(col("vec_id").as("ia"),
         col("embedding").as("ea"), col("bucket"))

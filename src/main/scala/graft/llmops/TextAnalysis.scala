@@ -77,22 +77,18 @@ object TextAnalysis {
     (s, dir) => {
       val t = Tables(s, dir)
       val txt = col("text")
-      val trimmed = trim(txt)
       val nChars = length(txt)
-      val nSpaces = length(trimmed) - length(regexp_replace(trimmed, " ", ""))
-      val nWords = when(length(trimmed) === 0, 0).otherwise(nSpaces + 1)
-      val nLetters = length(trimmed) - nSpaces
+      val nWords = TextStats.nWords(txt)
+      val nLetters = length(trim(txt)) - TextStats.nSpaces(txt)
       val nUpper = nChars - length(regexp_replace(txt, "[A-Z]", ""))
-      val nPunct = nChars - length(regexp_replace(txt, "[.,!?]", ""))
+      val punctRatio = TextStats.punctRatio(txt)
       val avgWordLen = when(nWords === 0, 0.0)
         .otherwise(nLetters.cast(DoubleType) / nWords)
-      val punctRatio = when(nChars === 0, 0.0)
-        .otherwise(nPunct.cast(DoubleType) / nChars)
       val score = least(lit(1.0), nWords.cast(DoubleType) / 100.0) *
         (lit(1.0) - punctRatio)
       t.documents
         .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-          nUpper.as("n_upper"), nPunct.as("n_punct"),
+          nUpper.as("n_upper"), TextStats.nPunct(txt).as("n_punct"),
           avgWordLen.as("avg_word_len"), punctRatio.as("punct_ratio"),
           score.as("quality_score"))
         .orderBy(col("doc_id"))
@@ -135,12 +131,9 @@ object TextAnalysis {
     "q62_text_token_count",
     (s, dir) => {
       val t = Tables(s, dir)
-      val trimmed = trim(col("text"))
-      val nSpaces = length(trimmed) - length(regexp_replace(trimmed, " ", ""))
-      val nWs = when(length(trimmed) === 0, 0).otherwise(nSpaces + 1)
       t.documents
         .select(col("doc_id"),
-          nWs.as("n_ws_tokens"),
+          TextStats.nWords(col("text")).as("n_ws_tokens"),
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
           size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
@@ -165,11 +158,11 @@ object TextAnalysis {
     "q63_text_fingerprint",
     (s, dir) => {
       val t = Tables(s, dir)
-      val normalized = regexp_replace(lower(trim(col("text"))), " +", " ")
       t.documents
         .select(col("doc_id"),
-          md5(normalized.cast("binary")).as("fp_md5"),
-          graft.functions.CharPolyHash.charPolyHash(normalized).as("fp_roll"))
+          TextStats.fingerprintMd5(col("text")).as("fp_md5"),
+          graft.functions.CharPolyHash
+            .charPolyHash(TextStats.normalized(col("text"))).as("fp_roll"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
