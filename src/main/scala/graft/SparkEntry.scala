@@ -49,6 +49,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
-  /** Headline subset timed by `graft.Bench`. */
+  /** Headline subset: `graft.Bench` times only these when
+    * SPARK_GRAFT_BENCH_MODE=headline (default mode times the full
+    * registry — the driver's per-round measurement).
+    */
   def benchQueries: Seq[EngineQuery] = registry.filter(_.bench)
 }

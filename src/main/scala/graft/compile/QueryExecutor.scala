@@ -59,8 +59,21 @@ object ResultSink {
     case other                       => other.toString
   }
 
+  /** Duplicate output names get a positional suffix (`c`, `c_2`, …):
+    * the row maps (and their JSON objects) are keyed by name, so
+    * repeated names would silently collapse to the last value.
+    */
+  private def uniquify(raw: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    raw.map { c =>
+      val n = seen.getOrElse(c, 0) + 1
+      seen(c) = n
+      if (n == 1) c else s"${c}_$n"
+    }
+  }
+
   def toResultSet(df: DataFrame): ResultSet = {
-    val cols = df.columns.toSeq
+    val cols = uniquify(df.columns.toSeq)
     val rows = df.collect().toSeq.map { r =>
       cols.zipWithIndex.map { case (c, i) =>
         c -> serializeValue(r.get(i))

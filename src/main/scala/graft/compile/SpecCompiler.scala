@@ -33,6 +33,11 @@ final class SpecCompiler(resolve: String => DataFrame, catalog: CatalogModel) {
 
     spec.filters.foreach(f => df = df.filter(expr(f)))
 
+    if (spec.groupBy.nonEmpty && spec.aggregates.isEmpty)
+      throw new IllegalArgumentException(
+        s"invalid QuerySpec for '${spec.table}': groupBy " +
+          s"(${spec.groupBy.mkString(", ")}) requires at least one aggregate")
+
     if (spec.groupBy.nonEmpty || spec.aggregates.nonEmpty) {
       val aggCols = spec.aggregates.map(a => expr(a.expr).as(a.alias))
       df =
@@ -102,11 +107,21 @@ object ResultLimiter {
 object MandatoryFilters {
   private val Identifier = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  /** Filters whose referenced identifiers are all columns of `table`.
+  /** Words that appear in predicate text without being column references
+    * — never matched against the table's columns.
+    */
+  private val sqlKeywords = Set(
+    "and", "or", "not", "is", "null", "true", "false", "in", "like",
+    "between", "exists", "case", "when", "then", "else", "end")
+
+  /** Filters whose referenced identifiers are ALL columns of `table`.
     * Tables unknown to the catalog get NO filters (we can't know their
-    * columns); matching is by whole identifier, not substring, so a
-    * column name that happens to appear inside another table's filter
-    * text doesn't trigger a spurious injection.
+    * columns). String literals are stripped before identifier extraction
+    * ('resigned' in "status != 'resigned'" is not an identifier), and
+    * requiring every identifier to resolve (forall, not exists) keeps a
+    * constraint written for one table from leaking into an unrelated
+    * table that merely shares one column name — which would silently
+    * change its results or fail analysis on the missing column.
     */
   def filtersFor(table: String, catalog: CatalogModel): Seq[String] =
     catalog.table(table) match {
@@ -114,8 +129,11 @@ object MandatoryFilters {
       case Some(t) =>
         val cols = t.columns.map(_.name.toLowerCase).toSet
         catalog.constraints.mandatoryFilters.filter { f =>
-          val idents = Identifier.findAllIn(f).map(_.toLowerCase).toSet
-          idents.exists(cols.contains)
+          val noLiterals = f.replaceAll("'(?:[^']|'')*'", " ")
+          val idents =
+            Identifier.findAllIn(noLiterals).map(_.toLowerCase).toSet --
+              sqlKeywords
+          idents.nonEmpty && idents.forall(cols.contains)
         }
     }
 

@@ -153,17 +153,35 @@ object Dedup {
   /** N-gram Jaccard similarity on 3-word shingles, bucketed by
     * (lang, source) so the pair space stays bounded. Output: pairs
     * sharing >= 2 shingles with their exact Jaccard.
+    *
+    * Hot-shingle bound: a shingle occurring in df documents of one
+    * bucket contributes df² pairs to the self-join — quadratic on
+    * boilerplate shingles at corpus scale. Shingles with document
+    * frequency > [[dfCap]] are dropped from BOTH the intersection and
+    * the per-doc set sizes (stopword-shingle removal), capping the
+    * pair space per shingle at dfCap² regardless of corpus size. The
+    * oracle applies the identical cap.
     */
+  val dfCap = 50
+
   val q43 = EngineQuery(
     "q43_dedup_ngram_jaccard",
     (s, dir) => {
       val t = Tables(s, dir)
-      val sh = t.documents
+      val shAll = t.documents
         .select(col("doc_id"), col("lang"), col("source"),
           tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(shingles3(col("ws"))).as("s"))
+      // shingles are distinct per doc, so COUNT(*) per (bucket, shingle)
+      // is the document frequency; the join below reuses the same hash
+      // partitioning as the pair self-join
+      val rare = shAll.groupBy(col("lang"), col("source"), col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select(col("lang"), col("source"), col("s"))
+      val sh = shAll.join(rare, Seq("lang", "source", "s"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("s"))
@@ -180,14 +198,20 @@ object Dedup {
             .as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH toks AS (
+    Some(s"""WITH toks AS (
               SELECT doc_id, lang, source, string_split(trim(text), ' ') ws
               FROM documents
-            ), sh AS (
+            ), sh_all AS (
               SELECT doc_id, lang, source, UNNEST(list_distinct(
                 [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                  for i in range(1, len(ws)-1)])) s
               FROM toks WHERE len(ws) >= 3
+            ), rare AS (
+              SELECT lang, source, s FROM sh_all
+              GROUP BY 1, 2, 3 HAVING COUNT(*) <= $dfCap
+            ), sh AS (
+              SELECT sh_all.* FROM sh_all
+              JOIN rare USING (lang, source, s)
             ), cnt AS (
               SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id
             ), inter AS (
@@ -216,15 +240,25 @@ object Dedup {
         col("embedding").as("ea"))
       val b = t.embeddings.select(col("vec_id").as("ib"), col("label"),
         col("embedding").as("eb"))
-      // two-phase top-k: cheap double-dot prefilter to 100 candidates
-      // (5x margin over k=20; double vs exact ordering differs only at
-      // ~1e-15), then exact decimal dots for oracle-identical values.
-      a.join(b, Seq("label"))
+      // two-phase top-k: cheap double-dot prefilter, then exact
+      // fixed-point dots for oracle-identical values. The prefilter
+      // keeps every candidate within EPS of the k-th approximate score
+      // (|fastDot - exactDot| <= ~2e-7 per dim from quantization, so
+      // EPS = 1e-3 guarantees the exact top-k is contained — a fixed
+      // candidate-count cutoff could drop a true winner when many
+      // scores cluster at the boundary). kth is a TakeOrdered scalar,
+      // broadcast back — no driver round-trip in the plan.
+      val scored = a.join(b, Seq("label"))
         .filter(col("ia") < col("ib"))
         .select(col("ia"), col("ib"), col("ea"), col("eb"),
           fastDot(col("ea"), col("eb")).as("approx"))
-        .orderBy(col("approx").desc, col("ia"), col("ib"))
-        .limit(100)
+      val kth = scored.select(col("approx"))
+        .orderBy(col("approx").desc)
+        .limit(20)
+        .agg(min(col("approx")).as("kth_approx"))
+      scored.crossJoin(broadcast(kth))
+        .filter(col("kth_approx").isNull ||
+          col("approx") >= col("kth_approx") - lit(1e-3))
         .select(col("ia"), col("ib"), exactDot(col("ea"), col("eb")).as("dot"))
         .orderBy(col("dot").desc, col("ia"), col("ib"))
         .limit(20)
@@ -249,8 +283,9 @@ object Dedup {
   /** Near-dup dedup APPLIED: the surviving corpus. Greedy resolution of
     * the q41 candidate pairs — for every strong candidate pair (>= 4 of
     * 8 bands) the higher doc_id is dropped, the lower kept. One
-    * anti-join against the loser set; at 100 TB the loser set is tiny
-    * relative to the corpus and broadcastable.
+    * anti-join against the loser set with NO broadcast hint: on a
+    * dup-heavy corpus the loser set is O(corpus), so a forced broadcast
+    * would OOM the executors; AQE broadcasts at runtime when it fits.
     */
   val q45 = EngineQuery(
     "q45_neardup_survivors",
@@ -261,7 +296,7 @@ object Dedup {
         .select(col("doc_b").as("doc_id"))
         .distinct()
       t.documents
-        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },

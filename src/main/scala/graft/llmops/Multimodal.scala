@@ -96,7 +96,10 @@ object Multimodal {
       val nBytes = octet_length(col("text")).cast(LongType)
       Tables(s, dir).documents.select(
         col("doc_id").as("asset_id"),
-        col("text").cast(BinaryType).as("payload"),
+        // payload surfaced as hex — raw BinaryType cells crash the
+        // driver's pandas harness; real pipelines keep the binary
+        // column (see assets()/decodeFeatures), the GATE serializes it
+        hex(col("text").cast(BinaryType)).as("payload_hex"),
         nBytes.as("n_bytes"),
         md5(col("text").cast(BinaryType)).as("checksum"),
         (lit(16) + nBytes % 64).cast(IntegerType).as("width"),
@@ -105,7 +108,7 @@ object Multimodal {
         .orderBy(col("asset_id"))
     },
     Some("""SELECT doc_id AS asset_id,
-              CAST(text AS BLOB) AS payload,
+              hex(CAST(text AS BLOB)) AS payload_hex,
               octet_length(CAST(text AS BLOB)) AS n_bytes,
               md5(text) AS checksum,
               CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS width,

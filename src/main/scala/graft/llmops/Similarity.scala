@@ -29,17 +29,22 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
       val c = t.embeddings
         .select(col("vec_id").as("cid"), col("embedding").as("ec"))
-      // two-phase: double-dot prefilter to 24 per query (3x margin over
-      // k=8), exact decimal dots only on survivors
+      // two-phase: double-dot prefilter per query, exact decimal dots
+      // only on survivors. The cutoff is the 8th-largest approx score
+      // minus EPS (1e-3 >> the ~1e-5 fastDot-vs-exactDot gap), so the
+      // exact top-8 is guaranteed contained — a fixed candidate count
+      // could drop a winner when scores cluster at the boundary.
       val wPre = Window.partitionBy(col("qid"))
         .orderBy(col("approx").desc, col("cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("cid"))
       broadcast(q).join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), col("eq"), col("ec"),
           fastDot(col("eq"), col("ec")).as("approx"))
-        .withColumn("prn", row_number().over(wPre))
-        .filter(col("prn") <= 24)
+        .withColumn("kth_approx", nth_value(col("approx"), 8).over(wPre))
+        .filter(col("kth_approx").isNull ||
+          col("approx") >= col("kth_approx") - lit(1e-3))
         .select(col("qid"), col("cid"), exactDot(col("eq"), col("ec")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8)

@@ -54,10 +54,14 @@ object TextAnalysis {
                FROM documents
              ), scores AS (
                SELECT doc_id, lang,
-                 SUM(CASE WHEN w IN ${sqlList(lexEn)} THEN 1 ELSE 0 END) AS s_en,
-                 SUM(CASE WHEN w IN ${sqlList(lexEs)} THEN 1 ELSE 0 END) AS s_es,
-                 SUM(CASE WHEN w IN ${sqlList(lexDe)} THEN 1 ELSE 0 END) AS s_de,
-                 SUM(CASE WHEN w IN ${sqlList(lexFr)} THEN 1 ELSE 0 END) AS s_fr
+                 CAST(SUM(CASE WHEN w IN ${sqlList(lexEn)} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_en,
+                 CAST(SUM(CASE WHEN w IN ${sqlList(lexEs)} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_es,
+                 CAST(SUM(CASE WHEN w IN ${sqlList(lexDe)} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_de,
+                 CAST(SUM(CASE WHEN w IN ${sqlList(lexFr)} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_fr
                FROM toks GROUP BY doc_id, lang
              )
              SELECT doc_id, s_en, s_es, s_de, s_fr,
@@ -167,11 +171,12 @@ object TextAnalysis {
     },
     Some("""SELECT doc_id,
               md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_md5,
-              list_sum([ascii(regexp_replace(lower(trim(text)), ' +', ' ', 'g')[i])
-                  * ((i*i*2654435761 + i*97) % 1000000007)
-                for i in range(1,
-                  length(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))+1)])
-                % 1000000007 AS fp_roll
+              CAST(list_sum(
+                  [ascii(regexp_replace(lower(trim(text)), ' +', ' ', 'g')[i])
+                    * ((i*i*2654435761 + i*97) % 1000000007)
+                  for i in range(1,
+                    length(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))+1)])
+                % 1000000007 AS BIGINT) AS fp_roll
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63)

@@ -195,7 +195,11 @@ object Advanced {
       val t = Tables(s, dir)
       t.lineitem
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        // sketch output serialized to a plain string — the driver's
+        // rows-only check still sorts cells, and list cells crash it
+        .agg(concat_ws(",",
+          expr("transform(approx_percentile(l_extendedprice," +
+            " array(0.5, 0.9, 0.99), 10000), x -> cast(x as string))"))
           .as("approx_pcts"))
         .orderBy(col("l_returnflag"))
     },

@@ -133,9 +133,13 @@ object Scalar {
       t.lineitem
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 2)
+          // decimal math stays exact internally; the OUTPUT is cast to
+          // DOUBLE on both sides (driver hashes serialized cells — Spark
+          // Decimal('0.00') vs DuckDB float64 0.0 would mismatch)
+          toDouble(round(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 2))
             .as("discount_amt"),
-          abs(dec2(col("l_extendedprice")) - lit(50000).cast(D2)).as("dist_50k"),
+          toDouble(abs(dec2(col("l_extendedprice")) - lit(50000).cast(D2)))
+            .as("dist_50k"),
           floor(col("l_extendedprice")).as("price_floor"),
           ceil(col("l_extendedprice")).as("price_ceil"),
           (col("l_partkey") % 7).as("part_mod"),
@@ -155,10 +159,11 @@ object Scalar {
           col("l_quantity"), col("l_partkey"), col("l_returnflag"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
-              round(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    CAST(l_discount AS DECIMAL(18,2)), 2) AS discount_amt,
-              abs(CAST(l_extendedprice AS DECIMAL(18,2)) -
-                  CAST(50000 AS DECIMAL(18,2))) AS dist_50k,
+              CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE)
+                AS discount_amt,
+              CAST(abs(CAST(l_extendedprice AS DECIMAL(18,2)) -
+                  CAST(50000 AS DECIMAL(18,2))) AS DOUBLE) AS dist_50k,
               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
               l_partkey % 7 AS part_mod,
@@ -189,7 +194,11 @@ object Scalar {
           col("o_orderkey").cast("string").as("key_str"),
           col("o_orderkey").cast("string").cast(LongType).as("key_back"),
           floor(col("o_totalprice")).as("price_int"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          // 2-dp decimal round-trip, surfaced as DOUBLE (exact decimal
+          // internally; output boundary must not be DecimalType — see
+          // scripts/check.py type guard)
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("price_dec"),
           (col("o_orderstatus") === "F").as("is_final"))
         .orderBy(col("o_orderkey"))
     },
@@ -200,7 +209,7 @@ object Scalar {
               CAST(o_orderkey AS VARCHAR) AS key_str,
               CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
               CAST(floor(o_totalprice) AS BIGINT) AS price_int,
-              CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
               o_orderstatus = 'F' AS is_final
             FROM orders ORDER BY o_orderkey"""))
 
@@ -219,8 +228,11 @@ object Scalar {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
     },
+    // DuckDB SUM(int) widens to HUGEINT (pandas float64); CAST AS BIGINT
+    // matches Spark's int64 sum exactly.
     Some("""SELECT event_type, COUNT(*) AS n,
-              SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -239,14 +251,22 @@ object Scalar {
           size(col("embedding")).as("dim"),
           element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
           element_at(col("embedding"), -1).cast(DoubleType).as("last_val"),
-          slice(col("embedding"), 1, 3).as("head3"))
+          // array OUTPUT serialized to a fixed-point CSV string — the
+          // driver harness can't hash list cells, and float-to-string
+          // rendering differs across engines; floor(v*1e7) is tie-free
+          // and engine-exact (float->double is exact)
+          concat_ws(",", transform(slice(col("embedding"), 1, 3),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("head3"))
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id,
               len(embedding) AS dim,
               CAST(embedding[1] AS DOUBLE) AS first_val,
               CAST(embedding[-1] AS DOUBLE) AS last_val,
-              embedding[1:3] AS head3
+              array_to_string(list_transform(embedding[1:3],
+                x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
+                          AS VARCHAR)), ',') AS head3
             FROM embeddings ORDER BY vec_id"""))
 
   /** Higher-order array functions (transform/filter/aggregate) — the
@@ -263,7 +283,11 @@ object Scalar {
         .select(
           col("vec_id"),
           size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-          transform(slice(col("embedding"), 1, 3), x => x + x).as("doubled_head"),
+          // doubled head, serialized fixed-point (see q31 head3): 2x on a
+          // double is exact, *1e7 is one identical IEEE rounding per engine
+          concat_ws(",", transform(slice(col("embedding"), 1, 3),
+            x => floor((x.cast(DoubleType) + x.cast(DoubleType)) * lit(1e7))
+              .cast(LongType).cast("string"))).as("doubled_head"),
           (aggregate(col("embedding"), lit(0L), (acc, v) => {
             val f = floor(v.cast(DoubleType) * lit(1e7)).cast(LongType)
             acc + f * f
@@ -272,7 +296,10 @@ object Scalar {
     },
     Some("""SELECT vec_id,
               len(list_filter(embedding, x -> x > 0)) AS n_pos,
-              list_transform(embedding[1:3], x -> x + x) AS doubled_head,
+              array_to_string(list_transform(embedding[1:3],
+                x -> CAST(CAST(FLOOR((CAST(x AS DOUBLE) + CAST(x AS DOUBLE))
+                                     * 10000000.0) AS BIGINT) AS VARCHAR)),
+                ',') AS doubled_head,
               (SELECT CAST(SUM(CAST(FLOOR(v*10000000.0) AS BIGINT)
                           * CAST(FLOOR(v*10000000.0) AS BIGINT)) AS DOUBLE)
                  / 100000000000000.0
