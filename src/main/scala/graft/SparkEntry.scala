@@ -15,7 +15,7 @@ object SparkEntry {
   /** All engine capabilities, in registry order. */
   def registry: Seq[EngineQuery] =
     Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
-      EventOps.all ++
+      EventOps.all ++ Layout.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++

@@ -175,13 +175,16 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"),
           explode(shingles3(col("ws"))).as("s"))
       // shingles are distinct per doc, so COUNT(*) per (bucket, shingle)
-      // is the document frequency; the join below reuses the same hash
-      // partitioning as the pair self-join
-      val rare = shAll.groupBy(col("lang"), col("source"), col("s"))
-        .agg(count(lit(1)).as("df"))
+      // is the document frequency. Computed as a window count over the
+      // SAME key the pair self-join shuffles on: one exchange of the
+      // shingle rows, reused by both join sides — an agg+join
+      // formulation would scan and shuffle the exploded shingles twice.
+      val wDf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"), col("s"))
+      val sh = shAll
+        .withColumn("df", count(lit(1)).over(wDf))
         .filter(col("df") <= dfCap)
-        .select(col("lang"), col("source"), col("s"))
-      val sh = shAll.join(rare, Seq("lang", "source", "s"))
+        .drop("df")
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("s"))

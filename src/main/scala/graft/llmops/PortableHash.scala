@@ -73,8 +73,20 @@ object PortableHash {
     * <= ~1e4), divided back at the boundary. Bit-identical across engines;
     * quantization error vs the true cosine is ~1e-7 — negligible for
     * similarity semantics and documented as part of the operator contract.
+    *
+    * Implemented by the native codegen'd [[graft.functions.FixedDotSum]]
+    * (the HOF form [[exactDotHof]] is CodegenFallback — interpreted
+    * per-element lambdas made the dot product the CPU bottleneck of the
+    * whole similarity family).
     */
   def exactDot(a: Column, b: Column): Column =
+    (graft.functions.VectorDot.fixedDotSum(a, b)
+      .cast(DoubleType) / lit(FixedScale * FixedScale))
+
+  /** HOF reference formulation of [[exactDot]] — kept for the regression
+    * spec that pins the native expression to the composed-builtin math.
+    */
+  def exactDotHof(a: Column, b: Column): Column =
     (aggregate(
       zip_with(a, b, (x, y) => fixedPoint(x) * fixedPoint(y)),
       lit(0L), (acc, v) => acc + v)
@@ -83,9 +95,15 @@ object PortableHash {
   /** Fast double dot product — order-dependent, so NOT oracle-safe for
     * output values; used only to PREFILTER candidates (error vs the exact
     * dot is ~1e-15, harmless when the filter margin is generous). The
-    * survivors get [[exactDot]] for final values/ordering.
+    * survivors get [[exactDot]] for final values/ordering. Native codegen
+    * ([[graft.functions.DoubleDot]]); fold order matches the sequential
+    * HOF aggregate.
     */
   def fastDot(a: Column, b: Column): Column =
+    graft.functions.VectorDot.doubleDot(a, b)
+
+  /** HOF reference formulation of [[fastDot]] (regression spec). */
+  def fastDotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

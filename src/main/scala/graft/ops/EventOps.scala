@@ -39,6 +39,37 @@ object EventOps {
             FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"""),
     bench = true)
 
+  /** Sliding window aggregation (10-minute window, 5-minute slide) —
+    * batch twin of `window($"ts", "10 minutes", "5 minutes")`; every
+    * event lands in exactly windowDuration/slideDuration = 2 windows,
+    * which the oracle replicates by unnesting k in {0,1} window offsets.
+    */
+  val q90b = EngineQuery(
+    "q90b_window_sliding",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          toDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some("""WITH g AS (
+              SELECT
+                make_timestamp(((epoch_us(ts)//300000000) - k.k)*300000000)
+                  AS win_start,
+                event_type, value
+              FROM events, (SELECT UNNEST(range(0,2)) k) k
+            )
+            SELECT win_start,
+              make_timestamp(epoch_us(win_start) + 600000000) AS win_end,
+              event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM g GROUP BY 1, 2, 3 ORDER BY win_start, event_type"""))
+
   /** Session windows (30-minute gap) per user — batch twin of
     * `session_window($"ts", "30 minutes")`; oracle uses the
     * gaps-and-islands formulation. Session end = last event + gap.
@@ -229,5 +260,5 @@ object EventOps {
             FROM events e JOIN first f USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort, act_day"""))
 
-  val all: Seq[EngineQuery] = Seq(q90, q91, q92, q93, q94, q95, q96)
+  val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96)
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeOfDay
+import Det._
+
+/** Physical-layout and type-surface operators:
+  *
+  *  - q88 proves the 100 TB fact⋈fact layout claim (SCALING.md "Joins"):
+  *    bucketing both sides by the join key makes the join co-located —
+  *    zero shuffle below the join (asserted by ExplainAudit/BucketingSpec,
+  *    result checked by the oracle against the plain unbucketed join).
+  *  - q89 closes SURVEY.md §1.2's TIME-type gap through the gate: the
+  *    reference's MySQL schema has TIME columns (sample_metadata.py:
+  *    120-121), Spark has no TIME type, so the engine carries "HH:mm:ss"
+  *    strings + TimeOfDay arithmetic — checked against DuckDB's native
+  *    TIME type.
+  */
+object Layout {
+
+  /** Bucketed co-located fact⋈fact join. The write side stands in for
+    * the one-time ingest layout decision; production pays it at load,
+    * every subsequent join of the two facts is exchange-free on the
+    * join key. The merge hint pins SortMergeJoin so the plan shape is
+    * stable regardless of broadcast thresholds.
+    */
+  val q88 = EngineQuery(
+    "q88_bucketed_colocated_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // external path + explicit drop: a managed table's location
+      // outlives the in-memory catalog across JVMs, which would make a
+      // fresh session's CREATE fail on the leftover directory
+      val wh = "/tmp/graft_bucket_tables"
+      s.sql("DROP TABLE IF EXISTS gb_orders")
+      s.sql("DROP TABLE IF EXISTS gb_lineitem")
+      t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/gb_orders")
+        .saveAsTable("gb_orders")
+      t.lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/gb_lineitem")
+        .saveAsTable("gb_lineitem")
+      s.table("gb_lineitem")
+        .join(s.table("gb_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          toDouble(sum(dec2(col("l_extendedprice")))).as("sum_price"),
+          toDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** TIME-of-day arithmetic over event timestamps: string round-trip,
+    * seconds-since-midnight, and wrap-aware distance to a fixed shift
+    * end (17:30) — the check_in/check_out computations the reference's
+    * HR schema implies. Oracle exercises DuckDB's native TIME type.
+    */
+  val q89 = EngineQuery(
+    "q89_time_of_day",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tstr = date_format(col("ts"), "HH:mm:ss")
+      t.events.select(
+        col("event_id"),
+        tstr.as("t_str"),
+        TimeOfDay.toSeconds(tstr).as("secs"),
+        TimeOfDay.fromSeconds(TimeOfDay.toSeconds(tstr)).as("t_back"),
+        TimeOfDay.diffSeconds(tstr, lit("17:30:00")).as("to_shift_end"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH s AS (
+              SELECT event_id,
+                strftime(ts, '%H:%M:%S') AS t_str,
+                CAST(FLOOR(EXTRACT(epoch FROM CAST(ts AS TIME))) AS INT)
+                  AS secs
+              FROM events
+            )
+            SELECT event_id, t_str, secs,
+              CAST(make_time(secs//3600, (secs%3600)//60, secs%60)
+                AS VARCHAR) AS t_back,
+              CAST((63000 - secs + 86400) % 86400 AS INT) AS to_shift_end
+            FROM s ORDER BY event_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q88, q89)
+}

@@ -50,6 +50,20 @@ object StreamingOps {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation (10-minute window, 5-minute slide) with
+    * a watermark — streaming twin of EventOps.q90b. State per key is
+    * bounded: watermark evicts windows older than window+delay.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        toDouble(sum(dec2(col("value")))).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows (30-minute gap) per user — streaming twin of
     * EventOps.q91.
     */

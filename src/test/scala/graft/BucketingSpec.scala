@@ -44,4 +44,23 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q88 gate query joins the bucketed facts without a shuffle") {
+    val df = graft.ops.Layout.q88.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    // no exchange between the join and its bucketed scans
+    val joinSection = plan.split("\n").dropWhile(!_.contains("SortMergeJoin"))
+      .takeWhile(l => !l.contains("HashAggregate") || l.contains("SortMergeJoin"))
+    assert(!joinSection.exists(_.contains("Exchange")),
+      s"bucketed gate join should not shuffle:\n${joinSection.mkString("\n")}")
+    // and the result matches the plain unbucketed join
+    val want = Tables(spark, sfDir).lineitem
+      .join(Tables(spark, sfDir).orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }

@@ -91,6 +91,39 @@ class FunctionsSpec extends SparkTestBase {
       (0x1F600L * mlt(1) + 'a'.toLong * mlt(2)) % p)
   }
 
+  test("native FixedDotSum/DoubleDot == HOF exactDot/fastDot") {
+    import spark.implicits._
+    import graft.llmops.PortableHash
+    val t = Tables(spark, sfDir)
+    val a = t.embeddings.select(col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = t.embeddings.select(col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib")).limit(500)
+      .select(
+        PortableHash.exactDot(col("ea"), col("eb")).as("exact_native"),
+        PortableHash.exactDotHof(col("ea"), col("eb")).as("exact_hof"),
+        PortableHash.fastDot(col("ea"), col("eb")).as("fast_native"),
+        PortableHash.fastDotHof(col("ea"), col("eb")).as("fast_hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // exact fixed-point path must be BIT-identical (oracle-checked)
+      assert(r.getDouble(0) == r.getDouble(1))
+      // double fold order matches the sequential HOF aggregate
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // null / length-mismatch poisoning mirrors zip_with semantics
+    val edge = Seq(
+      (Seq(1f, 2f), Some(Seq(1f, 2f, 3f))),   // length mismatch -> null
+      (Seq(1f, 2f), None))                     // null input -> null
+      .toDF("x", "y")
+      .select(PortableHash.exactDot(col("x"), col("y")).as("d"),
+        PortableHash.fastDot(col("x"), col("y")).as("f"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("GraftFunctions registers charpolyhash for the SQL surface") {
     import graft.functions.{CharPolyHash, GraftFunctions}
     GraftFunctions.register(spark)

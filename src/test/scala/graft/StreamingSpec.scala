@@ -44,6 +44,18 @@ class StreamingSpec extends SparkTestBase {
     assert(got.map(_.toString) sameElements want.map(_.toString))
   }
 
+  test("streaming sliding agg == batch twin (q90b grouping)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(StreamingOps.slidingAgg(stream), "sliding",
+      "complete")
+      .orderBy(col("win_start"), col("event_type")).collect()
+    val want = EventOps.q90b.run(spark, sfDir)
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("win_start"), col("event_type")).collect()
+    assert(got.map(_.toString) sameElements want.map(_.toString))
+  }
+
   test("streaming session windows == batch twin (q91 grouping)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(StreamingOps.sessionAgg(stream), "sessions",
