@@ -1,0 +1,117 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Distributed SPHERICAL k-means (Lloyd iterations with unit-norm
+  * centroids) over an embedding column — the trained-centroid path for
+  * the IVF index (Similarity.q52 uses a deterministic seed set as its
+  * oracle-replicable stand-in; THIS is what production runs at ingest
+  * to build the cell layout). Spherical because assignment maximizes
+  * the dot product (= cosine for unit vectors): renormalizing the mean
+  * keeps the update step the argmax of the same objective, which makes
+  * the within-cluster cost monotone non-increasing.
+  *
+  * Scale shape per iteration (the only data-sized costs):
+  *  - assignment: centroids ride along as a k × dim literal (tiny), and
+  *    the per-row argmax over k native-codegen dot products is a pure
+  *    projection — NO shuffle, NO join, NO window over the corpus;
+  *  - update: one hash aggregation keyed by (cell, dimension) — map-side
+  *    partial sums mean the exchange carries k × dim running sums per
+  *    partition, not rows.
+  * The driver holds only the k centroids between iterations (a collect
+  * of k × dim mean rows — bounded by k, never by corpus size).
+  *
+  * Determinism: init = first k vectors by id; distances compared on the
+  * exact fixed-point dot (unit-norm vectors: argmax dot = argmin L2),
+  * ties broken toward the smaller cell id; means come from exact int64
+  * fixed-point sums. Same inputs → identical centroids on any cluster
+  * layout or partitioning.
+  */
+object KMeans {
+
+  /** One row per centroid: (cell id, centroid vector). */
+  final case class Centroid(cell: Long, centroid: Array[Double])
+
+  /** Per-row argmax over the k centroids: struct(dot, neg_cell) compares
+    * field-by-field, so array_max = highest dot, ties → smallest cell.
+    * The transform runs over k elements (small); each dot is the native
+    * codegen'd FixedDotSum.
+    */
+  private def best(vec: Column, centroids: Seq[Centroid]): Column = {
+    val cents = typedLit(centroids.map(c => (c.cell, c.centroid.toSeq)))
+    array_max(transform(cents, c =>
+      struct(
+        (graft.functions.VectorDot.fixedDotSum(vec, c.getField("_2"))
+          .cast(DoubleType) / lit(1e14)).as("dot"),
+        (-c.getField("_1")).as("neg_cell"))))
+  }
+
+  /** Assign every vector to its nearest centroid — a pure projection. */
+  def assign(embeddings: DataFrame, centroids: Seq[Centroid],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("best", best(col(vecCol).cast("array<double>"), centroids))
+      .select(col(idCol), col(vecCol),
+        (-col("best.neg_cell")).cast(LongType).as("cell"))
+
+  /** Train k centroids with `iters` Lloyd iterations. */
+  def fit(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Centroid] = {
+    import spark.implicits._
+
+    val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
+
+    // deterministic seed: the first k vectors by id (kmeans|| would
+    // sample at scale — seeded runs must be reproducible here)
+    var centroids: Seq[Centroid] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .zipWithIndex
+      .map { case ((_, v), i) => Centroid(i.toLong, v) }
+      .toSeq
+
+    for (_ <- 0 until iters) {
+      // update step: exact fixed-point sums per (cell, dimension) in one
+      // combiner-reduced hash-agg; k × dim result rows to the driver
+      val next = assign(embeddings, centroids, idCol, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("v").cast(DoubleType) * lit(1e7)).cast(LongType))
+          .as("fsum"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("fsum").cast(DoubleType) / lit(1e7) / col("n")).as("m"))
+        .as[(Long, Int, Double)]
+        .collect()
+        .groupBy(_._1)
+        .map { case (cell, rows) =>
+          val vec = new Array[Double](dims)
+          rows.foreach { case (_, pos, m) => vec(pos) = m }
+          // spherical update: renormalize the mean so the next argmax-dot
+          // assignment minimizes the same cosine objective
+          val norm = math.sqrt(vec.map(x => x * x).sum)
+          Centroid(cell, if (norm > 0) vec.map(_ / norm) else vec)
+        }
+        .toSeq
+      // empty cells keep their previous centroid
+      val byCell = next.map(c => c.cell -> c).toMap
+      centroids = centroids.map(c => byCell.getOrElse(c.cell, c))
+    }
+    centroids
+  }
+
+  /** Within-cluster cost: SUM(1 - dot(v, nearest centroid)) — for unit
+    * vectors, half the squared L2 distance; non-increasing across Lloyd
+    * iterations. One aggregation, no join.
+    */
+  def cost(embeddings: DataFrame, centroids: Seq[Centroid],
+      vecCol: String = "embedding"): Double =
+    embeddings
+      .select((lit(1.0) -
+        best(col(vecCol).cast("array<double>"), centroids).getField("dot"))
+        .as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
+}

@@ -117,5 +117,40 @@ object Multimodal {
               CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames
             FROM documents ORDER BY asset_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q70)
+  /** Driver-gate query for the DECODE PLUMBING itself: the full
+    * assets → partition-local decodeFeatures path (the mapPartitions
+    * iterator production swaps a codec into), checked against an oracle
+    * replicating the stub's arithmetic. The f32 feature division is
+    * reproduced in DuckDB via a FLOAT4 cast (verified: single-rounded
+    * f32 division equals the double→float double-rounding for every
+    * byte value 0..255), serialized fixed-point like every array
+    * output.
+    */
+  val q71 = EngineQuery(
+    "q71_multimodal_decode",
+    (s, dir) => {
+      val feats = decodeFeatures(assets(s, dir))
+      feats.select(
+        col("asset_id"), col("width"), col("height"), col("n_frames"),
+        concat_ws(",", transform(col("feature"),
+          x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+            .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH a AS (
+              SELECT doc_id AS asset_id,
+                octet_length(CAST(text AS BLOB)) AS n, text
+              FROM documents
+            )
+            SELECT asset_id,
+              CAST(16 + n % 64 AS INT) AS width,
+              CAST(16 + (n * 7) % 64 AS INT) AS height,
+              CAST(1 + n % 8 AS INT) AS n_frames,
+              array_to_string(
+                [CAST(CAST(FLOOR(CAST(CAST(ascii(substr(text, i, 1)) / 255.0
+                     AS FLOAT) AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)
+                 for i in range(1, 5)], ',') AS feat_fp
+            FROM a ORDER BY asset_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q70, q71)
 }

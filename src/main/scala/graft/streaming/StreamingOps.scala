@@ -106,6 +106,30 @@ object StreamingOps {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** flatMapGroupsWithState: zero-or-more outputs per group per batch —
+    * emits a row the FIRST time a user exhibits an event type (state =
+    * the set of seen types per user). The batch twin is
+    * `SELECT DISTINCT user_id, event_type`, asserted in StreamingSpec.
+    * State is bounded by |users| × |event types|.
+    */
+  def newEventTypes(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Set[String]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[String])
+          val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
+          state.update(seen ++ fresh)
+          fresh.iterator.map(t => (uid, t))
+      }
+      .toDF("user_id", "event_type")
+  }
+
   /** Explicit stateful processing: running event count + value sum per
     * user via mapGroupsWithState — the `KeyValueGroupedDataset` custom-
     * state surface. State is one small struct per key, watermark-free

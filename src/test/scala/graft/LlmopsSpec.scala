@@ -93,6 +93,30 @@ class LlmopsSpec extends SparkTestBase {
     assert(byId(5L) == 1)
   }
 
+  test("KMeans: Lloyd iterations reduce cost, deterministic, full coverage") {
+    import graft.llmops.KMeans
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+    val k = 8
+    val c0 = KMeans.fit(spark, emb, k, iters = 0)   // seed only
+    val c2 = KMeans.fit(spark, emb, k, iters = 2)
+    // Lloyd never increases the within-cluster cost
+    val cost0 = KMeans.cost(emb, c0)
+    val cost2 = KMeans.cost(emb, c2)
+    assert(cost2 <= cost0 + 1e-9, s"cost $cost0 -> $cost2")
+    // every vector lands in exactly one valid cell
+    val assigned = KMeans.assign(emb, c2)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until k.toLong).toSet))
+    // same inputs -> identical centroids (partitioning-independent)
+    val c2b = KMeans.fit(spark, emb.repartition(7), k, iters = 2)
+    c2.zip(c2b).foreach { case (a, b) =>
+      assert(a.cell == b.cell)
+      assert(a.centroid.sameElements(b.centroid))
+    }
+  }
+
   test("Multimodal decode plumbing: partition-local batch produces typed features") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq

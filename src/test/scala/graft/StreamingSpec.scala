@@ -119,6 +119,17 @@ class StreamingSpec extends SparkTestBase {
     assert(second == 2 * totalEvents)
   }
 
+  test("flatMapGroupsWithState new-type emission == batch DISTINCT pairs") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val got = runToMemory(
+      StreamingOps.newEventTypes(spark, stream), "newtypes", "append")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy (final state)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(
