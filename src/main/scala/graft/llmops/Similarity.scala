@@ -155,11 +155,12 @@ object Similarity {
             ORDER BY ia, ib"""))
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
-    * a deterministic seed set — the first 16 vectors — standing in for
-    * trained k-means centroids so the oracle can replicate assignment),
-    * then answer queries by probing the top-2 cells only. The 100 TB
-    * shape: centroids broadcast, assignment is a per-row argmax (no
-    * shuffle), search shuffles on cell id — candidates per query are
+    * a deterministic seed set — the first 16 vectors — so the bucketing
+    * mechanics are oracle-checked in isolation; q54 below runs the SAME
+    * probe path over KMeans-TRAINED centroids, end-to-end under the
+    * oracle), then answer queries by probing the top-2 cells only. The
+    * 100 TB shape: centroids broadcast, assignment is a per-row argmax
+    * (no shuffle), search shuffles on cell id — candidates per query are
     * |cell|·nprobe, never |corpus|.
     */
   val q52 = EngineQuery(
@@ -239,5 +240,182 @@ object Similarity {
                 ORDER BY sim DESC, member_id) rn FROM dots) x
             WHERE rn <= 8 ORDER BY qid, rn"""))
 
-  val all: Seq[EngineQuery] = Seq(q50, q51, q52)
+  /** Shared oracle prefix for q53/q54: replays KMeans.fit(k=4, iters=2)
+    * in unrolled SQL — seed = first 4 vectors; per iteration: exact
+    * int64 fixed-point dot argmax (tie → smaller cell), fixed-point
+    * means, fixed-point renormalization; empty cells keep the previous
+    * centroid (the LEFT JOIN + COALESCE). Every step is exact integer
+    * arithmetic or a bit-specified IEEE double op, so the trained
+    * centroids — and everything derived from them — are bit-identical
+    * across engines (KMeans.scala determinism contract).
+    */
+  private val kmeansTrainCtes =
+    """WITH ex AS (
+         SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+           generate_subscripts(embedding, 1) pos
+         FROM embeddings
+       ), seed AS (
+         SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+       ), c0 AS (
+         SELECT s.cell, e.pos, e.v AS c
+         FROM seed s JOIN ex e ON e.vec_id = s.vec_id
+       ), d1 AS (
+         SELECT e.vec_id, c.cell,
+           SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
+             * CAST(FLOOR(c.c*10000000.0) AS BIGINT)) AS fdot
+         FROM ex e JOIN c0 c ON e.pos = c.pos
+         GROUP BY 1, 2
+       ), a1 AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY fdot DESC, cell) rn FROM d1) x
+         WHERE rn = 1
+       ), m1 AS (
+         SELECT a.cell, e.pos,
+           CAST(SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)) AS DOUBLE)
+             / 10000000.0 / COUNT(*) AS m
+         FROM a1 a JOIN ex e ON e.vec_id = a.vec_id
+         GROUP BY 1, 2
+       ), n1 AS (
+         SELECT cell, SQRT(CAST(SUM(
+             CAST(FLOOR(m*10000000.0) AS BIGINT)
+           * CAST(FLOOR(m*10000000.0) AS BIGINT)) AS DOUBLE))
+           / 10000000.0 AS nrm
+         FROM m1 GROUP BY cell
+       ), c1 AS (
+         SELECT c0.cell, c0.pos,
+           COALESCE(CASE WHEN n1.nrm > 0 THEN m1.m / n1.nrm
+                         ELSE m1.m END, c0.c) AS c
+         FROM c0
+         LEFT JOIN m1 ON m1.cell = c0.cell AND m1.pos = c0.pos
+         LEFT JOIN n1 ON n1.cell = c0.cell
+       ), d2 AS (
+         SELECT e.vec_id, c.cell,
+           SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
+             * CAST(FLOOR(c.c*10000000.0) AS BIGINT)) AS fdot
+         FROM ex e JOIN c1 c ON e.pos = c.pos
+         GROUP BY 1, 2
+       ), a2 AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY fdot DESC, cell) rn FROM d2) x
+         WHERE rn = 1
+       ), m2 AS (
+         SELECT a.cell, e.pos,
+           CAST(SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)) AS DOUBLE)
+             / 10000000.0 / COUNT(*) AS m
+         FROM a2 a JOIN ex e ON e.vec_id = a.vec_id
+         GROUP BY 1, 2
+       ), n2 AS (
+         SELECT cell, SQRT(CAST(SUM(
+             CAST(FLOOR(m*10000000.0) AS BIGINT)
+           * CAST(FLOOR(m*10000000.0) AS BIGINT)) AS DOUBLE))
+           / 10000000.0 AS nrm
+         FROM m2 GROUP BY cell
+       ), c2 AS (
+         SELECT c1.cell, c1.pos,
+           COALESCE(CASE WHEN n2.nrm > 0 THEN m2.m / n2.nrm
+                         ELSE m2.m END, c1.c) AS c
+         FROM c1
+         LEFT JOIN m2 ON m2.cell = c1.cell AND m2.pos = c1.pos
+         LEFT JOIN n2 ON n2.cell = c1.cell
+       ), d3 AS (
+         SELECT e.vec_id, c.cell,
+           SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
+             * CAST(FLOOR(c.c*10000000.0) AS BIGINT)) AS fdot
+         FROM ex e JOIN c2 c ON e.pos = c.pos
+         GROUP BY 1, 2
+       ), a3 AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY fdot DESC, cell) rn FROM d3) x
+         WHERE rn = 1
+       )"""
+
+  /** KMeans-trained cell assignment under the oracle (the gate row the
+    * round-2 verdict asked for): fit spherical k-means (k=4, 2 Lloyd
+    * iterations) on the corpus, assign every vector to its trained
+    * cell. The oracle replays the ENTIRE training loop in SQL — this is
+    * the bit-determinism claim of KMeans.scala, proven end-to-end.
+    */
+  val q53 = EngineQuery(
+    "q53_kmeans_assign",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+      KMeans.assign(t.embeddings, cents)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes +
+      """
+       SELECT vec_id, cell FROM a3 ORDER BY vec_id"""))
+
+  /** IVF trained + probed end-to-end: q52's probe path (top-2 cells per
+    * query, top-8 neighbors by exact fixed-point cosine) over the
+    * q53-trained centroids instead of the seed stand-in. Scale shape is
+    * q52's — centroids broadcast (k-bounded by design), assignment a
+    * per-row argmax projection, search shuffled on cell id.
+    */
+  val q54 = EngineQuery(
+    "q54_knn_ivf_trained",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+      val assigned = KMeans.assign(t.embeddings, cents)
+        .select(col("vec_id").as("member_id"), col("cell"),
+          col("embedding").as("em"))
+      val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+        .toDF("ccell", "ec")
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("ccell"))
+      val probes = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+        .crossJoin(broadcast(centDf))
+        .select(col("qid"), col("eq"), col("ccell"),
+          exactDot(col("eq").cast("array<double>"), col("ec")).as("cdot"))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("eq"), col("ccell").as("cell"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("member_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("member_id"))
+        .select(col("qid"), col("member_id"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("member_id").as("cid"), col("sim"),
+          col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(kmeansTrainCtes +
+      """, probes AS (
+         SELECT qid, cell FROM (
+           SELECT vec_id AS qid, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+           FROM d3 WHERE vec_id < 10) x
+         WHERE crn <= 2
+       ), cand AS (
+         SELECT p.qid, a.vec_id AS member_id FROM probes p
+         JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+       ), dots AS (
+         SELECT c.qid, c.member_id,
+           CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                  * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000000000.0 AS sim
+         FROM cand c
+         JOIN ex q ON q.vec_id = c.qid
+         JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+         GROUP BY 1, 2
+       )
+       SELECT qid, member_id AS cid, sim, rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY sim DESC, member_id) rn FROM dots) x
+       WHERE rn <= 8 ORDER BY qid, rn"""))
+
+  val all: Seq[EngineQuery] = Seq(q50, q51, q52, q53, q54)
 }

@@ -237,8 +237,11 @@ object EventOps {
 
   /** Cohort retention: users grouped by first-seen day, activity counted
     * per (cohort, activity day). Two aggregations + one equi-join on
-    * user_id — the first-seen side is small (one row per user) and
-    * broadcastable at scale.
+    * user_id. No broadcast hint: firstSeen is one row per USER, i.e.
+    * O(10^8..10^9) rows at 100 TB — a forced broadcast would OOM every
+    * executor. AQE broadcasts when the side actually fits; otherwise the
+    * equi-join shuffles once on user_id, reusing the aggregation's
+    * hash partitioning.
     */
   val q96 = EngineQuery(
     "q96_cohort_retention",
@@ -247,7 +250,7 @@ object EventOps {
       val firstSeen = t.events.groupBy(col("user_id"))
         .agg(date_trunc("day", min(col("ts"))).as("cohort"))
       t.events
-        .join(broadcast(firstSeen), Seq("user_id"))
+        .join(firstSeen, Seq("user_id"))
         .groupBy(col("cohort"), date_trunc("day", col("ts")).as("act_day"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort"), col("act_day"))
