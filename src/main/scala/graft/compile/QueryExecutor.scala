@@ -61,14 +61,25 @@ object ResultSink {
 
   /** Duplicate output names get a positional suffix (`c`, `c_2`, …):
     * the row maps (and their JSON objects) are keyed by name, so
-    * repeated names would silently collapse to the last value.
+    * repeated names would silently collapse to the last value. The
+    * candidate suffix is bumped until it collides with neither an
+    * already-assigned name nor a REAL column later in the list —
+    * columns (c, c, c_2) yield (c, c_3, c_2), not a recreated clash.
     */
   private def uniquify(raw: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val taken = scala.collection.mutable.Set.empty[String]
+    val remaining = scala.collection.mutable.Map.empty[String, Int]
+    raw.foreach(c => remaining(c) = remaining.getOrElse(c, 0) + 1)
     raw.map { c =>
-      val n = seen.getOrElse(c, 0) + 1
-      seen(c) = n
-      if (n == 1) c else s"${c}_$n"
+      remaining(c) -= 1
+      val name =
+        if (!taken.contains(c)) c
+        else Iterator.from(2).map(n => s"${c}_$n")
+          .find(cand => !taken.contains(cand) &&
+            remaining.getOrElse(cand, 0) == 0)
+          .get
+      taken += name
+      name
     }
   }
 

@@ -16,9 +16,24 @@ import graft.model._
   */
 final class SpecCompiler(resolve: String => DataFrame, catalog: CatalogModel) {
 
-  /** Scan a table with the catalog's mandatory filters applied. */
+  // Fail loudly at construction if a mandatory filter attaches to no
+  // table at all: a soft-delete/policy predicate vanishing without
+  // error would silently widen every result this compiler produces.
+  locally {
+    val dead = MandatoryFilters.unapplicable(catalog)
+    require(dead.isEmpty,
+      s"mandatory filter(s) resolve on no catalog table — " +
+        s"policy constraint would be silently dropped: " +
+        dead.mkString("; "))
+  }
+
+  /** Scan a table with the catalog's mandatory filters applied. The
+    * scan is aliased to its table name FIRST so a qualified mandatory
+    * filter ("orders.o_orderstatus != 'F'") resolves; callers may
+    * re-alias on top for self-joins.
+    */
   def scan(table: String): DataFrame =
-    MandatoryFilters(resolve(table), table, catalog)
+    MandatoryFilters(resolve(table).as(table), table, catalog)
 
   def compile(spec: QuerySpec): DataFrame = {
     // every scan carries its table name (or explicit alias) so join
@@ -105,7 +120,11 @@ object ResultLimiter {
   * down into the source scan like any user filter.
   */
 object MandatoryFilters {
-  private val Identifier = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** One lexical reference in a predicate: optional qualifier, name, and
+    * whether a '(' follows (= function call, not a column reference).
+    */
+  private val Ref =
+    """([A-Za-z_][A-Za-z0-9_]*)(\s*\.\s*([A-Za-z_][A-Za-z0-9_]*))?(\s*\()?""".r
 
   /** Words that appear in predicate text without being column references
     * — never matched against the table's columns.
@@ -114,27 +133,62 @@ object MandatoryFilters {
     "and", "or", "not", "is", "null", "true", "false", "in", "like",
     "between", "exists", "case", "when", "then", "else", "end")
 
-  /** Filters whose referenced identifiers are ALL columns of `table`.
-    * Tables unknown to the catalog get NO filters (we can't know their
-    * columns). String literals are stripped before identifier extraction
-    * ('resigned' in "status != 'resigned'" is not an identifier), and
-    * requiring every identifier to resolve (forall, not exists) keeps a
-    * constraint written for one table from leaking into an unrelated
-    * table that merely shares one column name — which would silently
-    * change its results or fail analysis on the missing column.
+  /** Column references of a filter: (qualifier, column) pairs with
+    * string literals, function-call names (`coalesce(`, `year(`), and
+    * keywords stripped. `t.col` keeps its qualifier so it can be matched
+    * against the table it names.
+    */
+  private def columnRefs(filter: String): Seq[(Option[String], String)] = {
+    val noLiterals = filter.replaceAll("'(?:[^']|'')*'", " ")
+    Ref.findAllMatchIn(noLiterals).flatMap { m =>
+      val isCall = m.group(4) != null
+      val qualified = m.group(3) != null
+      if (isCall) None // function name — its ARGS matched separately
+      else if (qualified) Some(Some(m.group(1).toLowerCase) ->
+        m.group(3).toLowerCase)
+      else if (sqlKeywords.contains(m.group(1).toLowerCase)) None
+      else Some(None -> m.group(1).toLowerCase)
+    }.toSeq
+  }
+
+  /** True when every column reference of `filter` resolves on `table`:
+    * bare names must be columns, qualified names must name this table
+    * AND a column of it. Requiring every reference to resolve (forall,
+    * not exists) keeps a constraint written for one table from leaking
+    * into an unrelated table that merely shares one column name.
+    */
+  private def applies(filter: String, tableName: String,
+      cols: Set[String]): Boolean = {
+    val refs = columnRefs(filter)
+    refs.nonEmpty && refs.forall {
+      case (None, c)    => cols.contains(c)
+      case (Some(q), c) => q == tableName.toLowerCase && cols.contains(c)
+    }
+  }
+
+  /** Filters whose referenced columns ALL resolve on `table`. Tables
+    * unknown to the catalog get NO filters (we can't know their
+    * columns). Function-call names are not treated as columns, so
+    * `year(ts) > 2020` or `coalesce(is_deleted, false) = false`
+    * attaches to any table carrying the argument columns.
     */
   def filtersFor(table: String, catalog: CatalogModel): Seq[String] =
     catalog.table(table) match {
       case None => Nil
       case Some(t) =>
         val cols = t.columns.map(_.name.toLowerCase).toSet
-        catalog.constraints.mandatoryFilters.filter { f =>
-          val noLiterals = f.replaceAll("'(?:[^']|'')*'", " ")
-          val idents =
-            Identifier.findAllIn(noLiterals).map(_.toLowerCase).toSet --
-              sqlKeywords
-          idents.nonEmpty && idents.forall(cols.contains)
-        }
+        catalog.constraints.mandatoryFilters
+          .filter(f => applies(f, table, cols))
+    }
+
+  /** Mandatory filters that attach to NO table of the catalog. A policy
+    * constraint (soft delete, row-level security) silently applying
+    * nowhere is a catalog bug — surface it instead of dropping it.
+    */
+  def unapplicable(catalog: CatalogModel): Seq[String] =
+    catalog.constraints.mandatoryFilters.filterNot { f =>
+      catalog.tables.exists(t =>
+        applies(f, t.name, t.columns.map(_.name.toLowerCase).toSet))
     }
 
   def apply(df: DataFrame, table: String, catalog: CatalogModel): DataFrame =

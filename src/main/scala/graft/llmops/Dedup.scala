@@ -168,7 +168,13 @@ object Dedup {
     "q43_dedup_ngram_jaccard",
     (s, dir) => {
       val t = Tables(s, dir)
+      // the explicit isNotNull mirrors what the self-join would push
+      // down anyway (and the oracle's JOIN USING semantics) — having it
+      // in EVERY consumer makes the exploded-shingle exchange subtree
+      // canonicalize identically, so AQE reuses one shuffle for the
+      // pair side, its mirror, AND the per-doc set-size aggregate
       val shAll = t.documents
+        .filter(col("lang").isNotNull && col("source").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"),
           tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
@@ -245,12 +251,12 @@ object Dedup {
         col("embedding").as("eb"))
       // two-phase top-k: cheap double-dot prefilter, then exact
       // fixed-point dots for oracle-identical values. The prefilter
-      // keeps every candidate within EPS of the k-th approximate score
-      // (|fastDot - exactDot| <= ~2e-7 per dim from quantization, so
-      // EPS = 1e-3 guarantees the exact top-k is contained — a fixed
-      // candidate-count cutoff could drop a true winner when many
-      // scores cluster at the boundary). kth is a TakeOrdered scalar,
-      // broadcast back — no driver round-trip in the plan.
+      // keeps every candidate within a dims-scaled EPS of the k-th
+      // approximate score (PortableHash.dotEps: quantization gap grows
+      // ~2e-7 per dimension), so the exact top-k is contained at any
+      // embedding width — a fixed candidate-count cutoff could drop a
+      // true winner when many scores cluster at the boundary. kth is a
+      // TakeOrdered scalar, broadcast back — no driver round-trip.
       val scored = a.join(b, Seq("label"))
         .filter(col("ia") < col("ib"))
         .select(col("ia"), col("ib"), col("ea"), col("eb"),
@@ -261,7 +267,7 @@ object Dedup {
         .agg(min(col("approx")).as("kth_approx"))
       scored.crossJoin(broadcast(kth))
         .filter(col("kth_approx").isNull ||
-          col("approx") >= col("kth_approx") - lit(1e-3))
+          col("approx") >= col("kth_approx") - dotEps(col("ea")))
         .select(col("ia"), col("ib"), exactDot(col("ea"), col("eb")).as("dot"))
         .orderBy(col("dot").desc, col("ia"), col("ib"))
         .limit(20)

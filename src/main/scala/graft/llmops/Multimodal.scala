@@ -108,19 +108,22 @@ object Multimodal {
         .orderBy(col("asset_id"))
     },
     Some("""SELECT doc_id AS asset_id,
-              hex(CAST(text AS BLOB)) AS payload_hex,
-              octet_length(CAST(text AS BLOB)) AS n_bytes,
+              hex(encode(text)) AS payload_hex,
+              octet_length(encode(text)) AS n_bytes,
               md5(text) AS checksum,
-              CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS width,
-              CAST(16 + (octet_length(CAST(text AS BLOB)) * 7) % 64 AS INT)
+              CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+              CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT)
                 AS height,
-              CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames
+              CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
             FROM documents ORDER BY asset_id"""))
 
   /** Driver-gate query for the DECODE PLUMBING itself: the full
     * assets → partition-local decodeFeatures path (the mapPartitions
     * iterator production swaps a codec into), checked against an oracle
-    * replicating the stub's arithmetic. The f32 feature division is
+    * replicating the stub's arithmetic. The oracle is BYTE-based like
+    * the engine (UTF-8 bytes of the payload, extracted from the hex
+    * encoding — this DuckDB has no blob subscripting), not char-based,
+    * so non-ASCII payloads agree too. The f32 feature division is
     * reproduced in DuckDB via a FLOAT4 cast (verified: single-rounded
     * f32 division equals the double→float double-rounding for every
     * byte value 0..255), serialized fixed-point like every array
@@ -139,7 +142,8 @@ object Multimodal {
     },
     Some("""WITH a AS (
               SELECT doc_id AS asset_id,
-                octet_length(CAST(text AS BLOB)) AS n, text
+                octet_length(encode(text)) AS n,
+                hex(encode(text)) AS hx
               FROM documents
             )
             SELECT asset_id,
@@ -147,8 +151,12 @@ object Multimodal {
               CAST(16 + (n * 7) % 64 AS INT) AS height,
               CAST(1 + n % 8 AS INT) AS n_frames,
               array_to_string(
-                [CAST(CAST(FLOOR(CAST(CAST(ascii(substr(text, i, 1)) / 255.0
-                     AS FLOAT) AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)
+                [CAST(CAST(FLOOR(CAST(CAST(
+                   (CASE WHEN n >= i THEN
+                      16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)
+                    ELSE 0 END) / 255.0
+                   AS FLOAT) AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)
                  for i in range(1, 5)], ',') AS feat_fp
             FROM a ORDER BY asset_id"""))
 

@@ -102,6 +102,16 @@ object PortableHash {
   def fastDot(a: Column, b: Column): Column =
     graft.functions.VectorDot.doubleDot(a, b)
 
+  /** Safety margin for a [[fastDot]] prefilter guarding an [[exactDot]]
+    * decision: the fixed-point quantization gap is bounded by ~2e-7 per
+    * dimension (each floor() loses < 1e-7 per factor), so the margin
+    * must SCALE WITH THE VECTOR WIDTH — a hardcoded 1e-3 is nearly
+    * exhausted at 4096 dims. 3e-7/dim plus the 1e-3 floor keeps the
+    * historical margin for narrow vectors and containment for wide ones.
+    */
+  def dotEps(vec: Column): Column =
+    greatest(lit(1e-3), size(vec).cast(DoubleType) * lit(3e-7))
+
   /** HOF reference formulation of [[fastDot]] (regression spec). */
   def fastDotHof(a: Column, b: Column): Column =
     aggregate(

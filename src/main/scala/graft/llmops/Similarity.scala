@@ -29,11 +29,13 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
       val c = t.embeddings
         .select(col("vec_id").as("cid"), col("embedding").as("ec"))
-      // two-phase: double-dot prefilter per query, exact decimal dots
-      // only on survivors. The cutoff is the 8th-largest approx score
-      // minus EPS (1e-3 >> the ~1e-5 fastDot-vs-exactDot gap), so the
-      // exact top-8 is guaranteed contained — a fixed candidate count
-      // could drop a winner when scores cluster at the boundary.
+      // two-phase: double-dot prefilter per query, exact fixed-point
+      // dots only on survivors. The cutoff is the 8th-largest approx
+      // score minus a dims-scaled EPS (PortableHash.dotEps — the
+      // quantization gap grows with vector width), so the exact top-8
+      // is guaranteed contained at any embedding width — a fixed
+      // candidate count could drop a winner when scores cluster at the
+      // boundary.
       val wPre = Window.partitionBy(col("qid"))
         .orderBy(col("approx").desc, col("cid"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -44,7 +46,7 @@ object Similarity {
           fastDot(col("eq"), col("ec")).as("approx"))
         .withColumn("kth_approx", nth_value(col("approx"), 8).over(wPre))
         .filter(col("kth_approx").isNull ||
-          col("approx") >= col("kth_approx") - lit(1e-3))
+          col("approx") >= col("kth_approx") - dotEps(col("eq")))
         .select(col("qid"), col("cid"), exactDot(col("eq"), col("ec")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8)
@@ -111,9 +113,9 @@ object Similarity {
         col("embedding").as("eb"), col("bucket"))
       a.join(b, Seq("bucket"))
         .filter(col("ia") < col("ib"))
-        // prefilter with the cheap double dot at a safety margin below
-        // the exact threshold, then exact-filter the survivors
-        .filter(fastDot(col("ea"), col("eb")) > 0.199)
+        // prefilter with the cheap double dot at a dims-scaled safety
+        // margin below the exact threshold, then exact-filter survivors
+        .filter(fastDot(col("ea"), col("eb")) > lit(0.2) - dotEps(col("ea")))
         .select(col("bucket"), col("ia"), col("ib"),
           exactDot(col("ea"), col("eb")).as("sim"))
         .filter(col("sim") > 0.2)

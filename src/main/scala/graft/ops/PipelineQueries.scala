@@ -239,5 +239,27 @@ object PipelineQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey) t
             WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
 
-  val all: Seq[EngineQuery] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
+  /** SampleSuggester surface end-to-end (SURVEY.md §3.3; reference
+    * sql_generator.py:195-247): a suggestion PICKED FROM the generated
+    * list (not hand-built) — the deterministic "count of orders per
+    * customer" FK pattern — compiled by SpecCompiler (which injects the
+    * catalog's mandatory filter) and executed through the gate. The
+    * recency suggestion is deliberately not the gate row: its ORDER BY
+    * is a bare timestamp, not a total order.
+    */
+  val q97 = EngineQuery(
+    "q97_suggested_group_count",
+    (s, dir) => {
+      val catalog = parquetCatalog
+      val sug = graft.suggest.SampleSuggester.suggest(catalog)
+        .find(_.title == "count of orders per customer")
+        .getOrElse(sys.error("suggester no longer emits the FK pattern"))
+      SpecCompiler.forParquetDir(s, dir, catalog).compile(sug.spec)
+    },
+    Some("""SELECT o_custkey, count(1) AS n
+            FROM orders WHERE o_orderstatus != 'F'
+            GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q97)
 }

@@ -85,6 +85,43 @@ class CompileSpec extends SparkTestBase {
     assert(compiler.compile(QuerySpec(table = "nation")).count() == 25)
   }
 
+  test("MandatoryFilters resolves function calls and qualified refs") {
+    val base = graft.ops.PipelineQueries.parquetCatalog
+    def withFilters(fs: String*) = base.copy(
+      constraints = base.constraints.copy(mandatoryFilters = fs))
+
+    // function names are not column refs: the filter attaches to any
+    // table carrying the ARGUMENT columns
+    val fn = withFilters("year(o_orderdate) > 1990",
+      "coalesce(o_orderstatus, 'O') != 'F'")
+    assert(MandatoryFilters.filtersFor("orders", fn).size == 2)
+    assert(MandatoryFilters.filtersFor("customer", fn).isEmpty)
+    assert(MandatoryFilters.unapplicable(fn).isEmpty)
+
+    // qualified refs attach only to the table they name — and resolve
+    // when executed (the scan is aliased to its table name)
+    val qual = withFilters("orders.o_orderstatus != 'F'")
+    assert(MandatoryFilters.filtersFor("orders", qual).size == 1)
+    assert(MandatoryFilters.filtersFor("customer", qual).isEmpty)
+    assert(SpecCompiler.forParquetDir(spark, sfDir, qual)
+      .compile(QuerySpec(table = "orders"))
+      .filter(col("o_orderstatus") === "F").count() == 0)
+
+    // a qualifier naming ANOTHER table never leaks in
+    val wrong = withFilters("customer.o_orderstatus != 'F'")
+    assert(MandatoryFilters.filtersFor("orders", wrong).isEmpty)
+    assert(MandatoryFilters.unapplicable(wrong).size == 1)
+
+    // a policy filter attaching to no table is a loud construction
+    // failure, not a silently-dropped constraint
+    val dead = withFilters("is_deleted = false")
+    assert(MandatoryFilters.unapplicable(dead) == Seq("is_deleted = false"))
+    val ex = intercept[IllegalArgumentException] {
+      SpecCompiler.forParquetDir(spark, sfDir, dead)
+    }
+    assert(ex.getMessage.contains("is_deleted"))
+  }
+
   test("DemoPlanner golden contract: postgres e-commerce sample") {
     // observable contract of sql_generator.py:274-281: first 5 columns,
     // dialect mandatory filter, LIMIT 10

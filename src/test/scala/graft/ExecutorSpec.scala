@@ -41,6 +41,21 @@ class ExecutorSpec extends SparkTestBase {
     assert(rs.data.head("o_orderdate").startsWith("1997-01-15T00:00"))
   }
 
+  test("ResultSink keeps duplicate names apart even when a real column " +
+      "matches the positional suffix") {
+    // (c, c, c_2): the naive suffix would emit (c, c_2, c_2), silently
+    // collapsing two different values under one JSON key
+    val df = spark.sql("SELECT 1 AS c, 2 AS c, 3 AS c_2")
+    val rs = ResultSink.toResultSet(df)
+    assert(rs.columns == Seq("c", "c_3", "c_2"))
+    assert(rs.columns.distinct.size == 3)
+    assert(rs.data.head("c") == "1" && rs.data.head("c_3") == "2" &&
+      rs.data.head("c_2") == "3")
+    // and duplicated already-suffixed names still uniquify
+    val rs2 = ResultSink.toResultSet(spark.sql("SELECT 1 AS c_2, 2 AS c_2"))
+    assert(rs2.columns == Seq("c_2", "c_2_2"))
+  }
+
   test("JDBC connector builds the reference URL templates") {
     val pg = Connectors.JdbcConf("postgresql", "db.example", 5432, "shop",
       "u", "p")

@@ -153,6 +153,46 @@ class FunctionsSpec extends SparkTestBase {
     assert(csv.columns.sorted.toSeq == src.columns.sorted.toSeq)
   }
 
+  test("approximate twins stay within error bounds of their exact queries") {
+    // q08b (HLL, rsd=0.01) and q39b (approx_percentile, accuracy=10000)
+    // are rows-only at the gate because sketch serializations are
+    // engine-specific — but their ACCURACY is checkable against the
+    // exact twins, which are themselves oracle-proven. This turns
+    // "rows-only by design" into "approximation verified".
+    val exact = graft.ops.Relational.q08.run(spark, sfDir)
+      .select("l_returnflag", "n_orders")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Relational.q08b.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, ex) =>
+      val ap = approx(flag)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05,
+        s"q08b group $flag: approx $ap vs exact $ex drifts >= 5%")
+    }
+
+    // each approximate percentile must land between the exact
+    // percentiles at +-0.1% rank (10x the sketch's nominal 1/accuracy
+    // rank-error bound — tight enough to catch a broken sketch, loose
+    // enough to never flake)
+    val bounds = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, " +
+        "array(0.499, 0.501, 0.899, 0.901, 0.989, 0.991))").as("b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    graft.ops.Advanced.q39b.run(spark, sfDir).collect().foreach { r =>
+      val flag = r.getString(0)
+      val vals = r.getString(1).split(",").map(_.toDouble)
+      val b = bounds(flag)
+      Seq(0, 1, 2).foreach { i =>
+        assert(vals(i) >= b(2 * i) && vals(i) <= b(2 * i + 1),
+          s"q39b group $flag pct #$i: ${vals(i)} outside " +
+            s"[${b(2 * i)}, ${b(2 * i + 1)}]")
+      }
+    }
+  }
+
   test("DML sink passthrough: INSERT INTO a catalog table via SQL") {
     val wh = java.nio.file.Files.createTempDirectory("dml").toString
     spark.sql("DROP TABLE IF EXISTS dml_target")
