@@ -19,6 +19,7 @@ object SparkEntry {
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++
+      graft.sources.FileFormats.all ++
       PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -28,7 +28,13 @@ object GraftFunctions {
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("charpolyhash",
       new ExpressionInfo(classOf[CharPolyHash].getName, "charpolyhash"),
-      (exprs: Seq[Expression]) => CharPolyHash(exprs.head)))
+      (exprs: Seq[Expression]) => CharPolyHash(exprs.head)),
+    ("fixed_dot_sum",
+      new ExpressionInfo(classOf[FixedDotSum].getName, "fixed_dot_sum"),
+      (exprs: Seq[Expression]) => FixedDotSum(exprs(0), exprs(1))),
+    ("double_dot",
+      new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
+      (exprs: Seq[Expression]) => DoubleDot(exprs(0), exprs(1))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

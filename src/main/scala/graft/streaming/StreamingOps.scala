@@ -130,6 +130,46 @@ object StreamingOps {
       .toDF("user_id", "event_type")
   }
 
+  /** Stateful funnel — streaming twin of EventOps.q95: per user, the
+    * earliest signup/click/purchase timestamps tracked in
+    * mapGroupsWithState. MIN is commutative and associative, so arrival
+    * order within and across micro-batches cannot change the final
+    * state — the last emitted row per user equals the batch q95
+    * per-user relation exactly (asserted in StreamingSpec, which then
+    * folds the funnel counts and compares to the oracle-proven q95).
+    * State per key is three optional timestamps — bounded by |users|.
+    */
+  final case class FunnelMilestones(user_id: Long, signup_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long])
+
+  def funnelMilestones(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+      (a ++ b).minOption
+    // no event-type prefilter: q95 counts EVERY user with any event in
+    // its funnel base, so non-milestone events must still create state
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        FunnelMilestones](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (s, c, p) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          rows.foreach {
+            case (_, "signup", us)   => s = minOpt(s, Some(us))
+            case (_, "click", us)    => c = minOpt(c, Some(us))
+            case (_, "purchase", us) => p = minOpt(p, Some(us))
+            case _                   => ()
+          }
+          state.update((s, c, p))
+          FunnelMilestones(uid, s, c, p)
+      }
+      .toDF()
+  }
+
   /** Explicit stateful processing: running event count + value sum per
     * user via mapGroupsWithState — the `KeyValueGroupedDataset` custom-
     * state surface. State is one small struct per key, watermark-free

@@ -136,6 +136,13 @@ class FunctionsSpec extends SparkTestBase {
     rows.zip(texts).foreach { case (r, t) =>
       assert(r.getLong(1) == CharPolyHash.hash(t))
     }
+    // the vector expressions are SQL-visible too
+    val dot = spark.sql(
+      """SELECT fixed_dot_sum(array(0.5D, -0.25D), array(1.0D, 2.0D)) f,
+           double_dot(array(0.5D, -0.25D), array(1.0D, 2.0D)) d""").head()
+    assert(dot.getLong(0) ==
+      (5000000L * 10000000L + -2500000L * 20000000L))
+    assert(math.abs(dot.getDouble(1) - 0.0) < 1e-15)
   }
 
   test("csv and json sources round-trip the orders table") {

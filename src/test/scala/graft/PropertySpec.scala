@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{CharPolyHash, TimeOfDay, VectorDot}
+import graft.llmops.PortableHash
+
+/** Randomized equivalence properties for the custom expression surface.
+  *
+  * The native codegen expressions (CharPolyHash, FixedDotSum, DoubleDot)
+  * carry a contract: SAME semantics as their composed-builtin HOF
+  * formulations (which the DuckDB oracles mirror). The fixture-based
+  * specs pin a handful of values; these properties pin the equivalence
+  * over hundreds of randomized inputs per run — including the edge
+  * shapes that broke things before (empty strings with Spark's
+  * descending `sequence(1,0)`, mismatched array lengths, null
+  * elements). Batched into one DataFrame per property so the suite
+  * stays fast.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("FixedDotSum/DoubleDot == HOF formulations; NULL semantics match") {
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      val dims = 1 + rnd.nextInt(128)
+      val a = Array.fill(dims)(rnd.nextDouble() * 2 - 1)
+      // every ~6th pair gets a length mismatch -> both forms must NULL
+      val bDims = if (i % 6 == 0) dims + 1 else dims
+      val b = Array.fill(bDims)(rnd.nextDouble() * 2 - 1)
+      (i.toLong, a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("id", "a", "b").select(
+      col("id"),
+      VectorDot.fixedDotSum(col("a"), col("b")).as("native_fixed"),
+      aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => PortableHash.fixedPoint(x) * PortableHash.fixedPoint(y)),
+        lit(0L), (acc, v) => acc + v).as("hof_fixed"),
+      VectorDot.doubleDot(col("a"), col("b")).as("native_dbl"),
+      PortableHash.fastDotHof(col("a"), col("b")).as("hof_dbl"))
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.isNullAt(1) == r.isNullAt(2), s"row $id fixed null drift")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"row $id fixed value drift")
+      assert(r.isNullAt(3) == r.isNullAt(4), s"row $id dbl null drift")
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) == r.getDouble(4), s"row $id dbl value drift")
+    }
+  }
+
+  test("fastDot prefilter error is within the dims-scaled dotEps margin") {
+    import spark.implicits._
+    // contract domain: embedding components in [-1, 1] (unit-norm
+    // vectors) — dotEps(dims) must dominate |fastDot - exactDot|
+    val rows = (1 to 300).map { i =>
+      val dims = 1 + rnd.nextInt(512)
+      def unit(): Seq[Double] = {
+        val v = Array.fill(dims)(rnd.nextDouble() * 2 - 1)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (if (n > 0) v.map(_ / n) else v).toSeq
+      }
+      (i.toLong, unit(), unit())
+    }
+    val bad = rows.toDF("id", "a", "b").select(
+      col("id"),
+      abs(PortableHash.fastDot(col("a"), col("b")) -
+        PortableHash.exactDot(col("a"), col("b"))).as("err"),
+      PortableHash.dotEps(col("a")).as("eps"))
+      .filter(col("err") > col("eps"))
+    assert(bad.count() == 0,
+      bad.collect().take(3).mkString("dotEps violated: ", "; ", ""))
+  }
+
+  test("CharPolyHash native == HOF == driver-side reference hash") {
+    import spark.implicits._
+    val printable = (' ' to '~').toArray
+    val rows = (1 to 300).map { i =>
+      val len = if (i <= 5) 0 else rnd.nextInt(300) // empty strings too
+      (i.toLong, String.valueOf(Array.fill(len)(
+        printable(rnd.nextInt(printable.length)))))
+    }
+    val got = rows.toDF("id", "s").select(
+      col("id"), col("s"),
+      CharPolyHash.charPolyHash(col("s")).as("native"),
+      PortableHash.charHash(col("s")).as("hof"))
+      .collect()
+    val expect = rows.toMap
+    got.foreach { r =>
+      val s = expect(r.getLong(0))
+      if (s.isEmpty) {
+        // empty string -> NULL by contract in BOTH forms (mirrors the
+        // oracle's list_sum([]) % P = NULL)
+        assert(r.isNullAt(2) && r.isNullAt(3), s"row ${r.getLong(0)} empty")
+      } else {
+        val ref = CharPolyHash.hash(s)
+        assert(r.getLong(2) == ref, s"row ${r.getLong(0)} native != reference")
+        assert(r.getLong(3) == ref, s"row ${r.getLong(0)} hof != reference")
+      }
+    }
+  }
+
+  test("TimeOfDay: roundtrip and wrap-aware difference properties") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(86400), rnd.nextInt(86400))
+    }
+    def fmt(s: Int) = f"${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02d"
+    val df = rows.map { case (id, s1, s2) => (id, fmt(s1), fmt(s2)) }
+      .toDF("id", "t1", "t2").select(
+        col("id"),
+        TimeOfDay.toSeconds(col("t1")).as("secs"),
+        TimeOfDay.fromSeconds(TimeOfDay.toSeconds(col("t1"))).as("back"),
+        TimeOfDay.diffSeconds(col("t1"), col("t2")).as("diff"))
+      .collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    df.foreach { r =>
+      val (id, s1, s2) = byId(r.getLong(0))
+      assert(r.getInt(1) == s1, s"row $id toSeconds")
+      assert(r.getString(2) == fmt(s1), s"row $id roundtrip")
+      assert(r.getInt(3) == ((s2 - s1 + 86400) % 86400), s"row $id diff")
+    }
+  }
+}

@@ -130,6 +130,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("stateful streaming funnel == oracle-proven batch q95") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val milestones = runToMemory(
+      StreamingOps.funnelMilestones(spark, stream), "funnel", "update")
+    // last emitted row per user is the final state; fold the funnel
+    // counts from it exactly as q95 does from its per-user relation
+    val finalState = milestones
+      .groupBy(col("user_id"))
+      .agg(min(col("signup_us")).as("s"), min(col("click_us")).as("c"),
+        min(col("purchase_us")).as("p"))
+    val got = finalState.agg(
+      count(lit(1)).as("users"),
+      count(col("s")).as("signed"),
+      count(when(col("c") > col("s"), 1)).as("clicked_after"),
+      count(when(col("p") > col("c") && col("c") > col("s"), 1))
+        .as("converted")).head()
+    val want = graft.ops.EventOps.q95.run(spark, sfDir).head()
+    assert(got.toString == want.toString)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy (final state)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(
