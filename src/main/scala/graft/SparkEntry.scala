@@ -20,6 +20,7 @@ object SparkEntry {
       graft.llmops.TextAnalysis.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
+      Profiling.all ++
       PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Connectors
+
+/** LIVE end-to-end JDBC integration against an embedded Derby database
+  * (ships with Spark for the Hive metastore — in-process, zero
+  * network, so it runs in the egress-free sandbox). This closes the
+  * loop the URL-template unit tests can't: a real driver, a real
+  * connection, real rows through `spark.read.format("jdbc")` — plus
+  * the two behaviors that matter at 100 TB extract scale: filter
+  * pushdown into the database and the range-partitioned parallel read.
+  */
+class JdbcSpec extends SparkTestBase {
+
+  private lazy val dbUrl: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:$dir/db"
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    val st = conn.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE accounts (id INT NOT NULL, name VARCHAR(32), " +
+        "balance DOUBLE)")
+    val ins = conn.prepareStatement("INSERT INTO accounts VALUES (?, ?, ?)")
+    (0 until 100).foreach { i =>
+      ins.setInt(1, i)
+      ins.setString(2, s"acct_$i")
+      ins.setDouble(3, i * 1.5)
+      ins.executeUpdate()
+    }
+    ins.close(); st.close(); conn.close()
+    url
+  }
+
+  test("live JDBC read returns the inserted rows") {
+    val df = Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "accounts").load()
+    assert(df.count() == 100)
+    assert(df.columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("balance", "id", "name"))
+    val r = df.filter(col("ID") === 42).head()
+    assert(r.getAs[String]("NAME") == "acct_42")
+    assert(r.getAs[Double]("BALANCE") == 63.0)
+  }
+
+  test("JDBC filter pushes down into the database scan") {
+    val df = Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "accounts").load()
+      .filter(col("ID") >= 90)
+    assert(df.count() == 10)
+    // the relation's pushed-filter list must carry the predicate —
+    // rows are filtered IN the database, not after a full extract
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ID"),
+      s"no pushdown visible in:\n$plan")
+  }
+
+  test("range-partitioned parallel extract splits into N JDBC partitions") {
+    val df = Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "accounts")
+      .option("partitionColumn", "id")
+      .option("lowerBound", "0")
+      .option("upperBound", "100")
+      .option("numPartitions", "4")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    // every partition draws a disjoint range; union is lossless
+    assert(df.count() == 100)
+    assert(df.agg(sum(col("ID"))).head().getLong(0) == (0 until 100).sum)
+  }
+
+  test("reference-contract conf path builds the same reader (URL check)") {
+    // the conf overload is the reference's {db_type, host, port, ...}
+    // contract; it routes through the SAME reader as the live tests
+    val pg = Connectors.JdbcConf("postgresql", "db.example", 5432,
+      "shop", "u", "p")
+    assert(Connectors.jdbcUrl(pg) == "jdbc:postgresql://db.example:5432/shop")
+  }
+}
