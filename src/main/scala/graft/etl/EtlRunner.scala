@@ -47,6 +47,12 @@ final class EtlRunner(spark: SparkSession, resolve: String => DataFrame,
   /** Load per the spec's write mode (sql_generator.py:46:
     * "append_OR_overwrite") and return the loaded table re-read from
     * storage — proving the sink round-trips.
+    *
+    * With `partitionBy`, an overwrite is DYNAMIC: only the partitions
+    * present in this run's output are replaced (the scale-correct
+    * semantics — a daily re-run over a partitioned 100 TB target must
+    * not truncate history). The session default partitionOverwriteMode
+    * is 'static' (whole-table truncate), so it is forced per-write.
     */
   def load(df: DataFrame, spec: LoadSpec): DataFrame = {
     val mode = spec.writeMode.toLowerCase match {
@@ -56,7 +62,10 @@ final class EtlRunner(spark: SparkSession, resolve: String => DataFrame,
         s"unsupported write_mode '$other' (reference allows append|overwrite)")
     }
     val path = s"$warehouseDir/${spec.targetTable}"
-    df.write.mode(mode).parquet(path)
+    val writer = df.write.mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
+     else writer).parquet(path)
     spark.read.parquet(path)
   }
 

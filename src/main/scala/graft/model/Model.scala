@@ -111,7 +111,14 @@ object TransformStep {
   final case class FilterRows(predicate: String) extends TransformStep
 }
 
-final case class LoadSpec(targetTable: String, writeMode: String) // append|overwrite
+/** Load target (sql_generator.py:46: "append_OR_overwrite").
+  * `partitionBy` extends the reference contract for scale: a 100 TB
+  * overwrite target must be partitioned so a re-run replaces only the
+  * partitions it produced (dynamic partition overwrite), never the
+  * whole table.
+  */
+final case class LoadSpec(targetTable: String, writeMode: String,
+    partitionBy: Seq[String] = Nil)
 
 /** NL→plan result contract (sql_generator.py:27-35; main.py:41-50). */
 final case class GenerateResult(

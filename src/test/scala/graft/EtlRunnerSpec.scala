@@ -48,6 +48,32 @@ class EtlRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned load: layout dirs + dynamic overwrite replaces " +
+      "only the partitions present in the run") {
+    val wh = java.nio.file.Files.createTempDirectory("etl5").toString
+    val r = runner(wh)
+    val src = Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val spec = LoadSpec("p_out", "overwrite", partitionBy = Seq("o_orderstatus"))
+    val first = r.load(src, spec)
+    val total = src.count()
+    assert(first.count() == total)
+    // physical layout: one directory per partition value
+    val dirs = new java.io.File(s"$wh/p_out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("o_orderstatus=")))
+    // dynamic overwrite: a run producing ONLY status 'O' rows must
+    // leave every other partition intact (static mode would truncate)
+    val onlyO = src.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", lit(0.0))
+    val after = r.load(onlyO, spec)
+    assert(after.count() == total)
+    assert(after.filter(col("o_orderstatus") === "O")
+      .agg(sum(col("o_totalprice"))).head().getDouble(0) == 0.0)
+    assert(after.filter(col("o_orderstatus") =!= "O")
+      .agg(sum(col("o_totalprice"))).head().getDouble(0) > 0.0)
+  }
+
   test("full spec run: extract -> transform -> load") {
     val wh = java.nio.file.Files.createTempDirectory("etl4").toString
     val out = runner(wh).run(EtlSpec(
