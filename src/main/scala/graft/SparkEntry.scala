@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
       EventOps.all ++ Layout.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
-      graft.llmops.TextAnalysis.all ++ graft.llmops.Curation.all ++
+      graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
+      graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
       Profiling.all ++

@@ -1,0 +1,118 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.{EngineQuery, Tables}
+import PortableHash._
+
+/** Reproducible corpus sampling + vocabulary extraction (training-data
+  * curation steps a 100 TB pipeline runs constantly).
+  *
+  * Sampling is HASH-based, not `TABLESAMPLE`/`rand()`: Spark's sample
+  * is partition-order-dependent, so two runs (or two engines) disagree.
+  * A multiplicative hash of the stable row key selects the same rows on
+  * any cluster layout, any engine — and makes the sample REPEATABLE,
+  * which is what "10% of the corpus, same 10% next week" actually
+  * requires. Per-stratum rates (here: keep non-English at a higher
+  * rate) are a projection — no shuffle at all; the operator is a pure
+  * filter over the scan.
+  */
+object Sampling {
+
+  /** Keep-threshold per mille for each language stratum. */
+  private def rateFor(lang: org.apache.spark.sql.Column) =
+    when(lang === "en", lit(200L)).otherwise(lit(600L))
+
+  /** Deterministic per-row draw in [0, 1000): multiplicative hash of
+    * the key, exact int64 (key reduced mod P first so the product
+    * cannot wrap).
+    */
+  private def draw(key: org.apache.spark.sql.Column) =
+    ((key.cast(LongType) % P) * lit(2654435761L)) % P % 1000L
+
+  val q65 = EngineQuery(
+    "q65_stratified_sample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .filter(draw(col("doc_id")) < rateFor(col("lang")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000
+              < (CASE WHEN lang = 'en' THEN 200 ELSE 600 END)
+            ORDER BY doc_id"""))
+
+  /** Vocabulary extraction: top-20 tokens by DOCUMENT frequency (distinct
+    * docs containing the token). Scale shape: per-doc distinct tokens
+    * explode once, one hash-agg on token (map-side partials), top-k via
+    * TakeOrderedAndProject — no global sort, no second shuffle. Ties
+    * break on the token itself for a total order.
+    */
+  val q66 = EngineQuery(
+    "q66_vocab_topk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(20)
+    },
+    Some("""SELECT token, COUNT(*) AS doc_freq
+            FROM (
+              SELECT doc_id, UNNEST(list_distinct(
+                string_split(trim(text), ' '))) AS token
+              FROM documents)
+            WHERE token != ''
+            GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20"""))
+
+  /** Benchmark-contamination probe: flag corpus documents sharing any
+    * 3-gram shingle with a probe set (here: the shingles of the first
+    * two documents standing in for a benchmark suite). The scale shape
+    * is the point — the probe set is SMALL BY DESIGN (benchmarks are
+    * KBs, corpora are TBs), so it broadcasts and the corpus side is one
+    * explode + broadcast hash join + one aggregation; never a LIKE/regex
+    * scan (not indexable, no pushdown) and never a shuffle of the
+    * corpus shingles.
+    */
+  val q67 = EngineQuery(
+    "q67_contamination_probe",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def sh(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(shingles3(col("ws"))).as("sh"))
+      val probes = sh(t.documents.filter(col("doc_id") < 2))
+        .select(col("sh")).distinct()
+      sh(t.documents.filter(col("doc_id") >= 2))
+        .join(broadcast(probes), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, UNNEST(list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws)-1)])) s
+              FROM toks WHERE len(ws) >= 3
+            ), probes AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id < 2
+            )
+            SELECT d.doc_id, COUNT(*) AS n_hits
+            FROM sh d JOIN probes p USING (s)
+            WHERE d.doc_id >= 2
+            GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q65, q66, q67)
+}
