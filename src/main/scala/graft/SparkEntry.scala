@@ -18,7 +18,7 @@ object SparkEntry {
       EventOps.all ++ Layout.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
-      graft.llmops.Curation.all ++
+      graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
       Profiling.all ++
