@@ -45,22 +45,29 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
     val results = timed.sortBy(_.name).map { q =>
+      var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (q.name, times.min, times.head)
+      (q.name, times.min, times.head, ok)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rawTotal = results.map(_._3).sum
+    // a throwing query must be VISIBLE in the JSON, not just stderr — a
+    // fast failure would otherwise read as a fast query and IMPROVE the
+    // headline total
+    val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_first_run_total":$rawTotal,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_first_run_total":$rawTotal,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

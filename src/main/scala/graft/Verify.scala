@@ -16,9 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated name substrings); the
-    // driver never sets it, so the contract run always dumps everything
+    // driver never sets it, so the contract run always dumps everything.
+    // An empty/blank value degrades to "no filter" — selecting ZERO
+    // queries would produce an empty dump that reads as all-green.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
     selected.foreach { case (name, fn) =>

@@ -181,14 +181,18 @@ object MandatoryFilters {
           .filter(f => applies(f, table, cols))
     }
 
-  /** Mandatory filters that attach to NO table of the catalog. A policy
-    * constraint (soft delete, row-level security) silently applying
-    * nowhere is a catalog bug — surface it instead of dropping it.
+  /** Mandatory filters that REFERENCE columns yet attach to NO table of
+    * the catalog. A policy constraint (soft delete, row-level security)
+    * silently applying nowhere is a catalog bug — surface it instead of
+    * dropping it. Filters with no column references at all ('1 = 1',
+    * 'true') are excluded: dropping them cannot change any result, so
+    * they are not worth failing a whole compiler over.
     */
   def unapplicable(catalog: CatalogModel): Seq[String] =
-    catalog.constraints.mandatoryFilters.filterNot { f =>
-      catalog.tables.exists(t =>
-        applies(f, t.name, t.columns.map(_.name.toLowerCase).toSet))
+    catalog.constraints.mandatoryFilters.filter { f =>
+      columnRefs(f).nonEmpty &&
+        !catalog.tables.exists(t =>
+          applies(f, t.name, t.columns.map(_.name.toLowerCase).toSet))
     }
 
   def apply(df: DataFrame, table: String, catalog: CatalogModel): DataFrame =

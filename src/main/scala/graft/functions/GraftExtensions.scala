@@ -25,16 +25,28 @@ object GraftFunctions {
 
   type Builder = Seq[Expression] => Expression
 
+  /** Arity-checked builder: a wrong-arity SQL call gets a clean
+    * "invalid number of arguments" error at resolution, not an
+    * IndexOutOfBoundsException stack trace.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Builder =
+    exprs => {
+      require(exprs.length == n,
+        s"function $name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("charpolyhash",
       new ExpressionInfo(classOf[CharPolyHash].getName, "charpolyhash"),
-      (exprs: Seq[Expression]) => CharPolyHash(exprs.head)),
+      arity("charpolyhash", 1)(exprs => CharPolyHash(exprs.head))),
     ("fixed_dot_sum",
       new ExpressionInfo(classOf[FixedDotSum].getName, "fixed_dot_sum"),
-      (exprs: Seq[Expression]) => FixedDotSum(exprs(0), exprs(1))),
+      arity("fixed_dot_sum", 2)(exprs => FixedDotSum(exprs(0), exprs(1)))),
     ("double_dot",
       new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
-      (exprs: Seq[Expression]) => DoubleDot(exprs(0), exprs(1))))
+      arity("double_dot", 2)(exprs => DoubleDot(exprs(0), exprs(1)))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

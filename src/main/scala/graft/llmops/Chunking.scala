@@ -99,7 +99,8 @@ object Chunking {
             )
             SELECT lang, bin, COUNT(*) AS n_docs,
               CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-            FROM binned GROUP BY 1, 2 ORDER BY lang, bin"""))
+            FROM binned GROUP BY 1, 2
+            ORDER BY lang NULLS FIRST, bin"""))
 
   val all: Seq[EngineQuery] = Seq(q68, q69)
 }

@@ -38,17 +38,20 @@ object KMeans {
   /** One row per centroid: (cell id, centroid vector). */
   final case class Centroid(cell: Long, centroid: Array[Double])
 
-  /** Per-row argmax over the k centroids: struct(dot, neg_cell) compares
-    * field-by-field, so array_max = highest dot, ties → smallest cell.
-    * The transform runs over k elements (small); each dot is the native
-    * codegen'd FixedDotSum.
+  /** Per-row argmax over the k centroids: struct(fdot, neg_cell)
+    * compares field-by-field, so array_max = highest dot, ties →
+    * smallest cell. The comparison runs on the EXACT int64 fixed-point
+    * dot — a double-converted dot would collapse distinct fdots above
+    * 2^53 (dims ≳ 91) and could rank differently from the oracle's
+    * BIGINT ORDER BY. The transform runs over k elements (small); each
+    * dot is the native codegen'd FixedDotSum.
     */
   private def best(vec: Column, centroids: Seq[Centroid]): Column = {
     val cents = typedLit(centroids.map(c => (c.cell, c.centroid.toSeq)))
     array_max(transform(cents, c =>
       struct(
-        (graft.functions.VectorDot.fixedDotSum(vec, c.getField("_2"))
-          .cast(DoubleType) / lit(1e14)).as("dot"),
+        graft.functions.VectorDot.fixedDotSum(vec, c.getField("_2"))
+          .as("fdot"),
         (-c.getField("_1")).as("neg_cell"))))
   }
 
@@ -120,7 +123,8 @@ object KMeans {
       vecCol: String = "embedding"): Double =
     embeddings
       .select((lit(1.0) -
-        best(col(vecCol).cast("array<double>"), centroids).getField("dot"))
+        best(col(vecCol).cast("array<double>"), centroids).getField("fdot")
+          .cast(DoubleType) / lit(1e14))
         .as("d"))
       .agg(sum(col("d"))).head().getDouble(0)
 }

@@ -377,8 +377,11 @@ object Similarity {
       val probes = t.embeddings.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
         .crossJoin(broadcast(centDf))
+        // rank on the exact int64 fdot (like the oracle's BIGINT ORDER
+        // BY) — the double form collapses distinct dots at dims >~ 91
         .select(col("qid"), col("eq"), col("ccell"),
-          exactDot(col("eq").cast("array<double>"), col("ec")).as("cdot"))
+          graft.functions.VectorDot.fixedDotSum(
+            col("eq").cast("array<double>"), col("ec")).as("cdot"))
         .withColumn("crn", row_number().over(wp))
         .filter(col("crn") <= 2)
         .select(col("qid"), col("eq"), col("ccell").as("cell"))

@@ -258,7 +258,7 @@ object PipelineQueries {
     },
     Some("""SELECT o_custkey, count(1) AS n
             FROM orders WHERE o_orderstatus != 'F'
-            GROUP BY o_custkey ORDER BY o_custkey"""))
+            GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST"""))
 
   val all: Seq[EngineQuery] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q97)

@@ -42,7 +42,7 @@ object Profiling {
         .orderBy(col("column_name"))
     },
     Some {
-      val perCol = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val perCol = profiled
         .map { c =>
           s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
                 COUNT(*) - COUNT($c) AS n_null,

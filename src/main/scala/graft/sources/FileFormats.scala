@@ -18,9 +18,6 @@ import graft.ops.Det._
   */
 object FileFormats {
 
-  private val written =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Read-back schema: timestamps travel as formatted strings and are
     * re-parsed explicitly — CSV/JSON have no native timestamp type.
     */
@@ -32,23 +29,24 @@ object FileFormats {
     StructField("o_orderdate", StringType),
     StructField("o_orderpriority", StringType)))
 
-  /** One-time export of orders to csv+json, memoized per (app, sfDir);
-    * appId-scoped path so concurrent JVMs cannot race.
+  /** One-time export of orders to csv+json via [[graft.ops.SessionScratch]]
+    * (per-(app, sfDir) memo, dir-tagged subdirs, delete-on-exit).
+    * Returns (csvPath, jsonPath).
     */
-  private def ensureWritten(s: SparkSession, dir: String): String =
-    synchronized {
-      val app = s.sparkContext.applicationId
-      val base = s"/tmp/graft_file_formats_$app"
-      if (!written.get(app).contains(dir)) {
-        val src = Tables(s, dir).orders.withColumn("o_orderdate",
-          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-        src.write.mode("overwrite").option("header", "true")
-          .csv(s"$base/orders_csv")
-        src.write.mode("overwrite").json(s"$base/orders_json")
-        written(app) = dir
-      }
-      base
+  private def ensureWritten(s: SparkSession, dir: String): (String, String) = {
+    import graft.ops.SessionScratch
+    val app = s.sparkContext.applicationId
+    val base = SessionScratch.base("file_formats", app)
+    val tag = SessionScratch.dirTag(dir)
+    val (csvPath, jsonPath) = (s"$base/orders_csv_$tag", s"$base/orders_json_$tag")
+    SessionScratch.once("file_formats", app, dir) {
+      val src = Tables(s, dir).orders.withColumn("o_orderdate",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      src.write.mode("overwrite").option("header", "true").csv(csvPath)
+      src.write.mode("overwrite").json(jsonPath)
     }
+    (csvPath, jsonPath)
+  }
 
   private def normalize(df: DataFrame, srcName: String): DataFrame =
     df.select(
@@ -62,10 +60,10 @@ object FileFormats {
   val q98 = EngineQuery(
     "q98_file_source_roundtrip",
     (s, dir) => {
-      val base = ensureWritten(s, dir)
+      val (csvPath, jsonPath) = ensureWritten(s, dir)
       val csv = s.read.schema(readSchema).option("header", "true")
-        .csv(s"$base/orders_csv")
-      val json = s.read.schema(readSchema).json(s"$base/orders_json")
+        .csv(csvPath)
+      val json = s.read.schema(readSchema).json(jsonPath)
       normalize(csv, "csv").unionAll(normalize(json, "json"))
         .groupBy(col("src"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -83,7 +81,7 @@ object FileFormats {
               MAX(o_orderdate) AS last_date
             FROM orders CROSS JOIN
               (SELECT 'csv' AS src UNION ALL SELECT 'json') f
-            GROUP BY 1, 2 ORDER BY src, o_orderstatus"""))
+            GROUP BY 1, 2 ORDER BY src, o_orderstatus NULLS FIRST"""))
 
   val all: Seq[EngineQuery] = Seq(q98)
 }

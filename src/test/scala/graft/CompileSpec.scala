@@ -112,6 +112,12 @@ class CompileSpec extends SparkTestBase {
     assert(MandatoryFilters.filtersFor("orders", wrong).isEmpty)
     assert(MandatoryFilters.unapplicable(wrong).size == 1)
 
+    // a literal-only filter ('1 = 1') references no columns: dropping
+    // it cannot change results, so it must NOT fail the compiler
+    val noop = withFilters("1 = 1")
+    assert(MandatoryFilters.unapplicable(noop).isEmpty)
+    SpecCompiler.forParquetDir(spark, sfDir, noop)
+
     // a policy filter attaching to no table is a loud construction
     // failure, not a silently-dropped constraint
     val dead = withFilters("is_deleted = false")

@@ -143,6 +143,11 @@ class FunctionsSpec extends SparkTestBase {
     assert(dot.getLong(0) ==
       (5000000L * 10000000L + -2500000L * 20000000L))
     assert(math.abs(dot.getDouble(1) - 0.0) < 1e-15)
+    // wrong arity fails with a clean message, not an index error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT fixed_dot_sum(array(1.0D))").collect()
+    }
+    assert(ex.getMessage.contains("expects 2 argument"))
   }
 
   test("csv and json sources round-trip the orders table") {
