@@ -13,8 +13,8 @@ import PortableHash._
   */
 object Chunking {
 
-  private val ChunkSize = 50
-  private val Stride = 40 // = ChunkSize - 10 overlap
+  val ChunkSize = 50
+  val Stride = 40 // = ChunkSize - 10 overlap
 
   /** Fixed-size token chunks with overlap: one `explode` of the chunk
     * starts per document (start positions 1, 1+stride, ... <= n_tokens),
@@ -102,5 +102,82 @@ object Chunking {
             FROM binned GROUP BY 1, 2
             ORDER BY lang NULLS FIRST, bin"""))
 
-  val all: Seq[EngineQuery] = Seq(q68, q69)
+  /** The composed preparation pipeline — quality gate + exact dedup
+    * (Curation.curate) → chunk the SURVIVORS → pack the CHUNKS into
+    * 2048-token bins per language. One declarative program: Catalyst
+    * fuses the per-row stages; the shuffles are exactly the dedup
+    * groupBy, the survivor join, and the per-stratum pack window —
+    * nothing else. The oracle rebuilds the whole chain from the same
+    * verified CTEs (q64's gate/dedup + q68's chunk arithmetic + q69's
+    * binning), so a drift in ANY stage breaks the hash.
+    */
+  val q72 = EngineQuery(
+    "q72_prep_pipeline",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val survivors = Curation.curate(t.documents).select(col("doc_id"))
+      val docs = t.documents.join(survivors, "doc_id")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1)
+      val n = size(col("ws"))
+      val chunks = docs
+        .select(col("doc_id"), col("lang"), n.as("n"),
+          explode(sequence(lit(1), n, lit(Stride))).as("start"))
+        .select(col("doc_id"), col("lang"), col("start"),
+          (least(col("start") + (ChunkSize - 1), col("n"))
+            - col("start") + 1).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2048L)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some(s"""WITH staged AS (
+              SELECT doc_id, lang, text,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(trim(text))
+                          - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+                END AS n_words,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text)
+                          - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                          AS DOUBLE) / length(text)
+                END AS punct_ratio,
+                md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+              FROM documents
+            ), gated AS (
+              SELECT * FROM staged
+              WHERE n_words >= ${Curation.MinWords}
+                AND punct_ratio <= ${Curation.MaxPunctRatio}
+            ), survivors AS (
+              SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+            ), docs AS (
+              SELECT d.doc_id, d.lang, string_split(trim(d.text), ' ') ws
+              FROM documents d JOIN survivors s USING (doc_id)
+            ), chunks AS (
+              SELECT doc_id, lang, start,
+                CAST(LEAST(start + ${ChunkSize - 1}, len(ws)) - start + 1
+                  AS BIGINT) AS n_tok
+              FROM (
+                SELECT doc_id, lang, ws,
+                  UNNEST(range(1, len(ws) + 1, $Stride)) AS start
+                FROM docs WHERE len(ws) >= 1)
+            ), binned AS (
+              SELECT lang,
+                CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+                  ORDER BY doc_id, start ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin,
+                n_tok
+              FROM chunks
+            )
+            SELECT lang, bin, COUNT(*) AS n_chunks,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+            FROM binned GROUP BY 1, 2
+            ORDER BY lang NULLS FIRST, bin"""))
+
+  val all: Seq[EngineQuery] = Seq(q68, q69, q72)
 }
