@@ -133,5 +133,44 @@ object WindowOps {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY c_mktsegment, c_custkey"""))
 
-  val all: Seq[EngineQuery] = Seq(q21, q22, q23, q24, q25)
+  /** RANGE frame over event time: 7-day moving revenue per order
+    * priority. The frame is value-based (RANGE, not ROWS): days with no
+    * orders still age out of the window. Spark's rangeBetween takes
+    * numeric offsets, so the order key is the day as an epoch-day int —
+    * semantically identical to DuckDB's RANGE BETWEEN INTERVAL 6 DAYS
+    * PRECEDING at day granularity. Pre-aggregating to one row per
+    * (priority, day) FIRST keeps the window over O(days) rows, not
+    * O(orders) — the scale-correct shape for moving aggregates.
+    */
+  val q100 = EngineQuery(
+    "q100_range_window",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderpriority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+        .withColumn("day_num", unix_date(col("day").cast("date")))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .select(col("o_orderpriority"), col("day"),
+          toDouble(col("rev")).as("rev"),
+          toDouble(sum(col("rev")).over(w)).as("rev_7d"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, day,
+              CAST(rev AS DOUBLE) AS rev,
+              CAST(SUM(rev) OVER (PARTITION BY o_orderpriority
+                ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                AND CURRENT ROW) AS DOUBLE) AS rev_7d
+            FROM daily
+            ORDER BY o_orderpriority NULLS FIRST, day"""))
+
+  val all: Seq[EngineQuery] = Seq(q21, q22, q23, q24, q25, q100)
 }
