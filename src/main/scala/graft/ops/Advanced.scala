@@ -205,5 +205,89 @@ object Advanced {
     },
     None)
 
-  val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b)
+  /** Statistical aggregates (variance / stddev / correlation) computed
+    * from EXACT decimal moments, combined in double only at the end.
+    * Spark's builtin stddev/var/corr accumulate doubles in partition
+    * order — the last ulp differs run-to-run and engine-to-engine, so
+    * they can never hash-match an oracle. Exact int/decimal sums (Σx,
+    * Σx², Σxy) are order-free; the closed-form combination is the SAME
+    * IEEE op sequence on both sides, hence bit-identical. The plan is
+    * still one map-side-combined hash aggregation — the scale shape of
+    * the builtin, with none of the nondeterminism.
+    */
+  val q101 = EngineQuery(
+    "q101_stats_moments",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val d38 = "decimal(38,4)"
+      val m = t.orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).as("sx"),
+          sum((dec2(col("o_totalprice")) * dec2(col("o_totalprice")))
+            .cast(d38)).as("sxx"),
+          sum(dec2(col("o_custkey"))).as("sy"),
+          sum((dec2(col("o_custkey")) * dec2(col("o_custkey")))
+            .cast(d38)).as("syy"),
+          sum((dec2(col("o_totalprice")) * dec2(col("o_custkey")))
+            .cast(d38)).as("sxy"))
+      // decimal→double VIA STRING: a direct cast of a decimal whose
+      // unscaled value exceeds 2^53 is double-rounded in DuckDB
+      // (int128→double, then /10^scale) but correctly rounded in Spark
+      // (BigDecimal.doubleValue) — a verified 1-ulp divergence. Both
+      // engines' string→double parses are correctly rounded, so the
+      // string hop makes the conversion identical at any magnitude.
+      def viaString(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("string").cast("double")
+      val n = toDouble(col("n"))
+      val (sx, sxx) = (viaString(col("sx")), viaString(col("sxx")))
+      val (sy, syy) = (viaString(col("sy")), viaString(col("syy")))
+      val sxy = viaString(col("sxy"))
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val cxy = n * sxy - sx * sy
+      m.select(col("o_orderstatus"), col("n"),
+          (sx / n).as("mean_price"),
+          (vx / (n * (n - lit(1.0)))).as("var_price"),
+          sqrt(vx / (n * (n - lit(1.0)))).as("stddev_price"),
+          (cxy / sqrt(vx * vy)).as("corr_price_cust"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH m AS (
+              SELECT o_orderstatus, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+                SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS sxx,
+                SUM(CAST(o_custkey AS DECIMAL(18,2))) AS sy,
+                SUM(CAST(CAST(o_custkey AS DECIMAL(18,2))
+                  * CAST(o_custkey AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS syy,
+                SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_custkey AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS sxy
+              FROM orders GROUP BY o_orderstatus
+            ), d AS (
+              SELECT o_orderstatus, n,
+                CAST(n AS DOUBLE) AS nd,
+                CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+                CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+              FROM m
+            )
+            SELECT o_orderstatus, n,
+              sx / nd AS mean_price,
+              (nd * sxx - sx * sx) / (nd * (nd - 1.0)) AS var_price,
+              sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0)))
+                AS stddev_price,
+              (nd * sxy - sx * sy)
+                / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                AS corr_price_cust
+            FROM d ORDER BY o_orderstatus"""))
+
+  val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
+    q101)
 }
