@@ -288,6 +288,44 @@ object Advanced {
                 AS corr_price_cust
             FROM d ORDER BY o_orderstatus"""))
 
+  /** Recursive CTE (hierarchy closure) — Spark 4.1 executes WITH
+    * RECURSIVE natively (iterative union under the hood; each step is a
+    * distributed join, state is the frontier). The hierarchy is a
+    * deterministic synthetic forest over customer keys (parent = key
+    * div 10, roots < 10); the query computes every node's root ancestor
+    * and depth — the transitive closure q15's single self-join cannot
+    * express. At scale recursion depth is the number of join rounds:
+    * log₁₀(|customers|) here, bounded by the tree height, never by row
+    * count.
+    */
+  val q102 = EngineQuery(
+    "q102_recursive_hierarchy",
+    (s, dir) => {
+      Tables(s, dir).registerAll()
+      s.sql("""
+        WITH RECURSIVE h(c_custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.root, h.depth + 1
+          FROM customer c JOIN h ON c.c_custkey div 10 = h.c_custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, depth, COUNT(*) AS n,
+          MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM h GROUP BY root, depth ORDER BY root, depth""")
+    },
+    Some("""WITH RECURSIVE h(c_custkey, root, depth) AS (
+              SELECT c_custkey, c_custkey, 0 FROM customer
+              WHERE c_custkey < 10
+              UNION ALL
+              SELECT c.c_custkey, h.root, h.depth + 1
+              FROM customer c JOIN h ON c.c_custkey // 10 = h.c_custkey
+              WHERE c.c_custkey >= 10
+            )
+            SELECT root, depth, COUNT(*) AS n,
+              MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+            FROM h GROUP BY root, depth ORDER BY root, depth"""))
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101)
+    q101, q102)
 }
