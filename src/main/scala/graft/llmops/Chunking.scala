@@ -102,21 +102,22 @@ object Chunking {
             FROM binned GROUP BY 1, 2
             ORDER BY lang NULLS FIRST, bin"""))
 
-  /** The composed preparation pipeline — quality gate + exact dedup
-    * (Curation.curate) → chunk the SURVIVORS → pack the CHUNKS into
-    * 2048-token bins per language. One declarative program: Catalyst
-    * fuses the per-row stages; the shuffles are exactly the dedup
-    * groupBy, the survivor join, and the per-stratum pack window —
-    * nothing else. The oracle rebuilds the whole chain from the same
-    * verified CTEs (q64's gate/dedup + q68's chunk arithmetic + q69's
-    * binning), so a drift in ANY stage breaks the hash.
+  /** The composed preparation pipeline — quality gate + exact dedup →
+    * chunk the SURVIVORS → pack the CHUNKS into 2048-token bins per
+    * language. One declarative program: Catalyst fuses the per-row
+    * stages; the shuffles are exactly the dedup groupBy (via
+    * Curation.survivors — just the id set, NOT the full curate() plan,
+    * which pays a second join to re-attach stats q72 would throw
+    * away), the survivor join, and the per-stratum pack window —
+    * nothing else. The oracle's gate CTEs are Curation.gateCtesSql,
+    * the SAME string q64 verifies — by-construction agreement is
+    * structural, not copy-paste.
     */
   val q72 = EngineQuery(
     "q72_prep_pipeline",
     (s, dir) => {
       val t = Tables(s, dir)
-      val survivors = Curation.curate(t.documents).select(col("doc_id"))
-      val docs = t.documents.join(survivors, "doc_id")
+      val docs = t.documents.join(Curation.survivors(t.documents), "doc_id")
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 1)
       val n = size(col("ws"))
@@ -136,24 +137,7 @@ object Chunking {
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("sum_tok"))
         .orderBy(col("lang"), col("bin"))
     },
-    Some(s"""WITH staged AS (
-              SELECT doc_id, lang, text,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE length(trim(text))
-                          - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
-                END AS n_words,
-                CASE WHEN length(text) = 0 THEN 0.0
-                     ELSE CAST(length(text)
-                          - length(regexp_replace(text, '[.,!?]', '', 'g'))
-                          AS DOUBLE) / length(text)
-                END AS punct_ratio,
-                md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
-              FROM documents
-            ), gated AS (
-              SELECT * FROM staged
-              WHERE n_words >= ${Curation.MinWords}
-                AND punct_ratio <= ${Curation.MaxPunctRatio}
-            ), survivors AS (
+    Some(s"""WITH ${Curation.gateCtesSql}, survivors AS (
               SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp
             ), docs AS (
               SELECT d.doc_id, d.lang, string_split(trim(d.text), ' ') ws

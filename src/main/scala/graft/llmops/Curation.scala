@@ -21,52 +21,71 @@ object Curation {
   val MinWords = 5
   val MaxPunctRatio = 0.10
 
-  /** The curation plan over a `documents`-shaped frame. Stats come from
-    * the shared [[TextStats]] expressions, so the gate agrees with the
-    * reported q61/q63 statistics by construction.
+  /** Quality-gated rows with stats + fingerprint — the shared first
+    * stage of [[curate]] and [[survivors]]. Stats come from the shared
+    * [[TextStats]] expressions, so the gate agrees with the reported
+    * q61/q63 statistics by construction.
     */
-  def curate(docs: DataFrame): DataFrame = {
-    val staged = docs.select(col("doc_id"), col("lang"), col("text"),
+  def gated(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("text"),
       TextStats.nWords(col("text")).as("n_words"),
       TextStats.punctRatio(col("text")).as("punct_ratio"),
       TextStats.fingerprintMd5(col("text")).as("fp"))
-
-    val gated = staged
       .filter(col("n_words") >= MinWords && col("punct_ratio") <= MaxPunctRatio)
 
+  /** Just the surviving doc ids (canonical doc per fingerprint): ONE
+    * hash aggregation — no join back, no sort. Downstream consumers
+    * (q72) that only need the id set must use this, not [[curate]],
+    * which pays a second exchange to re-attach the per-doc stats.
+    */
+  def survivors(docs: DataFrame): DataFrame =
+    gated(docs).groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** The full curation plan over a `documents`-shaped frame. */
+  def curate(docs: DataFrame): DataFrame = {
+    val g = gated(docs)
+
     // exact dedup: canonical row = min doc_id per fingerprint
-    val canonical = gated
+    val canonical = g
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
     canonical
-      .join(gated, Seq("fp", "doc_id"))
+      .join(g, Seq("fp", "doc_id"))
       .select(col("doc_id"), col("fp"), col("lang"), col("n_words"),
         col("punct_ratio"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
 
+  /** The staged+gated CTE text shared by the q64 and q72 oracles — ONE
+    * definition, so the SQL replica of the gate cannot silently diverge
+    * between the queries that claim to share it.
+    */
+  val gateCtesSql: String =
+    s"""staged AS (
+         SELECT doc_id, lang, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text))
+                     - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+           END AS n_words,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text)
+                     - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                     AS DOUBLE) / length(text)
+           END AS punct_ratio,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+         FROM documents
+       ), gated AS (
+         SELECT * FROM staged
+         WHERE n_words >= $MinWords AND punct_ratio <= $MaxPunctRatio
+       )"""
+
   /** Driver-gate query: the whole pipeline, oracle-checked. */
   val q64 = EngineQuery(
     "q64_curation_pipeline",
     (s, dir) => curate(Tables(s, dir).documents),
-    Some("""WITH staged AS (
-              SELECT doc_id, lang, text,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE length(trim(text))
-                          - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
-                END AS n_words,
-                CASE WHEN length(text) = 0 THEN 0.0
-                     ELSE CAST(length(text)
-                          - length(regexp_replace(text, '[.,!?]', '', 'g'))
-                          AS DOUBLE) / length(text)
-                END AS punct_ratio,
-                md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
-              FROM documents
-            ), gated AS (
-              SELECT * FROM staged
-              WHERE n_words >= 5 AND punct_ratio <= 0.10
-            ), canonical AS (
+    Some(s"""WITH $gateCtesSql, canonical AS (
               SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
               FROM gated GROUP BY fp
             )

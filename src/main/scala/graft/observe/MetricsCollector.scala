@@ -32,17 +32,26 @@ final case class ExecMetrics(
   * doubled week-over-week is the alert, long before wall time moves on
   * a busy cluster. Register via [[MetricsCollector.attach]].
   */
-class MetricsCollector extends QueryExecutionListener {
+class MetricsCollector(maxRecords: Int = 10000)
+    extends QueryExecutionListener {
 
+  // bounded: an always-on listener on a long-lived session must not
+  // grow driver memory per action — oldest records evict
   private val buf = new ConcurrentLinkedQueue[ExecMetrics]
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Walk the executed plan THROUGH adaptive wrappers and query stages
-    * (a plain `collect` stops at AdaptiveSparkPlanExec, which is a leaf).
+  /** Walk the executed plan THROUGH adaptive wrappers, query stages (a
+    * plain `collect` stops at AdaptiveSparkPlanExec, which is a leaf),
+    * AND subquery plans (which hang off expressions, not children — a
+    * scalar-subquery scan would otherwise be invisible).
     */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
-    case q: QueryStageExec        => q +: nodes(q.plan)
-    case other                    => other +: other.children.flatMap(nodes)
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: (inner ++ p.subqueries).flatMap(nodes)
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,
@@ -63,7 +72,10 @@ class MetricsCollector extends QueryExecutionListener {
       shuffleBytes = shuffles.map(metric(_, "dataSize")).sum,
       numShuffles = shuffles.size,
       numScans = scans.size))
-    ()
+    if (size.incrementAndGet() > maxRecords) {
+      if (buf.poll() != null) size.decrementAndGet()
+      ()
+    }
   }
 
   override def onFailure(funcName: String, qe: QueryExecution,
@@ -71,7 +83,7 @@ class MetricsCollector extends QueryExecutionListener {
 
   def snapshot: Seq[ExecMetrics] = buf.asScala.toSeq
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); size.set(0) }
 }
 
 object MetricsCollector {

@@ -55,7 +55,7 @@ object Advanced {
     Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
-            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+            GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
 
   /** EXCEPT ALL / INTERSECT ALL — multiset semantics (SURVEY.md §2.7). */
   val q35 = EngineQuery(
@@ -159,7 +159,7 @@ object Advanced {
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                 AS sum_price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+            GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
 
   /** Exact percentiles with linear interpolation (quantile_cont).
     * Quality-threshold computation for training-data pipelines; the
@@ -286,7 +286,7 @@ object Advanced {
               (nd * sxy - sx * sy)
                 / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
                 AS corr_price_cust
-            FROM d ORDER BY o_orderstatus"""))
+            FROM d ORDER BY o_orderstatus NULLS FIRST"""))
 
   /** Recursive CTE (hierarchy closure) — Spark 4.1 executes WITH
     * RECURSIVE natively (iterative union under the hood; each step is a

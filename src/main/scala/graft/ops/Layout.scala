@@ -79,7 +79,7 @@ object Layout {
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                 AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+            GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
 
   /** TIME-of-day arithmetic over event timestamps: string round-trip,
     * seconds-since-midnight, and wrap-aware distance to a fixed shift

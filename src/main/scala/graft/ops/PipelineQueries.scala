@@ -140,8 +140,8 @@ object PipelineQueries {
     },
     Some("""SELECT o_orderstatus, count(*) AS n,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-            LIMIT 10"""))
+            FROM orders GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST LIMIT 10"""))
 
   /** Explicit GROUPING SETS through the SQL surface (SURVEY.md §2.4 —
     * the rollup/cube family's general form).

@@ -35,4 +35,27 @@ class ObservabilitySpec extends SparkTestBase {
       assert(rec.outputRows >= 1 && rec.outputRows <= nOrders, rec.toString)
     } finally spark.listenerManager.unregister(m)
   }
+
+  test("MetricsCollector sees scans inside scalar subqueries") {
+    val m = MetricsCollector.attach(spark)
+    try {
+      val t = Tables(spark, sfDir)
+      val nOrders = t.orders.count()
+      val nCust = t.customer.count()
+      t.registerAll()
+      spark.sql(
+        """SELECT count(*) FROM orders
+           WHERE o_totalprice > (SELECT avg(c_acctbal) FROM customer)""")
+        .collect()
+      // the subquery's customer scan must be visible: total scanned rows
+      // cover BOTH tables
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def find = m.snapshot.find(r =>
+        r.funcName == "collect" && r.scanRows == nOrders + nCust)
+      while (find.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(find.isDefined,
+        s"subquery scan not counted; records:\n${m.snapshot.mkString("\n")}")
+      assert(find.get.numScans == 2, find.get.toString)
+    } finally spark.listenerManager.unregister(m)
+  }
 }
