@@ -306,5 +306,46 @@ object Scalar {
                FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS v) u) AS norm2
             FROM embeddings ORDER BY vec_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q26, q26b, q27, q28, q29, q30, q31, q32)
+  /** MAP-typed columns (§2.8 complex types, completing array q31/q32 and
+    * JSON q30): per-customer status→count maps built from SORTED entries
+    * (map construction order is the iteration order in both engines, so
+    * determinism requires sorting the entry list first), then key/value
+    * extraction and lookup. try_element_at, not element_at — ANSI mode
+    * throws on a missing key. Maps serialize to CSV strings at the gate
+    * boundary (map cells crash the driver harness).
+    */
+  val q103 = EngineQuery(
+    "q103_map_ops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val per = t.orders.groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      per.groupBy(col("o_custkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(col("o_custkey"),
+          size(col("m")).as("n_statuses"),
+          concat_ws(",", map_keys(col("m"))).as("statuses"),
+          concat_ws(",", map_values(col("m")).cast("array<string>"))
+            .as("counts"),
+          expr("try_element_at(m, 'F')").as("f_count"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH per AS (
+              SELECT o_custkey, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2
+            ), m AS (
+              SELECT o_custkey,
+                map_from_entries(list_sort(list((o_orderstatus, n)))) AS m
+              FROM per GROUP BY o_custkey
+            )
+            SELECT o_custkey,
+              CAST(cardinality(m) AS INT) AS n_statuses,
+              array_to_string(map_keys(m), ',') AS statuses,
+              array_to_string(map_values(m), ',') AS counts,
+              CASE WHEN len(m['F']) > 0 THEN m['F'][1] END AS f_count
+            FROM m ORDER BY o_custkey"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q26, q26b, q27, q28, q29, q30, q31, q32, q103)
 }
