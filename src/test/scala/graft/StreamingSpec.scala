@@ -119,6 +119,39 @@ class StreamingSpec extends SparkTestBase {
     assert(second == 2 * totalEvents)
   }
 
+  test("parquet file sink is exactly-once across restarts (commit log)") {
+    val srcDir = Files.createTempDirectory("graft_fsink_src")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_fsink_out").toString
+    val ckpt = Files.createTempDirectory("graft_fsink_ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.readEvents(spark, srcDir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val total = Tables(spark, sfDir).events.count()
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == total)
+    // restart with NO new input: the sink commit log prevents both
+    // reprocessing and duplicate file registration
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == total)
+    // new input file -> exactly the delta is appended
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2 * total)
+    // distinct event ids stay intact (no partial-file double counts)
+    assert(spark.read.parquet(outDir).select("event_id").distinct()
+      .count() == Tables(spark, sfDir).events
+      .select("event_id").distinct().count())
+  }
+
   test("flatMapGroupsWithState new-type emission == batch DISTINCT pairs") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(
