@@ -156,110 +156,108 @@ object Similarity {
             SELECT bucket, ia, ib, sim FROM dots WHERE sim > 0.2
             ORDER BY ia, ib"""))
 
-  /** IVF-style ANN: assign every vector to its nearest "centroid" (here
-    * a deterministic seed set — the first 16 vectors — so the bucketing
-    * mechanics are oracle-checked in isolation; q54 below runs the SAME
-    * probe path over KMeans-TRAINED centroids, end-to-end under the
-    * oracle), then answer queries by probing the top-2 cells only. The
-    * 100 TB shape: centroids broadcast, assignment is a per-row argmax
-    * (no shuffle), search shuffles on cell id — candidates per query are
-    * |cell|·nprobe, never |corpus|.
+  /** Shared IVF search over KMEANS-TRAINED centroids: fit k cells
+    * (2 Lloyd iterations), assign the corpus, probe the top-2 cells per
+    * query, return each query's top-8 neighbors by exact fixed-point
+    * cosine. Used by q52 (k=16, the production-shaped cell count) and
+    * q54 (k=4, matching q53's verified training replay). The 100 TB
+    * shape: centroids broadcast (k-bounded by design), assignment is a
+    * per-row argmax projection, search shuffles on cell id — candidates
+    * per query are |cell|·nprobe, never |corpus|.
+    */
+  private def ivfTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val cents = KMeans.fit(s, t.embeddings, k = k, iters = 2)
+    val assigned = KMeans.assign(t.embeddings, cents)
+      .select(col("vec_id").as("member_id"), col("cell"),
+        col("embedding").as("em"))
+    val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+      .toDF("ccell", "ec")
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cdot").desc, col("ccell"))
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      .crossJoin(broadcast(centDf))
+      // rank on the exact int64 fdot (like the oracle's BIGINT ORDER
+      // BY) — the double form collapses distinct dots at dims >~ 91
+      .select(col("qid"), col("eq"), col("ccell"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("eq").cast("array<double>"), col("ec")).as("cdot"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("eq"), col("ccell").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("member_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("member_id"))
+      .select(col("qid"), col("member_id"),
+        exactDot(col("eq"), col("em")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .select(col("qid"), col("member_id").as("cid"), col("sim"),
+        col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle tail shared by q52/q54: probe + search over the trained
+    * cells (d3/a3 from [[kmeansTrainCtes]]).
+    */
+  private val ivfProbeTailSql: String =
+    """, probes AS (
+         SELECT qid, cell FROM (
+           SELECT vec_id AS qid, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+           FROM d3 WHERE vec_id < 10) x
+         WHERE crn <= 2
+       ), cand AS (
+         SELECT p.qid, a.vec_id AS member_id FROM probes p
+         JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+       ), dots AS (
+         SELECT c.qid, c.member_id,
+           CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                  * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000000000.0 AS sim
+         FROM cand c
+         JOIN ex q ON q.vec_id = c.qid
+         JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+         GROUP BY 1, 2
+       )
+       SELECT qid, member_id AS cid, sim, rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY sim DESC, member_id) rn FROM dots) x
+       WHERE rn <= 8 ORDER BY qid, rn"""
+
+  /** IVF ANN, TRAINED end-to-end at the production-shaped cell count:
+    * k=16 spherical k-means cells, top-2 probes, top-8 by exact cosine
+    * — the oracle replays the full k=16 training and the probe path.
+    * (Round 2 shipped a first-16-vectors seed stand-in here; no
+    * stand-ins remain.)
     */
   val q52 = EngineQuery(
     "q52_knn_ivf",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val nCentroids = 16
-      val centroids = t.embeddings.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
-      def nearest(df: org.apache.spark.sql.DataFrame, idCol: String,
-          embCol: String, keep: Int) = {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("cdot").desc, col("cid"))
-        df.crossJoin(broadcast(centroids))
-          .select(col(idCol), col(embCol), col("cid"),
-            exactDot(col(embCol), col("ec")).as("cdot"))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= keep)
-      }
-      val assign = nearest(t.embeddings.select(col("vec_id"),
-        col("embedding")), "vec_id", "embedding", 1)
-        .select(col("vec_id").as("member_id"), col("cid").as("cell"),
-          col("embedding").as("em"))
-      val probes = nearest(t.embeddings.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("eq")),
-        "qid", "eq", 2)
-        .select(col("qid"), col("eq"), col("cid").as("cell"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("member_id"))
-      probes.join(assign, Seq("cell"))
-        .filter(col("qid") =!= col("member_id"))
-        .select(col("qid"), col("member_id"),
-          exactDot(col("eq"), col("em")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 8)
-        .select(col("qid"), col("member_id").as("cid"), col("sim"), col("rn"))
-        .orderBy(col("qid"), col("rn"))
-    },
-    Some("""WITH ex AS (
-              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
-                generate_subscripts(embedding, 1) pos
-              FROM embeddings
-            ), exc AS (SELECT vec_id AS cid, v, pos FROM ex WHERE vec_id < 16),
-            cdots AS (
-              SELECT e.vec_id, c.cid,
-                CAST(SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
-                       * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
-                  / 100000000000000.0 AS cdot
-              FROM ex e JOIN exc c ON e.pos = c.pos
-              GROUP BY 1, 2
-            ), assign AS (
-              SELECT vec_id AS member_id, cid AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cdot DESC, cid) crn FROM cdots) x
-              WHERE crn = 1
-            ), probes AS (
-              SELECT vec_id AS qid, cid AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cdot DESC, cid) crn FROM cdots
-                WHERE vec_id < 10) x
-              WHERE crn <= 2
-            ), cand AS (
-              SELECT p.qid, a.member_id FROM probes p
-              JOIN assign a ON a.cell = p.cell AND a.member_id != p.qid
-            ), dots AS (
-              SELECT c.qid, c.member_id,
-                CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
-                       * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
-                  / 100000000000000.0 AS sim
-              FROM cand c
-              JOIN ex q ON q.vec_id = c.qid
-              JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
-              GROUP BY 1, 2
-            )
-            SELECT qid, member_id AS cid, sim, rn FROM (
-              SELECT *, row_number() OVER (PARTITION BY qid
-                ORDER BY sim DESC, member_id) rn FROM dots) x
-            WHERE rn <= 8 ORDER BY qid, rn"""))
+    (s, dir) => ivfTrained(s, dir, k = 16),
+    Some(kmeansTrainCtes(16) + ivfProbeTailSql))
 
-  /** Shared oracle prefix for q53/q54: replays KMeans.fit(k=4, iters=2)
-    * in unrolled SQL — seed = first 4 vectors; per iteration: exact
-    * int64 fixed-point dot argmax (tie → smaller cell), fixed-point
-    * means, fixed-point renormalization; empty cells keep the previous
-    * centroid (the LEFT JOIN + COALESCE). Every step is exact integer
-    * arithmetic or a bit-specified IEEE double op, so the trained
-    * centroids — and everything derived from them — are bit-identical
-    * across engines (KMeans.scala determinism contract).
+  /** Shared oracle prefix for q52/q53/q54: replays KMeans.fit(k,
+    * iters=2) in unrolled SQL — seed = first k vectors; per iteration:
+    * exact int64 fixed-point dot argmax (tie → smaller cell),
+    * fixed-point means, fixed-point renormalization; empty cells keep
+    * the previous centroid (the LEFT JOIN + COALESCE). Every step is
+    * exact integer arithmetic or a bit-specified IEEE double op, so the
+    * trained centroids — and everything derived from them — are
+    * bit-identical across engines (KMeans.scala determinism contract).
     */
-  private val kmeansTrainCtes =
-    """WITH ex AS (
+  private def kmeansTrainCtes(k: Int): String =
+    s"""WITH ex AS (
          SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
            generate_subscripts(embedding, 1) pos
          FROM embeddings
        ), seed AS (
          SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)
        ), c0 AS (
          SELECT s.cell, e.pos, e.v AS c
          FROM seed s JOIN ex e ON e.vec_id = s.vec_id
@@ -351,76 +349,18 @@ object Similarity {
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
     },
-    Some(kmeansTrainCtes +
+    Some(kmeansTrainCtes(4) +
       """
        SELECT vec_id, cell FROM a3 ORDER BY vec_id"""))
 
-  /** IVF trained + probed end-to-end: q52's probe path (top-2 cells per
-    * query, top-8 neighbors by exact fixed-point cosine) over the
-    * q53-trained centroids instead of the seed stand-in. Scale shape is
-    * q52's — centroids broadcast (k-bounded by design), assignment a
-    * per-row argmax projection, search shuffled on cell id.
+  /** IVF trained + probed at k=4 — the SAME cell count as q53's
+    * verified training replay, so the training and the search face the
+    * oracle together at one more operating point than q52's k=16.
     */
   val q54 = EngineQuery(
     "q54_knn_ivf_trained",
-    (s, dir) => {
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
-      val assigned = KMeans.assign(t.embeddings, cents)
-        .select(col("vec_id").as("member_id"), col("cell"),
-          col("embedding").as("em"))
-      val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
-        .toDF("ccell", "ec")
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("cdot").desc, col("ccell"))
-      val probes = t.embeddings.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-        .crossJoin(broadcast(centDf))
-        // rank on the exact int64 fdot (like the oracle's BIGINT ORDER
-        // BY) — the double form collapses distinct dots at dims >~ 91
-        .select(col("qid"), col("eq"), col("ccell"),
-          graft.functions.VectorDot.fixedDotSum(
-            col("eq").cast("array<double>"), col("ec")).as("cdot"))
-        .withColumn("crn", row_number().over(wp))
-        .filter(col("crn") <= 2)
-        .select(col("qid"), col("eq"), col("ccell").as("cell"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("member_id"))
-      probes.join(assigned, Seq("cell"))
-        .filter(col("qid") =!= col("member_id"))
-        .select(col("qid"), col("member_id"),
-          exactDot(col("eq"), col("em")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 8)
-        .select(col("qid"), col("member_id").as("cid"), col("sim"),
-          col("rn"))
-        .orderBy(col("qid"), col("rn"))
-    },
-    Some(kmeansTrainCtes +
-      """, probes AS (
-         SELECT qid, cell FROM (
-           SELECT vec_id AS qid, cell, row_number() OVER (
-             PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
-           FROM d3 WHERE vec_id < 10) x
-         WHERE crn <= 2
-       ), cand AS (
-         SELECT p.qid, a.vec_id AS member_id FROM probes p
-         JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
-       ), dots AS (
-         SELECT c.qid, c.member_id,
-           CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
-                  * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
-             / 100000000000000.0 AS sim
-         FROM cand c
-         JOIN ex q ON q.vec_id = c.qid
-         JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
-         GROUP BY 1, 2
-       )
-       SELECT qid, member_id AS cid, sim, rn FROM (
-         SELECT *, row_number() OVER (PARTITION BY qid
-           ORDER BY sim DESC, member_id) rn FROM dots) x
-       WHERE rn <= 8 ORDER BY qid, rn"""))
+    (s, dir) => ivfTrained(s, dir, k = 4),
+    Some(kmeansTrainCtes(4) + ivfProbeTailSql))
 
   val all: Seq[EngineQuery] = Seq(q50, q51, q52, q53, q54)
 }
