@@ -326,6 +326,30 @@ object Advanced {
               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
             FROM h GROUP BY root, depth ORDER BY root, depth"""))
 
+  /** Count-Min-Sketch heavy hitters — the frequency-sketch member of
+    * the approximate family (HLL q08b, percentile sketch q39b): item
+    * counts in fixed memory at any cardinality. Estimates are
+    * sketch-impl-specific → rows-only at the gate; the accuracy
+    * guarantee (exact ≤ estimate ≤ exact + ε·N at the configured
+    * confidence) is asserted against the exact counts in FunctionsSpec.
+    * The probe set is the supplier DIM (bounded by design — like the
+    * broadcast side of a fact⋈dim join, never the fact table).
+    */
+  val q104 = EngineQuery(
+    "q104_cms_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cms = t.lineitem.stat.countMinSketch(
+        col("l_suppkey"), eps = 0.001, confidence = 0.99, seed = 42)
+      val sups = t.supplier.select(col("s_suppkey"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      sups.map(k => (k, cms.estimateCount(k)))
+        .toDF("s_suppkey", "est_items")
+        .orderBy(col("s_suppkey"))
+    },
+    None)
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101, q102)
+    q101, q102, q104)
 }

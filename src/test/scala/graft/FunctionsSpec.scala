@@ -205,6 +205,31 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("CMS estimates bound exact counts; Bloom filter has no false negatives") {
+    val t = Tables(spark, sfDir)
+    // Count-Min guarantee: exact <= estimate <= exact + eps * N
+    val exact = t.lineitem.groupBy(col("l_suppkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val est = graft.ops.Advanced.q104.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(e >= ex, s"CMS underestimated supplier $k: $e < $ex")
+      assert(e <= ex + (0.001 * total).toLong + 1,
+        s"CMS overestimated supplier $k beyond eps*N: $e vs $ex")
+    }
+    // Bloom guarantee: zero false negatives; fpp near the configured one
+    val keys = t.orders.select(col("o_orderkey"))
+    val bloom = keys.stat.bloomFilter(col("o_orderkey"), 20000L, 0.03)
+    val present = keys.collect().map(_.getLong(0))
+    assert(present.forall(bloom.mightContain), "Bloom false negative")
+    val absent = (1000000L until 1010000L)
+    val fp = absent.count(bloom.mightContain)
+    assert(fp.toDouble / absent.size < 0.06,
+      s"Bloom false-positive rate ${fp.toDouble / absent.size} >> 0.03")
+  }
+
   test("DML sink passthrough: INSERT INTO a catalog table via SQL") {
     val wh = java.nio.file.Files.createTempDirectory("dml").toString
     spark.sql("DROP TABLE IF EXISTS dml_target")
