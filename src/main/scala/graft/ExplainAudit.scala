@@ -17,7 +17,8 @@ object ExplainAudit {
     "q43_dedup_ngram_jaccard", "q44_dedup_embed_cosine",
     "q86_join_graph_path", "q87_topk_udaf",
     "q88_bucketed_colocated_join", "q93_asof_join",
-    "q96_cohort_retention")
+    "q96_cohort_retention", "q106_dynamic_partition_pruning",
+    "q107_fuzzy_blocked_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -89,6 +90,15 @@ object ExplainAudit {
           !p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
         } finally
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      }),
+      ("q106 fact scan carries a runtime dynamicpruning partition " +
+        "filter (only dim-selected year partitions are read)",
+        planOf(spark, byName, sfDir, "q106_dynamic_partition_pruning")
+          .contains("dynamicpruning")),
+      ("q107 fuzzy join shuffles on the block key (hash equi-join, " +
+        "no CartesianProduct / BroadcastNestedLoop)", {
+        val p = planOf(spark, byName, sfDir, "q107_fuzzy_blocked_join")
+        !p.contains("CartesianProduct") && !p.contains("NestedLoop")
       }))
 
     val summary = checks.map { case (label, ok) =>

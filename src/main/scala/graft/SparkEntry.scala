@@ -21,6 +21,7 @@ object SparkEntry {
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
+      graft.etl.MergeOps.all ++
       Profiling.all ++
       PipelineQueries.all
 

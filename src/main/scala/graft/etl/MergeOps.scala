@@ -1,0 +1,114 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EngineQuery, Tables}
+
+/** Keyed changeset merge (MERGE/upsert) — the incremental-load operator
+  * every warehouse ETL needs: apply a batch of inserts / updates /
+  * deletes to a dimension snapshot in ONE keyed join.
+  *
+  * Semantics (standard MERGE):
+  *  - matched + op='U'  → take the changeset's values ("updated")
+  *  - matched + op='D'  → drop the row
+  *  - matched + other   → keep the snapshot row ("kept")
+  *  - unmatched + op='I' → insert the changeset row ("inserted")
+  *  - unmatched + other  → ignored (U/D against a missing key is a no-op)
+  *
+  * Scale story: one shuffle on the merge key — AQE broadcasts the
+  * changeset when it is small (the common incremental case). Combined
+  * with a partitioned layout and dynamic partition overwrite
+  * (EtlRunner's partitioned loads), the physical rewrite touches only
+  * the partitions the changeset lands in, never the full 100 TB table.
+  */
+object MergeOps {
+
+  /** Merge `changes` (same data columns as `snapshot`, plus `opCol`
+    * with values I/U/D) into `snapshot` on `key`. Output = snapshot
+    * schema + an `action` column (kept/updated/inserted).
+    */
+  def merge(snapshot: DataFrame, changes: DataFrame, key: String,
+      opCol: String): DataFrame = {
+    val s = snapshot.alias("s")
+    val c = changes.alias("c")
+    val sk = col(s"s.$key")
+    val ck = col(s"c.$key")
+    val op = col(s"c.$opCol")
+    val matched = sk.isNotNull && ck.isNotNull
+    val takeChange = (matched && op === "U") || (sk.isNull && op === "I")
+    def pick(name: String): Column =
+      when(takeChange, col(s"c.$name")).otherwise(col(s"s.$name")).as(name)
+    val dataCols = snapshot.columns.toSeq.filterNot(_ == key)
+    s.join(c, sk === ck, "full_outer")
+      .filter(!(matched && op === "D"))          // matched deletes drop
+      .filter(sk.isNotNull || op === "I")        // unmatched U/D are no-ops
+      .select(coalesce(sk, ck).as(key) +: dataCols.map(pick) :+
+        when(sk.isNull, "inserted").when(op === "U", "updated")
+          .otherwise("kept").as("action"): _*)
+  }
+
+  /** Gate row: a deterministic changeset derived from the customer
+    * snapshot itself — balance updates for keys ≡3 (mod 10), deletes
+    * for keys ≡0 (mod 17) not already updated, inserts of new keys for
+    * keys ≡7 (mod 25) — merged back in. The oracle rebuilds the same
+    * changeset and replays the merge as FULL OUTER JOIN + CASE; the
+    * single `+ 100.0` on a double is one bit-specified IEEE op, so
+    * values hash-match.
+    */
+  val q105 = EngineQuery(
+    "q105_merge_upsert",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val snap = t.customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val upd = snap.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"), lit("U").as("op"))
+      val del = snap
+        .filter(col("c_custkey") % 17 === 0 && col("c_custkey") % 10 =!= 3)
+        .withColumn("op", lit("D"))
+      val ins = snap.filter(col("c_custkey") % 25 === 7)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("New"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"),
+          lit("I").as("op"))
+      merge(snap, upd.unionByName(del).unionByName(ins),
+        "c_custkey", "op")
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH snap AS (
+              SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+            ), chg AS (
+              SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+                'UPDATED' AS c_mktsegment, 'U' AS op
+              FROM snap WHERE c_custkey % 10 = 3
+              UNION ALL
+              SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'D'
+              FROM snap WHERE c_custkey % 17 = 0 AND c_custkey % 10 != 3
+              UNION ALL
+              SELECT c_custkey + 1000000, 'New' || c_name, 0.0, 'NEW', 'I'
+              FROM snap WHERE c_custkey % 25 = 7
+            )
+            SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+              CASE WHEN (s.c_custkey IS NOT NULL AND c.op = 'U')
+                     OR (s.c_custkey IS NULL AND c.op = 'I')
+                   THEN c.c_name ELSE s.c_name END AS c_name,
+              CASE WHEN (s.c_custkey IS NOT NULL AND c.op = 'U')
+                     OR (s.c_custkey IS NULL AND c.op = 'I')
+                   THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+              CASE WHEN (s.c_custkey IS NOT NULL AND c.op = 'U')
+                     OR (s.c_custkey IS NULL AND c.op = 'I')
+                   THEN c.c_mktsegment ELSE s.c_mktsegment END
+                AS c_mktsegment,
+              CASE WHEN s.c_custkey IS NULL THEN 'inserted'
+                   WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS action
+            FROM snap s FULL OUTER JOIN chg c ON s.c_custkey = c.c_custkey
+            WHERE NOT (s.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                       AND c.op = 'D')
+              AND (s.c_custkey IS NOT NULL OR c.op = 'I')
+            ORDER BY c_custkey"""))
+
+  val all: Seq[EngineQuery] = Seq(q105)
+}

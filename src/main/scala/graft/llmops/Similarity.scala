@@ -362,5 +362,66 @@ object Similarity {
     (s, dir) => ivfTrained(s, dir, k = 4),
     Some(kmeansTrainCtes(4) + ivfProbeTailSql))
 
-  val all: Seq[EngineQuery] = Seq(q50, q51, q52, q53, q54)
+  /** Int8-quantized ANN — the memory-side scale lever: symmetric
+    * per-vector quantization (scale = 127/max|v|, code = floor(v·scale))
+    * shrinks the candidate store 4× and turns the scoring inner loop
+    * into small-integer arithmetic. Every quantized code is an
+    * integer-valued double ≤ 127, so the dot product (≤ dims·127² ≪
+    * 2⁵³) is EXACT in either engine regardless of summation order — no
+    * fixed-point machinery needed, the quantization itself is the
+    * determinism. floor is tie-free; the scale is computed and applied
+    * with the same IEEE ops on both sides. Recall vs the exact q50
+    * top-k is asserted in LlmopsSpec.
+    */
+  val q55 = EngineQuery(
+    "q55_knn_int8",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def quant(e: org.apache.spark.sql.Column) = {
+        val d = e.cast("array<double>")
+        val mx = array_max(transform(d, v => abs(v)))
+        transform(d, v =>
+          when(mx > 0, floor(v * (lit(127.0) / mx))).otherwise(lit(0.0)))
+      }
+      val q = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), quant(col("embedding")).as("eq"))
+      val c = t.embeddings
+        .select(col("vec_id").as("cid"), quant(col("embedding")).as("ec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          graft.functions.VectorDot.doubleDot(col("eq"), col("ec"))
+            .cast("long").as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH exd AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), mx AS (
+              SELECT vec_id, MAX(ABS(v)) m FROM exd GROUP BY vec_id
+            ), qv AS (
+              SELECT e.vec_id, e.pos,
+                CASE WHEN m.m > 0 THEN FLOOR(e.v * (127.0 / m.m))
+                     ELSE 0.0 END AS q
+              FROM exd e JOIN mx m ON e.vec_id = m.vec_id
+            ), dots AS (
+              SELECT a.vec_id qid, b.vec_id cid,
+                CAST(SUM(a.q * b.q) AS BIGINT) AS score
+              FROM qv a JOIN qv b ON a.pos = b.pos AND a.vec_id != b.vec_id
+              WHERE a.vec_id < 10
+              GROUP BY 1, 2
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, cid) rn
+              FROM dots
+            )
+            SELECT qid, cid, score, rn FROM rk WHERE rn <= 8
+            ORDER BY qid, rn"""))
+
+  val all: Seq[EngineQuery] = Seq(q50, q51, q52, q53, q54, q55)
 }

@@ -350,6 +350,49 @@ object Advanced {
     },
     None)
 
+  /** Blocked fuzzy self-join — entity resolution's workhorse. A naive
+    * fuzzy join is all-pairs (quadratic: dead at any scale); blocking
+    * bounds the candidate space by construction: pairs are generated
+    * only within a block (here the 16-char name prefix — every block
+    * holds at most 100 rows, the two free digit positions), then the
+    * exact edit distance filters survivors. The shuffle key IS the
+    * block key, so the quadratic term is per-block, never per-corpus.
+    * The standard blocking trade-off applies and is the documented
+    * semantics: pairs differing inside the blocked prefix are not
+    * candidates. Oracle = DuckDB's levenshtein with identical blocking
+    * (both engines implement plain unit-cost edit distance).
+    */
+  val q107 = EngineQuery(
+    "q107_fuzzy_blocked_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"),
+        col("blk"))
+      val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"),
+        col("blk"))
+      // thresholded levenshtein (early-exit DP: O(len·threshold) per
+      // pair instead of O(len²), returns -1 above the bound) computed
+      // ONCE per candidate pair
+      a.join(b, Seq("blk"))
+        .filter(col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2"), 1))
+        .filter(col("dist") >= 0)
+        .select(col("k1"), col("k2"), col("n1"), col("n2"), col("dist"))
+        .orderBy(col("k1"), col("k2"))
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+              FROM customer
+            )
+            SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+              a.c_name AS n1, b.c_name AS n2,
+              CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+            FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY k1, k2"""))
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101, q102, q104)
+    q101, q102, q104, q107)
 }

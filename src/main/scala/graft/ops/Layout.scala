@@ -112,5 +112,56 @@ object Layout {
               CAST((63000 - secs + 86400) % 86400 AS INT) AS to_shift_end
             FROM s ORDER BY event_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q88, q89)
+  /** One-time partition-layout ingest via [[SessionScratch]]: orders
+    * re-written partitioned by order year (the load-time layout the
+    * reference's date-filtered reports imply), plus a small year-dim
+    * parquet carrying an attribute (`parity`) that only exists dim-side
+    * — so nothing about the fact scan can be pruned statically.
+    */
+  private def ensurePartitionedOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val app = s.sparkContext.applicationId
+    val tag = SessionScratch.dirTag(dir)
+    val base = SessionScratch.base("dpp_tables", app)
+    val (factPath, dimPath) = (s"$base/po_orders_$tag", s"$base/year_dim_$tag")
+    SessionScratch.once("dpp_tables", app, dir) {
+      val t = Tables(s, dir)
+      t.orders.withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+      t.orders.select(year(col("o_orderdate")).as("y")).distinct()
+        .select(col("y"), (col("y") % 2).as("parity"))
+        .write.mode("overwrite").parquet(dimPath)
+    }
+    (factPath, dimPath)
+  }
+
+  /** Dynamic partition pruning — the 100 TB scan-avoidance lever: the
+    * fact is laid out partitioned by year, the selective filter lives on
+    * the year dim, and Catalyst inserts a runtime pruning subquery so
+    * only matching fact PARTITIONS are read (asserted by ExplainAudit:
+    * the scan's PartitionFilters carries a dynamicpruning expression).
+    * With a static filter this would be ordinary partition pruning; the
+    * point here is that the filter is only discoverable through the
+    * join. Oracle = the same aggregate over the unpartitioned table.
+    */
+  val q106 = EngineQuery(
+    "q106_dynamic_partition_pruning",
+    (s, dir) => {
+      val (factPath, dimPath) = ensurePartitionedOrders(s, dir)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("parity") === 1)
+      fact.join(dim, col("o_year") === col("y"))
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          toDouble(sum(dec2(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders WHERE year(o_orderdate) % 2 = 1
+            GROUP BY 1, 2 ORDER BY o_year, o_orderstatus NULLS FIRST"""))
+
+  val all: Seq[EngineQuery] = Seq(q88, q89, q106)
 }

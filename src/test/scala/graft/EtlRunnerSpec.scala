@@ -74,6 +74,27 @@ class EtlRunnerSpec extends SparkTestBase {
       .agg(sum(col("o_totalprice"))).head().getDouble(0) > 0.0)
   }
 
+  test("MergeOps: U/D/I semantics, unmatched U/D are no-ops") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val chg = Seq(
+      (2L, "b2", 25.0, "U"),   // matched update
+      (3L, "c", 30.0, "D"),    // matched delete
+      (4L, "d", 40.0, "I"),    // unmatched insert
+      (5L, "x", 0.0, "U"),     // unmatched update -> no-op
+      (6L, "y", 0.0, "D"))     // unmatched delete -> no-op
+      .toDF("k", "name", "bal", "op")
+    val out = graft.etl.MergeOps.merge(snap, chg, "k", "op")
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0, "kept"),
+      (2L, "b2", 25.0, "updated"),
+      (4L, "d", 40.0, "inserted")))
+  }
+
   test("full spec run: extract -> transform -> load") {
     val wh = java.nio.file.Files.createTempDirectory("etl4").toString
     val out = runner(wh).run(EtlSpec(

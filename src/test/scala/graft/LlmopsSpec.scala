@@ -117,6 +117,27 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("int8-quantized ANN recall vs the exact top-k") {
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val quant = graft.llmops.Similarity.q55.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      (quant(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@8 = $mean%.3f")
+    // The fixture vectors are RANDOM unit vectors — all pairwise dots
+    // cluster near 0, so exact top-8 ranks are decided by gaps
+    // comparable to the int8 quantization step (worst case for any
+    // quantized index; measured 0.725 here). Real embedding corpora
+    // have clustered structure and far larger top-k gaps. Assert the
+    // measured floor holds; the determinism claim is the q55 oracle.
+    assert(mean >= 0.6, f"int8 recall degraded: $mean%.3f")
+  }
+
   test("Multimodal decode plumbing: partition-local batch produces typed features") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
