@@ -1,0 +1,38 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the housekeeping operator every long-lived
+  * 100 TB table needs: streaming micro-batches and per-partition
+  * appends accumulate thousands of KB-sized files, and scan cost
+  * becomes file-open-bound instead of byte-bound. Compaction rewrites
+  * a directory into ~targetBytes files.
+  *
+  * The target file count comes from the INPUT's on-disk bytes — a
+  * filesystem listing, not a data pass. The rewrite uses
+  * `repartition(n)` (round-robin shuffle) rather than `coalesce(n)`:
+  * coalesce merges whole input partitions and inherits their skew,
+  * while round-robin yields uniformly sized output files — the point
+  * of compacting. One shuffle of the data being rewritten is the
+  * unavoidable cost either way at even sizing.
+  */
+object Compaction {
+
+  /** Returns (fileCountBefore, fileCountChosen). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_")
+    }
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    (files.length, n)
+  }
+}

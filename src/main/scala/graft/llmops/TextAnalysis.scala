@@ -179,5 +179,60 @@ object TextAnalysis {
                 % 1000000007 AS BIGINT) AS fp_roll
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63)
+  /** PII redaction — the curation stage every training-data pipeline
+    * runs before packing: scrub emails and phone-shaped tokens with
+    * typed placeholders, carry the redaction count for audit. Pure
+    * per-row regexp projection: zero shuffle, scales linearly, and the
+    * patterns are deliberately RE2-safe (character classes + bounded
+    * quantifiers, no backtracking constructs) so Spark's Java regex and
+    * DuckDB's RE2 agree token-for-token — asserted by the oracle. The
+    * fixture documents carry no contact strings, so the gate input is
+    * synthesized deterministically from customer rows (name-derived
+    * email + key-derived phone), making redactions actually fire.
+    */
+  val q73 = EngineQuery(
+    "q73_pii_redaction",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val text = concat(col("c_name"), lit(" <"),
+        regexp_replace(lower(col("c_name")), "#", "."),
+        lit("@example.com> tel 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" segment "), col("c_mktsegment"))
+      val redacted = regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+      t.customer.select(
+        col("c_custkey"),
+        redacted.as("redacted"),
+        (length(text) - length(regexp_replace(text, emailRe, "")))
+          .as("email_chars"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              regexp_replace(
+                regexp_replace(
+                  c_name || ' <' || regexp_replace(lower(c_name), '#', '.')
+                    || '@example.com> tel 555-'
+                    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                    || ' segment ' || c_mktsegment,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g'),
+                '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS redacted,
+              CAST(length(c_name || ' <'
+                    || regexp_replace(lower(c_name), '#', '.')
+                    || '@example.com> tel 555-'
+                    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                    || ' segment ' || c_mktsegment)
+                - length(regexp_replace(
+                    c_name || ' <' || regexp_replace(lower(c_name), '#', '.')
+                      || '@example.com> tel 555-'
+                      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                      || ' segment ' || c_mktsegment,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '', 'g')) AS INT) AS email_chars
+            FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73)
 }

@@ -55,5 +55,42 @@ object Profiling {
       s"SELECT * FROM ($perCol) ORDER BY column_name"
     })
 
-  val all: Seq[EngineQuery] = Seq(q99)
+  /** Equal-width feature histogram — the distribution profile behind
+    * binning/outlier checks: 20 bins over [min, max] of o_totalprice,
+    * computed in two passes over one column (global min/max, then a
+    * per-row bin projection + one hash-agg). Bin id arithmetic is the
+    * SAME IEEE expression on both sides — `(v-mn)/(mx-mn)` then `*20`,
+    * floor (tie-free), top edge clamped into the last bin — so
+    * assignments hash-match. Per-bin min/max are raw values (no
+    * arithmetic); the count is the histogram. At 100 TB the min/max
+    * pass is a map-side-combined scalar agg the bin pass broadcasts.
+    */
+  val q108 = EngineQuery(
+    "q108_feature_histogram",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val stats = t.orders.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val bin = least(
+        floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn"))
+          * 20.0).cast("int"),
+        lit(19)).as("bin")
+      t.orders.crossJoin(broadcast(stats))
+        .select(bin, col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH stats AS (
+              SELECT MIN(o_totalprice) mn, MAX(o_totalprice) mx FROM orders
+            )
+            SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / (mx - mn) * 20.0)
+                AS INT), 19) AS bin,
+              COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders, stats
+            GROUP BY 1 ORDER BY bin"""))
+
+  val all: Seq[EngineQuery] = Seq(q99, q108)
 }

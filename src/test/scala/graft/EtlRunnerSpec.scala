@@ -95,6 +95,22 @@ class EtlRunnerSpec extends SparkTestBase {
       (4L, "d", 40.0, "inserted")))
   }
 
+  test("Compaction: many small files rewrite into ~targetBytes files") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val t = graft.ops.Tables(spark, sfDir)
+    t.orders.repartition(32).write.parquet(s"$base/small")
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val smallFiles = parquetFiles(s"$base/small")
+    assert(smallFiles.length == 32)
+    val total = smallFiles.map(_.length).sum
+    val (before, chosen) = graft.etl.Compaction.compact(
+      spark, s"$base/small", s"$base/big", targetBytes = total / 4 + 1)
+    assert(before == 32 && chosen <= 4)
+    assert(parquetFiles(s"$base/big").length == chosen)
+    assert(spark.read.parquet(s"$base/big").count() == t.orders.count())
+  }
+
   test("full spec run: extract -> transform -> load") {
     val wh = java.nio.file.Files.createTempDirectory("etl4").toString
     val out = runner(wh).run(EtlSpec(
