@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
       graft.etl.MergeOps.all ++
+      graft.etl.DataQuality.all ++
       Profiling.all ++
       PipelineQueries.all
 

@@ -48,6 +48,86 @@ object MergeOps {
           .otherwise("kept").as("action"): _*)
   }
 
+  /** SCD Type-2 merge — dimension history with validity intervals,
+    * the warehouse pattern for "what did this customer look like when
+    * the order shipped": applying a change CLOSES the current version
+    * (valid_to = effective date) and opens a new one, so no fact ever
+    * loses its point-in-time context.
+    *
+    * `history` carries (key, attrs..., validFrom, validTo) with open
+    * versions having NULL validTo; `changes` carries (key, attrs...,
+    * effCol). One left join of the history against the changeset
+    * (matching only open versions) + a union of the new versions —
+    * a single shuffle on the key, changeset broadcast by AQE when
+    * small, exactly like [[merge]]. Closed history rows pass through
+    * untouched, so reprocessing a day's changes never rewrites deep
+    * history.
+    */
+  def scd2(history: DataFrame, changes: DataFrame, key: String,
+      effCol: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val h = history.alias("h")
+    val c = changes.alias("c")
+    val attrs = history.columns.toSeq
+      .filterNot(Seq(key, validFrom, validTo).contains)
+    val matched = col(s"c.$key").isNotNull
+    val closed = h.join(c,
+      col(s"h.$key") === col(s"c.$key") && col(s"h.$validTo").isNull,
+      "left")
+      .select(col(s"h.$key").as(key) +:
+        attrs.map(a => col(s"h.$a").as(a)) :+
+        col(s"h.$validFrom").as(validFrom) :+
+        when(matched, col(s"c.$effCol")).otherwise(col(s"h.$validTo"))
+          .as(validTo): _*)
+    val fresh = changes.select(col(key) +: attrs.map(col) :+
+      col(effCol).as(validFrom) :+
+      lit(null).cast("timestamp_ntz").as(validTo): _*)
+    closed.unionByName(fresh)
+  }
+
+  /** Gate row: segment changes for keys ≡3 (mod 10) effective
+    * 2001-06-01 applied to a seeded single-version history. Updated
+    * keys yield a closed 2000→2001 version plus an open current one;
+    * untouched keys keep their open seed version.
+    */
+  val q110 = EngineQuery(
+    "q110_scd2_history",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hist = t.customer.select(col("c_custkey"), col("c_mktsegment"),
+        lit("2000-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"))
+      val chg = t.customer.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit("SEG_UPDATED").as("c_mktsegment"),
+          lit("2001-06-01 00:00:00").cast("timestamp_ntz").as("eff"))
+      scd2(hist, chg, "c_custkey", "eff")
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""WITH hist AS (
+              SELECT c_custkey, c_mktsegment,
+                TIMESTAMP '2000-01-01' AS valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM customer
+            ), chg AS (
+              SELECT c_custkey, 'SEG_UPDATED' AS c_mktsegment,
+                TIMESTAMP '2001-06-01' AS eff
+              FROM customer WHERE c_custkey % 10 = 3
+            ), closed AS (
+              SELECT h.c_custkey, h.c_mktsegment, h.valid_from,
+                CASE WHEN c.c_custkey IS NULL THEN h.valid_to
+                     ELSE c.eff END AS valid_to
+              FROM hist h LEFT JOIN chg c ON h.c_custkey = c.c_custkey
+            ), newv AS (
+              SELECT c_custkey, c_mktsegment, eff AS valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM chg
+            )
+            SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+              valid_to IS NULL AS is_current
+            FROM (SELECT * FROM closed UNION ALL SELECT * FROM newv)
+            ORDER BY c_custkey, valid_from"""))
+
   /** Gate row: a deterministic changeset derived from the customer
     * snapshot itself — balance updates for keys ≡3 (mod 10), deletes
     * for keys ≡0 (mod 17) not already updated, inserts of new keys for
@@ -110,5 +190,5 @@ object MergeOps {
               AND (s.c_custkey IS NOT NULL OR c.op = 'I')
             ORDER BY c_custkey"""))
 
-  val all: Seq[EngineQuery] = Seq(q105)
+  val all: Seq[EngineQuery] = Seq(q105, q110)
 }

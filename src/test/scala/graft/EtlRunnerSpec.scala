@@ -95,6 +95,29 @@ class EtlRunnerSpec extends SparkTestBase {
       (4L, "d", 40.0, "inserted")))
   }
 
+  test("SCD2: closes only open versions, deep history untouched, new keys insert") {
+    import spark.implicits._
+    def ts(d: String) = java.time.LocalDateTime.parse(d + "T00:00")
+    val hist = Seq(
+      (1L, "old", ts("1999-01-01"), Option(ts("2000-01-01"))), // closed
+      (1L, "cur", ts("2000-01-01"), None),                     // open, changed
+      (2L, "sta", ts("2000-01-01"), None))                     // open, untouched
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val chg = Seq((1L, "new", ts("2001-06-01")), (9L, "ins", ts("2001-06-01")))
+      .toDF("k", "seg", "eff")
+    val out = graft.etl.MergeOps.scd2(hist, chg, "k", "eff")
+      .orderBy(col("k"), col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toString,
+        Option(r.getAs[java.time.LocalDateTime](3)).map(_.toLocalDate.toString)))
+    assert(out.toSeq == Seq(
+      (1L, "old", "1999-01-01", Some("2000-01-01")),
+      (1L, "cur", "2000-01-01", Some("2001-06-01")),
+      (1L, "new", "2001-06-01", None),
+      (2L, "sta", "2000-01-01", None),
+      (9L, "ins", "2001-06-01", None)))
+  }
+
   test("Compaction: many small files rewrite into ~targetBytes files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     val t = graft.ops.Tables(spark, sfDir)
