@@ -263,5 +263,54 @@ object EventOps {
             FROM events e JOIN first f USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort, act_day"""))
 
-  val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96)
+  /** Rolling 7-day distinct actives (DAU + WAU per day) — the metric a
+    * sliding COUNT(DISTINCT) window cannot express (distinct state
+    * doesn't compose across frames). The scalable formulation: reduce
+    * to distinct (user, day) pairs first (bounded by users × active
+    * days, NOT by events), then each pair CONTRIBUTES to the 7 window
+    * days via a ×7 explode, then one count-distinct per target day.
+    * Two shuffles total, both on pre-reduced data; the explode factor
+    * is window/granularity, independent of corpus size. The oracle
+    * computes the same windows with a range join (fine at oracle
+    * scale, quadratic at 100 TB — which is the point of the explode
+    * form). Target days are semi-joined to observed days so the
+    * output carries no partial phantom days past the data's edge.
+    */
+  val q111 = EngineQuery(
+    "q111_rolling_active_users",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.events
+        .select(date_trunc("DAY", col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val days = pairs.select(col("d").as("day")).distinct()
+      val dau = pairs.groupBy(col("d").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val contrib = pairs
+        .select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(col("user_id"), expr("timestampadd(DAY, o, d)").as("day"))
+      val wau = contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+            ), days AS (SELECT DISTINCT d FROM pairs),
+            dau AS (
+              SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+              FROM pairs GROUP BY 1
+            ), wau AS (
+              SELECT dy.d AS day, COUNT(DISTINCT p.user_id) AS wau
+              FROM days dy JOIN pairs p
+                ON p.d <= dy.d AND p.d > dy.d - INTERVAL 7 DAY
+              GROUP BY 1
+            )
+            SELECT day, dau, wau FROM dau JOIN wau USING (day)
+            ORDER BY day"""))
+
+  val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96,
+    q111)
 }

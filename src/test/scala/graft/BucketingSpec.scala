@@ -63,4 +63,42 @@ class BucketingSpec extends SparkTestBase {
     val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("q106 dynamic partition pruning SKIPS partitions at runtime, " +
+      "not just in the plan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val df = graft.ops.Layout.q106.run(spark, sfDir)
+    df.collect()
+    val fact = scans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "o_totalprice"))
+    assert(fact.nonEmpty, "no fact scan found in executed plan")
+    val read = fact.map(_.metrics("numFiles").value).sum
+    // odd years only: the fixture spans 7 order years, 4 are odd — a
+    // static plan (no DPP) would read every partition's files
+    val yearDirs = Tables(spark, sfDir).orders
+      .select(year(col("o_orderdate"))).distinct().count()
+    val oddYears = Tables(spark, sfDir).orders
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .filter(col("y") % 2 === 1).count()
+    assert(oddYears < yearDirs, "fixture must have even years to skip")
+    // each year partition holds >= 1 file; reading all partitions would
+    // give >= yearDirs files. DPP must cap files at the odd-year subset.
+    assert(read >= oddYears && read < yearDirs + read - oddYears,
+      s"files read $read not consistent with pruning to $oddYears of " +
+        s"$yearDirs year partitions")
+    val pruned = fact.flatMap(_.metrics.get("staticFilesNum")).map(_.value)
+    // partitions-read metric: present on partitioned scans
+    val parts = fact.flatMap(_.metrics.get("numPartitions")).map(_.value).sum
+    assert(parts == oddYears,
+      s"partitions read $parts != odd-year count $oddYears " +
+        s"(static files: $pruned)")
+  }
 }
