@@ -19,15 +19,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Returns (fileCountBefore, fileCountChosen). */
+  /** Returns (fileCountBefore, fileCountChosen). The listing is
+    * RECURSIVE, so partitioned layouts (files nested under
+    * `key=value/` directories) size correctly; note the rewrite
+    * itself is flat — re-partitioning the output is the caller's
+    * layout decision (`df.write.partitionBy`), not compaction's.
+    */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new Path(inDir)
     val fs = in.getFileSystem(conf)
-    val files = fs.listStatus(in).filter { st =>
-      st.isFile && !st.getPath.getName.startsWith("_")
-    }
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("_")) Nil
+        else Seq(st)
+      }
+    val files = walk(in)
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

@@ -21,11 +21,22 @@ object DataQuality {
 
   final case class Rule(name: String, predicate: Column)
 
-  /** Evaluate all rules in one aggregation: (rule, n_violations, pass). */
+  /** Evaluate all rules in one aggregation: (rule, n_violations, pass).
+    * An EMPTY input passes every rule (0 violations, not NULL — the
+    * sum-over-zero-rows trap would otherwise make the gate tri-state).
+    */
   def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "empty rule set")
+    // names are spliced into the stack() expression as identifiers and
+    // string literals — restrict to identifier shape rather than
+    // silently producing an unparseable projection
+    rules.foreach { r =>
+      require(r.name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"rule name must be identifier-shaped: '${r.name}'")
+    }
     val aggs = rules.map { r =>
-      sum(when(r.predicate, 0).otherwise(1)).as(s"v_${r.name}")
+      coalesce(sum(when(r.predicate, 0).otherwise(1)), lit(0L))
+        .as(s"v_${r.name}")
     }
     val stackArgs = rules.map(r => s"'${r.name}', v_${r.name}")
       .mkString(", ")

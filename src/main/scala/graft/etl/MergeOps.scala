@@ -81,7 +81,9 @@ object MergeOps {
           .as(validTo): _*)
     val fresh = changes.select(col(key) +: attrs.map(col) :+
       col(effCol).as(validFrom) :+
-      lit(null).cast("timestamp_ntz").as(validTo): _*)
+      // open marker typed from the HISTORY's schema, so DATE- or
+      // LTZ-valued validity columns union cleanly
+      lit(null).cast(history.schema(validTo).dataType).as(validTo): _*)
     closed.unionByName(fresh)
   }
 

@@ -89,16 +89,22 @@ class BucketingSpec extends SparkTestBase {
       .select(year(col("o_orderdate")).as("y")).distinct()
       .filter(col("y") % 2 === 1).count()
     assert(oddYears < yearDirs, "fixture must have even years to skip")
-    // each year partition holds >= 1 file; reading all partitions would
-    // give >= yearDirs files. DPP must cap files at the odd-year subset.
-    assert(read >= oddYears && read < yearDirs + read - oddYears,
-      s"files read $read not consistent with pruning to $oddYears of " +
-        s"$yearDirs year partitions")
-    val pruned = fact.flatMap(_.metrics.get("staticFilesNum")).map(_.value)
+    // count the ACTUAL files on disk: without pruning the scan would
+    // read all of them
+    val factPath = fact.head.relation.location.rootPaths.head
+    val fsys = factPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fsys.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("_")) 0L else 1L
+      }.sum
+    val totalFiles = walk(factPath)
+    assert(read >= oddYears && read < totalFiles,
+      s"files read $read should be a strict subset of $totalFiles " +
+        s"(pruning to $oddYears of $yearDirs year partitions)")
     // partitions-read metric: present on partitioned scans
     val parts = fact.flatMap(_.metrics.get("numPartitions")).map(_.value).sum
     assert(parts == oddYears,
-      s"partitions read $parts != odd-year count $oddYears " +
-        s"(static files: $pruned)")
+      s"partitions read $parts != odd-year count $oddYears")
   }
 }

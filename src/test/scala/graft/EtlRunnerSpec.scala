@@ -134,6 +134,48 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$base/big").count() == t.orders.count())
   }
 
+  test("Compaction sizes nested partitioned layouts from a recursive listing") {
+    val base = java.nio.file.Files.createTempDirectory("compactp").toString
+    val t = graft.ops.Tables(spark, sfDir)
+    t.orders.repartition(4).write.partitionBy("o_orderstatus")
+      .parquet(s"$base/part")
+    // files live under o_orderstatus=X/ subdirs — a top-level listing
+    // would see 0 bytes and collapse everything into 1 file
+    val all = t.orders.count()
+    val (before, chosen) = graft.etl.Compaction.compact(
+      spark, s"$base/part", s"$base/out", targetBytes = 1L)
+    assert(before >= 3, s"recursive listing found only $before files")
+    assert(chosen > 1, "byte-derived target must exceed one file")
+    assert(spark.read.parquet(s"$base/out").count() == all)
+  }
+
+  test("DataQuality: empty input passes every rule with zero (not NULL) violations") {
+    val t = graft.ops.Tables(spark, sfDir)
+    val out = graft.etl.DataQuality.evaluate(
+      t.orders.filter(lit(false)),
+      Seq(graft.etl.DataQuality.Rule("pos", col("o_totalprice") > 0)))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 0L && out.head.getBoolean(2))
+    // non-identifier rule names fail fast instead of breaking the plan
+    intercept[IllegalArgumentException] {
+      graft.etl.DataQuality.evaluate(t.orders,
+        Seq(graft.etl.DataQuality.Rule("bad name", lit(true))))
+    }
+  }
+
+  test("SCD2 with DATE validity columns unions cleanly") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val hist = Seq((1L, "cur", d("2000-01-01"), None: Option[java.sql.Date]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val chg = Seq((1L, "new", d("2001-06-01"))).toDF("k", "seg", "eff")
+    val out = graft.etl.MergeOps.scd2(hist, chg, "k", "eff")
+      .orderBy(col("valid_from")).collect()
+    assert(out.length == 2)
+    assert(out(0).getDate(3) == d("2001-06-01") && out(1).isNullAt(3))
+  }
+
   test("full spec run: extract -> transform -> load") {
     val wh = java.nio.file.Files.createTempDirectory("etl4").toString
     val out = runner(wh).run(EtlSpec(
