@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[EngineQuery] =
     Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
       EventOps.all ++ Layout.all ++
-      graft.llmops.Dedup.all ++ graft.llmops.Similarity.all ++
+      graft.llmops.Dedup.all ++ graft.llmops.Components.all ++
+      graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
       graft.llmops.Multimodal.all ++

@@ -1,0 +1,82 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EngineQuery, Tables}
+
+/** Connected components over a pair graph — the step between pairwise
+  * near-dup candidates (q41/q43) and survivor selection: transitive
+  * duplicates A~B~C must collapse to ONE cluster even when the A~C
+  * pair was never emitted. Survivor = min doc_id per component, so the
+  * component label IS the survivor id.
+  *
+  * Implementation: iterative min-label propagation — each round every
+  * node takes the min label among itself and its neighbors; the loop
+  * stops at fixpoint (label flow covers one hop per round, so rounds =
+  * component diameter; near-dup clusters are shallow by construction).
+  * All per-round state lives in DataFrames (one shuffle per round for
+  * the neighbor join + min-agg); the driver holds only the changed-row
+  * COUNT. `localCheckpoint` truncates lineage each round — without it
+  * the plan doubles per iteration. At 100 TB-scale graphs with deep
+  * components, the same loop upgrades to the alternating
+  * large-star/small-star contraction (O(log n) rounds); the fixpoint
+  * contract and the oracle stay identical.
+  */
+object Components {
+
+  /** (id) nodes + (u, v) undirected edges → (id, comp) with
+    * comp = min reachable id.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = sym.join(labels, sym("v") === labels("id"))
+        .select(sym("u").as("id"), col("comp"))
+      val updated = labels.unionByName(neigh)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).count()
+      labels = updated
+    }
+    labels
+  }
+
+  /** Gate row: components over the q41 MinHash-LSH candidate pairs.
+    * The oracle replays the pair derivation (shared CTE block) and
+    * closes it with a recursive min-label reachability — the full
+    * transitive closure the iterative loop converges to.
+    */
+  val q112 = EngineQuery(
+    "q112_dedup_components",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val nodes = t.documents.select(col("doc_id").as("id"))
+      connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          (col("id") === col("comp")).as("survivor"))
+        .orderBy(col("doc_id"))
+    },
+    Some(Dedup.minhashPairsCtes +
+      """
+         , edges AS (
+             SELECT doc_a AS u, doc_b AS v FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs
+           ), reach AS (
+             SELECT doc_id AS u, doc_id AS l FROM documents
+             UNION
+             SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u
+           )
+           SELECT u AS doc_id, MIN(l) AS component, u = MIN(l) AS survivor
+           FROM reach GROUP BY u ORDER BY doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q112)
+}

@@ -35,14 +35,12 @@ object Dedup {
               md5(text) AS text_md5
             FROM documents GROUP BY text ORDER BY keep_id"""))
 
-  /** MinHash + LSH near-dup candidates: 3-word shingles → 16 portable
-    * minhashes → 8 bands of 2 → docs sharing a band signature.
-    * Candidate pairs come from the band-bucket self-join (the LSH step) —
-    * cost is bounded by bucket sizes, never |docs|² .
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, band-match count) —
+    * shared by q41 (the pair gate) and q112 (component clustering over
+    * these pairs as edges).
     */
-  val q41 = EngineQuery(
-    "q41_dedup_minhash_lsh",
-    (s, dir) => {
+  private[llmops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val t = Tables(s, dir)
       val toks = t.documents
         .select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -76,9 +74,13 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_bands"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some("""WITH toks AS (
+  }
+
+  /** Oracle CTE block computing the same candidate pairs (ends with a
+    * `pairs` CTE); RECURSIVE so q112 can append a recursive closure.
+    */
+  private[llmops] val minhashPairsCtes: String =
+    """WITH RECURSIVE toks AS (
               SELECT doc_id, string_split(trim(text), ' ') ws FROM documents
             ), sh AS (
               SELECT doc_id, UNNEST(list_distinct(
@@ -99,11 +101,25 @@ object Dedup {
               SELECT doc_id, j // 2 AS band,
                 string_agg(CAST(h AS VARCHAR), ':' ORDER BY j) AS sig
               FROM mh GROUP BY doc_id, j // 2
-            )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            GROUP BY 1, 2 ORDER BY 1, 2"""))
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_bands
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )"""
+
+  /** MinHash + LSH near-dup candidates: 3-word shingles → 16 portable
+    * minhashes → 8 bands of 2 → docs sharing a band signature.
+    * Candidate pairs come from the band-bucket self-join (the LSH step) —
+    * cost is bounded by bucket sizes, never |docs|² .
+    */
+  val q41 = EngineQuery(
+    "q41_dedup_minhash_lsh",
+    (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(minhashPairsCtes +
+      """
+         SELECT doc_a, doc_b, n_bands FROM pairs ORDER BY 1, 2"""))
 
   /** SimHash-16 fingerprint per document: token hashes vote per bit,
     * sign of the balance sets the bit. Near-dup docs land on nearby

@@ -311,6 +311,76 @@ object EventOps {
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
             ORDER BY day"""))
 
+  /** Time-series gap filling / daily resample — the regularization
+    * step before any rolling metric or model input: per event type, a
+    * complete day spine over the observed range, absent days filled
+    * with 0 (flagged) and a forward-filled last-observed value. The
+    * spine is sequence()-generated from the global min/max day (a
+    * scalar agg broadcast — never a driver collect) × the distinct
+    * type dim; the left join back to the daily aggregate is
+    * spine-sized, types × days, independent of event count. The
+    * forward-fill is last(ignoreNulls) over a per-type window —
+    * partitioned by type so the sort is parallel across the cluster.
+    * The aggregated signal is the high-value event subset (value>250)
+    * so the fixture actually HAS gaps (54/150 cells at sf0.01) — the
+    * fill and leading-null carry paths execute, not just the dense
+    * pass-through.
+    */
+  val q113 = EngineQuery(
+    "q113_gap_fill_resample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.events
+        .filter(col("value") > 250.0)
+        .groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).as("day"))
+        .agg(toDouble(sum(dec2(col("value")))).as("day_value"),
+          count(lit(1)).as("n_events"))
+      val bounds = t.events.agg(
+        date_trunc("DAY", min(col("ts"))).as("d0"),
+        date_trunc("DAY", max(col("ts"))).as("d1"))
+      val types = t.events.select(col("event_type")).distinct()
+      val spine = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("day_value"), lit(0.0)).as("day_value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("day_value").isNull.as("filled"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("carried"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS day_value,
+                COUNT(*) AS n_events
+              FROM events WHERE value > 250.0 GROUP BY 1, 2
+            ), bounds AS (
+              SELECT date_trunc('day', MIN(ts)) d0,
+                date_trunc('day', MAX(ts)) d1 FROM events
+            ), spine AS (
+              SELECT t.event_type, g.day
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                   AS day FROM bounds) g
+            )
+            SELECT s.event_type, s.day,
+              COALESCE(d.day_value, 0.0) AS day_value,
+              COALESCE(d.n_events, 0) AS n_events,
+              d.day_value IS NULL AS filled,
+              last_value(d.day_value IGNORE NULLS) OVER (
+                PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS carried
+            FROM spine s LEFT JOIN daily d
+              ON d.event_type = s.event_type AND d.day = s.day
+            ORDER BY s.event_type, s.day"""))
+
   val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96,
-    q111)
+    q111, q113)
 }

@@ -117,6 +117,18 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: transitive chains collapse, singletons stay") {
+    import spark.implicits._
+    // chain 1-2-3 (edge 1-3 never emitted), pair 10-11, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("u", "v")
+    val out = graft.llmops.Components.connectedComponents(nodes, edges)
+      .orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("int8-quantized ANN recall vs the exact top-k") {
     val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
