@@ -29,20 +29,30 @@ object Components {
     * comp = min reachable id.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE — a
+    // lazy edge plan would re-execute upstream (e.g. the whole
+    // MinHash pipeline) in every round's join and convergence count
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // labels decrease monotonically, so the label SUM is a strictly
+    // decreasing convergence witness — one scalar agg per round
+    // instead of an old-vs-new join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val neigh = sym.join(labels, sym("v") === labels("id"))
         .select(sym("u").as("id"), col("comp"))
       val updated = labels.unionByName(neigh)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).count()
+      val s = labelSum(updated)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
     }
     labels

@@ -183,6 +183,60 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toString == want.toString)
   }
 
+  test("streaming CDC merge via foreachBatch: change batches upsert the snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val snapDir = Files.createTempDirectory("cdc_snap").toString
+    val chgDir = Files.createTempDirectory("cdc_chg")
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+      .write.mode("overwrite").parquet(snapDir)
+    val chgSchema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType), StructField("op", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(chgSchema).parquet(chgDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val snap = spark.read.parquet(snapDir)
+          // materialize BEFORE overwriting the path being read
+          val merged = graft.etl.MergeOps
+            .merge(snap, batch, "k", "op").drop("action")
+            .localCheckpoint()
+          merged.write.mode("overwrite").parquet(snapDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // the file source lists only the top level — stage each change
+    // batch's part-file into the root under a unique name
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("cdc_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, chgDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // batch 1: update k=1, insert k=4
+    stage(Seq((1L, "a2", 11.0, "U"), (4L, "d", 40.0, "I"))
+      .toDF("k", "name", "bal", "op"), "b1.parquet")
+    runOnce()
+    // batch 2: delete k=2, update the batch-1 insert
+    stage(Seq((2L, "b", 20.0, "D"), (4L, "d2", 44.0, "U"))
+      .toDF("k", "name", "bal", "op"), "b2.parquet")
+    runOnce()
+    val got = spark.read.parquet(snapDir).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a2", 11.0), (3L, "c", 30.0),
+      (4L, "d2", 44.0)))
+  }
+
   test("mapGroupsWithState running counts == batch groupBy (final state)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val got = runToMemory(
