@@ -114,5 +114,68 @@ object Sampling {
             WHERE d.doc_id >= 2
             GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q65, q66, q67)
+  /** Weighted (quality-proportional) sampling: the keep-rate is a
+    * per-row FUNCTION of the row (here: proportional to document
+    * length, capped) instead of a per-stratum constant — the shape
+    * used for quality-weighted corpus downsampling. Still a pure
+    * filter over the scan: draw and rate are both projections, zero
+    * shuffle, repeatable on any layout/engine. The kept row carries
+    * its draw and rate for audit.
+    */
+  val q114 = EngineQuery(
+    "q114_weighted_sample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rate = least(lit(1000L), expr("n_chars div 4"))
+      t.documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          draw(col("doc_id")).as("draw"), rate.as("rate"))
+        .filter(col("draw") < col("rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+              (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000
+                AS draw,
+              LEAST(1000, n_chars // 4) AS rate
+            FROM documents
+            WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000
+              < LEAST(1000, n_chars // 4)
+            ORDER BY doc_id"""))
+
+  /** Per-domain budgeted selection — data mixing under a budget: within
+    * each source, take documents in priority order (longest first,
+    * doc_id tiebreak) while the cumulative character count stays under
+    * the domain budget (5000 chars — binding on the fixture, so the
+    * truncation path executes). The running sum is a window PARTITIONED BY
+    * source, so the sort is parallel across domains — a single global
+    * budget would serialize into one sort partition at 100 TB (same
+    * trade as q69 packing). Exact int64 cumulative sums; selection is
+    * deterministic because the order is total.
+    */
+  val q115 = EngineQuery(
+    "q115_budget_select",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t.documents
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          sum(col("n_chars")).over(w).as("cum_chars"))
+        .filter(col("cum_chars") <= 5000L)
+        .orderBy(col("source"), col("cum_chars"))
+    },
+    Some("""SELECT source, doc_id, n_chars, cum_chars FROM (
+              SELECT source, doc_id, n_chars,
+                CAST(SUM(n_chars) OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_chars
+              FROM documents)
+            WHERE cum_chars <= 5000
+            ORDER BY source, cum_chars"""))
+
+  val all: Seq[EngineQuery] = Seq(q65, q66, q67, q114, q115)
 }

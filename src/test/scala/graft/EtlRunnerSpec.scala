@@ -176,6 +176,18 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(out(0).getDate(3) == d("2001-06-01") && out(1).isNullAt(3))
   }
 
+  test("schema evolution: mergeSchema unifies appended columns with nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/d1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/d2")
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/d1", s"$dir/d2").orderBy(col("id"))
+    assert(df.columns.toSet == Set("id", "name", "score"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+  }
+
   test("full spec run: extract -> transform -> load") {
     val wh = java.nio.file.Files.createTempDirectory("etl4").toString
     val out = runner(wh).run(EtlSpec(
