@@ -16,12 +16,15 @@ import graft.ops.{EngineQuery, Tables}
   * stops at fixpoint (label flow covers one hop per round, so rounds =
   * component diameter; near-dup clusters are shallow by construction).
   * All per-round state lives in DataFrames (one shuffle per round for
-  * the neighbor join + min-agg); the driver holds only the changed-row
-  * COUNT. `localCheckpoint` truncates lineage each round — without it
-  * the plan doubles per iteration. At 100 TB-scale graphs with deep
-  * components, the same loop upgrades to the alternating
-  * large-star/small-star contraction (O(log n) rounds); the fixpoint
-  * contract and the oracle stay identical.
+  * the neighbor join + min-agg); the driver holds only one scalar per
+  * round — the label SUM, a valid convergence witness BECAUSE min-label
+  * propagation is monotone (labels only decrease). `localCheckpoint`
+  * truncates lineage each round — without it the plan doubles per
+  * iteration. At 100 TB-scale graphs with deep components, the same
+  * loop upgrades to the alternating large-star/small-star contraction
+  * (O(log n) rounds) — whose per-round labels are NOT monotone, so the
+  * witness there must be a changed-row count, not the sum; the
+  * fixpoint contract and the oracle stay identical.
   */
 object Components {
 
@@ -40,8 +43,10 @@ object Components {
     // labels decrease monotonically, so the label SUM is a strictly
     // decreasing convergence witness — one scalar agg per round
     // instead of an old-vs-new join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)   // empty node set
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -325,38 +325,14 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH toks AS (
-              SELECT doc_id, string_split(trim(text), ' ') ws FROM documents
-            ), sh AS (
-              SELECT doc_id, UNNEST(list_distinct(
-                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                 for i in range(1, len(ws)-1)])) s
-              FROM toks WHERE len(ws) >= 3
-            ), g AS (
-              SELECT doc_id,
-                list_sum([ascii(s[i]) * ((i*i*2654435761 + i*97) % 1000000007)
-                  for i in range(1, length(s)+1)]) % 1000000007 AS gh
-              FROM sh
-            ), mh AS (
-              SELECT doc_id, j.j,
-                MIN(((2*j.j+1)*gh + 7919*j.j) % 1000000007) AS h
-              FROM g, (SELECT UNNEST(range(0,16)) j) j
-              GROUP BY doc_id, j.j
-            ), bands AS (
-              SELECT doc_id, j // 2 AS band,
-                string_agg(CAST(h AS VARCHAR), ':' ORDER BY j) AS sig
-              FROM mh GROUP BY doc_id, j // 2
-            ), pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), losers AS (
-              SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
-            )
-            SELECT d.doc_id, d.lang, d.source, d.n_chars
-            FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
-            ORDER BY d.doc_id"""))
+    Some(minhashPairsCtes +
+      """
+         , losers AS (
+             SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
+           )
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+           ORDER BY d.doc_id"""))
 
   val all: Seq[EngineQuery] = Seq(q40, q41, q42, q43, q44, q45)
 }

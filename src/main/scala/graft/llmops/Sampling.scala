@@ -165,7 +165,9 @@ object Sampling {
         .select(col("source"), col("doc_id"), col("n_chars"),
           sum(col("n_chars")).over(w).as("cum_chars"))
         .filter(col("cum_chars") <= 5000L)
-        .orderBy(col("source"), col("cum_chars"))
+        // doc_id closes the order: cum_chars alone ties when a source
+        // contains n_chars=0 rows (total-order determinism rule)
+        .orderBy(col("source"), col("cum_chars"), col("doc_id"))
     },
     Some("""SELECT source, doc_id, n_chars, cum_chars FROM (
               SELECT source, doc_id, n_chars,
@@ -175,7 +177,7 @@ object Sampling {
                   AS BIGINT) AS cum_chars
               FROM documents)
             WHERE cum_chars <= 5000
-            ORDER BY source, cum_chars"""))
+            ORDER BY source, cum_chars, doc_id"""))
 
   val all: Seq[EngineQuery] = Seq(q65, q66, q67, q114, q115)
 }

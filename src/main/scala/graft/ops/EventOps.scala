@@ -336,11 +336,16 @@ object EventOps {
           date_trunc("DAY", col("ts")).as("day"))
         .agg(toDouble(sum(dec2(col("value")))).as("day_value"),
           count(lit(1)).as("n_events"))
-      val bounds = t.events.agg(
+      // bounds AND the type dim from ONE scalar aggregation over one
+      // scan (collect_set is bounded by type cardinality, a dim by
+      // nature) — a separate distinct() would be a third events scan
+      val meta = t.events.agg(
         date_trunc("DAY", min(col("ts"))).as("d0"),
-        date_trunc("DAY", max(col("ts"))).as("d1"))
-      val types = t.events.select(col("event_type")).distinct()
-      val spine = types.crossJoin(broadcast(bounds))
+        date_trunc("DAY", max(col("ts"))).as("d1"),
+        collect_set(col("event_type")).as("types"))
+      val spine = meta
+        .select(explode(col("types")).as("event_type"),
+          col("d0"), col("d1"))
         .select(col("event_type"),
           explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       val w = org.apache.spark.sql.expressions.Window
