@@ -393,6 +393,58 @@ object Advanced {
             WHERE levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY k1, k2"""))
 
+  /** Robust (MAD-based) outlier detection — the quality-monitoring
+    * aggregate mean/stddev can't provide (both are dragged by the very
+    * outliers being hunted): per group, median and median-absolute-
+    * deviation, then count rows beyond k·MAD (k=1.5 — binding on the uniform
+    * fixture so the counting path executes; 3-5 is typical on
+    * heavy-tailed data). Two grouped exact-
+    * percentile aggregations (the second over |x − med| needs the
+    * median joined back — the per-group med is dim-sized, broadcast)
+    * + one counting pass; at unbounded cardinality each percentile
+    * swaps for its sketch (q39b) without reshaping the query.
+    * Percentile interpolation matches DuckDB's quantile_cont on
+    * doubles (the q39-established equivalence).
+    */
+  val q116 = EngineQuery(
+    "q116_mad_outliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val med = t.orders.groupBy(col("o_orderpriority").as("pri"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val dev = t.orders
+        .join(broadcast(med), col("o_orderpriority") === col("pri"))
+        .select(col("o_orderpriority"), col("o_totalprice"), col("med"),
+          abs(col("o_totalprice") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("o_orderpriority").as("pri2"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), col("o_orderpriority") === col("pri2"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * 1.5, 1).otherwise(0))
+            .as("n_outliers"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH med AS (
+              SELECT o_orderpriority AS pri,
+                quantile_cont(o_totalprice, 0.5) AS med
+              FROM orders GROUP BY 1
+            ), dev AS (
+              SELECT o.o_orderpriority, o.o_totalprice, m.med,
+                ABS(o.o_totalprice - m.med) AS adev
+              FROM orders o JOIN med m ON o.o_orderpriority = m.pri
+            ), mad AS (
+              SELECT o_orderpriority AS pri2, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT d.o_orderpriority, COUNT(*) AS n,
+              MAX(d.med) AS med, MAX(m.mad) AS mad,
+              CAST(SUM(CASE WHEN d.adev > m.mad * 1.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad m ON d.o_orderpriority = m.pri2
+            GROUP BY 1 ORDER BY d.o_orderpriority"""))
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101, q102, q104, q107)
+    q101, q102, q104, q107, q116)
 }
