@@ -38,7 +38,13 @@ object Components {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+    // propagate only over edge-TOUCHED nodes: on a dedup corpus the
+    // pair graph is a tiny fraction of the node set, and a label can
+    // only change if the node has an edge — singletons rejoin at the
+    // end with comp = id. At 100 TB this is the difference between
+    // iterating over the pair graph and iterating over the corpus.
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     // labels decrease monotonically, so the label SUM is a strictly
     // decreasing convergence witness — one scalar agg per round
@@ -60,7 +66,9 @@ object Components {
       prevSum = s
       labels = updated
     }
-    labels
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Gate row: components over the q41 MinHash-LSH candidate pairs.
