@@ -124,4 +124,63 @@ class PropertySpec extends SparkTestBase {
       assert(r.getInt(3) == ((s2 - s1 + 86400) % 86400), s"row $id diff")
     }
   }
+
+  test("connectedComponents == union-find on random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(60)
+      val ids = (0 until n).map(_.toLong)
+      val edges = (0 until n).flatMap { _ =>
+        if (rnd.nextBoolean())
+          Some((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        else None
+      }
+      // reference: classic union-find, min-id canonical labels
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = graft.llmops.Components.connectedComponents(
+        ids.toDF("id"), edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial, n=$n, edges=$edges")
+    }
+  }
+
+  test("MergeOps.merge == reference map-merge on random changesets") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val keys = (0 until 30).map(_.toLong)
+      val snap = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v$k", rnd.nextInt(100).toDouble))
+      val snapKeys = snap.map(_._1).toSet
+      val chg = keys.filter(_ => rnd.nextDouble() < 0.4).map { k =>
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        (k, s"c$k", rnd.nextInt(100).toDouble, op)
+      }
+      // reference semantics: matched U replaces, matched D deletes,
+      // unmatched I inserts, everything else passes/ignores
+      val ref = scala.collection.mutable.Map(
+        snap.map(r => r._1 -> (r._2, r._3, "kept")): _*)
+      chg.foreach { case (k, nm, bal, op) =>
+        (snapKeys.contains(k), op) match {
+          case (true, "U")  => ref(k) = (nm, bal, "updated")
+          case (true, "D")  => ref.remove(k); ()
+          case (false, "I") => ref(k) = (nm, bal, "inserted")
+          case _            => ()
+        }
+      }
+      val got = graft.etl.MergeOps.merge(
+        snap.toDF("k", "name", "bal"),
+        chg.toDF("k", "name", "bal", "op"), "k", "op")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2),
+          r.getString(3))).toMap
+      assert(got == ref.toMap, s"trial $trial")
+    }
+  }
 }
