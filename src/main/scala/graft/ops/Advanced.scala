@@ -445,6 +445,33 @@ object Advanced {
             FROM dev d JOIN mad m ON d.o_orderpriority = m.pri2
             GROUP BY 1 ORDER BY d.o_orderpriority"""))
 
+  /** Unpivot / melt — q36's inverse, closing the reshape pair: the
+    * wide per-nation segment counts fold back into (nation, segment,
+    * n) rows via the native `unpivot` operator (an Expand node — a
+    * row-multiplying projection, zero shuffle). Oracle = the plain
+    * long-form aggregation the round-trip must reproduce.
+    */
+  val q117 = EngineQuery(
+    "q117_unpivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val wide = t.customer
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("c_nationkey")), segs.map(col).toArray,
+          "segment", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("c_nationkey"), col("segment"))
+    },
+    Some("""SELECT c_nationkey, c_mktsegment AS segment, COUNT(*) AS n
+            FROM customer
+            GROUP BY 1, 2
+            ORDER BY c_nationkey, segment"""))
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101, q102, q104, q107, q116)
+    q101, q102, q104, q107, q116, q117)
 }
