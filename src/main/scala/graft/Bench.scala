@@ -59,11 +59,11 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val rawTotal = results.map(_._3).sum
-    // a throwing query must be VISIBLE in the JSON, not just stderr — a
-    // fast failure would otherwise read as a fast query and IMPROVE the
-    // headline total
+    // failed queries are excluded from BOTH totals: a fast failure must
+    // never improve the headline number — the `failed` list below makes
+    // the run incomparable, and the totals only cover green queries
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    val rawTotal = results.collect { case (_, _, f, true) => f }.sum
     val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
     println(

@@ -139,7 +139,11 @@ object MandatoryFilters {
     * against the table it names.
     */
   private def columnRefs(filter: String): Seq[(Option[String], String)] = {
+    // strip string literals, then numeric literals: without the second
+    // strip the exponent of scientific notation ("1e6") parses as a
+    // column reference "e6" that resolves on no table
     val noLiterals = filter.replaceAll("'(?:[^']|'')*'", " ")
+      .replaceAll("\\b[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?", " ")
     Ref.findAllMatchIn(noLiterals).flatMap { m =>
       val isCall = m.group(4) != null
       val qualified = m.group(3) != null

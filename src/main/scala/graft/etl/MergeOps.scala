@@ -30,21 +30,28 @@ object MergeOps {
     */
   def merge(snapshot: DataFrame, changes: DataFrame, key: String,
       opCol: String): DataFrame = {
-    val s = snapshot.alias("s")
-    val c = changes.alias("c")
+    // explicit presence flags, NOT key-nullness: a snapshot row with a
+    // NULL merge key never matches (SQL null-join semantics) but is
+    // still a never-matched target row, which standard MERGE keeps.
+    // Key-nullness tests turn such rows' filters three-valued and
+    // silently drop them on every incremental load.
+    val s = snapshot.withColumn("_s_present", lit(true)).alias("s")
+    val c = changes.withColumn("_c_present", lit(true)).alias("c")
     val sk = col(s"s.$key")
     val ck = col(s"c.$key")
+    val sp = col("s._s_present").isNotNull // never three-valued
+    val cp = col("c._c_present").isNotNull
     val op = col(s"c.$opCol")
-    val matched = sk.isNotNull && ck.isNotNull
-    val takeChange = (matched && op === "U") || (sk.isNull && op === "I")
+    val matched = sp && cp
+    val takeChange = (matched && op === "U") || (!sp && op === "I")
     def pick(name: String): Column =
       when(takeChange, col(s"c.$name")).otherwise(col(s"s.$name")).as(name)
     val dataCols = snapshot.columns.toSeq.filterNot(_ == key)
     s.join(c, sk === ck, "full_outer")
-      .filter(!(matched && op === "D"))          // matched deletes drop
-      .filter(sk.isNotNull || op === "I")        // unmatched U/D are no-ops
+      .filter(!(matched && op === "D"))   // matched deletes drop
+      .filter(sp || op === "I")           // unmatched U/D are no-ops
       .select(coalesce(sk, ck).as(key) +: dataCols.map(pick) :+
-        when(sk.isNull, "inserted").when(op === "U", "updated")
+        when(!sp, "inserted").when(matched && op === "U", "updated")
           .otherwise("kept").as("action"): _*)
   }
 

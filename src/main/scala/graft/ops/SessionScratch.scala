@@ -21,8 +21,16 @@ object SessionScratch {
   private val hooked =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Stable filesystem-safe tag for an input dir. */
-  def dirTag(dir: String): String = (dir.hashCode & 0x7fffffff).toString
+  /** Stable filesystem-safe tag for an input dir. A cryptographic-hash
+    * prefix (64 bits of SHA-256), not String.hashCode: the once() memo is
+    * keyed by the full dir, so a 32-bit tag collision between two dirs
+    * would let the second ingest silently overwrite the first's scratch
+    * tables while both memo entries read "done".
+    */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** Scratch base path for (purpose, application); registers a
     * delete-on-exit hook the first time it is handed out.

@@ -118,6 +118,14 @@ class CompileSpec extends SparkTestBase {
     assert(MandatoryFilters.unapplicable(noop).isEmpty)
     SpecCompiler.forParquetDir(spark, sfDir, noop)
 
+    // scientific-notation literals: the exponent ("e6") must not parse
+    // as a column reference, which would resolve on no table and fail
+    // construction for an otherwise-valid filter
+    val sci = withFilters("o_totalprice > 1e6", "o_totalprice < 2.5E+8")
+    assert(MandatoryFilters.filtersFor("orders", sci).size == 2)
+    assert(MandatoryFilters.unapplicable(sci).isEmpty)
+    SpecCompiler.forParquetDir(spark, sfDir, sci)
+
     // a policy filter attaching to no table is a loud construction
     // failure, not a silently-dropped constraint
     val dead = withFilters("is_deleted = false")

@@ -95,6 +95,24 @@ class EtlRunnerSpec extends SparkTestBase {
       (4L, "d", 40.0, "inserted")))
   }
 
+  test("MergeOps: NULL-key snapshot rows are never-matched targets, kept") {
+    import spark.implicits._
+    // a NULL merge key never equi-matches, so the row is an unmatched
+    // TARGET row — standard MERGE leaves it untouched; key-nullness
+    // filters would three-value it away on every load
+    val snap = Seq((Option(1L), "a", 10.0), (None, "orphan", 99.0))
+      .toDF("k", "name", "bal")
+    val chg = Seq((Option(1L), "a2", 11.0, "U"))
+      .toDF("k", "name", "bal", "op")
+    val out = graft.etl.MergeOps.merge(snap, chg, "k", "op")
+      .orderBy(col("k").asc_nulls_first)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (None, "orphan", 99.0, "kept"),
+      (Some(1L), "a2", 11.0, "updated")))
+  }
+
   test("SCD2: closes only open versions, deep history untouched, new keys insert") {
     import spark.implicits._
     def ts(d: String) = java.time.LocalDateTime.parse(d + "T00:00")
