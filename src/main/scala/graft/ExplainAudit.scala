@@ -91,6 +91,13 @@ object ExplainAudit {
         } finally
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       }),
+      ("q44 embed near-dup pair join blocks on (label, bucket) — the " +
+        "LSH bucket is IN the equi-join key, not label alone (label-" +
+        "only blocking is quadratic in the largest label at scale)", {
+        val p = planOf(spark, byName, sfDir, "q44_dedup_embed_cosine")
+        "keys \\[2\\]: \\[label#\\d+, bucket#\\d+L?\\]".r
+          .findFirstIn(p).isDefined
+      }),
       ("q106 fact scan carries a runtime dynamicpruning partition " +
         "filter (only dim-selected year partitions are read)",
         planOf(spark, byName, sfDir, "q106_dynamic_partition_pruning")

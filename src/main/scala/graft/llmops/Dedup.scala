@@ -252,19 +252,26 @@ object Dedup {
             JOIN cnt cb ON doc_b = cb.doc_id
             ORDER BY doc_a, doc_b"""))
 
-  /** Embedding-cosine near-dup: top-20 same-label pairs by exact dot
-    * product (vectors are unit-norm, so dot = cosine). The label is the
-    * blocking key; the dot is a per-row zip_with/aggregate fold — no
-    * explode, no shuffle beyond the label self-join.
+  /** Embedding-cosine near-dup: top-20 same-(label, bucket) pairs by
+    * exact dot product (vectors are unit-norm, so dot = cosine). The
+    * blocking key is (label, LSH bucket) — the bucket comes from q51's
+    * sign-random-projection hyperplanes ([[Similarity.srpBuckets]]), so
+    * the per-block pair space is bounded by bucket occupancy even when a
+    * label covers a large fraction of the corpus: label alone would make
+    * the self-join quadratic in the largest label at 100 TB. Near-dup
+    * vectors agree on all 8 hyperplane signs with high probability, so
+    * blocking on the bucket keeps the pairs dedup cares about.
     */
   val q44 = EngineQuery(
     "q44_dedup_embed_cosine",
     (s, dir) => {
       val t = Tables(s, dir)
-      val a = t.embeddings.select(col("vec_id").as("ia"), col("label"),
-        col("embedding").as("ea"))
-      val b = t.embeddings.select(col("vec_id").as("ib"), col("label"),
-        col("embedding").as("eb"))
+      val withBucket = t.embeddings
+        .join(Similarity.srpBuckets(t.embeddings), "vec_id")
+      val a = withBucket.select(col("vec_id").as("ia"), col("label"),
+        col("bucket"), col("embedding").as("ea"))
+      val b = withBucket.select(col("vec_id").as("ib"), col("label"),
+        col("bucket"), col("embedding").as("eb"))
       // two-phase top-k: cheap double-dot prefilter, then exact
       // fixed-point dots for oracle-identical values. The prefilter
       // keeps every candidate within a dims-scaled EPS of the k-th
@@ -273,7 +280,7 @@ object Dedup {
       // embedding width — a fixed candidate-count cutoff could drop a
       // true winner when many scores cluster at the boundary. kth is a
       // TakeOrdered scalar, broadcast back — no driver round-trip.
-      val scored = a.join(b, Seq("label"))
+      val scored = a.join(b, Seq("label", "bucket"))
         .filter(col("ia") < col("ib"))
         .select(col("ia"), col("ib"), col("ea"), col("eb"),
           fastDot(col("ea"), col("eb")).as("approx"))
@@ -288,16 +295,20 @@ object Dedup {
         .orderBy(col("dot").desc, col("ia"), col("ib"))
         .limit(20)
     },
-    Some("""WITH ex AS (
+    Some("WITH " + Similarity.srpBucketsCtes + """, ex AS (
               SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) v,
                 generate_subscripts(embedding, 1) pos
               FROM embeddings
+            ), exb AS (
+              SELECT ex.*, b.bucket FROM ex
+              JOIN buckets b ON ex.vec_id = b.vec_id
             ), dots AS (
               SELECT a.vec_id ia, b.vec_id ib,
                 CAST(SUM(CAST(FLOOR(a.v*10000000.0) AS BIGINT)
                        * CAST(FLOOR(b.v*10000000.0) AS BIGINT)) AS DOUBLE)
                   / 100000000000000.0 AS dot
-              FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos
+              FROM exb a JOIN exb b ON a.label = b.label
+                AND a.bucket = b.bucket AND a.pos = b.pos
                 AND a.vec_id < b.vec_id
               GROUP BY 1, 2
             )
@@ -316,7 +327,10 @@ object Dedup {
     "q45_neardup_survivors",
     (s, dir) => {
       val t = Tables(s, dir)
-      val losers = q41.run(s, dir)
+      // the UNSORTED pair builder, not q41.run: q41 appends an ORDER BY
+      // for its own gate output, and relying on EliminateSorts to strip
+      // it under the anti-join is a silent optimizer dependency
+      val losers = minhashPairs(s, dir)
         .filter(col("n_bands") >= 4)
         .select(col("doc_b").as("doc_id"))
         .distinct()

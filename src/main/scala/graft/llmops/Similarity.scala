@@ -74,34 +74,64 @@ object Similarity {
             ORDER BY qid, rn"""),
     bench = true)
 
-  /** Sign-random-projection LSH: 8 deterministic pseudo-random
-    * hyperplanes (component signs from the portable hash formula), bucket
-    * = 8 sign bits; near-dup candidates only within a bucket. Exact
-    * decimal signed sums keep the bucket assignment engine-portable.
+  /** Sign-random-projection bucket per vector — 8 deterministic
+    * pseudo-random hyperplanes (component signs from the portable hash
+    * formula), bucket = 8 sign bits. Returns (vec_id, bucket); the id is
+    * computed per-row with no shuffle beyond one vec_id hash-agg. Shared
+    * by q51 (LSH candidate pairs) and q44 (embedding near-dup blocking).
+    *
+    * sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1.
+    * One posexplode + 8 codegen'd signed fixed-point SUM aggregates:
+    * exact int64 sums (bit-identical to the oracle), no interpreted
+    * HOF lambdas, map-side partial aggregation before the exchange.
+    */
+  private[llmops] def srpBuckets(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos0", "v")))
+    val terms = ex.select(col("vec_id") +: (0 until 8).map { p =>
+      val h = ((lit(p.toLong * 31L) + (col("pos0") + 1).cast("long"))
+        * lit(2654435761L)) % lit(P)
+      when(h % 2 === 0, fixedPoint(col("v")))
+        .otherwise(-fixedPoint(col("v"))).as(s"t$p")
+    }: _*)
+    val sums = terms.groupBy(col("vec_id"))
+      .agg(sum(col("t0")).as("s0"),
+        (1 until 8).map(p => sum(col(s"t$p")).as(s"s$p")): _*)
+    sums.select(col("vec_id"),
+      (0 until 8).map(p =>
+        when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
+        .reduce(_ + _).as("bucket"))
+  }
+
+  /** Oracle CTE fragment computing the same buckets — ends with a
+    * `buckets(vec_id, bucket)` CTE; prepend inside a WITH list.
+    */
+  private[llmops] val srpBucketsCtes: String =
+    """sgn AS (
+              SELECT vec_id, p.p,
+                CASE WHEN (SELECT SUM(CASE
+                    WHEN ((p.p*31 + u.pos) * 2654435761) % 1000000007 % 2 = 0
+                    THEN CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    ELSE -CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    END)
+                  FROM (SELECT UNNEST(embedding) v,
+                          generate_subscripts(embedding, 1) pos) u) >= 0
+                THEN (1 << p.p) ELSE 0 END AS bit
+              FROM embeddings, (SELECT UNNEST(range(0,8)) p) p
+            ), buckets AS (
+              SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+              FROM sgn GROUP BY vec_id
+            )"""
+
+  /** Sign-random-projection LSH: bucket from [[srpBuckets]]; near-dup
+    * candidates only within a bucket.
     */
   val q51 = EngineQuery(
     "q51_knn_lsh_buckets",
     (s, dir) => {
       val t = Tables(s, dir)
-      // sign(p, c) = +1 if ((p*31+c)*2654435761 mod P) is even else -1.
-      // One posexplode + 8 codegen'd signed fixed-point SUM aggregates:
-      // exact int64 sums (bit-identical to the oracle), no interpreted
-      // HOF lambdas, map-side partial aggregation before the exchange.
-      val ex = t.embeddings.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos0", "v")))
-      val terms = ex.select(col("vec_id") +: (0 until 8).map { p =>
-        val h = ((lit(p.toLong * 31L) + (col("pos0") + 1).cast("long"))
-          * lit(2654435761L)) % lit(P)
-        when(h % 2 === 0, fixedPoint(col("v")))
-          .otherwise(-fixedPoint(col("v"))).as(s"t$p")
-      }: _*)
-      val sums = terms.groupBy(col("vec_id"))
-        .agg(sum(col("t0")).as("s0"),
-          (1 until 8).map(p => sum(col(s"t$p")).as(s"s$p")): _*)
-      val buckets = sums.select(col("vec_id"),
-        (0 until 8).map(p =>
-          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
-          .reduce(_ + _).as("bucket"))
+      val buckets = srpBuckets(t.embeddings)
       // plain equi-join (no broadcast hint): buckets has one row per
       // embedding, so a forced broadcast would be unbounded at corpus
       // scale — Catalyst/AQE picks broadcast locally where it fits
@@ -121,21 +151,7 @@ object Similarity {
         .filter(col("sim") > 0.2)
         .orderBy(col("ia"), col("ib"))
     },
-    Some("""WITH sgn AS (
-              SELECT vec_id, p.p,
-                CASE WHEN (SELECT SUM(CASE
-                    WHEN ((p.p*31 + u.pos) * 2654435761) % 1000000007 % 2 = 0
-                    THEN CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
-                    ELSE -CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
-                    END)
-                  FROM (SELECT UNNEST(embedding) v,
-                          generate_subscripts(embedding, 1) pos) u) >= 0
-                THEN (1 << p.p) ELSE 0 END AS bit
-              FROM embeddings, (SELECT UNNEST(range(0,8)) p) p
-            ), buckets AS (
-              SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
-              FROM sgn GROUP BY vec_id
-            ), ex AS (
+    Some("WITH " + srpBucketsCtes + """, ex AS (
               SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
                 generate_subscripts(embedding, 1) pos
               FROM embeddings
