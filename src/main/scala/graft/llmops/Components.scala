@@ -11,49 +11,130 @@ import graft.ops.{EngineQuery, Tables}
   * pair was never emitted. Survivor = min doc_id per component, so the
   * component label IS the survivor id.
   *
-  * Implementation: iterative min-label propagation — each round every
-  * node takes the min label among itself and its neighbors; the loop
-  * stops at fixpoint (label flow covers one hop per round, so rounds =
-  * component diameter; near-dup clusters are shallow by construction).
-  * All per-round state lives in DataFrames (one shuffle per round for
-  * the neighbor join + min-agg); the driver holds only one scalar per
-  * round — the label SUM, a valid convergence witness BECAUSE min-label
-  * propagation is monotone (labels only decrease). `localCheckpoint`
-  * truncates lineage each round — without it the plan doubles per
-  * iteration. At 100 TB-scale graphs with deep components, the same
-  * loop upgrades to the alternating large-star/small-star contraction
-  * (O(log n) rounds) — whose per-round labels are NOT monotone, so the
-  * witness there must be a changed-row count, not the sum; the
-  * fixpoint contract and the oracle stay identical.
+  * Two implementations behind one API, both iterating the PAIR GRAPH
+  * (never the corpus — singletons rejoin at the end with comp = id):
+  *
+  *  - [[starContract]] (the default): alternating large-star /
+  *    small-star contraction, the MapReduce-era algorithm published as
+  *    "Connected Components in MapReduce and Beyond" (Kiveris et al.,
+  *    SoCC'14). Converges in O(log n) rounds regardless of component
+  *    diameter — the 100 TB path, where an adversarial chain must not
+  *    turn into a diameter-length shuffle sequence.
+  *  - [[minLabelComponents]]: one-hop min-label propagation, rounds =
+  *    component diameter. Fewer shuffles per round, fine for the
+  *    shallow clusters near-dup dedup produces by construction.
+  *
+  * Both use an overflow-free convergence witness (a changed/differing
+  * ROW COUNT, not a label sum): summing int64 labels can overflow on
+  * large graphs with large ids — aborting under ANSI mode, or silently
+  * wrapping (and potentially false-converging) without it.
+  * `localCheckpoint` truncates lineage each round — without it the plan
+  * doubles per iteration.
   */
 object Components {
 
   /** (id) nodes + (u, v) undirected edges → (id, comp) with
-    * comp = min reachable id.
+    * comp = min reachable id. Star contraction: O(log n) rounds.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // materialize the (possibly expensive) edge derivation ONCE — a
-    // lazy edge plan would re-execute upstream (e.g. the whole
-    // MinHash pipeline) in every round's join and convergence count
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    attachSingletons(nodes, starContract(edges)._1)
+
+  /** Same contract via one-hop min-label propagation — rounds =
+    * component diameter; shallow-graph variant.
+    */
+  def minLabelComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    attachSingletons(nodes, minLabelPropagate(edges))
+
+  /** Labels cover only edge-touched nodes; everything else is its own
+    * component. On a dedup corpus the pair graph is a tiny fraction of
+    * the node set — at 100 TB this join is the difference between
+    * iterating over the pair graph and iterating over the corpus.
+    */
+  private def attachSingletons(nodes: DataFrame,
+      labels: DataFrame): DataFrame =
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+
+  /** Alternating large-star/small-star contraction over (u, v) edges.
+    * Returns (labels for edge-touched nodes, rounds to fixpoint).
+    *
+    * One round = large-star then small-star:
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: on smaller-oriented edges, every node connects its
+    *    smaller neighbors AND itself to the neighborhood minimum.
+    * Both steps preserve connectivity and only ever point edges at
+    * smaller ids; the fixpoint is a forest of stars centered at each
+    * component's minimum id (the published invariant), read off as
+    * comp = min neighbor.
+    *
+    * The edge derivation (e.g. the whole MinHash pipeline) materializes
+    * ONCE into the canonicalized initial set; each round is a bounded
+    * number of hash shuffles on the current edge set, which only
+    * shrinks toward one edge per non-min node.
+    */
+  private[graft] def starContract(edges: DataFrame): (DataFrame, Int) = {
+    // canonical orientation u > v, self-loops and duplicates dropped
+    var e = edges.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged) {
+      // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u});
+      // every neighbor v > u re-points to m. Output is canonical by
+      // construction (v > u >= m).
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges already oriented u > v; m = min neighbor
+      // (all neighbors < u). Every smaller neighbor and u itself
+      // re-point to m.
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint witness: set equality via count + one-way difference
+      // (equal cardinality + empty difference ⇒ equal sets). Row
+      // counts never overflow — no label arithmetic involved.
+      val m = small.count()
+      converged = m == n && small.except(e).isEmpty
+      e = small
+      n = m
+      rounds += 1
+    }
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    // star centers appear only on the v side: comp = own id
+    val centers = e.select(col("v").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (labels.unionByName(centers), rounds)
+  }
+
+  /** One-hop min-label propagation: each round every edge-touched node
+    * takes the min label of its closed neighborhood; stops when no
+    * label changes (an exact changed-row count per round — labels only
+    * decrease, so "no row changed" IS the fixpoint).
+    */
+  private[graft] def minLabelPropagate(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    // propagate only over edge-TOUCHED nodes: on a dedup corpus the
-    // pair graph is a tiny fraction of the node set, and a label can
-    // only change if the node has an edge — singletons rejoin at the
-    // end with comp = id. At 100 TB this is the difference between
-    // iterating over the pair graph and iterating over the corpus.
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    // labels decrease monotonically, so the label SUM is a strictly
-    // decreasing convergence witness — one scalar agg per round
-    // instead of an old-vs-new join
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)   // empty node set
-    }
-    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val neigh = sym.join(labels, sym("v") === labels("id"))
@@ -61,20 +142,23 @@ object Components {
       val updated = labels.unionByName(neigh)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val s = labelSum(updated)
-      converged = s == prevSum
-      prevSum = s
+      // labels strictly decrease when they change, so the changed set
+      // is exactly the inner-join mismatch; counting rows cannot
+      // overflow, unlike a SUM over int64 labels
+      val changed = updated.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      converged = changed == 0
       labels = updated
     }
-    nodes.select(col("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    labels
   }
 
   /** Gate row: components over the q41 MinHash-LSH candidate pairs.
     * The oracle replays the pair derivation (shared CTE block) and
     * closes it with a recursive min-label reachability — the full
-    * transitive closure the iterative loop converges to.
+    * transitive closure both iterative algorithms converge to.
     */
   val q112 = EngineQuery(
     "q112_dedup_components",

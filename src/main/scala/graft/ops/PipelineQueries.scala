@@ -170,8 +170,10 @@ object PipelineQueries {
 
   /** Catalog/metadata scan as rows (SURVEY.md §2.1): the reference's
     * metadata JSON shape flattened. O(tables) — parquet footers only.
-    * Spark/DuckDB spell type names differently, so this is a rows-only
-    * check (no oracle).
+    * Type names are emitted in a canonical spelling (NTZ timestamps as
+    * plain TIMESTAMP) so the oracle can map DuckDB's catalog spellings
+    * onto the same vocabulary; PK/FK come from the fixture contract
+    * (FIXTURES.md §B), which the oracle replays as VALUES.
     */
   val q85 = EngineQuery(
     "q85_catalog_scan",
@@ -179,13 +181,46 @@ object PipelineQueries {
       import s.implicits._
       val cat = graft.catalog.MetadataExtractor.fromParquetDir(s, dir)
       cat.tables.flatMap { t =>
-        t.columns.map(c => (t.name, c.name, c.dataType, c.nullable,
-          c.primaryKey, c.foreignKey.getOrElse("")))
+        t.columns.map(c => (t.name, c.name,
+          if (c.dataType == "TIMESTAMP_NTZ") "TIMESTAMP" else c.dataType,
+          c.nullable, c.primaryKey, c.foreignKey.getOrElse("")))
       }.toDF("table_name", "column_name", "data_type", "nullable",
         "primary_key", "foreign_key")
         .orderBy(col("table_name"), col("column_name"))
     },
-    None)
+    Some("""WITH pk(table_name, column_name) AS (
+              VALUES ('region','r_regionkey'), ('nation','n_nationkey'),
+                ('customer','c_custkey'), ('supplier','s_suppkey'),
+                ('part','p_partkey'), ('orders','o_orderkey'),
+                ('events','event_id'), ('documents','doc_id'),
+                ('embeddings','vec_id')
+            ), fk(table_name, column_name, ref) AS (
+              VALUES ('lineitem','l_orderkey','orders.o_orderkey'),
+                ('lineitem','l_partkey','part.p_partkey'),
+                ('lineitem','l_suppkey','supplier.s_suppkey'),
+                ('orders','o_custkey','customer.c_custkey'),
+                ('customer','c_nationkey','nation.n_nationkey'),
+                ('nation','n_regionkey','region.r_regionkey'),
+                ('supplier','s_nationkey','nation.n_nationkey'),
+                ('events','user_id','customer.c_custkey')
+            )
+            SELECT c.table_name, c.column_name,
+              CASE c.data_type
+                WHEN 'VARCHAR' THEN 'STRING'
+                WHEN 'INTEGER' THEN 'INT'
+                WHEN 'FLOAT[]' THEN 'ARRAY<FLOAT>'
+                WHEN 'TIMESTAMP_NS' THEN 'TIMESTAMP'
+                WHEN 'BLOB' THEN 'BINARY'
+                ELSE c.data_type END AS data_type,
+              c.is_nullable = 'YES' AS nullable,
+              pk.column_name IS NOT NULL AS primary_key,
+              COALESCE(fk.ref, '') AS foreign_key
+            FROM information_schema.columns c
+            LEFT JOIN pk ON pk.table_name = c.table_name
+              AND pk.column_name = c.column_name
+            LEFT JOIN fk ON fk.table_name = c.table_name
+              AND fk.column_name = c.column_name
+            ORDER BY c.table_name, c.column_name"""))
 
   /** FK join-graph navigation (SURVEY.md §2.3): shortest path
     * lineitem→region resolved by BFS (via supplier→nation, 3 hops) and

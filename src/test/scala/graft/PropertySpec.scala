@@ -144,11 +144,33 @@ class PropertySpec extends SparkTestBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = ids.map(i => i -> find(i)).toMap
+      // both implementations behind the API: star contraction (the
+      // default) and min-label propagation must agree with the model
       val got = graft.llmops.Components.connectedComponents(
         ids.toDF("id"), edges.toDF("u", "v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial, n=$n, edges=$edges")
+      val gotMl = graft.llmops.Components.minLabelComponents(
+        ids.toDF("id"), edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMl == want, s"min-label trial $trial, n=$n, edges=$edges")
     }
+  }
+
+  test("star contraction: deep path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 1000-node path is the adversarial case for one-hop label
+    // propagation (rounds = diameter = 999); star contraction must
+    // close it in logarithmic rounds with the min as every label
+    val n = 1000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("u", "v")
+    val (labels, rounds) =
+      graft.llmops.Components.starContract(edges)
+    assert(rounds <= 20, s"rounds=$rounds not O(log n) for n=$n")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every node must label to the min id")
   }
 
   test("MergeOps.merge == reference map-merge on random changesets") {
