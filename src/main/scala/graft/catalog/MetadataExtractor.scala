@@ -49,6 +49,63 @@ object MetadataExtractor {
       (spark.sparkContext.applicationId, dir, tables),
       extract(spark, dir, tables))
 
+  /** LIVE catalog walk over a JDBC connection — the engine-side
+    * equivalent of the reference's SQLAlchemy inspector loop
+    * (db_connector.py:90-176: table list, columns with type/nullable/
+    * comment, PK constraint set, FK map, and "a.col → b.col"
+    * relationship edges). Uses java.sql.DatabaseMetaData, so it works
+    * against any JDBC database; integration-tested against embedded
+    * Derby's system catalog (JdbcSpec). O(tables) catalog queries,
+    * never O(rows).
+    *
+    * Identifiers are normalized to lower case (Derby/Oracle-style
+    * catalogs report upper-cased unquoted identifiers; the reference's
+    * PostgreSQL inspector reports lower).
+    */
+  def fromJdbc(conn: java.sql.Connection,
+      schema: String = null): CatalogModel = {
+    val md = conn.getMetaData
+    def drain[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Seq[A] =
+      try {
+        val b = Seq.newBuilder[A]
+        while (rs.next()) b += f(rs)
+        b.result()
+      } finally rs.close()
+    val tables = drain(md.getTables(null, schema, "%", Array("TABLE")))(
+      _.getString("TABLE_NAME"))
+    val rels = Seq.newBuilder[Relationship]
+    val tableModels = tables.map { t =>
+      val pks = drain(md.getPrimaryKeys(null, schema, t))(
+        _.getString("COLUMN_NAME").toLowerCase).toSet
+      val fks = drain(md.getImportedKeys(null, schema, t)) { r =>
+        (r.getString("FKCOLUMN_NAME").toLowerCase,
+          r.getString("PKTABLE_NAME").toLowerCase,
+          r.getString("PKCOLUMN_NAME").toLowerCase)
+      }
+      fks.foreach { case (fc, pt, pc) =>
+        rels += Relationship(t.toLowerCase, fc, pt, pc)
+      }
+      val fkMap = fks.map { case (fc, pt, pc) => fc -> s"$pt.$pc" }.toMap
+      val cols = drain(md.getColumns(null, schema, t, "%")) { r =>
+        val name = r.getString("COLUMN_NAME").toLowerCase
+        ColumnModel(
+          name = name,
+          dataType = r.getString("TYPE_NAME"),
+          nullable =
+            r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+          description = Option(r.getString("REMARKS")).getOrElse(""),
+          primaryKey = pks.contains(name),
+          foreignKey = fkMap.get(name))
+      }
+      TableModel(t.toLowerCase, s"jdbc table ${t.toLowerCase}", cols)
+    }
+    CatalogModel(
+      dbType = md.getDatabaseProductName.toLowerCase,
+      dbVersion = md.getDatabaseProductVersion,
+      tables = tableModels,
+      relationships = rels.result())
+  }
+
   private def extract(spark: SparkSession, dir: String,
       tables: Seq[String]): CatalogModel = {
     val fkByTable = fixtureRelationships

@@ -109,6 +109,17 @@ object TransformStep {
   final case class Derive(alias: String, expr: String) extends TransformStep
   /** Filter rows by a SQL predicate. */
   final case class FilterRows(predicate: String) extends TransformStep
+
+  /** Reference wire name of a step (sql_generator.py:302-306); the
+    * typed extensions render with a readable prefix.
+    */
+  def wireName(s: TransformStep): String = s match {
+    case _: NullDefault     => "NULL 값 기본값 처리"
+    case _: DateStandardize => "날짜 형식 표준화"
+    case _: TypeValidate    => "데이터 타입 검증"
+    case Derive(a, e)       => s"derive $a = $e"
+    case FilterRows(p)      => s"filter $p"
+  }
 }
 
 /** Load target (sql_generator.py:46: "append_OR_overwrite").
@@ -120,6 +131,23 @@ object TransformStep {
 final case class LoadSpec(targetTable: String, writeMode: String,
     partitionBy: Seq[String] = Nil)
 
+/** Shared JSON rendering for the wire-contract serializers — field
+  * names and shapes are the reference's HTTP response contract, so the
+  * escaping and array forms live in one place.
+  */
+private[model] object Json {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  def arr(xs: Seq[String]): String = xs.map(quote).mkString("[", ",", "]")
+}
+
 /** NL→plan result contract (sql_generator.py:27-35; main.py:41-50). */
 final case class GenerateResult(
     intentSummary: String,
@@ -129,7 +157,35 @@ final case class GenerateResult(
     tablesUsed: Seq[String] = Nil,
     isBlocked: Boolean = false,
     blockReason: Option[String] = None,
-    etlPipeline: Option[EtlSpec] = None)
+    etlPipeline: Option[EtlSpec] = None) {
+
+  /** Render to the reference's exact response field names (main.py:
+    * 41-50, snake_case). The etl_pipeline member mirrors
+    * sql_generator.py:296-311: extract.conditions is a single string,
+    * transform steps serialize as their reference step names, and the
+    * key is ABSENT (not null) when no pipeline was requested.
+    */
+  def toJsonString: String = {
+    import Json._
+    val base = Seq(
+      s""""intent_summary": ${quote(intentSummary)}""",
+      s""""sql": ${quote(sql)}""",
+      s""""assumptions": ${arr(assumptions)}""",
+      s""""safety_notes": ${arr(safetyNotes)}""",
+      s""""tables_used": ${arr(tablesUsed)}""",
+      s""""is_blocked": $isBlocked""",
+      s""""block_reason": ${blockReason.map(quote).getOrElse("null")}""")
+    val etl = etlPipeline.map { e =>
+      val ex = s""""extract": {"source_tables": ${arr(e.extract.sourceTables)},""" +
+        s""" "conditions": ${quote(e.extract.conditions.mkString(" AND "))}}"""
+      val tr = s""""transform": ${arr(e.transform.map(TransformStep.wireName))}"""
+      val ld = s""""load": {"target_table": ${quote(e.load.targetTable)},""" +
+        s""" "write_mode": ${quote(e.load.writeMode)}}"""
+      s""""etl_pipeline": {$ex, $tr, $ld}"""
+    }
+    (base ++ etl).mkString("{", ", ", "}")
+  }
+}
 
 /** Result-set JSON contract (db_connector.py:238-243). */
 final case class ResultSet(
@@ -137,26 +193,18 @@ final case class ResultSet(
     data: Seq[Map[String, String]],
     rowCount: Int) {
 
-  /** Render to the reference's exact JSON field names:
-    * {"columns": [...], "data": [{col: val}...], "row_count": N}.
+  /** Render to the reference's exact JSON field names: {"success": true,
+    * "columns": [...], "data": [{col: val}...], "row_count": N}.
     */
   def toJsonString: String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val cols = columns.map(q).mkString("[", ",", "]")
+    import Json.quote
+    val cols = Json.arr(columns)
     val rows = data.map { row =>
       columns.map { c =>
         val v = row.getOrElse(c, null)
-        s"${q(c)}: ${if (v == null) "null" else q(v)}"
+        s"${quote(c)}: ${if (v == null) "null" else quote(v)}"
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    s"""{"columns": $cols, "data": $rows, "row_count": $rowCount}"""
+    s"""{"success": true, "columns": $cols, "data": $rows, "row_count": $rowCount}"""
   }
 }

@@ -22,8 +22,11 @@ class JdbcSpec extends SparkTestBase {
     val conn = DriverManager.getConnection(s"$url;create=true")
     val st = conn.createStatement()
     st.executeUpdate(
-      "CREATE TABLE accounts (id INT NOT NULL, name VARCHAR(32), " +
-        "balance DOUBLE)")
+      "CREATE TABLE accounts (id INT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(32), balance DOUBLE)")
+    st.executeUpdate(
+      "CREATE TABLE purchases (pid INT NOT NULL PRIMARY KEY, " +
+        "account_id INT REFERENCES accounts (id), amount DOUBLE)")
     val ins = conn.prepareStatement("INSERT INTO accounts VALUES (?, ?, ?)")
     (0 until 100).foreach { i =>
       ins.setInt(1, i)
@@ -70,6 +73,38 @@ class JdbcSpec extends SparkTestBase {
     // every partition draws a disjoint range; union is lossless
     assert(df.count() == 100)
     assert(df.agg(sum(col("ID"))).head().getLong(0) == (0 until 100).sum)
+  }
+
+  test("fromJdbc walks the live system catalog: PK, FK, edges, types") {
+    // the db_connector.py:90-176 inspector loop over a REAL catalog:
+    // a two-table FK schema read back through DatabaseMetaData
+    val conn = DriverManager.getConnection(dbUrl)
+    try {
+      val cat = graft.catalog.MetadataExtractor.fromJdbc(conn, "APP")
+      assert(cat.dbType.contains("derby"))
+      assert(cat.tables.map(_.name).toSet == Set("accounts", "purchases"))
+
+      val acc = cat.table("accounts").get
+      assert(acc.pkColumns == Seq("id"))
+      val id = acc.columns.find(_.name == "id").get
+      assert(!id.nullable && id.dataType.nonEmpty)
+      assert(acc.columns.find(_.name == "name").get.nullable)
+
+      val pur = cat.table("purchases").get
+      assert(pur.pkColumns == Seq("pid"))
+      assert(pur.columns.find(_.name == "account_id").get.foreignKey
+        .contains("accounts.id"))
+
+      // relationship edges render in the reference's arrow form
+      assert(cat.relationships ==
+        Seq(graft.model.Relationship("purchases", "account_id",
+          "accounts", "id")))
+      assert(cat.relationships.head.render == "purchases.account_id -> accounts.id")
+
+      // the walked catalog drives the join graph like any other source
+      val graph = new graft.compile.JoinGraph(cat)
+      assert(graph.path("purchases", "accounts").isDefined)
+    } finally conn.close()
   }
 
   test("reference-contract conf path builds the same reader (URL check)") {
