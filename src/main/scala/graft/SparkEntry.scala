@@ -23,6 +23,7 @@ object SparkEntry {
       graft.llmops.Multimodal.all ++
       graft.sources.FileFormats.all ++
       graft.etl.MergeOps.all ++
+      graft.etl.Reconcile.all ++
       graft.etl.DataQuality.all ++
       Profiling.all ++
       PipelineQueries.all
