@@ -39,7 +39,11 @@ object Dedup {
     * shared by q41 (the pair gate) and q112 (component clustering over
     * these pairs as edges).
     */
-  private[llmops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+  /** LSH band signatures per document — (doc_id, band, sig), 8 rows per
+    * doc. The shared first stage of q41/q45 (full self-dedup) and q46
+    * (incremental dedup of new docs against an existing corpus).
+    */
+  private[llmops] def bandSignatures(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
       val t = Tables(s, dir)
       val toks = t.documents
@@ -60,14 +64,18 @@ object Dedup {
         .agg(min(permute(col("gh"), lit(0))).as("h0"),
           (1 until 16).map(j =>
             min(permute(col("gh"), lit(j))).as(s"h$j")): _*)
-      val bands = mh
-        .select(col("doc_id"),
+      mh.select(col("doc_id"),
           explode(array((0 until 8).map(b => struct(
             lit(b).as("band"),
             concat_ws(":", col(s"h${2 * b}").cast("string"),
               col(s"h${2 * b + 1}").cast("string")).as("sig"))): _*))
             .as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[llmops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      val bands = bandSignatures(s, dir)
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       a.join(b, Seq("band", "sig"))
@@ -348,5 +356,47 @@ object Dedup {
            FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
            ORDER BY d.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q42, q43, q44, q45)
+  /** Incremental (cross-corpus) near-dup: dedup NEW documents against an
+    * EXISTING corpus without ever pairing existing×existing — the shape
+    * of a daily crawl landing next to a 100 TB corpus. Here "existing"
+    * is even doc_ids and "new" is odd ones; in production the existing
+    * side's band signatures are precomputed and stored, so the per-run
+    * cost is hashing the new docs plus one bucket-bounded join. A new
+    * doc is dropped when it shares >= 4 of 8 band signatures with ANY
+    * existing doc (the q41/q45 threshold).
+    */
+  val q46 = EngineQuery(
+    "q46_dedup_incremental",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bands = bandSignatures(s, dir)
+      val existing = bands.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_e"), col("band"), col("sig"))
+      val incoming = bands.filter(col("doc_id") % 2 === 1)
+      val dupes = incoming.join(existing, Seq("band", "sig"))
+        .groupBy(col("doc_id"), col("doc_e"))
+        .agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_id"))
+        .distinct()
+      t.documents
+        .filter(col("doc_id") % 2 === 1)
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashPairsCtes +
+      """
+         , cross_dupes AS (
+             SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a
+                                  ELSE doc_b END AS doc_id
+             FROM pairs
+             WHERE n_bands >= 4 AND (doc_a % 2) != (doc_b % 2)
+           )
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d ANTI JOIN cross_dupes x ON d.doc_id = x.doc_id
+           WHERE d.doc_id % 2 = 1
+           ORDER BY d.doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }
