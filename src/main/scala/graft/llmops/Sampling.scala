@@ -179,5 +179,40 @@ object Sampling {
             WHERE cum_chars <= 5000
             ORDER BY source, cum_chars, doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q65, q66, q67, q114, q115)
+  /** Deterministic global shuffle + shard assignment: the "shuffle the
+    * corpus once, write N shards" step before training. Order comes from
+    * a multiplicative hash of the stable row key — reproducible on any
+    * cluster layout and any engine, unlike rand() — and the within-shard
+    * position is a row_number over (hash, key). At 100 TB: the hash is a
+    * pure map stage; each shard's sort is range-partitioned and parallel
+    * (one sort per shard writer, Spark's repartitionByRange shape), and
+    * no stage ever sees a global total order.
+    */
+  val q75 = EngineQuery(
+    "q75_deterministic_shuffle",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val h = ((col("doc_id").cast(LongType) % P) * lit(2654435761L)
+        + lit(12345L)) % P
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t.documents
+        .select(col("doc_id"), h.as("h"), (h % 8L).as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id, shard, pos FROM (
+              SELECT doc_id,
+                ((doc_id % 1000000007) * 2654435761 + 12345) % 1000000007 % 8
+                  AS shard,
+                ROW_NUMBER() OVER (
+                  PARTITION BY ((doc_id % 1000000007) * 2654435761 + 12345)
+                    % 1000000007 % 8
+                  ORDER BY ((doc_id % 1000000007) * 2654435761 + 12345)
+                    % 1000000007, doc_id) AS pos
+              FROM documents)
+            ORDER BY shard, pos"""))
+
+  val all: Seq[EngineQuery] = Seq(q65, q66, q67, q75, q114, q115)
 }
