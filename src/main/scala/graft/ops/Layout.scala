@@ -163,5 +163,74 @@ object Layout {
             FROM orders WHERE year(o_orderdate) % 2 = 1
             GROUP BY 1, 2 ORDER BY o_year, o_orderstatus NULLS FIRST"""))
 
-  val all: Seq[EngineQuery] = Seq(q88, q89, q106)
+  /** One-time zone-mapped ingest via [[SessionScratch]]: orders
+    * range-sorted by o_orderkey into ~12 files, so each file covers a
+    * narrow key range — the layout that makes file-level min/max stats
+    * (zone maps) selective.
+    */
+  private def ensureZonedOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = SessionScratch.dirTag(dir)
+    val path = s"${SessionScratch.base("zonemap_tables", app)}/zm_orders_$tag"
+    SessionScratch.once("zonemap_tables", app, dir) {
+      Tables(s, dir).orders
+        .repartitionByRange(12, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Zone-map (min/max manifest) file skipping over the zoned layout:
+    * (files selected by the manifest, total files). Exposed for
+    * BucketingSpec's skipping assertion.
+    */
+  private[graft] def zoneMapPrune(s: org.apache.spark.sql.SparkSession,
+      dir: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val path = ensureZonedOrders(s, dir)
+    // the manifest is one row per FILE (min/max key) — the same bounded
+    // metadata a table format (Delta/Iceberg) persists at commit time;
+    // collecting it to the driver is the manifest read, not a data read
+    val manifest = s.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
+      .collect()
+    val selected = manifest
+      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).toSeq
+    (selected, manifest.length)
+  }
+
+  /** Data skipping via zone maps — the file-granularity twin of q106's
+    * partition pruning: a per-file min/max manifest (what Delta/Iceberg
+    * persist, rebuilt here from footers) prunes the file list BEFORE the
+    * scan, so a selective key-range predicate reads only the files whose
+    * zone overlaps. At 100 TB this is the difference between reading
+    * ~1/12th of the table and all of it when partitioning doesn't match
+    * the predicate column. The predicate is re-applied after the pruned
+    * read (zones overlap at boundaries); the oracle is the plain filter.
+    */
+  val q120 = EngineQuery(
+    "q120_zonemap_skipping",
+    (s, dir) => {
+      val (lo, hi) = (3000L, 4499L)
+      val (files, _) = zoneMapPrune(s, dir, lo, hi)
+      s.read.parquet(files: _*)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          toDouble(sum(dec2(col("o_totalprice")))).as("revenue"),
+          min(col("o_orderkey")).as("k_min"),
+          max(col("o_orderkey")).as("k_max"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue,
+              MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+            FROM orders WHERE o_orderkey BETWEEN 3000 AND 4499
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val all: Seq[EngineQuery] = Seq(q88, q89, q106, q120)
 }

@@ -107,4 +107,22 @@ class BucketingSpec extends SparkTestBase {
     assert(parts == oddYears,
       s"partitions read $parts != odd-year count $oddYears")
   }
+
+  test("q120 zone-map manifest prunes to a strict subset of the files") {
+    // derive a ~10%-of-keyspace range from the fixture so the test holds
+    // at any sf (the gate query's fixed range assumes sf0.01 keys)
+    val maxKey = Tables(spark, sfDir).orders
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (maxKey / 2, maxKey / 2 + maxKey / 10)
+    val (selected, total) = graft.ops.Layout.zoneMapPrune(spark, sfDir, lo, hi)
+    assert(selected.nonEmpty, "key range must hit at least one zone")
+    assert(selected.size < total,
+      s"zone maps should skip files: selected ${selected.size} of $total")
+    // the pruned read still covers every matching row
+    val pruned = spark.read.parquet(selected: _*)
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    val full = Tables(spark, sfDir).orders
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    assert(pruned == full, s"pruned read lost rows: $pruned != $full")
+  }
 }
