@@ -2,7 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.ops.{EngineQuery, Tables}
 import PortableHash._
@@ -234,5 +234,115 @@ object TextAnalysis {
                     '', 'g')) AS INT) AS email_chars
             FROM customer ORDER BY c_custkey"""))
 
-  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73)
+  /** BM25-style full-text search (k1=1.2, b=0.75, rational idf) for a
+    * fixed term query —
+    * the retrieval scorer behind contamination checks and search-quality
+    * evals over a training corpus. Plan shape at 100 TB: one corpus scan
+    * explodes tokens into a (doc, term) hash-agg restricted to the query
+    * terms (map-side filter, so the shuffle carries only matching rows);
+    * document frequencies are a |terms|-row aggregate broadcast back;
+    * scoring is pure per-row double math; top-k is
+    * TakeOrderedAndProject — no global sort.
+    *
+    * Determinism: every double expression is written with identical
+    * shape/order on both engines (per-row IEEE ops are exact); the
+    * per-term scores are summed in a FIXED column order, never a
+    * row-order-dependent SUM. The idf is the RATIONAL BM25 idf
+    * (N - df + 0.5)/(df + 0.5) without the usual log: JVM Math.log and
+    * DuckDB's libm ln disagree by 1 ulp on some inputs (observed:
+    * ...696 vs ...698), and the gate hash-compares bits. Per-term
+    * ranking is unchanged (log is monotone); multi-term totals weight
+    * rare terms more sharply than log-BM25.
+    */
+  val q74 = EngineQuery(
+    "q74_bm25_search",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val terms = Seq("spark", "join", "window")
+      val toks = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+      val tf = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val stats = t.documents.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(TextStats.nWords(col("text")).cast(LongType)).cast(DoubleType) /
+          count(lit(1))).as("avgdl"))
+      val dl = t.documents.select(col("doc_id"),
+        TextStats.nWords(col("text")).cast(LongType).as("dl"))
+      val scored = tf
+        .join(broadcast(df), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5)))
+        .withColumn("tfn",
+          (col("tf").cast(DoubleType) * lit(2.2)) /
+            (col("tf").cast(DoubleType) + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast(DoubleType) / col("avgdl")))))
+        .withColumn("c", col("idf") * col("tfn"))
+      // fixed-order sum of per-term contributions (never SUM over rows)
+      val termAggs = terms.map(tm =>
+        max(when(col("w") === tm, col("c"))).as(s"c_$tm"))
+      val perTerm = scored.groupBy(col("doc_id"))
+        .agg(termAggs.head, termAggs.tail: _*)
+      perTerm
+        .select(col("doc_id") +: terms.map(tm =>
+          coalesce(col(s"c_$tm"), lit(0.0)).as(s"s_$tm")): _*)
+        .withColumn("score",
+          col("s_spark") + col("s_join") + col("s_window"))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, w, COUNT(*) AS tf FROM toks
+              WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w
+            ), df AS (
+              SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs,
+                CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text))
+                       - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+                  END AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM documents
+            ), dl AS (
+              SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text))
+                       - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+                  END AS BIGINT) AS dl
+              FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.w,
+                ((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+                     / (CAST(df.df AS DOUBLE) + 0.5))
+                * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE) + 1.2
+                      * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+                  AS c
+              FROM tf JOIN df ON tf.w = df.w
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+            ), per_term AS (
+              SELECT doc_id,
+                MAX(CASE WHEN w = 'spark' THEN c END) AS c_spark,
+                MAX(CASE WHEN w = 'join' THEN c END) AS c_join,
+                MAX(CASE WHEN w = 'window' THEN c END) AS c_window
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id,
+              COALESCE(c_spark, 0.0) + COALESCE(c_join, 0.0)
+                + COALESCE(c_window, 0.0) AS score
+            FROM per_term
+            ORDER BY score DESC, doc_id LIMIT 15"""))
+
+  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73, q74)
 }
