@@ -18,7 +18,8 @@ object ExplainAudit {
     "q86_join_graph_path", "q87_topk_udaf",
     "q88_bucketed_colocated_join", "q93_asof_join",
     "q96_cohort_retention", "q106_dynamic_partition_pruning",
-    "q107_fuzzy_blocked_join")
+    "q107_fuzzy_blocked_join", "q46_dedup_incremental",
+    "q74_bm25_search", "q118_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -106,6 +107,23 @@ object ExplainAudit {
         "no CartesianProduct / BroadcastNestedLoop)", {
         val p = planOf(spark, byName, sfDir, "q107_fuzzy_blocked_join")
         !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      }),
+      ("q46 incremental dedup joins new-vs-existing on the LSH bucket " +
+        "key (band, sig) — bucket-bounded, never corpus x corpus", {
+        val p = planOf(spark, byName, sfDir, "q46_dedup_incremental")
+        "keys \\[2\\]: \\[band#\\d+, sig#\\d+\\]".r.findFirstIn(p).isDefined &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q74 BM25 broadcasts the |terms|-row document-frequency agg and " +
+        "plans top-k as TakeOrderedAndProject (no global sort)", {
+        val p = planOf(spark, byName, sfDir, "q74_bm25_search")
+        p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject")
+      }),
+      ("q118 snapshot diff is ONE full-outer merge join on the PK; the " +
+        "column compare is map-side above it", {
+        val p = planOf(spark, byName, sfDir, "q118_snapshot_diff")
+        p.contains("SortMergeJoin") && p.contains("FullOuter") &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>
