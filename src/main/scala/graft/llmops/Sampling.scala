@@ -182,11 +182,18 @@ object Sampling {
   /** Deterministic global shuffle + shard assignment: the "shuffle the
     * corpus once, write N shards" step before training. Order comes from
     * a multiplicative hash of the stable row key — reproducible on any
-    * cluster layout and any engine, unlike rand() — and the within-shard
-    * position is a row_number over (hash, key). At 100 TB: the hash is a
-    * pure map stage; each shard's sort is range-partitioned and parallel
-    * (one sort per shard writer, Spark's repartitionByRange shape), and
-    * no stage ever sees a global total order.
+    * cluster layout and any engine, unlike rand().
+    *
+    * The within-shard position is a DISTRIBUTED dense rank, not a
+    * row_number over Window.partitionBy(shard): with N shards that
+    * window is N partitions, so each sorts corpus/N rows in ONE task —
+    * a scale-killer at 100 TB. Instead: (1) bucket the hash into 64
+    * range blocks per shard, (2) count rows per (shard, block) — a tiny
+    * N×64-row aggregate, (3) turn counts into per-block start offsets
+    * with a window over that TINY table, broadcast back, (4) number
+    * rows within (shard, block) — 64× finer windows, all parallel.
+    * pos = block offset + within-block row_number, a dense 1..n per
+    * shard with no single-task sort anywhere.
     */
   val q75 = EngineQuery(
     "q75_deterministic_shuffle",
@@ -194,11 +201,24 @@ object Sampling {
       val t = Tables(s, dir)
       val h = ((col("doc_id").cast(LongType) % P) * lit(2654435761L)
         + lit(12345L)) % P
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      t.documents
-        .select(col("doc_id"), h.as("h"), (h % 8L).as("shard"))
-        .withColumn("pos", row_number().over(w))
+      val rows = t.documents
+        .select(col("doc_id"), h.as("h"), (h % 8L).as("shard"),
+          // range block: ~P/64-wide slices of the hash space, so block
+          // order IS hash order and offsets compose
+          (h / lit((P / 64) + 1)).as("blk"))
+      val offsets = rows.groupBy(col("shard"), col("blk"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          coalesce(sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("blk"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("shard"), col("blk"), col("off"))
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"), col("blk")).orderBy(col("h"), col("doc_id"))
+      rows
+        .join(broadcast(offsets), Seq("shard", "blk"))
+        .withColumn("pos",
+          (col("off") + row_number().over(wBlk)).cast("int"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
     },
