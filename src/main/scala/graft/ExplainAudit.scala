@@ -19,7 +19,7 @@ object ExplainAudit {
     "q88_bucketed_colocated_join", "q93_asof_join",
     "q96_cohort_retention", "q106_dynamic_partition_pruning",
     "q107_fuzzy_blocked_join", "q46_dedup_incremental",
-    "q74_bm25_search", "q118_snapshot_diff")
+    "q74_bm25_search", "q118_snapshot_diff", "q121_bloom_join_pruning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -124,7 +124,12 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q118_snapshot_diff")
         p.contains("SortMergeJoin") && p.contains("FullOuter") &&
           !p.contains("CartesianProduct")
-      }))
+      }),
+      ("q121 fact scan carries a runtime Bloom filter built from the " +
+        "filtered join side (might_contain), so non-joining rows die " +
+        "at the scan, not on the shuffle",
+        planOf(spark, byName, sfDir, "q121_bloom_join_pruning")
+          .contains("might_contain")))
 
     val summary = checks.map { case (label, ok) =>
       s"- [${if (ok) "x" else " "}] $label"

@@ -232,5 +232,44 @@ object Layout {
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4499
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val all: Seq[EngineQuery] = Seq(q88, q89, q106, q120)
+  /** Runtime Bloom-filter join pruning — the third scan-avoidance lever
+    * next to q106 (partition pruning) and q120 (zone maps), covering the
+    * case where the selective filter lives on the OTHER join side and
+    * the layout offers nothing to prune: Catalyst builds a Bloom filter
+    * from the filtered creation side and injects `might_contain(...)`
+    * onto the application side's scan, so non-joining fact rows die at
+    * the scan instead of riding the shuffle. At 100 TB this turns a
+    * full-fact shuffle into a shuffle of the ~matching fraction.
+    *
+    * Runs in its own `newSession` so the demonstration thresholds
+    * (application-side size floor lowered to fire at fixture scale;
+    * broadcast disabled so a shuffle join exists to prune) never leak
+    * into other gate queries' plans. ASSERTED in ExplainAudit: the
+    * lineitem side carries a `might_contain` runtime filter.
+    */
+  val q121 = EngineQuery(
+    "q121_bloom_join_pruning",
+    (s, dir) => {
+      val bs = s.newSession()
+      bs.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Tables(bs, dir)
+      t.lineitem
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          toDouble(sum(dec2(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val all: Seq[EngineQuery] = Seq(q88, q89, q106, q120, q121)
 }
