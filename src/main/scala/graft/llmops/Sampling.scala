@@ -195,31 +195,41 @@ object Sampling {
     * pos = block offset + within-block row_number, a dense 1..n per
     * shard with no single-task sort anywhere.
     */
+  /** Distributed dense rank core of q75, over any (key) DataFrame:
+    * hash → shard → block-range offsets → within-block numbering.
+    * PropertySpec proves it equal to the naive one-window-per-shard
+    * row_number on random inputs.
+    */
+  private[graft] def shardPositions(df: org.apache.spark.sql.DataFrame,
+      key: String, nShards: Int): org.apache.spark.sql.DataFrame = {
+    val h = ((col(key).cast(LongType) % P) * lit(2654435761L)
+      + lit(12345L)) % P
+    val rows = df
+      .select(col(key), h.as("h"), (h % nShards).as("shard"),
+        // range block: ~P/64-wide slices of the hash space, so block
+        // order IS hash order and offsets compose
+        (h / lit((P / 64) + 1)).as("blk"))
+    val offsets = rows.groupBy(col("shard"), col("blk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("blk"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("shard"), col("blk"), col("off"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("blk")).orderBy(col("h"), col(key))
+    rows
+      .join(broadcast(offsets), Seq("shard", "blk"))
+      .withColumn("pos",
+        (col("off") + row_number().over(wBlk)).cast("int"))
+      .select(col(key), col("shard"), col("pos"))
+  }
+
   val q75 = EngineQuery(
     "q75_deterministic_shuffle",
     (s, dir) => {
       val t = Tables(s, dir)
-      val h = ((col("doc_id").cast(LongType) % P) * lit(2654435761L)
-        + lit(12345L)) % P
-      val rows = t.documents
-        .select(col("doc_id"), h.as("h"), (h % 8L).as("shard"),
-          // range block: ~P/64-wide slices of the hash space, so block
-          // order IS hash order and offsets compose
-          (h / lit((P / 64) + 1)).as("blk"))
-      val offsets = rows.groupBy(col("shard"), col("blk"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("off",
-          coalesce(sum(col("n")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("shard")).orderBy(col("blk"))
-            .rowsBetween(Long.MinValue, -1)), lit(0L)))
-        .select(col("shard"), col("blk"), col("off"))
-      val wBlk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard"), col("blk")).orderBy(col("h"), col("doc_id"))
-      rows
-        .join(broadcast(offsets), Seq("shard", "blk"))
-        .withColumn("pos",
-          (col("off") + row_number().over(wBlk)).cast("int"))
-        .select(col("doc_id"), col("shard"), col("pos"))
+      shardPositions(t.documents.select(col("doc_id")), "doc_id", 8)
         .orderBy(col("shard"), col("pos"))
     },
     Some("""SELECT doc_id, shard, pos FROM (

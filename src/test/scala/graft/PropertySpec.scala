@@ -173,6 +173,44 @@ class PropertySpec extends SparkTestBase {
     assert(got.forall(_._2 == 1L), "every node must label to the min id")
   }
 
+  test("shardPositions == naive per-shard row_number on random keys") {
+    import spark.implicits._
+    (1 to 3).foreach { trial =>
+      val n = 200 + rnd.nextInt(800)
+      // sparse non-contiguous keys, like real doc ids after dedup
+      val keys = scala.collection.mutable.LinkedHashSet[Long]()
+      while (keys.size < n) keys += math.abs(rnd.nextLong()) % 100000000L
+      val df = keys.toSeq.toDF("doc_id")
+      val got = graft.llmops.Sampling.shardPositions(df, "doc_id", 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      val h = ((col("doc_id") % 1000000007L) * lit(2654435761L)
+        + lit(12345L)) % 1000000007L
+      val naive = df.select(col("doc_id"), h.as("h"), (h % 8L).as("shard"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(got.toSeq == naive.toSeq, s"trial $trial")
+    }
+  }
+
+  test("q118 diff statuses partition both snapshots' keyspaces") {
+    val out = graft.etl.Reconcile.q118.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = graft.ops.Tables(spark, sfDir)
+    val nOld = t.orders.filter(col("o_orderkey") % 11 =!= 0).count()
+    val nNew = t.orders.filter(col("o_orderkey") % 13 =!= 0).count()
+    def g(k: String) = out.getOrElse(k, 0L)
+    assert(g("added") + g("changed") + g("unchanged") == nNew,
+      s"new-side partition broken: $out vs $nNew")
+    assert(g("removed") + g("changed") + g("unchanged") == nOld,
+      s"old-side partition broken: $out vs $nOld")
+    assert(g("changed") > 0 && g("added") > 0 && g("removed") > 0,
+      s"fixture must exercise every status: $out")
+  }
+
   test("MergeOps.merge == reference map-merge on random changesets") {
     import spark.implicits._
     (1 to 5).foreach { trial =>
