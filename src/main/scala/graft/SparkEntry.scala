@@ -26,7 +26,8 @@ object SparkEntry {
       graft.etl.Reconcile.all ++
       graft.etl.DataQuality.all ++
       Profiling.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      TpchSuite.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

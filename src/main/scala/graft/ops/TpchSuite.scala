@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** Composite analytical workloads shaped after the public TPC-H queries
+  * Q3/Q5/Q10 (the schema subset the fixtures carry), exercising the
+  * operators together the way a real report does: multi-way join paths
+  * with mixed dim/fact sides, selective date straddles, decimal revenue
+  * math, and top-k over an aggregate. These stress the planner's
+  * composition — join order, broadcast choice, partial aggregation —
+  * where the per-operator gate queries stress semantics.
+  *
+  * Scale shape shared by all three: every dim hop (customer at 0.1% of
+  * lineitem, nation, region) broadcasts; the only shuffles are the
+  * fact aggregations; top-k is TakeOrderedAndProject, never a global
+  * sort. Revenue math follows the q06 decimal discipline (exact D2/D4
+  * sums, double only at the boundary).
+  */
+object TpchSuite {
+
+  private def revenue = (dec2(col("l_extendedprice")) *
+    (lit(1).cast(D2) - dec2(col("l_discount")))).cast(D4)
+
+  private val revenueSql =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"""
+
+  /** TPC-H Q3 shape: shipping-priority report — unshipped BUILDING
+    * orders placed before the cut whose lineitems shipped after it,
+    * top 10 order keys by discounted revenue.
+    */
+  val q130 = EngineQuery(
+    "q130_tpch_q3_shipping_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cut = lit("1999-06-01").cast("timestamp")
+      t.lineitem.filter(col("l_shipdate") > cut)
+        .join(t.orders.filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(toDouble(sum(revenue)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1999-06-01'
+               AND l_shipdate > TIMESTAMP '1999-06-01'
+             GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    bench = true)
+
+  /** TPC-H Q5 shape: local-supplier volume — revenue from lineitems
+    * where the supplier sits in the same nation as the customer,
+    * rolled up per nation for one region and year.
+    */
+  val q131 = EngineQuery(
+    "q131_tpch_q5_local_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lo = lit("1998-01-01").cast("timestamp")
+      val hi = lit("1999-01-01").cast("timestamp")
+      t.lineitem
+        .join(t.orders.filter(col("o_orderdate") >= lo &&
+          col("o_orderdate") < hi), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(toDouble(sum(revenue)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+               CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+               AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1998-01-01'
+               AND o_orderdate < TIMESTAMP '1999-01-01'
+             GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    bench = true)
+
+  /** TPC-H Q10 shape: returned-item losses — top 20 customers by
+    * revenue on RETURNED lineitems for one quarter of orders, with
+    * nation context.
+    */
+  val q132 = EngineQuery(
+    "q132_tpch_q10_returned_items",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lo = lit("1998-01-01").cast("timestamp")
+      val hi = lit("1998-04-01").cast("timestamp")
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(col("o_orderdate") >= lo &&
+          col("o_orderdate") < hi), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(toDouble(sum(revenue)).as("revenue"),
+          count(lit(1)).as("n_returned"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+               CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_returned
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE l_returnflag = 'R'
+               AND o_orderdate >= TIMESTAMP '1998-01-01'
+               AND o_orderdate < TIMESTAMP '1998-04-01'
+             GROUP BY c_custkey, c_name, n_name
+             ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] = Seq(q130, q131, q132)
+}
