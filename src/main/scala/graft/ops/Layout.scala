@@ -216,7 +216,12 @@ object Layout {
     (s, dir) => {
       val (lo, hi) = (3000L, 4499L)
       val (files, _) = zoneMapPrune(s, dir, lo, hi)
-      s.read.parquet(files: _*)
+      // zero overlapping zones (possible at tiny sf where the keyspace
+      // ends below lo): spark.read.parquet() rejects an empty path list,
+      // so fall back to the full layout — the re-applied predicate still
+      // makes the result correct (empty)
+      val src = if (files.isEmpty) Seq(ensureZonedOrders(s, dir)) else files
+      s.read.parquet(src: _*)
         .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),

@@ -195,4 +195,24 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  /** Streaming incremental exact dedup — the streaming twin of batch
+    * q46's crawl-vs-corpus shape, exact-hash form: documents arriving
+    * on a stream are dropped when their content key already exists in
+    * the STATIC corpus (stream-static left-anti equi-join — stateless,
+    * no watermark needed; Spark rescans only the new micro-batch, the
+    * static side is a bounded lookup). Within-stream duplicates are a
+    * separate concern (watermarked dropDuplicates, see dedupByKey).
+    * At 100 TB the static side is the corpus's content-key index, a
+    * bucketed table the join co-locates against.
+    */
+  def incrementalExactDedup(newDocs: DataFrame,
+      existing: DataFrame): DataFrame = {
+    val keys = existing
+      .select(md5(col("text")).as("content_key"))
+      .distinct()
+    newDocs
+      .withColumn("content_key", md5(col("text")))
+      .join(keys, Seq("content_key"), "left_anti")
+  }
 }

@@ -255,4 +255,33 @@ class StreamingSpec extends SparkTestBase {
       assert(math.abs(gotMap(k)._2 - v) < 1e-6, s"sum for user $k")
     }
   }
+
+  test("stream-static incremental exact dedup == batch anti-join twin") {
+    val t = Tables(spark, sfDir)
+    val existing = t.documents.filter(col("doc_id") % 2 === 0)
+    // stage the "new crawl" (odd ids) as a streaming source directory
+    // the crawl = odd ids PLUS re-crawled copies of 10 existing texts
+    // under fresh ids (the fixture has no cross-parity exact dups)
+    val recrawled = existing.limit(10)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val crawl = t.documents.filter(col("doc_id") % 2 === 1)
+      .unionByName(recrawled)
+    val dir = Files.createTempDirectory("graft_docs_stream")
+    crawl.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(t.documents.schema).parquet(dir.toString)
+    val got = runToMemory(
+      StreamingOps.incrementalExactDedup(stream, existing),
+      "incdedup", "append")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val want = crawl
+      .withColumn("content_key", md5(col("text")))
+      .join(existing.select(md5(col("text")).as("content_key")).distinct(),
+        Seq("content_key"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.length < crawl.count(),
+      "the re-crawled copies must be dropped")
+    assert(got.forall(_ < 10000L), "every re-crawled id must be dropped")
+    assert(got.toSeq == want.toSeq)
+  }
 }
