@@ -57,11 +57,12 @@ object Bench {
       }
       (q.name, times.min, times.head, ok)
     }
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }
+    // failed queries are excluded from the per-query map AND both
+    // totals: a fast failure must never improve the headline number or
+    // read as a per-query speedup when diffing rounds — the `failed`
+    // list is the only place a broken query appears
+    val qs = results.collect { case (k, v, _, true) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    // failed queries are excluded from BOTH totals: a fast failure must
-    // never improve the headline number — the `failed` list below makes
-    // the run incomparable, and the totals only cover green queries
     val total = results.collect { case (_, v, _, true) => v }.sum
     val rawTotal = results.collect { case (_, _, f, true) => f }.sum
     val failed = results.collect { case (k, _, _, false) => s""""$k"""" }

@@ -85,7 +85,13 @@ object MetadataExtractor {
       fks.foreach { case (fc, pt, pc) =>
         rels += Relationship(t.toLowerCase, fc, pt, pc)
       }
-      val fkMap = fks.map { case (fc, pt, pc) => fc -> s"$pt.$pc" }.toMap
+      // the reference shape has ONE foreign_key slot per column
+      // (db_connector.py:139); a column in several FK constraints keeps
+      // the first edge in deterministic order here — the relationships
+      // list above carries every edge
+      val fkMap = fks.sorted.groupBy(_._1).map { case (fc, edges) =>
+        fc -> { val (_, pt, pc) = edges.head; s"$pt.$pc" }
+      }
       val cols = drain(md.getColumns(null, schema, t, "%")) { r =>
         val name = r.getString("COLUMN_NAME").toLowerCase
         ColumnModel(

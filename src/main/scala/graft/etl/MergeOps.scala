@@ -35,12 +35,20 @@ object MergeOps {
     // still a never-matched target row, which standard MERGE keeps.
     // Key-nullness tests turn such rows' filters three-valued and
     // silently drop them on every incremental load.
-    val s = snapshot.withColumn("_s_present", lit(true)).alias("s")
-    val c = changes.withColumn("_c_present", lit(true)).alias("c")
+    // collision-proof internal flag names: a caller column with the
+    // same name would be silently replaced by withColumn and then
+    // emitted as the flag value by pick()
+    val spName = "_graft_s_present"
+    val cpName = "_graft_c_present"
+    require(!snapshot.columns.contains(spName) &&
+      !changes.columns.contains(cpName),
+      s"columns $spName/$cpName are reserved by merge()")
+    val s = snapshot.withColumn(spName, lit(true)).alias("s")
+    val c = changes.withColumn(cpName, lit(true)).alias("c")
     val sk = col(s"s.$key")
     val ck = col(s"c.$key")
-    val sp = col("s._s_present").isNotNull // never three-valued
-    val cp = col("c._c_present").isNotNull
+    val sp = col(s"s.$spName").isNotNull // never three-valued
+    val cp = col(s"c.$cpName").isNotNull
     val op = col(s"c.$opCol")
     val matched = sp && cp
     val takeChange = (matched && op === "U") || (!sp && op === "I")

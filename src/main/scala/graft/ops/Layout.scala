@@ -188,17 +188,34 @@ object Layout {
     */
   private[graft] def zoneMapPrune(s: org.apache.spark.sql.SparkSession,
       dir: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    import scala.jdk.CollectionConverters._
     val path = ensureZonedOrders(s, dir)
     // the manifest is one row per FILE (min/max key) — the same bounded
-    // metadata a table format (Delta/Iceberg) persists at commit time;
-    // collecting it to the driver is the manifest read, not a data read
-    val manifest = s.read.parquet(path)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
-      .collect()
+    // metadata a table format (Delta/Iceberg) persists at commit time.
+    // Read from the parquet FOOTERS (row-group statistics): O(files)
+    // driver-side metadata IO, zero data pages touched.
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    val manifest = files.flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val cs = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get.getStatistics
+          (cs.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            cs.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+        // a zero-row file has no row groups: no zone, matches nothing
+        if (stats.isEmpty) None
+        else Some((p.toString, stats.map(_._1).min, stats.map(_._2).max))
+      } finally reader.close()
+    }
     val selected = manifest
-      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0)).toSeq
+      .filter { case (_, kMin, kMax) => kMax >= lo && kMin <= hi }
+      .map(_._1).toSeq
     (selected, manifest.length)
   }
 

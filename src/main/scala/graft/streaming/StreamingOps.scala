@@ -208,11 +208,14 @@ object StreamingOps {
     */
   def incrementalExactDedup(newDocs: DataFrame,
       existing: DataFrame): DataFrame = {
-    val keys = existing
-      .select(md5(col("text")).as("content_key"))
-      .distinct()
+    // internal join key under a collision-proof name, dropped on the
+    // way out so the caller's schema passes through untouched
+    val k = "_graft_content_key"
+    require(!newDocs.columns.contains(k), s"column $k is reserved")
+    val keys = existing.select(md5(col("text")).as(k)).distinct()
     newDocs
-      .withColumn("content_key", md5(col("text")))
-      .join(keys, Seq("content_key"), "left_anti")
+      .withColumn(k, md5(col("text")))
+      .join(keys, Seq(k), "left_anti")
+      .drop(k)
   }
 }
