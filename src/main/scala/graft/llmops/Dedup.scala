@@ -398,5 +398,76 @@ object Dedup {
            WHERE d.doc_id % 2 = 1
            ORDER BY d.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** Span-level duplicate detection: fixed-length token-span
+    * fingerprints locate REGIONS of duplicated text inside otherwise
+    * distinct documents (boilerplate headers, quoted passages) — the
+    * failure mode whole-document dedup (q40-q45) cannot see. This is
+    * the fixed-gram approximation of exact substring dedup (suffix
+    * arrays are not a distributed-friendly structure; 8-token grams
+    * with per-doc duplicated-fraction are the standard scale-out
+    * substitute).
+    *
+    * Pipeline: each token hashed ONCE (native codegen CharPolyHash),
+    * then every 8-token span folds its 8 precomputed int64 token hashes
+    * through a positional polynomial — span hashing costs 8 multiply-
+    * adds, not 8 tokens of re-hashing (the naive per-span string hash
+    * was 50× slower at sf0.1). One hash-agg counts distinct docs per
+    * span; the (hash, doc-count) table joins back on the int64 hash;
+    * one per-doc agg. Shuffles carry the 8-byte span hash, never the
+    * span text, so bytes-over-the-wire is bounded by token count, not
+    * text size.
+    */
+  val q47 = EngineQuery(
+    "q47_dup_span_detection",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val SpanLen = 8
+      val toks = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= SpanLen)
+        .select(col("doc_id"), tokenHashes(col("ws")).as("ths"))
+      val spans = toks.select(col("doc_id"),
+        explode(spanHashes(col("ths"), SpanLen)).as("gh"))
+      val docsPerSpan = spans.groupBy(col("gh"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      spans.join(docsPerSpan, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast(DoubleType) /
+            col("n_spans").cast(DoubleType)).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([ascii(w[i])
+                    * ((i*i*2654435761 + i*97) % 1000000007)
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 8
+            ), g AS (
+              SELECT doc_id,
+                UNNEST([(${spanHashSql("ths", 8)})
+                        for i in range(1, len(ths)-6)]) AS gh
+              FROM th
+            ), ds AS (
+              SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gh
+            )
+            SELECT g.doc_id,
+              COUNT(*) AS n_spans,
+              CAST(SUM(CASE WHEN ds.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_spans,
+              CAST(SUM(CASE WHEN ds.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS dup_frac
+            FROM g JOIN ds ON g.gh = ds.gh
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -123,6 +123,43 @@ object PortableHash {
     */
   def tokens(text: Column): Column = split(trim(text), " ")
 
+  /** Positional multiplier m(j) as a compile-time constant (j small). */
+  def multConst(j: Int): Long =
+    ((j.toLong * j * 2654435761L) + j * 97L) % P
+
+  /** Per-token portable hash array — each token hashed ONCE with the
+    * native codegen'd CharPolyHash; empty tokens pin to 0 (both engines:
+    * `coalesce(list_sum([]) % P, 0)`). Materialize this as a column
+    * BEFORE span/bigram lambdas so the token pass runs once per row,
+    * not once per span.
+    */
+  def tokenHashes(ws: Column): Column =
+    transform(ws, w =>
+      coalesce(graft.functions.CharPolyHash.charPolyHash(w), lit(0L)))
+
+  /** Polynomial hash of the n-token span starting at 1-based index i of
+    * a precomputed token-hash array: SUM_d ths[i+d]·m(d+1) mod P with
+    * per-term reduction (every term ≤ P² < 2^63, the reduced sum ≤ n·P).
+    * Identical arithmetic is a one-liner in the DuckDB oracle.
+    */
+  def spanHash(ths: Column, i: Column, n: Int): Column =
+    (0 until n).map { d =>
+      element_at(ths, i + lit(d)) * lit(multConst(d + 1)) % P
+    }.reduce(_ + _) % P
+
+  /** All n-token span hashes of a token array (1 per start position). */
+  def spanHashes(ths: Column, n: Int): Column =
+    transform(sequence(lit(1), size(ths) - (n - 1)),
+      i => spanHash(ths, i, n))
+
+  /** DuckDB rendering of [[spanHash]] over list column `ths` and loop
+    * variable `i` — identical per-term-reduced arithmetic.
+    */
+  def spanHashSql(ths: String, n: Int): String =
+    (0 until n)
+      .map(d => s"$ths[i+$d]*${multConst(d + 1)} % $P")
+      .mkString("(", " + ", s") % $P")
+
   /** Distinct 3-word shingles of a token array (needs >= 3 tokens). */
   def shingles3(ws: Column): Column =
     array_distinct(transform(sequence(lit(1), size(ws) - 2),

@@ -244,5 +244,84 @@ object Sampling {
               FROM documents)
             ORDER BY shard, pos"""))
 
-  val all: Seq[EngineQuery] = Seq(q65, q66, q67, q75, q114, q115)
+  /** Per-source document cap (domain-frequency capping, the RefinedWeb /
+    * C4 "max N pages per host" rule): within each source keep the top
+    * `cap` documents by a quality key (longest text, ties on doc_id) and
+    * report what the cap rejected. One window shuffle partitioned by
+    * source — parallel across sources; a skewed mega-host bounds its
+    * partition at |host| log |host| sort cost, and at 100 TB the
+    * rank-then-filter runs per source-partition without any global stage.
+    */
+  val q77 = EngineQuery(
+    "q77_per_source_cap",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cap = 10
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= cap, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH rk AS (
+              SELECT doc_id, source, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(SUM(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+                AS kept_chars
+            FROM rk GROUP BY source ORDER BY source"""))
+
+  /** Deterministic train/validation/test split: multiplicative-hash
+    * bucket of doc_id → 80/10/10 assignment, with per-split size and
+    * token-mass accounting. Zero-shuffle assignment (a pure projection —
+    * the same row lands in the same split on any cluster, any partition
+    * layout, any run); the audit rollup is one 3-group hash-agg.
+    */
+  val q78 = EngineQuery(
+    "q78_train_val_test_split",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bucket = draw(col("doc_id"))
+      val split = when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+      t.documents
+        .select(split.as("split"), col("n_chars"),
+          (size(tokens(col("text")))).cast(LongType).as("n_words"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words")).as("sum_words"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH sp AS (
+              SELECT CASE
+                  WHEN (doc_id % 1000000007) * 2654435761 % 1000000007
+                    % 1000 < 800 THEN 'train'
+                  WHEN (doc_id % 1000000007) * 2654435761 % 1000000007
+                    % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+                n_chars,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words
+              FROM documents
+            )
+            SELECT split, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              CAST(SUM(n_words) AS BIGINT) AS sum_words
+            FROM sp GROUP BY split ORDER BY split"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q65, q66, q67, q75, q77, q78, q114, q115)
 }

@@ -254,11 +254,16 @@ object TextAnalysis {
     * ranking is unchanged (log is monotone); multi-term totals weight
     * rare terms more sharply than log-BM25.
     */
-  val q74 = EngineQuery(
-    "q74_bm25_search",
-    (s, dir) => {
+  /** Query terms shared by q74 (BM25 ranking) and q79 (hybrid rerank). */
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  /** BM25-scored documents for [[bm25Terms]] — (doc_id, score), unordered.
+    * The shared retrieval stage of q74/q79; see q74 for the scale shape.
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       val t = Tables(s, dir)
-      val terms = Seq("spark", "join", "window")
+      val terms = bm25Terms
       val toks = t.documents
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .filter(col("w").isin(terms: _*))
@@ -295,10 +300,10 @@ object TextAnalysis {
         .withColumn("score",
           col("s_spark") + col("s_join") + col("s_window"))
         .select(col("doc_id"), col("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(15)
-    },
-    Some("""WITH toks AS (
+  }
+
+  /** Oracle CTE block ending in `bm25(doc_id, score)` — shared q74/q79. */
+  private val bm25Ctes = """WITH toks AS (
               SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
               FROM documents
             ), tf AS (
@@ -337,12 +342,133 @@ object TextAnalysis {
                 MAX(CASE WHEN w = 'join' THEN c END) AS c_join,
                 MAX(CASE WHEN w = 'window' THEN c END) AS c_window
               FROM scored GROUP BY doc_id
-            )
-            SELECT doc_id,
-              COALESCE(c_spark, 0.0) + COALESCE(c_join, 0.0)
-                + COALESCE(c_window, 0.0) AS score
-            FROM per_term
-            ORDER BY score DESC, doc_id LIMIT 15"""))
+            ), bm25 AS (
+              SELECT doc_id,
+                COALESCE(c_spark, 0.0) + COALESCE(c_join, 0.0)
+                  + COALESCE(c_window, 0.0) AS score
+              FROM per_term
+            )"""
 
-  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73, q74)
+  val q74 = EngineQuery(
+    "q74_bm25_search",
+    (s, dir) => bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15),
+    Some(bm25Ctes +
+      """
+         SELECT doc_id, score FROM bm25
+         ORDER BY score DESC, doc_id LIMIT 15"""))
+
+  /** Bigram language-model quality score (the deterministic analog of
+    * CCNet-style perplexity filtering): score each document by the mean
+    * CORPUS frequency of its word bigrams — documents full of word
+    * sequences that occur nowhere else (mojibake, boilerplate noise,
+    * wrong-language fragments) score low.
+    *
+    * Scale shape: bigram explode is a pure map stage; the "language
+    * model" is one hash-agg over the int64 bigram hash (vocab²-bounded,
+    * never corpus-bounded); scoring is a hash join on that 8-byte key +
+    * one per-doc agg. All sums exact int64, division only at the
+    * boundary — the score is bit-identical across engines.
+    */
+  val q76 = EngineQuery(
+    "q76_bigram_lm_quality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), tokenHashes(col("ws")).as("ths"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(spanHashes(col("ths"), 2)).as("gh"))
+      val lm = bigrams.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+      bigrams.join(lm, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+          (col("sum_freq").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("avg_freq"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([ascii(w[i])
+                    * ((i*i*2654435761 + i*97) % 1000000007)
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 2
+            ), g AS (
+              SELECT doc_id,
+                UNNEST([(${spanHashSql("ths", 2)})
+                        for i in range(1, len(ths))]) AS gh
+              FROM th
+            ), lm AS (
+              SELECT gh, COUNT(*) AS freq FROM g GROUP BY gh
+            )
+            SELECT g.doc_id,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM(lm.freq) AS BIGINT) AS sum_freq,
+              CAST(SUM(lm.freq) AS DOUBLE) / COUNT(*) AS avg_freq
+            FROM g JOIN lm ON g.gh = lm.gh
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id"""),
+    bench = true)
+
+  /** Hybrid retrieval: BM25 keyword candidates re-ranked by embedding
+    * cosine — the standard two-stage search a training-data pipeline
+    * runs for contamination audits and eval-set curation. Stage 1
+    * (q74's scorer) bounds the candidate set to top-20; stage 2 joins
+    * just those 20 rows against the embedding store and re-ranks by
+    * exact fixed-point cosine to the query vector (vec_id 0).
+    *
+    * Scale shape: the expensive semantic math runs on |candidates|
+    * rows, never |corpus|; the candidate set broadcasts into the
+    * embedding join; the query vector is a 1-row broadcast.
+    */
+  val q79 = EngineQuery(
+    "q79_hybrid_search",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cand = bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .withColumnRenamed("score", "bm25")
+      val qv = broadcast(t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      broadcast(cand)
+        .join(t.embeddings, col("doc_id") === col("vec_id"))
+        .crossJoin(qv)
+        .select(col("doc_id"), col("bm25"),
+          exactDot(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(bm25Ctes +
+      """
+         , cand AS (
+             SELECT doc_id, score AS bm25 FROM bm25
+             ORDER BY score DESC, doc_id LIMIT 20
+           ), ex AS (
+             SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+               generate_subscripts(embedding, 1) pos
+             FROM embeddings
+           ), qv AS (SELECT * FROM ex WHERE vec_id = 0),
+           dots AS (
+             SELECT c.vec_id AS doc_id,
+               CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS cos
+             FROM ex c
+             JOIN qv q ON c.pos = q.pos
+             JOIN cand ON cand.doc_id = c.vec_id
+             GROUP BY c.vec_id
+           )
+           SELECT d.doc_id, cand.bm25, d.cos
+           FROM dots d JOIN cand ON cand.doc_id = d.doc_id
+           ORDER BY d.cos DESC, d.doc_id LIMIT 10"""))
+
+  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73, q74, q76, q79)
 }

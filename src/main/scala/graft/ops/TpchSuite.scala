@@ -134,5 +134,85 @@ object TpchSuite {
              ORDER BY revenue DESC, c_custkey LIMIT 20"""),
     bench = true)
 
-  val all: Seq[EngineQuery] = Seq(q130, q131, q132)
+  /** TPC-H Q18 shape: large-volume customers — orders whose total
+    * quantity exceeds a threshold, with customer context, top 20 by
+    * order value. Exercises aggregate-then-semi-join composition: the
+    * HAVING aggregate runs fact-side first and only qualifying order
+    * keys flow into the join path.
+    *
+    * Scale shape: the quantity rollup is one map-side-combined hash-agg
+    * on l_orderkey; the qualifying-keys set (rare by construction)
+    * broadcasts back against lineitem and orders, so the big side never
+    * shuffles twice; top-k is TakeOrderedAndProject.
+    */
+  val q133 = EngineQuery(
+    "q133_tpch_q18_large_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > lit(95).cast(D2))
+      t.orders
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), dec2(col("o_totalprice")).as("o_total"),
+          col("total_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), toDouble(col("o_total")).as("o_total"),
+          toDouble(col("total_qty")).as("total_qty"))
+        .orderBy(col("o_total").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""WITH big AS (
+              SELECT l_orderkey,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 95
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total,
+              CAST(total_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_total DESC, o_orderkey LIMIT 20"""),
+    bench = true)
+
+  /** TPC-H Q4 shape: order-priority checking — orders in one quarter
+    * that have at least one "late" lineitem (shipped after the order
+    * quarter ended), counted per priority. Exercises the EXISTS →
+    * left-semi-join path over the fact table.
+    *
+    * Scale shape: the semi-join shuffles each side once on the order
+    * key and keeps only key columns on the probe side; the final agg
+    * is a 5-group rollup. No date-straddle subquery runs per row.
+    */
+  val q134 = EngineQuery(
+    "q134_tpch_q4_priority_check",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lo = lit("1998-07-01").cast("timestamp")
+      val hi = lit("1998-10-01").cast("timestamp")
+      val late = t.lineitem.filter(col("l_shipdate") >= hi)
+        .select(col("l_orderkey"))
+      t.orders
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+              AND o_orderdate < TIMESTAMP '1998-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate >= TIMESTAMP '1998-10-01')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] = Seq(q130, q131, q132, q133, q134)
 }

@@ -168,4 +168,92 @@ class LlmopsSpec extends SparkTestBase {
       .orderBy(col("asset_id")).limit(5).collect()
     assert(rows.map(_.toString) sameElements again.map(_.toString))
   }
+
+  test("span dup detection: exact copies are fully duplicated, counts bounded") {
+    val t = Tables(spark, sfDir)
+    val out = Dedup.q47.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, nSpans, nDup, frac) =>
+      assert(nSpans > 0 && nDup >= 0 && nDup <= nSpans, s"doc $id counts")
+      assert(math.abs(frac - nDup.toDouble / nSpans) < 1e-12)
+    }
+    // planted corpus: two identical 10-token docs + one disjoint doc —
+    // the copies must be 100% duplicated spans, the unique doc 0%
+    import spark.implicits._
+    val dup = "a b c d e f g h i j"
+    val uniq = "k l m n o p q r s t"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q47").toString
+    Seq((0L, dup, "en", "s0", 19L), (1L, dup, "en", "s0", 19L),
+      (2L, uniq, "en", "s1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.q47.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(planted == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
+  }
+
+  test("bigram LM quality: scores >= 1, identical docs score identically") {
+    val t = Tables(spark, sfDir)
+    val out = TextAnalysis.q76.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every bigram occurs at least once (itself), so avg corpus freq >= 1
+    out.foreach { case (id, n, s, avg) =>
+      assert(n > 0 && s >= n, s"doc $id: sum_freq $s < n_bigrams $n")
+      assert(avg >= 1.0, s"doc $id avg_freq $avg")
+    }
+    val texts = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byText = out.groupBy(r => texts(r._1))
+    byText.values.filter(_.length >= 2).foreach { grp =>
+      assert(grp.map(_._4).distinct.length == 1,
+        "identical texts diverged in avg_freq")
+    }
+  }
+
+  test("per-source cap: caps bind, totals preserved") {
+    val t = Tables(spark, sfDir)
+    val out = Sampling.q77.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perSource = t.documents.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == perSource.keySet)
+    out.foreach { case (src, nDocs, nKept, keptChars) =>
+      assert(nDocs == perSource(src))
+      assert(nKept == math.min(10L, nDocs), s"$src kept $nKept of $nDocs")
+      assert(keptChars > 0)
+    }
+  }
+
+  test("train/val/test split partitions the corpus deterministically") {
+    val t = Tables(spark, sfDir)
+    val out = Sampling.q78.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(Set("train", "val", "test")))
+    assert(out.values.sum == t.documents.count())
+    // 80/10/10 by construction of the hash buckets — loose bounds at
+    // this tiny sf, but train must dominate
+    assert(out("train") > out.getOrElse("val", 0L))
+    assert(out("train") > out.getOrElse("test", 0L))
+    val again = Sampling.q78.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("hybrid search: candidates come from BM25, order is by cosine") {
+    val hybrid = TextAnalysis.q79.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(hybrid.nonEmpty && hybrid.length <= 10)
+    // every hybrid hit is within the BM25 top-20 candidate pool
+    val bm25Top20 = TextAnalysis.q74.run(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet // q74 returns top-15 of the same scorer
+    // at least the head of the candidate pool overlaps
+    assert(hybrid.map(_._1).count(bm25Top20.contains) >= hybrid.length - 5)
+    // descending cosine with doc_id tiebreak
+    val cosOrder = hybrid.map(h => (-h._3, h._1)).toSeq
+    assert(cosOrder == cosOrder.sorted, "not ordered by (cos desc, doc_id)")
+    hybrid.foreach { case (_, _, cos) =>
+      assert(cos >= -1.01 && cos <= 1.01, s"cosine out of range: $cos")
+    }
+  }
 }
