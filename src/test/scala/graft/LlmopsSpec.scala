@@ -169,6 +169,24 @@ class LlmopsSpec extends SparkTestBase {
     assert(rows.map(_.toString) sameElements again.map(_.toString))
   }
 
+  test("PQ (ADC+refine) ANN recall vs the exact top-k") {
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val pq = graft.llmops.Similarity.q56.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(pq.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      (pq(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ mean recall@8 = $mean%.3f")
+    // 64x-compressed codes + exact refine of a 32-candidate shortlist;
+    // random unit vectors are the worst case for any quantized index
+    // (see the q55 note) — measured 0.59 here, floor at 0.45
+    assert(mean >= 0.45, f"PQ recall degraded: $mean%.3f")
+  }
+
   test("span dup detection: exact copies are fully duplicated, counts bounded") {
     val t = Tables(spark, sfDir)
     val out = Dedup.q47.run(spark, sfDir).collect()
