@@ -19,7 +19,9 @@ object ExplainAudit {
     "q88_bucketed_colocated_join", "q93_asof_join",
     "q96_cohort_retention", "q106_dynamic_partition_pruning",
     "q107_fuzzy_blocked_join", "q46_dedup_incremental",
-    "q74_bm25_search", "q118_snapshot_diff", "q121_bloom_join_pruning")
+    "q74_bm25_search", "q118_snapshot_diff", "q121_bloom_join_pruning",
+    "q47_dup_span_detection", "q56_knn_pq", "q79_hybrid_search",
+    "q133_tpch_q18_large_orders", "q134_tpch_q4_priority_check")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -129,7 +131,36 @@ object ExplainAudit {
         "filtered join side (might_contain), so non-joining rows die " +
         "at the scan, not on the shuffle",
         planOf(spark, byName, sfDir, "q121_bloom_join_pruning")
-          .contains("might_contain")))
+          .contains("might_contain")),
+      ("q47 span-dedup shuffles on the int64 span hash (hash equi-join " +
+        "on gh), never the span text, and plans no cartesian stage", {
+        val p = planOf(spark, byName, sfDir, "q47_dup_span_detection")
+        "keys \\[1\\]: \\[gh#\\d+L?\\]".r.findFirstIn(p).isDefined &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q56 PQ broadcasts the codebook and the per-query ADC table; " +
+        "the refine shortlist is also broadcast — no shuffle ever " +
+        "carries raw vectors to the probe", {
+        val p = planOf(spark, byName, sfDir, "q56_knn_pq")
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q79 hybrid search broadcasts the bounded BM25 candidate set " +
+        "into the embedding probe (semantic stage never shuffles the " +
+        "corpus)", {
+        val p = planOf(spark, byName, sfDir, "q79_hybrid_search")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q133 Q18-shape broadcasts the qualifying-order-keys aggregate " +
+        "back against orders (aggregate-then-join, fact never " +
+        "re-shuffles)", {
+        val p = planOf(spark, byName, sfDir, "q133_tpch_q18_large_orders")
+        p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject")
+      }),
+      ("q134 Q4-shape plans EXISTS as a LeftSemi join (no row " +
+        "multiplication, no per-row subquery)",
+        planOf(spark, byName, sfDir, "q134_tpch_q4_priority_check")
+          .contains("LeftSemi")))
 
     val summary = checks.map { case (label, ok) =>
       s"- [${if (ok) "x" else " "}] $label"
