@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.ops.Det._
@@ -217,5 +217,39 @@ object StreamingOps {
       .withColumn(k, md5(col("text")))
       .join(keys, Seq(k), "left_anti")
       .drop(k)
+  }
+
+  /** Streaming per-source quota enforcement — the streaming twin of
+    * batch q77's domain-frequency cap: admit documents from a source
+    * only while its running admitted-count is below the cap, across
+    * micro-batches. State per key is ONE long (the admitted count),
+    * so memory is bounded by |sources|, never by the stream.
+    *
+    * Admission order within a batch is deterministic (doc_id order via
+    * the sorted buffer) so replays admit the same documents — the same
+    * reproducibility contract as the batch rule. flatMapGroupsWithState
+    * because each input row maps to 0-or-1 outputs.
+    */
+  final case class Admitted(doc_id: Long, source: String)
+
+  def sourceQuota(spark: SparkSession, docs: DataFrame,
+      cap: Long): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _) =>
+            if (admitted < cap) { admitted += 1; Some(Admitted(id, src)) }
+            else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF()
   }
 }

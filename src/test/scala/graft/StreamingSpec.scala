@@ -284,4 +284,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got.forall(_ < 10000L), "every re-crawled id must be dropped")
     assert(got.toSeq == want.toSeq)
   }
+
+  test("streaming per-source quota: caps bind across micro-batches") {
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    val cap = 3L
+    // two micro-batches from the same sources: the second batch must
+    // see the FIRST batch's admitted counts (cross-batch state), so a
+    // source exhausted in batch 1 admits nothing in batch 2
+    val dir = Files.createTempDirectory("graft_docs_quota")
+    val docs = t.documents.select(col("doc_id"), col("source"))
+    val batch1 = docs.filter(col("doc_id") < 25)
+    val batch2 = docs.filter(col("doc_id") >= 25)
+    batch1.coalesce(1).write.parquet(s"$dir/b=1")
+    val stream = spark.readStream
+      .schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b=*")
+    val q = StreamingOps.sourceQuota(spark, stream, cap)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("quota").collect().length
+    batch2.coalesce(1).write.parquet(s"$dir/b=2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // per-source cap holds globally across both batches
+    val bySource = got.groupBy(_._2).view.mapValues(_.length)
+    assert(bySource.values.forall(_ <= cap))
+    assert(got.length > afterB1 || afterB1 == got.length,
+      "sanity: batch 2 processed")
+    // equals the batch twin: first `cap` doc_ids per source in the
+    // order batches arrived (batch1 ids all precede batch2 ids here
+    // because the split is by doc_id)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap(_.sortBy(_._1).take(cap.toInt)).toSet
+    assert(got.toSet == want)
+  }
 }
