@@ -216,4 +216,47 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(out.columns.contains("y"))
     assert(new java.io.File(s"$wh/processed_orders").exists())
   }
+
+  test("schema drift: added/removed/widened classified; ingest unions cleanly") {
+    import spark.implicits._
+    import graft.etl.SchemaEvolution
+    import graft.etl.SchemaEvolution._
+    import org.apache.spark.sql.types._
+    val existing = Seq((1, "a", 1.5f), (2, "b", 2.5f))
+      .toDF("id", "name", "score")
+    val incoming = Seq((3L, 9.5, "fresh"), (4L, 8.0, "fresh2"))
+      .toDF("id", "score", "note")           // name removed, note added,
+                                             // id int->long, score f->d
+    val drifts = SchemaEvolution
+      .driftReport(existing.schema, incoming.schema)
+    assert(drifts.contains(Added("note", StringType)))
+    assert(drifts.contains(Removed("name", StringType)))
+    assert(drifts.contains(Widened("id", IntegerType, LongType)))
+    assert(drifts.contains(Widened("score", FloatType, DoubleType)))
+
+    val out = SchemaEvolution.ingest(existing, incoming)
+      .orderBy(col("id"))
+    assert(out.schema("id").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.columns.toSeq == Seq("id", "name", "score", "note"))
+    val rows = out.collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(1) == "a" && rows(0).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).getString(3) == "fresh")
+    assert(rows(3).getDouble(2) == 8.0)
+  }
+
+  test("schema drift: breaking type change refuses the ingest") {
+    import spark.implicits._
+    import graft.etl.SchemaEvolution
+    val existing = Seq((1, "a")).toDF("id", "v")
+    val incoming = Seq((2, 7L)).toDF("id", "v")  // string -> long: breaking
+    val drifts = SchemaEvolution
+      .driftReport(existing.schema, incoming.schema)
+    assert(drifts.exists(_.isInstanceOf[SchemaEvolution.Breaking]))
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.ingest(existing, incoming).collect()
+    }
+    assert(e.getMessage.contains("breaking schema drift refused"))
+  }
 }
