@@ -386,6 +386,52 @@ object EventOps {
               ON d.event_type = s.event_type AND d.day = s.day
             ORDER BY s.event_type, s.day"""))
 
+  /** Session-path mining: top event-type transitions within 30-minute
+    * sessions — the product-analytics "what do users do next" query
+    * (and, for training-data pipelines, the n-gram statistics of event
+    * sequences). A transition is (prev_type → type) between CONSECUTIVE
+    * events of the same user with no session break between them.
+    *
+    * Scale shape: ONE exchange on user_id serves both the session-break
+    * flag and the lag — the transition is `lag(event_type)` over the
+    * same (user, ts) window, kept only where no break occurred, so no
+    * second (user, session)-keyed shuffle exists. The count rollup
+    * aggregates |event_type|² groups; top-k is TakeOrderedAndProject.
+    */
+  val q122 = EngineQuery(
+    "q122_event_transitions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      t.events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("brk",
+          col("prev_type").isNull ||
+            (unix_micros(col("ts")) - prevUs) >= 1800000000L)
+        .filter(!col("brk"))
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("prev_type"), col("event_type"))
+        .limit(15)
+    },
+    Some("""WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                (lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE) AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM s WHERE NOT brk
+            GROUP BY prev_type, event_type
+            ORDER BY n DESC, prev_type, event_type LIMIT 15"""),
+    bench = true)
+
   val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96,
-    q111, q113)
+    q111, q113, q122)
 }
