@@ -243,4 +243,59 @@ class PropertySpec extends SparkTestBase {
       assert(got == ref.toMap, s"trial $trial")
     }
   }
+
+  test("spanHashes: count, shift-sensitivity, and driver-side reference") {
+    import spark.implicits._
+    val p = 1000000007L
+    def refTok(s: String): Long =
+      if (s.isEmpty) 0L else CharPolyHash.hash(s)
+    def refSpan(ths: Seq[Long], i: Int, n: Int): Long =
+      (0 until n).map { d =>
+        val m = ((d + 1).toLong * (d + 1) * 2654435761L + (d + 1) * 97L) % p
+        ths(i + d) * m % p
+      }.sum % p
+    (1 to 20).foreach { trial =>
+      val n = 2 + rnd.nextInt(3) // span lengths 2..4
+      val words = Array.fill(3 + rnd.nextInt(30))(
+        String.valueOf(Array.fill(1 + rnd.nextInt(8))(
+          ('a' + rnd.nextInt(26)).toChar)))
+      val got = Seq(words.mkString(" ")).toDF("text")
+        .select(PortableHash.spanHashes(
+          PortableHash.tokenHashes(PortableHash.tokens(col("text"))), n))
+        .head().getSeq[Long](0)
+      val ths = words.toSeq.map(refTok)
+      val want = (0 to words.length - n).map(i => refSpan(ths, i, n))
+      assert(got == want, s"trial $trial (n=$n)")
+      assert(got.length == math.max(0, words.length - n + 1))
+    }
+    // shifting a window by one token must change the hash (positional)
+    val ths = Seq("aa", "bb", "cc", "dd").map(refTok)
+    assert(refSpan(ths, 0, 3) != refSpan(ths, 1, 3))
+  }
+
+  test("SchemaEvolution: ingest preserves rows; alignTo is idempotent") {
+    import spark.implicits._
+    import graft.etl.SchemaEvolution
+    (1 to 10).foreach { trial =>
+      val a = (1 to 1 + rnd.nextInt(20))
+        .map(i => (i, s"n$i", rnd.nextInt(100)))
+        .toDF("id", "name", "x")
+      val dropName = rnd.nextBoolean()
+      val b0 = (1 to 1 + rnd.nextInt(20))
+        .map(i => (i.toLong, s"m$i", rnd.nextDouble()))
+        .toDF("id", "name", "y") // id widened, y added
+      val b = if (dropName) b0.drop("name") else b0
+      val out = SchemaEvolution.ingest(a, b)
+      assert(out.count() == a.count() + b.count(), s"trial $trial rows")
+      // evolved schema is a fixpoint: aligning the result again is a no-op
+      val again = SchemaEvolution.alignTo(out.schema, out)
+      assert(again.schema == out.schema)
+      assert(again.count() == out.count())
+      // every original (id, x) survives
+      val xs = out.select(col("id"), col("x")).na.drop()
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = a.collect().map(r => (r.getInt(0).toLong, r.getInt(2))).toSet
+      assert(xs == want, s"trial $trial x-survival")
+    }
+  }
 }
