@@ -468,6 +468,77 @@ object Dedup {
             ORDER BY g.doc_id"""),
     bench = true)
 
+  /** Cross-split leakage detection: how much of each TEST document's
+    * text already exists in the TRAIN split, at 8-token span
+    * granularity — the decontamination audit every train/eval split
+    * needs (doc-level dedup misses a test answer pasted inside a long
+    * train doc; span fingerprints don't). Splits are q78's hash rule,
+    * so the audit composes with the split operator it guards.
+    *
+    * Scale shape: identical to q47 — the train span INDEX is a distinct
+    * int64 hash set (one hash-agg), the probe is a left-semi-join of
+    * test spans against it, per-doc rollup last. Nothing is quadratic;
+    * the train side would be a persisted bucketed index in production.
+    */
+  val q48 = EngineQuery(
+    "q48_cross_split_leakage",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val SpanLen = 8
+      val bucket = ((col("doc_id") % P) * lit(2654435761L)) % P % 1000L
+      val spans = t.documents
+        .select(col("doc_id"), bucket.as("bk"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= SpanLen)
+        .select(col("doc_id"), col("bk"),
+          explode(spanHashes(tokenHashes(col("ws")), SpanLen)).as("gh"))
+      val trainIdx = spans.filter(col("bk") < 800)
+        .select(col("gh")).distinct()
+      val testSpans = spans.filter(col("bk") >= 900)
+        .select(col("doc_id"), col("gh")).distinct()
+      val leaked = testSpans.join(trainIdx, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+      testSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        .join(leaked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          (coalesce(col("n_leaked"), lit(0L)).cast(DoubleType) /
+            col("n_spans").cast(DoubleType)).as("leak_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id,
+                (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bk,
+                string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id, bk,
+                [coalesce(list_sum([ascii(w[i])
+                    * ((i*i*2654435761 + i*97) % 1000000007)
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 8
+            ), g AS (
+              SELECT doc_id, bk,
+                UNNEST([(${spanHashSql("ths", 8)})
+                        for i in range(1, len(ths)-6)]) AS gh
+              FROM th
+            ), train_idx AS (
+              SELECT DISTINCT gh FROM g WHERE bk < 800
+            ), test_spans AS (
+              SELECT DISTINCT doc_id, gh FROM g WHERE bk >= 900
+            ), leaked AS (
+              SELECT t.doc_id, COUNT(*) AS n_leaked
+              FROM test_spans t SEMI JOIN train_idx x ON t.gh = x.gh
+              GROUP BY t.doc_id
+            )
+            SELECT t.doc_id, COUNT(*) AS n_spans,
+              CAST(COALESCE(MAX(l.n_leaked), 0) AS BIGINT) AS n_leaked,
+              CAST(COALESCE(MAX(l.n_leaked), 0) AS DOUBLE) / COUNT(*)
+                AS leak_frac
+            FROM test_spans t LEFT JOIN leaked l ON t.doc_id = l.doc_id
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -211,6 +211,36 @@ class LlmopsSpec extends SparkTestBase {
     assert(planted == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
   }
 
+  test("cross-split leakage: planted train->test span overlap is reported") {
+    import spark.implicits._
+    // bucket rule: doc 0/1/2 -> train (<800), doc 4/8 -> test (>=900)
+    val shared = "the quick brown fox jumps over the lazy dog"  // 9 tokens
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q48").toString
+    Seq(
+      (0L, s"prefix words $shared suffix words", "en", "s0", 1L), // train
+      (1L, "completely different training text with enough tokens here",
+        "en", "s0", 1L),                                          // train
+      (4L, s"$shared and an original tail of text", "en", "s1", 1L), // test: leaks
+      (8L, "a test document sharing nothing with any train doc at all",
+        "en", "s1", 1L))                                          // test: clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.q48.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(4L, 8L), "only test-split docs audited")
+    assert(out(4L)._2 >= 1, "shared span must be flagged as leaked")
+    assert(out(8L)._2 == 0, "clean doc must report zero leakage")
+    // fixture invariants: leaked counts bounded, fraction consistent
+    val fix = Dedup.q48.run(spark, sfDir).collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      val (n, l, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(l >= 0 && l <= n)
+      assert(math.abs(f - l.toDouble / n) < 1e-12)
+    }
+  }
+
   test("bigram LM quality: scores >= 1, identical docs score identically") {
     val t = Tables(spark, sfDir)
     val out = TextAnalysis.q76.run(spark, sfDir).collect()
