@@ -322,6 +322,73 @@ object Sampling {
               CAST(SUM(n_words) AS BIGINT) AS sum_words
             FROM sp GROUP BY split ORDER BY split"""))
 
+  /** Temperature-based corpus mixing (α = 0.5): per-language sampling
+    * targets proportional to n^α instead of n — the standard
+    * multilingual rebalancing rule (dominant languages flatten, rare
+    * ones up-weight). The fixture's English share drops from ~44% of
+    * docs to ~30% of the mixed sample.
+    *
+    * Determinism across engines: sqrt is IEEE-correctly-rounded in both
+    * JVMs and libm, the weight is floor(sqrt(n)·1e9) int64, and the
+    * target allocation is exact integer arithmetic (B·w div ΣW) — no
+    * float accumulates anywhere. Selection inside a language is the
+    * hash-draw order (q65's rule), so the same docs are chosen on any
+    * cluster. Scale shape: weights/targets are a |langs|-row broadcast;
+    * selection is one per-lang window over pre-hash-ordered rows.
+    */
+  val q49 = EngineQuery(
+    "q49_temperature_mixing",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val budget = 100L
+      val n = t.documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = n.withColumn("wt",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast(LongType))
+      val tot = w.agg(sum(col("wt")).as("tw"))
+      val tgt = w.crossJoin(broadcast(tot))
+        .withColumn("target", expr(s"($budget * wt) div tw"))
+        .select(col("lang"), col("n_docs"), col("target"))
+      val ord = (col("doc_id") % P) * lit(2654435761L) % P
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(ord, col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(wRank))
+        .join(broadcast(tgt), Seq("lang"))
+        .filter(col("rk") <= col("target"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("target")).as("target"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH n AS (
+              SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n_docs,
+                CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS wt
+              FROM n
+            ), tot AS (SELECT SUM(wt) AS tw FROM w),
+            tgt AS (
+              SELECT lang, n_docs,
+                CAST((100 * wt) // tw AS BIGINT) AS target
+              FROM w CROSS JOIN tot
+            ), rk AS (
+              SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007,
+                    doc_id) AS rk
+              FROM documents
+            )
+            SELECT r.lang, MAX(t.n_docs) AS n_docs, MAX(t.target) AS target,
+              COUNT(*) AS n_kept, CAST(SUM(r.n_chars) AS BIGINT) AS kept_chars
+            FROM rk r JOIN tgt t ON r.lang = t.lang
+            WHERE r.rk <= t.target
+            GROUP BY r.lang ORDER BY r.lang"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q65, q66, q67, q75, q77, q78, q114, q115)
+    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115)
 }

@@ -259,6 +259,24 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mixing flattens the dominant language (alpha=0.5)") {
+    val t = Tables(spark, sfDir)
+    val out = Sampling.q49.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val totDocs = out.map(_._2).sum.toDouble
+    val totKept = out.map(_._4).sum.toDouble
+    out.foreach { case (lang, nDocs, target, nKept) =>
+      assert(nKept == math.min(target, nDocs), s"$lang kept")
+      val natural = nDocs / totDocs
+      val mixed = nKept / totKept
+      // sqrt-weighting: above-average languages shrink, below-average grow
+      if (natural > 1.2 / out.length)
+        assert(mixed < natural + 1e-9, s"$lang should flatten")
+    }
+    assert(totKept <= 100 && totKept > 50, "budget roughly consumed")
+  }
+
   test("per-source cap: caps bind, totals preserved") {
     val t = Tables(spark, sfDir)
     val out = Sampling.q77.run(spark, sfDir).collect()
