@@ -21,7 +21,8 @@ object ExplainAudit {
     "q107_fuzzy_blocked_join", "q46_dedup_incremental",
     "q74_bm25_search", "q118_snapshot_diff", "q121_bloom_join_pruning",
     "q47_dup_span_detection", "q56_knn_pq", "q79_hybrid_search",
-    "q133_tpch_q18_large_orders", "q134_tpch_q4_priority_check")
+    "q133_tpch_q18_large_orders", "q134_tpch_q4_priority_check",
+    "q48_cross_split_leakage", "q49_temperature_mixing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -160,7 +161,16 @@ object ExplainAudit {
       ("q134 Q4-shape plans EXISTS as a LeftSemi join (no row " +
         "multiplication, no per-row subquery)",
         planOf(spark, byName, sfDir, "q134_tpch_q4_priority_check")
-          .contains("LeftSemi")))
+          .contains("LeftSemi")),
+      ("q48 leakage audit probes the train-span index with a LeftSemi " +
+        "join on the int64 span hash", {
+        val p = planOf(spark, byName, sfDir, "q48_cross_split_leakage")
+        p.contains("LeftSemi") && !p.contains("CartesianProduct")
+      }),
+      ("q49 temperature mixing broadcasts the |langs|-row target table " +
+        "into the selection window",
+        planOf(spark, byName, sfDir, "q49_temperature_mixing")
+          .contains("BroadcastHashJoin")))
 
     val summary = checks.map { case (label, ok) =>
       s"- [${if (ok) "x" else " "}] $label"
