@@ -214,5 +214,87 @@ object TpchSuite {
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     bench = true)
 
-  val all: Seq[EngineQuery] = Seq(q130, q131, q132, q133, q134)
+  /** TPC-H Q14 shape: promotion-revenue share — the fraction of one
+    * quarter's discounted revenue earned by PROMO-type parts.
+    * Exercises conditional aggregation over a fact⋈dim join: one CASE
+    * inside the SUM, no second pass.
+    *
+    * Scale shape: part broadcasts (dim); lineitem scans once with the
+    * date filter pushed down; the whole answer is one map-side-combined
+    * aggregate — no GROUP BY shuffle at all (scalar agg). The share is
+    * a ratio of two exact decimal sums, cast to double only at the end.
+    */
+  val q135 = EngineQuery(
+    "q135_tpch_q14_promo_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lo = lit("1998-01-01").cast("timestamp")
+      val hi = lit("1998-04-01").cast("timestamp")
+      t.lineitem
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast(D4))).as("promo"),
+          sum(revenue).as("total"))
+        .select(toDouble(col("promo")).as("promo_revenue"),
+          toDouble(col("total")).as("total_revenue"),
+          (toDouble(col("promo")) * lit(100.0) / toDouble(col("total")))
+            .as("promo_share_pct"))
+    },
+    Some(s"""SELECT
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 * 100.0
+                 / CAST(SUM($revenueSql) AS DOUBLE) AS promo_share_pct
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+               AND l_shipdate < TIMESTAMP '1998-04-01'"""),
+    bench = true)
+
+  /** TPC-H Q12 shape (adapted to the fixture's columns): late-shipment
+    * share per order priority — lineitems shipped more than 90 days
+    * after their order date, as a count and share of each priority
+    * class. Exercises fact⋈fact join + conditional aggregation with an
+    * interval predicate.
+    *
+    * Scale shape: one shuffle each side on the order key (or zero with
+    * q88's bucketed layout); the conditional rollup is 5 groups with
+    * map-side partials; interval comparison is a per-row predicate, no
+    * date table.
+    */
+  val q136 = EngineQuery(
+    "q136_tpch_q12_late_share",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val late = col("l_shipdate") >=
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(late, 1L).otherwise(0L)).as("n_late"))
+        .select(col("o_orderpriority"), col("n_items"), col("n_late"),
+          (col("n_late").cast("double") / col("n_items").cast("double"))
+            .as("late_share"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+              CAST(SUM(CASE WHEN l_shipdate >= o_orderdate
+                              + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+              CAST(SUM(CASE WHEN l_shipdate >= o_orderdate
+                              + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS late_share
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    bench = true)
+
+  val all: Seq[EngineQuery] =
+    Seq(q130, q131, q132, q133, q134, q135, q136)
 }
