@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scaling evidence for the text/dedup family.
+  *
+  * Generates a synthetic corpus of UNIQUE documents (deterministic
+  * token stream keyed on (doc_id, position) — no planted duplicates, so
+  * pair spaces stay linear and the measurement isolates the engine's
+  * scaling, not the data's duplication rate) at two sizes (n and n/8),
+  * runs the heavy text operators on both, and prints the wall-time
+  * ratio. A shuffle-bounded operator should scale ~linearly in corpus
+  * size (ratio ≈ size ratio, modulo fixed overhead); a quadratic stage
+  * would show immediately.
+  *
+  * Usage: runMain graft.ScaleSmoke [nDocs] [tokensPerDoc]
+  * Output: one JSON line per operator with both times and the ratio.
+  */
+object ScaleSmoke {
+
+  private def synth(spark: SparkSession, n: Long, toks: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(toks)),
+        i => concat(lit("w"),
+          pmod(hash(col("id") * 131 + i), lit(30000))))).as("text"),
+      lit("en").as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+      lit(toks.toLong * 6).as("n_chars"))
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val toks = args.lift(1).map(_.toInt).getOrElse(120)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "q40_dedup_exact" -> (d => llmops.Dedup.q40.run(spark, d)),
+      "q41_dedup_minhash_lsh" -> (d => llmops.Dedup.q41.run(spark, d)),
+      "q43_dedup_ngram_jaccard" -> (d => llmops.Dedup.q43.run(spark, d)),
+      "q47_dup_span_detection" -> (d => llmops.Dedup.q47.run(spark, d)),
+      "q76_bigram_lm_quality" -> (d => llmops.TextAnalysis.q76.run(spark, d)))
+
+    val sizes = Seq(n / 8, n)
+    val dirs = sizes.map { sz =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_$sz").toString
+      synth(spark, sz, toks).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      sz -> dir
+    }
+    // warmup: touch both corpora once so IO caches are comparable
+    dirs.foreach { case (_, d) =>
+      spark.read.parquet(s"$d/documents.parquet").count() }
+
+    ops.foreach { case (name, run) =>
+      val res = dirs.map { case (sz, d) =>
+        val (sec, rows) = timed(run(d).count())
+        (sz, sec, rows)
+      }
+      val (s1, t1, r1) = res.head
+      val (s2, t2, r2) = res.last
+      val ratio = t2 / t1
+      println(f"""{"op":"$name","n_small":$s1,"sec_small":$t1%.2f,""" +
+        f""""rows_small":$r1,"n_big":$s2,"sec_big":$t2%.2f,""" +
+        f""""rows_big":$r2,"time_ratio":$ratio%.2f,""" +
+        f""""size_ratio":${s2.toDouble / s1}%.1f}""")
+    }
+    spark.stop()
+  }
+}
