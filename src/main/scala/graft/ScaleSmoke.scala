@@ -29,6 +29,27 @@ object ScaleSmoke {
       concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
       lit(toks.toLong * 6).as("n_chars"))
 
+  /** Synthetic events with the fixture's physical layout (ts stored as
+    * int64 NANOS, matching what Tables#events expects to convert):
+    * n events over ~90 days, n/50 users, 5 event types.
+    */
+  private def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    val baseNs = 1735689600000000000L // 2025-01-01 UTC in nanos
+    spark.range(n).select(
+      col("id").as("event_id"),
+      (lit(baseNs) + (pmod(hash(col("id") * 7), lit(7776000)).cast("long")
+        * lit(1000000000L))).as("ts"),
+      pmod(hash(col("id") * 13), lit(4000)).cast("long").as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("signup"), lit("purchase"),
+          lit("refund")),
+        (pmod(hash(col("id") * 17), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(hash(col("id") * 19), lit(10000)).cast("double") / 100.0)
+        .as("value"),
+      lit("{}").as("props"))
+  }
+
   private def timed(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val rows = f
@@ -54,19 +75,26 @@ object ScaleSmoke {
       "q47_dup_span_detection" -> (d => llmops.Dedup.q47.run(spark, d)),
       "q76_bigram_lm_quality" -> (d => llmops.TextAnalysis.q76.run(spark, d)))
 
+    val eventOps: Seq[(String, String => DataFrame)] = Seq(
+      "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),
+      "q122_event_transitions" -> (d => graft.ops.EventOps.q122.run(spark, d)))
+
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_scale_$sz").toString
       synth(spark, sz, toks).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
+      synthEvents(spark, sz * 5).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
       sz -> dir
     }
     // warmup: touch both corpora once so IO caches are comparable
     dirs.foreach { case (_, d) =>
-      spark.read.parquet(s"$d/documents.parquet").count() }
+      spark.read.parquet(s"$d/documents.parquet").count()
+      spark.read.parquet(s"$d/events.parquet").count() }
 
-    ops.foreach { case (name, run) =>
+    (ops ++ eventOps).foreach { case (name, run) =>
       val res = dirs.map { case (sz, d) =>
         val (sec, rows) = timed(run(d).count())
         (sz, sec, rows)
