@@ -31,7 +31,9 @@ object ScaleSmoke {
 
   /** Synthetic events with the fixture's physical layout (ts stored as
     * int64 NANOS, matching what Tables#events expects to convert):
-    * n events over ~90 days, n/50 users, 5 event types.
+    * n events over ~90 days, a fixed population of 4000 users (so
+    * growing n deepens per-user histories rather than widening the
+    * key space — the harder case for the windowed operators), 5 types.
     */
   private def synthEvents(spark: SparkSession, n: Long): DataFrame = {
     val baseNs = 1735689600000000000L // 2025-01-01 UTC in nanos

@@ -43,11 +43,18 @@ object SchemaEvolution {
       case (LongType, ByteType | ShortType | IntegerType) => Some(LongType)
       case (ByteType | ShortType, IntegerType) => Some(IntegerType)
       case (IntegerType, ByteType | ShortType) => Some(IntegerType)
+      case (ByteType, ShortType) | (ShortType, ByteType) => Some(ShortType)
       case (FloatType, DoubleType) | (DoubleType, FloatType) =>
         Some(DoubleType)
       case (x: DecimalType, y: DecimalType) =>
-        Some(DecimalType(math.max(x.precision, y.precision),
-          math.max(x.scale, y.scale)))
+        // widen BOTH the integer digits and the scale: max(precision),
+        // max(scale) can LOSE integer digits — DECIMAL(10,2) vs
+        // DECIMAL(8,6) would yield DECIMAL(10,6) with only 4 integer
+        // digits, silently nulling existing large values on the cast
+        val intDigits = math.max(x.precision - x.scale,
+          y.precision - y.scale)
+        val scale = math.max(x.scale, y.scale)
+        Some(DecimalType(math.min(intDigits + scale, 38), scale))
       case _ => None
     }
 

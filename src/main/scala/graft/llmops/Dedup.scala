@@ -485,9 +485,9 @@ object Dedup {
     (s, dir) => {
       val t = Tables(s, dir)
       val SpanLen = 8
-      val bucket = ((col("doc_id") % P) * lit(2654435761L)) % P % 1000L
       val spans = t.documents
-        .select(col("doc_id"), bucket.as("bk"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), splitDraw(col("doc_id")).as("bk"),
+          tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= SpanLen)
         .select(col("doc_id"), col("bk"),
           explode(spanHashes(tokenHashes(col("ws")), SpanLen)).as("gh"))

@@ -127,6 +127,20 @@ object PortableHash {
   def multConst(j: Int): Long =
     ((j.toLong * j * 2654435761L) + j * 97L) % P
 
+  /** THE split/sampling hash: multiplicative mix of an integer key,
+    * exact int64 (key reduced mod P first so the product cannot wrap).
+    * Single source of truth — q65/q78 sampling draws, q48's split
+    * buckets, and q49's selection order must all agree or a changed
+    * constant would silently desynchronize the leakage audit from the
+    * split rule it guards.
+    */
+  def mixHash(key: Column): Column =
+    (key.cast(org.apache.spark.sql.types.LongType) % P) *
+      lit(2654435761L) % P
+
+  /** Per-mille draw in [0, 1000) from [[mixHash]] (q65/q78 bucket rule). */
+  def splitDraw(key: Column): Column = mixHash(key) % 1000L
+
   /** Per-token portable hash array — each token hashed ONCE with the
     * native codegen'd CharPolyHash; empty tokens pin to 0 (both engines:
     * `coalesce(list_sum([]) % P, 0)`). Materialize this as a column
@@ -147,10 +161,15 @@ object PortableHash {
       element_at(ths, i + lit(d)) * lit(multConst(d + 1)) % P
     }.reduce(_ + _) % P
 
-  /** All n-token span hashes of a token array (1 per start position). */
+  /** All n-token span hashes of a token array (1 per start position);
+    * empty for arrays shorter than n. The guard matters: Spark's
+    * `sequence(1, size-n+1)` DESCENDS through 0 when size < n, and
+    * element_at(_, 0) throws — same hazard charHash guards against.
+    */
   def spanHashes(ths: Column, n: Int): Column =
-    transform(sequence(lit(1), size(ths) - (n - 1)),
-      i => spanHash(ths, i, n))
+    when(size(ths) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(ths) - (n - 1)),
+        i => spanHash(ths, i, n)))
 
   /** DuckDB rendering of [[spanHash]] over list column `ths` and loop
     * variable `i` — identical per-term-reduced arithmetic.

@@ -24,12 +24,11 @@ object Sampling {
   private def rateFor(lang: org.apache.spark.sql.Column) =
     when(lang === "en", lit(200L)).otherwise(lit(600L))
 
-  /** Deterministic per-row draw in [0, 1000): multiplicative hash of
-    * the key, exact int64 (key reduced mod P first so the product
-    * cannot wrap).
+  /** Deterministic per-row draw in [0, 1000) — the shared
+    * [[PortableHash.splitDraw]] rule (q48's leakage audit and q49's
+    * selection order build on the same mix, by construction).
     */
-  private def draw(key: org.apache.spark.sql.Column) =
-    ((key.cast(LongType) % P) * lit(2654435761L)) % P % 1000L
+  private def draw(key: org.apache.spark.sql.Column) = splitDraw(key)
 
   val q65 = EngineQuery(
     "q65_stratified_sample",
@@ -349,9 +348,9 @@ object Sampling {
       val tgt = w.crossJoin(broadcast(tot))
         .withColumn("target", expr(s"($budget * wt) div tw"))
         .select(col("lang"), col("n_docs"), col("target"))
-      val ord = (col("doc_id") % P) * lit(2654435761L) % P
       val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(ord, col("doc_id"))
+        .partitionBy(col("lang"))
+        .orderBy(mixHash(col("doc_id")), col("doc_id"))
       t.documents
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("rk", row_number().over(wRank))

@@ -222,11 +222,13 @@ object StreamingOps {
   /** Streaming per-source quota enforcement — the streaming twin of
     * batch q77's domain-frequency cap: admit documents from a source
     * only while its running admitted-count is below the cap, across
-    * micro-batches. State per key is ONE long (the admitted count),
-    * so memory is bounded by |sources|, never by the stream.
+    * micro-batches. PERSISTED state per key is ONE long (the admitted
+    * count); working memory while processing a group is O(cap) — a
+    * bounded max-heap of the smallest ids — never O(rows in batch), so
+    * a skewed mega-source costs one streaming pass, not a buffer.
     *
-    * Admission order within a batch is deterministic (doc_id order via
-    * the sorted buffer) so replays admit the same documents — the same
+    * Admission order within a batch is deterministic (smallest doc_ids
+    * win) so replays admit the same documents — the same
     * reproducibility contract as the batch rule. flatMapGroupsWithState
     * because each input row maps to 0-or-1 outputs.
     */
@@ -242,13 +244,23 @@ object StreamingOps {
       .flatMapGroupsWithState[Long, Admitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (src, rows, state: GroupState[Long]) =>
-          var admitted = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _) =>
-            if (admitted < cap) { admitted += 1; Some(Admitted(id, src)) }
-            else None
+          val admitted = state.getOption.getOrElse(0L)
+          val room = (cap - admitted).toInt
+          if (room <= 0) {
+            // exhausted source: drain without buffering anything
+            Iterator.empty
+          } else {
+            // keep the `room` smallest ids in a bounded max-heap —
+            // one pass, O(cap) memory regardless of group size
+            val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+            rows.foreach { case (id, _) =>
+              if (heap.size < room) heap.enqueue(id)
+              else if (id < heap.head) { heap.dequeue(); heap.enqueue(id) }
+            }
+            val winners = heap.dequeueAll.reverse // ascending doc_id
+            state.update(admitted + winners.size)
+            winners.iterator.map(Admitted(_, src))
           }
-          state.update(admitted)
-          out.iterator
       }
       .toDF()
   }

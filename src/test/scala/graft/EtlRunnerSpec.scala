@@ -246,6 +246,37 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(rows(3).getDouble(2) == 8.0)
   }
 
+  test("schema drift: decimal widening keeps integer digits AND scale") {
+    import graft.etl.SchemaEvolution
+    import graft.etl.SchemaEvolution.Widened
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // DECIMAL(10,2) vs DECIMAL(8,6): max(p),max(s) would give (10,6)
+    // with only 4 integer digits — 12345678.99 would null out on cast
+    val drifts = SchemaEvolution.driftReport(
+      StructType(Seq(StructField("v", DecimalType(10, 2)))),
+      StructType(Seq(StructField("v", DecimalType(8, 6)))))
+    assert(drifts == Seq(Widened("v", DecimalType(10, 2),
+      DecimalType(14, 6))))
+    val existing = spark.createDataFrame(
+      java.util.List.of(Row(new java.math.BigDecimal("12345678.99"))),
+      StructType(Seq(StructField("v", DecimalType(10, 2)))))
+    val incoming = spark.createDataFrame(
+      java.util.List.of(Row(new java.math.BigDecimal("1.234567"))),
+      StructType(Seq(StructField("v", DecimalType(8, 6)))))
+    val out = SchemaEvolution.ingest(existing, incoming)
+      .orderBy(org.apache.spark.sql.functions.col("v"))
+    assert(out.schema("v").dataType == DecimalType(14, 6))
+    val vals = out.collect().map(_.getDecimal(0).toPlainString)
+    assert(vals.toSeq == Seq("1.234567", "12345678.990000"),
+      "no value may be nulled or truncated by the widened cast")
+    // byte <-> short is a widening, not breaking
+    assert(SchemaEvolution.driftReport(
+      StructType(Seq(StructField("b", ByteType))),
+      StructType(Seq(StructField("b", ShortType)))) ==
+      Seq(Widened("b", ByteType, ShortType)))
+  }
+
   test("schema drift: breaking type change refuses the ingest") {
     import spark.implicits._
     import graft.etl.SchemaEvolution
