@@ -470,5 +470,90 @@ object TextAnalysis {
            FROM dots d JOIN cand ON cand.doc_id = d.doc_id
            ORDER BY d.cos DESC, d.doc_id LIMIT 10"""))
 
-  val all: Seq[EngineQuery] = Seq(q60, q61, q62, q63, q73, q74, q76, q79)
+  /** Repetition quality signals (the Gopher-rules family): per-document
+    * repeated-token fraction, top-token share, and top-bigram share —
+    * the cheap statistical filters that catch keyword-stuffed/looping
+    * machine text before any model-based scoring.
+    *
+    * Scale shape: token stats ride one (doc, token) hash-agg; the
+    * bigram share reuses the q76 span-hash machinery (int64 keys, one
+    * (doc, bigram) hash-agg). Both aggregations are map-side combined;
+    * everything else is per-row arithmetic. Ratios are exact-int
+    * divisions taken in doubles at the boundary.
+    */
+  val q58 = EngineQuery(
+    "q58_repetition_signals",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tokStats = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_tok"))
+      val bg = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(spanHashes(tokenHashes(col("ws")), 2)).as("gh"))
+      val bgTop = bg.groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+      tokStats.join(bgTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("repeat_frac"),
+          (col("top_tok").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("top_token_share"),
+          (coalesce(col("top_bg"), lit(0L)).cast(DoubleType) /
+            coalesce(col("n_bg"), lit(1L)).cast(DoubleType))
+            .as("top_bigram_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, UNNEST(string_split(trim(text), ' ')) w
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+            ), ts AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_distinct, MAX(c) AS top_tok
+              FROM tc GROUP BY doc_id
+            ), tw AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([ascii(w[i])
+                    * ((i*i*2654435761 + i*97) % 1000000007)
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM tw WHERE len(ws) >= 2
+            ), g AS (
+              SELECT doc_id,
+                UNNEST([(${spanHashSql("ths", 2)})
+                        for i in range(1, len(ths))]) AS gh
+              FROM th
+            ), bc AS (
+              SELECT doc_id, gh, COUNT(*) AS c FROM g GROUP BY 1, 2
+            ), bs AS (
+              SELECT doc_id, MAX(c) AS top_bg,
+                CAST(SUM(c) AS BIGINT) AS n_bg
+              FROM bc GROUP BY doc_id
+            )
+            SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+              1.0 - CAST(ts.n_distinct AS DOUBLE)
+                  / CAST(ts.n_tokens AS DOUBLE) AS repeat_frac,
+              CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE)
+                AS top_token_share,
+              CAST(COALESCE(bs.top_bg, 0) AS DOUBLE)
+                / CAST(COALESCE(bs.n_bg, 1) AS DOUBLE) AS top_bigram_share
+            FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+            ORDER BY ts.doc_id"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79)
 }

@@ -295,6 +295,44 @@ object TpchSuite {
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     bench = true)
 
+  /** TPC-H Q19 shape: disjunctive discounted revenue — an OR of three
+    * (brand, size-range, quantity-range) conjunctions across the
+    * lineitem⋈part join. Exercises predicate handling Catalyst can't
+    * fully push (the disjunction straddles both sides): the dim-only
+    * parts of the OR prune part rows before the join, the fact-only
+    * parts evaluate post-join, and the join itself stays a broadcast
+    * hash join — never a filter-as-join-condition nested loop.
+    */
+  val q137 = EngineQuery(
+    "q137_tpch_q19_disjunctive",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def qty(lo: Int, hi: Int) =
+        dec2(col("l_quantity")).between(lit(lo).cast(D2), lit(hi).cast(D2))
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          qty(1, 20)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+          qty(10, 35)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 40) &&
+          qty(20, 50))
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          toDouble(sum(revenue)).as("revenue"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_items,
+               CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                    AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 20)
+                OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+                    AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 35)
+                OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 40
+                    AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 50)"""),
+    bench = true)
+
   val all: Seq[EngineQuery] =
-    Seq(q130, q131, q132, q133, q134, q135, q136)
+    Seq(q130, q131, q132, q133, q134, q135, q136, q137)
 }

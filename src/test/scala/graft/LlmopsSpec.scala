@@ -259,6 +259,31 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("repetition signals: a planted looping doc scores worst") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q58").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam spam spam", "en", "s0", 1L),
+      (1L, "a perfectly ordinary sentence with distinct words", "en",
+        "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.q58.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (spamRep, spamTok, spamBg) = out(0L)
+    val (okRep, okTok, okBg) = out(1L)
+    assert(spamRep == 1.0 - 1.0 / 8 && spamTok == 1.0 && spamBg == 1.0)
+    assert(okRep == 0.0 && okTok < 0.2 && okBg < 0.2)
+    // fixture invariants: all ratios in range
+    TextAnalysis.q58.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("temperature mixing flattens the dominant language (alpha=0.5)") {
     val t = Tables(spark, sfDir)
     val out = Sampling.q49.run(spark, sfDir).collect()
