@@ -22,7 +22,8 @@ object ExplainAudit {
     "q74_bm25_search", "q118_snapshot_diff", "q121_bloom_join_pruning",
     "q47_dup_span_detection", "q56_knn_pq", "q79_hybrid_search",
     "q133_tpch_q18_large_orders", "q134_tpch_q4_priority_check",
-    "q48_cross_split_leakage", "q49_temperature_mixing")
+    "q48_cross_split_leakage", "q49_temperature_mixing",
+    "q58_repetition_signals", "q137_tpch_q19_disjunctive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -170,7 +171,17 @@ object ExplainAudit {
       ("q49 temperature mixing broadcasts the |langs|-row target table " +
         "into the selection window",
         planOf(spark, byName, sfDir, "q49_temperature_mixing")
-          .contains("BroadcastHashJoin")))
+          .contains("BroadcastHashJoin")),
+      ("q58 repetition signals shuffle only hash-agg partials (no sort, " +
+        "no join wider than the per-doc left join)", {
+        val p = planOf(spark, byName, sfDir, "q58_repetition_signals")
+        p.contains("HashAggregate") && !p.contains("CartesianProduct")
+      }),
+      ("q137 disjunctive predicate keeps the broadcast hash join (the " +
+        "OR straddling both sides must not degrade to a nested loop)", {
+        val p = planOf(spark, byName, sfDir, "q137_tpch_q19_disjunctive")
+        p.contains("BroadcastHashJoin") && !p.contains("NestedLoop")
+      }))
 
     val summary = checks.map { case (label, ok) =>
       s"- [${if (ok) "x" else " "}] $label"
