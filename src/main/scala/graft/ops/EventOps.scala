@@ -432,6 +432,57 @@ object EventOps {
             ORDER BY n DESC, prev_type, event_type LIMIT 15"""),
     bench = true)
 
+  /** Daily volume anomaly detection: flag days whose event count jumps
+    * or drops sharply against the trailing-week median — the pipeline
+    * health monitor every ingestion system runs (a crawler stall or a
+    * duplicate-feed burst shows up as a volume step long before any
+    * content-level signal).
+    *
+    * Scale shape: the raw stream reduces to ONE row per day first
+    * (map-side-combined count), so the trailing-window range join and
+    * exact median run over O(days) rows — at 100 TB the daily rollup
+    * is still only thousands of rows. The flag threshold (±50% of the
+    * trailing median) is exact double arithmetic on both engines.
+    */
+  val q123 = EngineQuery(
+    "q123_volume_anomaly",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val trail = daily.select(col("day").as("d2"), col("n").as("n2"))
+      daily.join(trail,
+          col("d2") >= col("day") - expr("INTERVAL 7 DAYS") &&
+            col("d2") < col("day"))
+        .groupBy(col("day"), col("n"))
+        .agg(expr("percentile(n2, 0.5)").as("trail_med"),
+          count(lit(1)).as("n_trail_days"))
+        .select(col("day"), col("n"), col("trail_med"),
+          col("n_trail_days"),
+          (col("n").cast("double") / col("trail_med")).as("ratio"),
+          (col("n").cast("double") > col("trail_med") * 1.5 ||
+            col("n").cast("double") < col("trail_med") * 0.5)
+            .as("anomaly"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+              SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1
+            ), j AS (
+              SELECT a.day, a.n, quantile_cont(b.n, 0.5) AS trail_med,
+                COUNT(*) AS n_trail_days
+              FROM daily a JOIN daily b
+                ON b.day >= a.day - INTERVAL 7 DAY AND b.day < a.day
+              GROUP BY a.day, a.n
+            )
+            SELECT day, n, trail_med, n_trail_days,
+              CAST(n AS DOUBLE) / trail_med AS ratio,
+              (CAST(n AS DOUBLE) > trail_med * 1.5
+               OR CAST(n AS DOUBLE) < trail_med * 0.5) AS anomaly
+            FROM j ORDER BY day"""),
+    bench = true)
+
   val all: Seq[EngineQuery] = Seq(q90, q90b, q91, q92, q93, q94, q95, q96,
-    q111, q113, q122)
+    q111, q113, q122, q123)
 }
