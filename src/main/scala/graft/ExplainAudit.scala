@@ -172,8 +172,9 @@ object ExplainAudit {
         "into the selection window",
         planOf(spark, byName, sfDir, "q49_temperature_mixing")
           .contains("BroadcastHashJoin")),
-      ("q58 repetition signals shuffle only hash-agg partials (no sort, " +
-        "no join wider than the per-doc left join)", {
+      ("q58 repetition signals: map-side-combined hash-aggs, no join " +
+        "wider than the per-doc left join (the trailing Sort is the " +
+        "gate's ORDER BY determinism contract, not a compute stage)", {
         val p = planOf(spark, byName, sfDir, "q58_repetition_signals")
         p.contains("HashAggregate") && !p.contains("CartesianProduct")
       }),

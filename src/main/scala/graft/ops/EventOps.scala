@@ -439,10 +439,18 @@ object EventOps {
     * content-level signal).
     *
     * Scale shape: the raw stream reduces to ONE row per day first
-    * (map-side-combined count), so the trailing-window range join and
-    * exact median run over O(days) rows — at 100 TB the daily rollup
-    * is still only thousands of rows. The flag threshold (±50% of the
-    * trailing median) is exact double arithmetic on both engines.
+    * (map-side-combined count), so the day spine, trailing-window
+    * range join, and exact median run over O(days) rows — at 100 TB
+    * the daily rollup is still only thousands of rows. The flag
+    * threshold (±50% of the trailing median) is exact double
+    * arithmetic on both engines.
+    *
+    * The spine matters for the semantics, not just completeness: a
+    * TOTAL stall produces no daily row at all, so without zero-filled
+    * spine days the one case the monitor most exists for (100% drop)
+    * would silently vanish from the output. Spine days left-join the
+    * trailing stats so the first day (no baseline) still appears,
+    * unflagged.
     */
   val q123 = EngineQuery(
     "q123_volume_anomaly",
@@ -451,35 +459,54 @@ object EventOps {
       val daily = t.events
         .groupBy(date_trunc("DAY", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-      val trail = daily.select(col("day").as("d2"), col("n").as("n2"))
-      daily.join(trail,
+      val spine = t.events
+        .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+          date_trunc("DAY", max(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val filled = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      val trail = filled.select(col("day").as("d2"), col("n").as("n2"))
+      val ratio = col("n").cast("double") / col("trail_med")
+      filled.join(trail,
           col("d2") >= col("day") - expr("INTERVAL 7 DAYS") &&
-            col("d2") < col("day"))
+            col("d2") < col("day"), "left")
         .groupBy(col("day"), col("n"))
         .agg(expr("percentile(n2, 0.5)").as("trail_med"),
-          count(lit(1)).as("n_trail_days"))
+          count(col("n2")).as("n_trail_days"))
         .select(col("day"), col("n"), col("trail_med"),
           col("n_trail_days"),
-          (col("n").cast("double") / col("trail_med")).as("ratio"),
-          (col("n").cast("double") > col("trail_med") * 1.5 ||
-            col("n").cast("double") < col("trail_med") * 0.5)
-            .as("anomaly"))
+          when(col("trail_med") > 0, ratio).as("ratio"),
+          coalesce(when(col("trail_med") > 0,
+            ratio > 1.5 || ratio < 0.5), lit(false)).as("anomaly"))
         .orderBy(col("day"))
     },
     Some("""WITH daily AS (
               SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
               FROM events GROUP BY 1
+            ), bounds AS (
+              SELECT date_trunc('day', MIN(ts)) AS d0,
+                date_trunc('day', MAX(ts)) AS d1
+              FROM events
+            ), spine AS (
+              SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds
+            ), filled AS (
+              SELECT s.day, COALESCE(d.n, 0) AS n
+              FROM spine s LEFT JOIN daily d ON s.day = d.day
             ), j AS (
               SELECT a.day, a.n, quantile_cont(b.n, 0.5) AS trail_med,
-                COUNT(*) AS n_trail_days
-              FROM daily a JOIN daily b
+                COUNT(b.n) AS n_trail_days
+              FROM filled a LEFT JOIN filled b
                 ON b.day >= a.day - INTERVAL 7 DAY AND b.day < a.day
               GROUP BY a.day, a.n
             )
             SELECT day, n, trail_med, n_trail_days,
-              CAST(n AS DOUBLE) / trail_med AS ratio,
-              (CAST(n AS DOUBLE) > trail_med * 1.5
-               OR CAST(n AS DOUBLE) < trail_med * 0.5) AS anomaly
+              CASE WHEN trail_med > 0 THEN CAST(n AS DOUBLE) / trail_med
+                   END AS ratio,
+              COALESCE(CASE WHEN trail_med > 0 THEN
+                  (CAST(n AS DOUBLE) / trail_med > 1.5
+                   OR CAST(n AS DOUBLE) / trail_med < 0.5)
+                END, false) AS anomaly
             FROM j ORDER BY day"""),
     bench = true)
 

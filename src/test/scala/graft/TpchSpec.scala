@@ -28,6 +28,34 @@ class TpchSpec extends SparkTestBase {
     assert(vals == vals.sorted.reverse)
   }
 
+  test("q123: a planted total stall day is flagged, first day survives") {
+    import spark.implicits._
+    // 10 busy days, then a silent day (no events at all), then resume:
+    // the stall day must APPEAR (spine) and be flagged (ratio 0 < 0.5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q123").toString
+    val base = java.sql.Timestamp.valueOf("2025-03-01 12:00:00")
+    def at(day: Int, k: Int) = new java.sql.Timestamp(
+      base.getTime + day * 86400000L + k * 1000L)
+    val rows = (0 until 15).filter(_ != 10).flatMap { d =>
+      (0 until 20).map(k => (d.toLong * 100 + k, at(d, k),
+        k.toLong % 5, "view", 1.0, "{}"))
+    }
+    // write with nanos layout via long column (mirrors the fixture)
+    rows.toDF("event_id", "ts_t", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        (unix_micros(col("ts_t")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventOps.q123.run(spark, dir).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        (r.getLong(1), r.getBoolean(5))).toMap
+    assert(out.size == 15, "spine covers every calendar day incl. stall")
+    assert(out("2025-03-11") == (0L -> true), "total stall day flagged")
+    assert(out("2025-03-01") == (20L -> false), "first day unflagged")
+    assert(out("2025-03-05") == (20L -> false), "steady day unflagged")
+  }
+
   test("Q4 shape: priority counts equal an independent EXISTS recomputation") {
     val t = Tables(spark, sfDir)
     val out = TpchSuite.q134.run(spark, sfDir).collect()
