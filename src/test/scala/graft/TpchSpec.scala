@@ -28,6 +28,53 @@ class TpchSpec extends SparkTestBase {
     assert(vals == vals.sorted.reverse)
   }
 
+  test("Q14 shape: promo share equals a two-query recomputation") {
+    val t = Tables(spark, sfDir)
+    val out = TpchSuite.q135.run(spark, sfDir).head()
+    val lo = lit("1998-01-01").cast("timestamp")
+    val hi = lit("1998-04-01").cast("timestamp")
+    val joined = t.lineitem
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val total = joined.agg(sum(col("rev"))).head().getDouble(0)
+    val promo = joined.filter(col("p_type") === "PROMO")
+      .agg(sum(col("rev"))).head().getDouble(0)
+    assert(math.abs(out.getDouble(0) - promo) / promo < 1e-6)
+    assert(math.abs(out.getDouble(1) - total) / total < 1e-6)
+    assert(math.abs(out.getDouble(2) - promo * 100.0 / total) < 1e-3)
+  }
+
+  test("Q12/Q19 shapes: conditional rollups match independent filters") {
+    val t = Tables(spark, sfDir)
+    val joined = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+    // q136: per-priority late counts == direct filter counts
+    val out136 = TpchSuite.q136.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val late = col("l_shipdate") >=
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val want = joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("all"),
+        sum(when(late, 1L).otherwise(0L)).as("late")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out136 == want)
+    // q137: the disjunctive count equals the sum of disjoint branch
+    // counts (brands differ, so the three conjunctions are disjoint)
+    val out137 = TpchSuite.q137.run(spark, sfDir).head().getLong(0)
+    val withPart = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+    def branch(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      withPart.filter(col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)).count()
+    val parts = branch("Brand#1", 15, 1, 20) +
+      branch("Brand#7", 25, 10, 35) + branch("Brand#13", 40, 20, 50)
+    assert(out137 == parts)
+  }
+
   test("q123: a planted total stall day is flagged, first day survives") {
     import spark.implicits._
     // 10 busy days, then a silent day (no events at all), then resume:
