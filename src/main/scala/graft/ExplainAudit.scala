@@ -172,11 +172,13 @@ object ExplainAudit {
         "into the selection window",
         planOf(spark, byName, sfDir, "q49_temperature_mixing")
           .contains("BroadcastHashJoin")),
-      ("q58 repetition signals: map-side-combined hash-aggs, no join " +
-        "wider than the per-doc left join (the trailing Sort is the " +
-        "gate's ORDER BY determinism contract, not a compute stage)", {
+      ("q58 repetition signals: map-side-combined hash-aggs and a " +
+        "hash-partitioned per-doc join — no merge-join sort, no " +
+        "cartesian (the trailing Sort is the gate's ORDER BY " +
+        "determinism contract, not a compute stage)", {
         val p = planOf(spark, byName, sfDir, "q58_repetition_signals")
-        p.contains("HashAggregate") && !p.contains("CartesianProduct")
+        p.contains("HashAggregate") && !p.contains("CartesianProduct") &&
+          !p.contains("SortMergeJoin")
       }),
       ("q137 disjunctive predicate keeps the broadcast hash join (the " +
         "OR straddling both sides must not degrade to a nested loop)", {

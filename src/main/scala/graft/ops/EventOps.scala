@@ -459,14 +459,25 @@ object EventOps {
       val daily = t.events
         .groupBy(date_trunc("DAY", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-      val spine = t.events
-        .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
-          date_trunc("DAY", max(col("ts"))).as("d1"))
+      // spine bounds come from the DAILY rollup (O(days) rows), not a
+      // second scan of the raw stream — min/max(day) == min/max(ts)
+      // truncated, because date_trunc is monotonic
+      val spine = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       val filled = spine.join(daily, Seq("day"), "left")
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
       val trail = filled.select(col("day").as("d2"), col("n").as("n2"))
       val ratio = col("n").cast("double") / col("trail_med")
+      // flag semantics, in order: no baseline days -> never anomalous;
+      // live baseline -> out-of-band ratio; DEAD baseline (median 0,
+      // e.g. deep inside a prolonged stall) -> any signal at all is
+      // the anomaly (the resume burst), while continued silence over
+      // a silent baseline is no NEW deviation (the stall was flagged
+      // at onset, when the median was still live)
+      val anomaly = when(col("n_trail_days") === 0, lit(false))
+        .when(col("trail_med") > 0, ratio > 1.5 || ratio < 0.5)
+        .otherwise(col("n") > 0)
       filled.join(trail,
           col("d2") >= col("day") - expr("INTERVAL 7 DAYS") &&
             col("d2") < col("day"), "left")
@@ -476,17 +487,14 @@ object EventOps {
         .select(col("day"), col("n"), col("trail_med"),
           col("n_trail_days"),
           when(col("trail_med") > 0, ratio).as("ratio"),
-          coalesce(when(col("trail_med") > 0,
-            ratio > 1.5 || ratio < 0.5), lit(false)).as("anomaly"))
+          anomaly.as("anomaly"))
         .orderBy(col("day"))
     },
     Some("""WITH daily AS (
               SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
               FROM events GROUP BY 1
             ), bounds AS (
-              SELECT date_trunc('day', MIN(ts)) AS d0,
-                date_trunc('day', MAX(ts)) AS d1
-              FROM events
+              SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
             ), spine AS (
               SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
               FROM bounds
@@ -503,10 +511,11 @@ object EventOps {
             SELECT day, n, trail_med, n_trail_days,
               CASE WHEN trail_med > 0 THEN CAST(n AS DOUBLE) / trail_med
                    END AS ratio,
-              COALESCE(CASE WHEN trail_med > 0 THEN
-                  (CAST(n AS DOUBLE) / trail_med > 1.5
-                   OR CAST(n AS DOUBLE) / trail_med < 0.5)
-                END, false) AS anomaly
+              CASE WHEN n_trail_days = 0 THEN false
+                   WHEN trail_med > 0 THEN
+                     (CAST(n AS DOUBLE) / trail_med > 1.5
+                      OR CAST(n AS DOUBLE) / trail_med < 0.5)
+                   ELSE n > 0 END AS anomaly
             FROM j ORDER BY day"""),
     bench = true)
 

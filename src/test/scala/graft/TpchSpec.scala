@@ -75,32 +75,40 @@ class TpchSpec extends SparkTestBase {
     assert(out137 == parts)
   }
 
-  test("q123: a planted total stall day is flagged, first day survives") {
+  test("q123: stall onset, deep-stall silence, and resume burst semantics") {
     import spark.implicits._
-    // 10 busy days, then a silent day (no events at all), then resume:
-    // the stall day must APPEAR (spine) and be flagged (ratio 0 < 0.5)
+    // 10 busy days (20 events), a 6-day TOTAL stall, then a 10x resume
+    // burst: onset and early-stall days flag against the live median,
+    // deep-stall days (dead median, still silent) do NOT re-flag, and
+    // the resume burst flags against the dead median
     val dir = java.nio.file.Files
       .createTempDirectory("graft-q123").toString
-    val base = java.sql.Timestamp.valueOf("2025-03-01 12:00:00")
-    def at(day: Int, k: Int) = new java.sql.Timestamp(
-      base.getTime + day * 86400000L + k * 1000L)
-    val rows = (0 until 15).filter(_ != 10).flatMap { d =>
-      (0 until 20).map(k => (d.toLong * 100 + k, at(d, k),
-        k.toLong % 5, "view", 1.0, "{}"))
-    }
-    // write with nanos layout via long column (mirrors the fixture)
-    rows.toDF("event_id", "ts_t", "user_id", "event_type", "value", "props")
-      .select(col("event_id"),
-        (unix_micros(col("ts_t")) * 1000L).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    // UTC-pinned instants (the session TZ is UTC; JVM default TZ must
+    // not leak into either the fixture or the assertions)
+    val base = java.time.Instant.parse("2025-03-01T12:00:00Z")
+    def at(day: Int, k: Int) =
+      base.plusSeconds(day * 86400L + k).toEpochMilli * 1000L
+    val rows =
+      (0 until 10).flatMap { d =>
+        (0 until 20).map(k => (d.toLong * 100 + k, at(d, k))) } ++
+      (0 until 200).map(k => (2000L + k, at(16, k)))
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        (col("event_id") % 5).as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = graft.ops.EventOps.q123.run(spark, dir).collect()
-      .map(r => r.getTimestamp(0).toString.take(10) ->
+      .map(r => r.getTimestamp(0).toInstant.toString.take(10) ->
         (r.getLong(1), r.getBoolean(5))).toMap
-    assert(out.size == 15, "spine covers every calendar day incl. stall")
-    assert(out("2025-03-11") == (0L -> true), "total stall day flagged")
-    assert(out("2025-03-01") == (20L -> false), "first day unflagged")
+    assert(out.size == 17, "spine covers every calendar day incl. stalls")
+    assert(out("2025-03-01") == (20L -> false), "first day: no baseline")
     assert(out("2025-03-05") == (20L -> false), "steady day unflagged")
+    assert(out("2025-03-11") == (0L -> true), "stall onset flagged")
+    assert(out("2025-03-13") == (0L -> true), "early stall still flagged")
+    assert(out("2025-03-15") == (0L -> false),
+      "deep stall (dead median, still silent): no NEW deviation")
+    assert(out("2025-03-17") == (200L -> true),
+      "resume burst against a dead median is flagged")
   }
 
   test("Q4 shape: priority counts equal an independent EXISTS recomputation") {
