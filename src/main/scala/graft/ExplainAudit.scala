@@ -23,7 +23,9 @@ object ExplainAudit {
     "q47_dup_span_detection", "q56_knn_pq", "q79_hybrid_search",
     "q133_tpch_q18_large_orders", "q134_tpch_q4_priority_check",
     "q48_cross_split_leakage", "q49_temperature_mixing",
-    "q58_repetition_signals", "q137_tpch_q19_disjunctive")
+    "q58_repetition_signals", "q137_tpch_q19_disjunctive",
+    "q138_tpch_q17_small_qty", "q140_tpch_q15_top_supplier",
+    "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -184,6 +186,33 @@ object ExplainAudit {
         "OR straddling both sides must not degrade to a nested loop)", {
         val p = planOf(spark, byName, sfDir, "q137_tpch_q19_disjunctive")
         p.contains("BroadcastHashJoin") && !p.contains("NestedLoop")
+      }),
+      ("q138 Q17-shape decorrelates the per-part AVG to one hash-agg " +
+        "broadcast back against the brand-filtered fact (no per-row " +
+        "subquery, no cartesian)", {
+        val p = planOf(spark, byName, sfDir, "q138_tpch_q17_small_qty")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q140 Q15-shape turns `= (SELECT MAX)` into a 1-row broadcast " +
+        "against the per-supplier rollup — exact-decimal equality, no " +
+        "nested loop over the fact", {
+        val p = planOf(spark, byName, sfDir, "q140_tpch_q15_top_supplier")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q144 Q16-shape NOT IN plans as a broadcast LeftAnti (Catalyst " +
+        "proved the keys non-null and dropped the null-aware residual " +
+        "condition)", {
+        val p = planOf(spark, byName, sfDir,
+          "q144_tpch_q16_supplier_diversity")
+        p.contains("LeftAnti") && p.contains("BroadcastHashJoin")
+      }),
+      ("q145 Q21-shape double correlation is one LeftSemi + one " +
+        "LeftAnti over distinct-first pair sets — no cartesian, no " +
+        "nested loop", {
+        val p = planOf(spark, byName, sfDir,
+          "q145_tpch_q21_waiting_supplier")
+        p.contains("LeftSemi") && p.contains("LeftAnti") &&
+          !p.contains("CartesianProduct") && !p.contains("NestedLoop")
       }))
 
     val summary = checks.map { case (label, ok) =>
