@@ -81,6 +81,20 @@ object ScaleSmoke {
       "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),
       "q122_event_transitions" -> (d => graft.ops.EventOps.q122.run(spark, d)))
 
+    // relational/composite family: measured against the driver fixtures
+    // at sf0.01 vs sf0.1 (10x lineitem) — no synthesis, the real tables
+    val tpchOps: Seq[(String, String => DataFrame)] = Seq(
+      "q130_tpch_q3_shipping_priority" ->
+        (d => graft.ops.TpchSuite.q130.run(spark, d)),
+      "q133_tpch_q18_large_orders" ->
+        (d => graft.ops.TpchSuite.q133.run(spark, d)),
+      "q138_tpch_q17_small_qty" ->
+        (d => graft.ops.TpchSuite2.q138.run(spark, d)),
+      "q144_tpch_q16_supplier_diversity" ->
+        (d => graft.ops.TpchSuite2.q144.run(spark, d)),
+      "q145_tpch_q21_waiting_supplier" ->
+        (d => graft.ops.TpchSuite2.q145.run(spark, d)))
+
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>
       val dir = java.nio.file.Files
@@ -96,19 +110,30 @@ object ScaleSmoke {
       spark.read.parquet(s"$d/documents.parquet").count()
       spark.read.parquet(s"$d/events.parquet").count() }
 
-    (ops ++ eventOps).foreach { case (name, run) =>
-      val res = dirs.map { case (sz, d) =>
-        val (sec, rows) = timed(run(d).count())
-        (sz, sec, rows)
+    def report(groups: Seq[(String, String => DataFrame)],
+        pts: Seq[(Long, String)]): Unit =
+      groups.foreach { case (name, run) =>
+        val res = pts.map { case (sz, d) =>
+          val (sec, rows) = timed(run(d).count())
+          (sz, sec, rows)
+        }
+        val (s1, t1, r1) = res.head
+        val (s2, t2, r2) = res.last
+        val ratio = t2 / t1
+        println(f"""{"op":"$name","n_small":$s1,"sec_small":$t1%.2f,""" +
+          f""""rows_small":$r1,"n_big":$s2,"sec_big":$t2%.2f,""" +
+          f""""rows_big":$r2,"time_ratio":$ratio%.2f,""" +
+          f""""size_ratio":${s2.toDouble / s1}%.1f}""")
       }
-      val (s1, t1, r1) = res.head
-      val (s2, t2, r2) = res.last
-      val ratio = t2 / t1
-      println(f"""{"op":"$name","n_small":$s1,"sec_small":$t1%.2f,""" +
-        f""""rows_small":$r1,"n_big":$s2,"sec_big":$t2%.2f,""" +
-        f""""rows_big":$r2,"time_ratio":$ratio%.2f,""" +
-        f""""size_ratio":${s2.toDouble / s1}%.1f}""")
-    }
+
+    report(ops ++ eventOps, dirs)
+
+    // fixture points: ~60k vs ~600k lineitem rows; warm both first
+    val sfPts = Seq(60000L -> "/root/testdata/sf0.01",
+      600000L -> "/root/testdata/sf0.1")
+    sfPts.foreach { case (_, d) =>
+      spark.read.parquet(s"$d/lineitem.parquet").count() }
+    report(tpchOps, sfPts)
     spark.stop()
   }
 }
