@@ -25,7 +25,9 @@ object ExplainAudit {
     "q48_cross_split_leakage", "q49_temperature_mixing",
     "q58_repetition_signals", "q137_tpch_q19_disjunctive",
     "q138_tpch_q17_small_qty", "q140_tpch_q15_top_supplier",
-    "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier")
+    "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier",
+    "q146_tpch_q1_pricing_summary", "q148_tpch_q6_forecast_revenue",
+    "q151_tpch_q20_promo_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -213,6 +215,26 @@ object ExplainAudit {
           "q145_tpch_q21_waiting_supplier")
         p.contains("LeftSemi") && p.contains("LeftAnti") &&
           !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      }),
+      ("q146 Q1-shape is one map-side-combined aggregation with the " +
+        "date filter pushed to the scan and no join anywhere", {
+        val p = planOf(spark, byName, sfDir, "q146_tpch_q1_pricing_summary")
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate") &&
+          !p.contains("Join")
+      }),
+      ("q148 Q6-shape pushes the date range AND the widened raw-double " +
+        "superset bounds for the decimal band predicates into the " +
+        "parquet scan (exact decimal refine stays post-scan)", {
+        val p = planOf(spark, byName, sfDir, "q148_tpch_q6_forecast_revenue")
+        p.contains("GreaterThanOrEqual(l_shipdate") &&
+          p.contains("GreaterThanOrEqual(l_discount,0.0449999)") &&
+          p.contains("LessThanOrEqual(l_quantity,23.9950001)") &&
+          !p.contains("Join")
+      }),
+      ("q151 Q20-shape runs the HAVING aggregate fact-side first and " +
+        "semi-joins the rare qualifying key set against the supplier dim", {
+        val p = planOf(spark, byName, sfDir, "q151_tpch_q20_promo_suppliers")
+        p.contains("LeftSemi") && p.contains("BroadcastHashJoin")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -27,7 +27,7 @@ object SparkEntry {
       graft.etl.DataQuality.all ++
       Profiling.all ++
       PipelineQueries.all ++
-      TpchSuite.all ++ TpchSuite2.all
+      TpchSuite.all ++ TpchSuite2.all ++ TpchSuite3.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
