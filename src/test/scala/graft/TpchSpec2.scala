@@ -130,6 +130,31 @@ class TpchSpec2 extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("NOT IN three-valued semantics: a NULL in the subquery empties " +
+      "the result while left_anti keeps rows") {
+    // the semantics q144's doc note rests on: NOT IN over a subquery
+    // containing NULL is never TRUE (x <> NULL is UNKNOWN), so Spark
+    // must plan the null-aware variant when it can't prove
+    // non-nullability — and that variant returns ZERO rows here,
+    // while the anti join (absence-of-match semantics) returns 2
+    import spark.implicits._
+    Seq(Some(1L), Some(2L), Some(3L)).toDF("k")
+      .createOrReplaceTempView("probe_naaj")
+    Seq(Some(1L), None).toDF("k").createOrReplaceTempView("build_naaj")
+    val notIn = spark.sql(
+      "SELECT k FROM probe_naaj WHERE k NOT IN (SELECT k FROM build_naaj)")
+    assert(notIn.count() == 0, "NOT IN with a NULL build row is never TRUE")
+    // physical shape: BroadcastHashJoin's trailing isNullAwareAntiJoin
+    // flag is `true` (Spark 4 encodes null-awareness as the flag, not
+    // a residual condition) — not a plain anti equi-join
+    val plan = notIn.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"expected null-aware anti join, got:\n$plan")
+    val anti = spark.table("probe_naaj").join(spark.table("build_naaj"),
+      Seq("k"), "left_anti")
+    assert(anti.count() == 2, "left_anti ignores the NULL build row")
+  }
+
   test("Q21 shape: semi/anti joins equal an aggregate-count reformulation") {
     val t = Tables(spark, sfDir)
     val out = TpchSuite2.q145.run(spark, sfDir).collect()
