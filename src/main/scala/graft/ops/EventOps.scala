@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
@@ -452,43 +453,52 @@ object EventOps {
     * trailing stats so the first day (no baseline) still appears,
     * unflagged.
     */
+  /** Anomaly tail of q123, factored over any (day, n) daily rollup —
+    * the streaming path produces the SAME rollup from a tumbling
+    * 1-day window (StreamingOps/StreamingSpec), then analyzes it with
+    * this exact code: stream-ingest → batch-analyze with one shared
+    * definition of "anomalous", no lambda-architecture drift.
+    */
+  def dailyVolumeAnomaly(daily: DataFrame): DataFrame = {
+    // spine bounds come from the DAILY rollup (O(days) rows), not a
+    // second scan of the raw stream — min/max(day) == min/max(ts)
+    // truncated, because date_trunc is monotonic
+    val spine = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val trail = filled.select(col("day").as("d2"), col("n").as("n2"))
+    val ratio = col("n").cast("double") / col("trail_med")
+    // flag semantics, in order: no baseline days -> never anomalous;
+    // live baseline -> out-of-band ratio; DEAD baseline (median 0,
+    // e.g. deep inside a prolonged stall) -> any signal at all is
+    // the anomaly (the resume burst), while continued silence over
+    // a silent baseline is no NEW deviation (the stall was flagged
+    // at onset, when the median was still live)
+    val anomaly = when(col("n_trail_days") === 0, lit(false))
+      .when(col("trail_med") > 0, ratio > 1.5 || ratio < 0.5)
+      .otherwise(col("n") > 0)
+    filled.join(trail,
+        col("d2") >= col("day") - expr("INTERVAL 7 DAYS") &&
+          col("d2") < col("day"), "left")
+      .groupBy(col("day"), col("n"))
+      .agg(expr("percentile(n2, 0.5)").as("trail_med"),
+        count(col("n2")).as("n_trail_days"))
+      .select(col("day"), col("n"), col("trail_med"),
+        col("n_trail_days"),
+        when(col("trail_med") > 0, ratio).as("ratio"),
+        anomaly.as("anomaly"))
+      .orderBy(col("day"))
+  }
+
   val q123 = EngineQuery(
     "q123_volume_anomaly",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.events
+      dailyVolumeAnomaly(t.events
         .groupBy(date_trunc("DAY", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      // spine bounds come from the DAILY rollup (O(days) rows), not a
-      // second scan of the raw stream — min/max(day) == min/max(ts)
-      // truncated, because date_trunc is monotonic
-      val spine = daily
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val filled = spine.join(daily, Seq("day"), "left")
-        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
-      val trail = filled.select(col("day").as("d2"), col("n").as("n2"))
-      val ratio = col("n").cast("double") / col("trail_med")
-      // flag semantics, in order: no baseline days -> never anomalous;
-      // live baseline -> out-of-band ratio; DEAD baseline (median 0,
-      // e.g. deep inside a prolonged stall) -> any signal at all is
-      // the anomaly (the resume burst), while continued silence over
-      // a silent baseline is no NEW deviation (the stall was flagged
-      // at onset, when the median was still live)
-      val anomaly = when(col("n_trail_days") === 0, lit(false))
-        .when(col("trail_med") > 0, ratio > 1.5 || ratio < 0.5)
-        .otherwise(col("n") > 0)
-      filled.join(trail,
-          col("d2") >= col("day") - expr("INTERVAL 7 DAYS") &&
-            col("d2") < col("day"), "left")
-        .groupBy(col("day"), col("n"))
-        .agg(expr("percentile(n2, 0.5)").as("trail_med"),
-          count(col("n2")).as("n_trail_days"))
-        .select(col("day"), col("n"), col("trail_med"),
-          col("n_trail_days"),
-          when(col("trail_med") > 0, ratio).as("ratio"),
-          anomaly.as("anomaly"))
-        .orderBy(col("day"))
+        .agg(count(lit(1)).as("n")))
     },
     Some("""WITH daily AS (
               SELECT date_trunc('day', ts) AS day, COUNT(*) AS n

@@ -64,6 +64,24 @@ object StreamingOps {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Daily volume rollup — the streaming PRODUCER half of q123's
+    * anomaly monitor: a tumbling 1-day window count whose output
+    * schema (day, n) is exactly what `EventOps.dailyVolumeAnomaly`
+    * consumes. The split is the scale design: the stream continuously
+    * maintains the O(days) rollup (watermark-bounded state, one row
+    * per day), and the anomaly pass — which needs a trailing-median
+    * over a completed spine — runs as a cheap batch over the SINK, not
+    * over 100 TB of raw events. One shared definition of "anomalous"
+    * (StreamingSpec asserts stream-fed == batch q123 on the same
+    * fixture), no lambda-architecture drift.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("day"), col("n"))
+
   /** Session windows (30-minute gap) per user — streaming twin of
     * EventOps.q91.
     */

@@ -324,4 +324,19 @@ class StreamingSpec extends SparkTestBase {
       .groupBy(_._2).values.flatMap(_.sortBy(_._1).take(cap.toInt)).toSet
     assert(got.toSet == want)
   }
+
+  test("stream-fed daily rollup + shared anomaly tail == batch q123") {
+    // the lambda-architecture-free split: the stream maintains the
+    // O(days) daily rollup; the anomaly pass runs the SAME
+    // dailyVolumeAnomaly code over the sink that batch q123 runs over
+    // its own rollup — one definition of "anomalous", byte-equal output
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val sink = runToMemory(StreamingOps.dailyCounts(stream),
+      "daily_counts", "complete")
+    val got = EventOps.dailyVolumeAnomaly(sink).collect()
+    val want = EventOps.q123.run(spark, sfDir).collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.toString == w.toString, s"drift: $g vs $w") }
+  }
 }
