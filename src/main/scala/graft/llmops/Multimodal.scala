@@ -160,5 +160,122 @@ object Multimodal {
                  for i in range(1, 5)], ',') AS feat_fp
             FROM a ORDER BY asset_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q70, q71)
+  /** STUB resize — byte decimation at a fixed stride stands in for the
+    * pixel resampler (same contract as [[FakeDecoder]]: deterministic
+    * on the payload bytes, production swaps in a codec). The PLUMBING
+    * is the point: a binary→binary transform running partition-local
+    * on executors, no shuffle, no driver materialization.
+    */
+  def resizePayloads(assetsDf: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0)
+    val spark = assetsDf.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = true)))
+    val rdd = assetsDf.select("asset_id", "payload").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val out = if (p == null) null
+            else p.indices.collect { case i if i % stride == 0 => p(i) }
+              .toArray
+          Row(id, out)
+        }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** STUB frame sampler — a "video" payload is fixed-size byte frames;
+    * emit every `every`-th frame (partition-local flatMap: the binary
+    * explode never leaves the executor, rows out = frames kept).
+    * Production swaps the chunker for a container demuxer.
+    */
+  def sampleFrames(assetsDf: DataFrame, frameBytes: Int,
+      every: Int): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val spark = assetsDf.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = assetsDf.select("asset_id", "payload").rdd.mapPartitions {
+      rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          val nFrames = (p.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by every).iterator.map { i =>
+            Row(id, i,
+              p.slice(i * frameBytes, math.min(p.length, (i + 1) * frameBytes)))
+          }
+        }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Gate query for the resize plumbing: stride-4 byte decimation via
+    * the partition-local binary transform, serialized as hex (the gate
+    * cannot carry raw binary cells); the oracle reconstructs the same
+    * decimation from the hex encoding (2 hex chars per byte — byte
+    * j=4i is substr(hx, 8i+1, 2)).
+    */
+  val q152 = EngineQuery(
+    "q152_multimodal_resize",
+    (s, dir) => {
+      resizePayloads(assets(s, dir), stride = 4)
+        .select(col("asset_id"),
+          octet_length(col("resized")).cast(LongType).as("n_bytes"),
+          hex(col("resized")).as("resized_hex"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH a AS (
+              SELECT doc_id AS asset_id,
+                octet_length(encode(text)) AS n,
+                hex(encode(text)) AS hx
+              FROM documents
+            )
+            SELECT asset_id,
+              CAST(CEIL(n / 4.0) AS BIGINT) AS n_bytes,
+              array_to_string(
+                [substr(hx, 8*i+1, 2)
+                 for i in range(0, CAST(CEIL(n / 4.0) AS BIGINT))], '')
+                AS resized_hex
+            FROM a ORDER BY asset_id"""))
+
+  /** Gate query for the frame-sample plumbing: 32-byte frames, every
+    * 3rd kept. Output rows = sampled frames (the explode happened
+    * executor-side); the oracle slices the same frames out of the hex
+    * encoding (frame i is substr(hx, 64i+1, 64), naturally short at
+    * the tail).
+    */
+  val q153 = EngineQuery(
+    "q153_multimodal_frame_sample",
+    (s, dir) => {
+      sampleFrames(assets(s, dir), frameBytes = 32, every = 3)
+        .select(col("asset_id"), col("frame_idx"),
+          octet_length(col("frame")).cast(LongType).as("frame_bytes"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
+    Some("""WITH a AS (
+              SELECT doc_id AS asset_id,
+                octet_length(encode(text)) AS n,
+                hex(encode(text)) AS hx
+              FROM documents
+            ), f AS (
+              SELECT asset_id, n, hx,
+                UNNEST([3*i for i in
+                  range(0, CAST(CEIL(CEIL(n / 32.0) / 3.0) AS BIGINT))])
+                  AS frame_idx
+              FROM a
+            )
+            SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+              CAST(length(substr(hx, 64*frame_idx+1, 64)) / 2 AS BIGINT)
+                AS frame_bytes,
+              substr(hx, 64*frame_idx+1, 64) AS frame_hex
+            FROM f ORDER BY asset_id, frame_idx"""))
+
+  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153)
 }

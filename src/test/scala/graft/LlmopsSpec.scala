@@ -169,6 +169,31 @@ class LlmopsSpec extends SparkTestBase {
     assert(rows.map(_.toString) sameElements again.map(_.toString))
   }
 
+  test("Multimodal resize/frame-sample plumbing: byte-exact reassembly") {
+    val assets = Multimodal.assets(spark, sfDir).limit(20)
+    val originals = assets.orderBy(col("asset_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // resize stride 4 = every 4th byte of the original, in order
+    Multimodal.resizePayloads(assets, stride = 4).collect().foreach { r =>
+      val want = originals(r.getLong(0)).grouped(4).map(_.head).toArray
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("resized"), want))
+    }
+    // frames of 32 bytes, every 3rd: concatenating the sampled frames
+    // equals slicing the original directly; indices are 0,3,6,...
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, every = 3)
+      .collect().groupBy(_.getLong(0))
+    originals.foreach { case (id, p) =>
+      val fs = frames.getOrElse(id, Array.empty).sortBy(_.getInt(1))
+      val nFrames = (p.length + 31) / 32
+      assert(fs.map(_.getInt(1)).toSeq == (0 until nFrames by 3).toSeq)
+      fs.foreach { f =>
+        val i = f.getInt(1)
+        val want = p.slice(i * 32, math.min(p.length, (i + 1) * 32))
+        assert(java.util.Arrays.equals(f.getAs[Array[Byte]]("frame"), want))
+      }
+    }
+  }
+
   test("PQ (ADC+refine) ANN recall vs the exact top-k") {
     val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
