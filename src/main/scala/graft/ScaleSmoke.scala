@@ -93,7 +93,13 @@ object ScaleSmoke {
       "q144_tpch_q16_supplier_diversity" ->
         (d => graft.ops.TpchSuite2.q144.run(spark, d)),
       "q145_tpch_q21_waiting_supplier" ->
-        (d => graft.ops.TpchSuite2.q145.run(spark, d)))
+        (d => graft.ops.TpchSuite2.q145.run(spark, d)),
+      // the two fixpoint-loop operators — rounds, not rows, dominate;
+      // measured so "inherent iteration cost" stays evidence-backed
+      "q102_recursive_hierarchy" ->
+        (d => graft.ops.Advanced.q102.run(spark, d)),
+      "q112_dedup_components" ->
+        (d => graft.llmops.Components.q112.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>
