@@ -95,5 +95,50 @@ object Curation {
               ON g.fp = c.fp AND g.doc_id = c.doc_id
             ORDER BY g.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q64)
+  /** Per-source RELATIVE quality pruning — drop each source's shortest
+    * 30% by word count. Absolute gates ([[gated]]'s MinWords) mis-prune
+    * when source length distributions differ (a floor tuned for web
+    * text deletes half a short-form source or keeps all of a noisy
+    * one); the percentile prune adapts per source.
+    *
+    * Scale design: aggregate-then-broadcast, NOT a per-source window —
+    * the exact per-source threshold is one map-side-combined
+    * percentile aggregate (|sources| rows out) broadcast back as a
+    * filter. A `percent_rank` window would total-sort every source's
+    * rows on one partition each; the threshold join touches each row
+    * once in the scan projection. Same decorrelation shape as the
+    * TPC-H Q17/Q22 composites.
+    */
+  val q59 = EngineQuery(
+    "q59_quality_percentile_prune",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          TextStats.nWords(col("text")).as("n_words"))
+      val thresholds = scored.groupBy(col("source"))
+        .agg(expr("percentile(n_words, 0.3)").as("thresh"))
+      scored.join(broadcast(thresholds), Seq("source"))
+        .filter(col("n_words") >= col("thresh"))
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("thresh"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(trim(text))
+                          - length(regexp_replace(trim(text), ' ', '', 'g'))
+                          + 1
+                END AS n_words
+              FROM documents
+            ), th AS (
+              SELECT source, quantile_cont(n_words, 0.3) AS thresh
+              FROM scored GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.n_words, t.thresh
+            FROM scored s JOIN th t USING (source)
+            WHERE s.n_words >= t.thresh
+            ORDER BY s.doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q59, q64)
 }

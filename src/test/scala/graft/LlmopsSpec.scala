@@ -169,6 +169,28 @@ class LlmopsSpec extends SparkTestBase {
     assert(rows.map(_.toString) sameElements again.map(_.toString))
   }
 
+  test("q59 percentile prune: per-source thresholds bind independently") {
+    val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // every kept doc beats ITS OWN source's threshold
+    out.foreach { case (id, _, n, th) =>
+      assert(n >= th, s"doc $id kept below threshold") }
+    // each source keeps ~70% (>= because ties at the threshold stay)
+    val t = graft.ops.Tables(spark, sfDir)
+    val total = t.documents.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_._2).view.mapValues(_.length).toMap
+    kept.foreach { case (src, k) =>
+      val frac = k.toDouble / total(src)
+      assert(frac >= 0.65 && frac < 1.0,
+        s"source $src kept ${k}/${total(src)} — prune must bind but keep most")
+    }
+    // thresholds actually DIFFER across sources (the point of relative
+    // pruning — a global threshold would collapse them to one value)
+    assert(out.map(_._4).distinct.length > 1, "per-source thresholds vary")
+  }
+
   test("Multimodal resize/frame-sample plumbing: byte-exact reassembly") {
     val assets = Multimodal.assets(spark, sfDir).limit(20)
     val originals = assets.orderBy(col("asset_id")).collect()
