@@ -27,7 +27,8 @@ object ExplainAudit {
     "q138_tpch_q17_small_qty", "q140_tpch_q15_top_supplier",
     "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier",
     "q146_tpch_q1_pricing_summary", "q148_tpch_q6_forecast_revenue",
-    "q151_tpch_q20_promo_suppliers")
+    "q151_tpch_q20_promo_suppliers", "q59_quality_percentile_prune",
+    "q147_tpch_q2_min_cost_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -235,6 +236,18 @@ object ExplainAudit {
         "semi-joins the rare qualifying key set against the supplier dim", {
         val p = planOf(spark, byName, sfDir, "q151_tpch_q20_promo_suppliers")
         p.contains("LeftSemi") && p.contains("BroadcastHashJoin")
+      }),
+      ("q59 percentile prune is threshold-aggregate + broadcast join " +
+        "back — no per-source window sort anywhere in the plan", {
+        val p = planOf(spark, byName, sfDir, "q59_quality_percentile_prune")
+        p.contains("BroadcastHashJoin") && !p.contains("Window")
+      }),
+      ("q147 Q2-shape argmin: distinct pair reduction feeds dim-bounded " +
+        "broadcasts; the min-balance join-back is a hash join, not a " +
+        "global window or nested loop", {
+        val p = planOf(spark, byName, sfDir, "q147_tpch_q2_min_cost_supplier")
+        p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+          !p.contains("NestedLoop") && !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>
