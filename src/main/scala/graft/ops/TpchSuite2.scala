@@ -205,18 +205,20 @@ object TpchSuite2 {
             GROUP BY c_nationkey ORDER BY c_nationkey"""),
     bench = true)
 
-  /** TPC-H Q11 shape: important parts — parts carrying more than
-    * 1/1600 of total discounted lineitem value (the fixture has no
+  /** TPC-H Q11 shape: important parts — parts carrying more than 1.5×
+    * the AVERAGE part's discounted lineitem value (the fixture has no
     * partsupp; lineitem value plays supplycost·availqty). The HAVING's
     * scalar subquery (`> fraction × SUM over everything`) is the
     * per-group rollup cross-joined with its own re-aggregated total —
     * the total is derived FROM the group rollup (one fact scan, not
-    * two).
+    * two). The threshold is SCALE-FREE (relative to the average, like
+    * TPC-H's own `0.0001 / SF` scaling): a fixed share-of-total would
+    * stop binding as |parts| grows — degenerate at 10× the fixture.
     *
-    * Scale shape: one hash-agg on l_partkey; the grand total re-
-    * aggregates those |parts| rows (no second lineitem pass); the
-    * share test broadcasts one row. Cross-multiplied (value·1600 >
-    * total) — exact decimals, no division.
+    * Scale shape: one hash-agg on l_partkey; the grand (total, count)
+    * re-aggregates those |parts| rows (no second lineitem pass); the
+    * share test broadcasts one row. Cross-multiplied (2·value·cnt >
+    * 3·total ⇔ value > 1.5·avg) — exact decimals, no division.
     */
   val q142 = EngineQuery(
     "q142_tpch_q11_important_parts",
@@ -224,18 +226,20 @@ object TpchSuite2 {
       val t = Tables(s, dir)
       val perPart = t.lineitem.groupBy(col("l_partkey"))
         .agg(sum(revenue).as("value"))
-      val total = perPart.agg(sum(col("value")).as("total"))
+      val total = perPart
+        .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
       perPart.join(broadcast(total))
-        .filter(col("value") * lit(1600) > col("total"))
+        .filter(col("value") * lit(2) * col("cnt") >
+          col("total") * lit(3))
         .select(col("l_partkey"), toDouble(col("value")).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     },
     Some(s"""WITH pv AS (
                SELECT l_partkey, SUM($revenueSql) AS value
                FROM lineitem GROUP BY l_partkey),
-             tot AS (SELECT SUM(value) AS total FROM pv)
+             tot AS (SELECT SUM(value) AS total, COUNT(*) AS cnt FROM pv)
              SELECT l_partkey, CAST(value AS DOUBLE) AS value
-             FROM pv, tot WHERE value * 1600 > total
+             FROM pv, tot WHERE value * 2 * cnt > total * 3
              ORDER BY value DESC, l_partkey"""),
     bench = true)
 

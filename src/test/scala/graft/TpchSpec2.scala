@@ -94,15 +94,17 @@ class TpchSpec2 extends SparkTestBase {
         .as("v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val total = perPart.values.sum
-    val want = perPart.filter { case (_, v) => v * 1600 > total + 1e-4 }
+    val cnt = perPart.size
+    val want = perPart.filter { case (_, v) =>
+      v * 2 * cnt > total * 3 + 1e-4 }
     // double recompute can disagree with the exact-decimal engine only
     // inside float noise of the threshold — assert set equality after
     // excluding a noise band around it
     val band = total * 1e-9
     val sure = perPart.filter { case (_, v) =>
-      math.abs(v * 1600 - total) > band }
+      math.abs(v * 2 * cnt - total * 3) > band }
     sure.foreach { case (k, v) =>
-      assert(out.contains(k) == (v * 1600 > total), s"part $k") }
+      assert(out.contains(k) == (v * 2 * cnt > total * 3), s"part $k") }
     assert(want.nonEmpty && out.nonEmpty)
   }
 
