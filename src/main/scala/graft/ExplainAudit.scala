@@ -168,10 +168,16 @@ object ExplainAudit {
         "multiplication, no per-row subquery)",
         planOf(spark, byName, sfDir, "q134_tpch_q4_priority_check")
           .contains("LeftSemi")),
-      ("q48 leakage audit probes the train-span index with a LeftSemi " +
-        "join on the int64 span hash", {
+      ("q48 leakage audit probes the unique train-span index with ONE " +
+        "hash equi-join on the int64 span hash, and the whole audit " +
+        "scans documents exactly twice (train side + test side — no " +
+        "re-derived span explode per consumer)", {
         val p = planOf(spark, byName, sfDir, "q48_cross_split_leakage")
-        p.contains("LeftSemi") && !p.contains("CartesianProduct")
+        // formatted mode prints each scan twice (tree + details), so
+        // count the numbered detail entries — one per physical scan
+        "keys \\[1\\]: \\[gh#\\d+L?\\]".r.findFirstIn(p).isDefined &&
+          !p.contains("CartesianProduct") &&
+          "\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2
       }),
       ("q49 temperature mixing broadcasts the |langs|-row target table " +
         "into the selection window",

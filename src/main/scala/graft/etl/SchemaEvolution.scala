@@ -50,11 +50,18 @@ object SchemaEvolution {
         // widen BOTH the integer digits and the scale: max(precision),
         // max(scale) can LOSE integer digits — DECIMAL(10,2) vs
         // DECIMAL(8,6) would yield DECIMAL(10,6) with only 4 integer
-        // digits, silently nulling existing large values on the cast
+        // digits, silently nulling existing large values on the cast.
+        // When intDigits + scale exceeds DECIMAL's 38-digit ceiling
+        // there is NO lossless widened type: capping precision drops
+        // integer digits (nulls large values), reducing scale truncates
+        // fractional digits of already-loaded history — both are the
+        // silent corruption this policy exists to refuse, so the drift
+        // is Breaking, not Widened.
         val intDigits = math.max(x.precision - x.scale,
           y.precision - y.scale)
         val scale = math.max(x.scale, y.scale)
-        Some(DecimalType(math.min(intDigits + scale, 38), scale))
+        if (intDigits + scale > DecimalType.MAX_PRECISION) None
+        else Some(DecimalType(intDigits + scale, scale))
       case _ => None
     }
 

@@ -97,7 +97,9 @@ object Dedup {
               FROM toks WHERE len(ws) >= 3
             ), g AS (
               SELECT doc_id,
-                list_sum([ascii(s[i]) * ((i*i*2654435761 + i*97) % 1000000007)
+                list_sum([(ascii(s[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                   for i in range(1, length(s)+1)]) % 1000000007 AS gh
               FROM sh
             ), mh AS (
@@ -160,7 +162,9 @@ object Dedup {
               FROM documents
             ), wh AS (
               SELECT doc_id,
-                list_sum([ascii(w[i]) * ((i*i*2654435761 + i*97) % 1000000007)
+                list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                   for i in range(1, length(w)+1)]) % 1000000007 AS gh
               FROM toks WHERE length(w) > 0
             ), bits AS (
@@ -444,8 +448,9 @@ object Dedup {
               FROM documents
             ), th AS (
               SELECT doc_id,
-                [coalesce(list_sum([ascii(w[i])
-                    * ((i*i*2654435761 + i*97) % 1000000007)
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                     for i in range(1, length(w)+1)]) % 1000000007, 0)
                  for w in ws] AS ths
               FROM toks WHERE len(ws) >= 8
@@ -476,9 +481,16 @@ object Dedup {
     * so the audit composes with the split operator it guards.
     *
     * Scale shape: identical to q47 — the train span INDEX is a distinct
-    * int64 hash set (one hash-agg), the probe is a left-semi-join of
-    * test spans against it, per-doc rollup last. Nothing is quadratic;
-    * the train side would be a persisted bucketed index in production.
+    * int64 hash set (one hash-agg); the probe is ONE hash equi-join of
+    * the distinct test spans against it, per-doc rollup last. The probe
+    * is a left-outer join with a hit marker rather than a LeftSemi:
+    * against a UNIQUE index key it is row-for-row the semi join (zero
+    * fanout, same hash-join physics), but one pass yields BOTH the
+    * n_spans denominator and the leaked count, so the test spans are
+    * derived once — the plan scans `documents` exactly twice (train
+    * side + test side) instead of re-deriving the span explode per
+    * consumer. Nothing is quadratic; the train side would be a
+    * persisted bucketed index in production.
     */
   val q48 = EngineQuery(
     "q48_cross_split_leakage",
@@ -495,13 +507,13 @@ object Dedup {
         .select(col("gh")).distinct()
       val testSpans = spans.filter(col("bk") >= 900)
         .select(col("doc_id"), col("gh")).distinct()
-      val leaked = testSpans.join(trainIdx, Seq("gh"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
-      testSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-        .join(leaked, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
-          (coalesce(col("n_leaked"), lit(0L)).cast(DoubleType) /
+      testSpans
+        .join(trainIdx.withColumn("hit", lit(1)), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_leaked"))
+        .select(col("doc_id"), col("n_spans"), col("n_leaked"),
+          (col("n_leaked").cast(DoubleType) /
             col("n_spans").cast(DoubleType)).as("leak_frac"))
         .orderBy(col("doc_id"))
     },
@@ -512,8 +524,9 @@ object Dedup {
               FROM documents
             ), th AS (
               SELECT doc_id, bk,
-                [coalesce(list_sum([ascii(w[i])
-                    * ((i*i*2654435761 + i*97) % 1000000007)
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                     for i in range(1, length(w)+1)]) % 1000000007, 0)
                  for w in ws] AS ths
               FROM toks WHERE len(ws) >= 8

@@ -172,8 +172,9 @@ object TextAnalysis {
     Some("""SELECT doc_id,
               md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_md5,
               CAST(list_sum(
-                  [ascii(regexp_replace(lower(trim(text)), ' +', ' ', 'g')[i])
-                    * ((i*i*2654435761 + i*97) % 1000000007)
+                  [(ascii(regexp_replace(lower(trim(text)), ' +', ' ', 'g')[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                   for i in range(1,
                     length(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))+1)])
                 % 1000000007 AS BIGINT) AS fp_roll
@@ -395,8 +396,9 @@ object TextAnalysis {
               FROM documents
             ), th AS (
               SELECT doc_id,
-                [coalesce(list_sum([ascii(w[i])
-                    * ((i*i*2654435761 + i*97) % 1000000007)
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                     for i in range(1, length(w)+1)]) % 1000000007, 0)
                  for w in ws] AS ths
               FROM toks WHERE len(ws) >= 2
@@ -527,8 +529,9 @@ object TextAnalysis {
               FROM documents
             ), th AS (
               SELECT doc_id,
-                [coalesce(list_sum([ascii(w[i])
-                    * ((i*i*2654435761 + i*97) % 1000000007)
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
                     for i in range(1, length(w)+1)]) % 1000000007, 0)
                  for w in ws] AS ths
               FROM tw WHERE len(ws) >= 2

@@ -240,44 +240,61 @@ object StreamingOps {
   /** Streaming per-source quota enforcement — the streaming twin of
     * batch q77's domain-frequency cap: admit documents from a source
     * only while its running admitted-count is below the cap, across
-    * micro-batches. PERSISTED state per key is ONE long (the admitted
-    * count); working memory while processing a group is O(cap) — a
-    * bounded max-heap of the smallest ids — never O(rows in batch), so
-    * a skewed mega-source costs one streaming pass, not a buffer.
+    * micro-batches, ranking admission within each batch by the SAME
+    * quality key as the batch rule (n_chars DESC, ties on doc_id ASC).
+    * Run over a single batch this therefore selects exactly q77's
+    * top-cap set — gate-checked against the windowed SQL in q154.
+    * Across micro-batches the cap still binds first-come per batch
+    * (a stream cannot rank against documents it hasn't seen), which is
+    * the inherent batch/stream divergence of any quota rule.
     *
-    * Admission order within a batch is deterministic (smallest doc_ids
-    * win) so replays admit the same documents — the same
+    * PERSISTED state per key is ONE long (the admitted count); working
+    * memory while processing a group is O(cap) — a bounded heap of the
+    * best (n_chars, doc_id) keys — never O(rows in batch), so a skewed
+    * mega-source costs one streaming pass, not a buffer. Replays admit
+    * the same documents (deterministic key, no rand()), the same
     * reproducibility contract as the batch rule. flatMapGroupsWithState
     * because each input row maps to 0-or-1 outputs.
     */
-  final case class Admitted(doc_id: Long, source: String)
+  final case class Admitted(doc_id: Long, source: String, n_chars: Long)
 
   def sourceQuota(spark: SparkSession, docs: DataFrame,
       cap: Long): DataFrame = {
     import spark.implicits._
+    // head of the bounded heap = WORST kept doc (smallest n_chars,
+    // then largest doc_id) so it is evicted first when a better one
+    // arrives — the max-heap inversion of (n_chars DESC, doc_id ASC)
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (nChars, id) => (-nChars, id) }
     docs
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast(LongType).as("n_chars"))
+      .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, Admitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (src, rows, state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val room = (cap - admitted).toInt
+          // clamp: a cap beyond Int.MaxValue must saturate, not wrap
+          // negative through .toInt
+          val room = math.min(cap - admitted, Int.MaxValue.toLong).toInt
           if (room <= 0) {
             // exhausted source: drain without buffering anything
             Iterator.empty
           } else {
-            // keep the `room` smallest ids in a bounded max-heap —
-            // one pass, O(cap) memory regardless of group size
-            val heap = scala.collection.mutable.PriorityQueue.empty[Long]
-            rows.foreach { case (id, _) =>
-              if (heap.size < room) heap.enqueue(id)
-              else if (id < heap.head) { heap.dequeue(); heap.enqueue(id) }
+            val heap = scala.collection.mutable
+              .PriorityQueue.empty[(Long, Long)](worstFirst)
+            rows.foreach { case (id, _, nChars) =>
+              if (heap.size < room) heap.enqueue((nChars, id))
+              else if (worstFirst.compare((nChars, id), heap.head) < 0) {
+                heap.dequeue(); heap.enqueue((nChars, id))
+              }
             }
-            val winners = heap.dequeueAll.reverse // ascending doc_id
+            val drained: Seq[(Long, Long)] = heap.dequeueAll
+            val winners = drained.sortBy(_._2) // ascending doc_id
             state.update(admitted + winners.size)
-            winners.iterator.map(Admitted(_, src))
+            winners.iterator.map { case (nChars, id) =>
+              Admitted(id, src, nChars) }
           }
       }
       .toDF()

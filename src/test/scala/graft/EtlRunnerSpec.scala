@@ -277,6 +277,27 @@ class EtlRunnerSpec extends SparkTestBase {
       Seq(Widened("b", ByteType, ShortType)))
   }
 
+  test("schema drift: decimal widening past 38 digits is Breaking") {
+    import graft.etl.SchemaEvolution
+    import graft.etl.SchemaEvolution.Breaking
+    import org.apache.spark.sql.types._
+    // DECIMAL(38,0) vs DECIMAL(8,6) needs 38 integer digits + 6 scale
+    // = 44 > 38: no lossless widened type exists. Capping precision
+    // would null large existing values; reducing scale would truncate
+    // incoming fractions — both silent corruption, so refuse.
+    val drifts = SchemaEvolution.driftReport(
+      StructType(Seq(StructField("v", DecimalType(38, 0)))),
+      StructType(Seq(StructField("v", DecimalType(8, 6)))))
+    assert(drifts == Seq(Breaking("v", DecimalType(38, 0),
+      DecimalType(8, 6))))
+    // and the boundary itself still widens: 32 int digits + 6 = 38
+    assert(SchemaEvolution.driftReport(
+      StructType(Seq(StructField("v", DecimalType(32, 0)))),
+      StructType(Seq(StructField("v", DecimalType(8, 6))))) ==
+      Seq(SchemaEvolution.Widened("v", DecimalType(32, 0),
+        DecimalType(38, 6))))
+  }
+
   test("schema drift: breaking type change refuses the ingest") {
     import spark.implicits._
     import graft.etl.SchemaEvolution

@@ -293,7 +293,8 @@ class StreamingSpec extends SparkTestBase {
     // see the FIRST batch's admitted counts (cross-batch state), so a
     // source exhausted in batch 1 admits nothing in batch 2
     val dir = Files.createTempDirectory("graft_docs_quota")
-    val docs = t.documents.select(col("doc_id"), col("source"))
+    val docs = t.documents.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("n_chars"))
     val batch1 = docs.filter(col("doc_id") < 25)
     val batch2 = docs.filter(col("doc_id") >= 25)
     batch1.coalesce(1).write.parquet(s"$dir/b=1")
@@ -317,11 +318,20 @@ class StreamingSpec extends SparkTestBase {
     // batch 2 really flowed: some admitted doc must come from it
     assert(got.exists(_._1 >= 25), "no batch-2 doc was admitted")
     assert(afterB1 < got.length, "batch 2 admitted nothing new")
-    // equals the batch twin: first `cap` doc_ids per source in the
-    // order batches arrived (batch1 ids all precede batch2 ids here
-    // because the split is by doc_id)
-    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
-      .groupBy(_._2).values.flatMap(_.sortBy(_._1).take(cap.toInt)).toSet
+    // equals the per-batch quality rule: within each batch a source
+    // admits its best remaining docs by q77's key (n_chars DESC,
+    // doc_id ASC) until its cross-batch cap is exhausted
+    def best(rows: Array[(Long, String, Long)], k: Int) =
+      rows.sortBy { case (id, _, nc) => (-nc, id) }.take(k)
+    val b1 = batch1.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b2 = batch2.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = (b1 ++ b2).map(_._2).distinct.flatMap { src =>
+      val first = best(b1.filter(_._2 == src), cap.toInt)
+      val second = best(b2.filter(_._2 == src), cap.toInt - first.length)
+      (first ++ second).map { case (id, s, _) => (id, s) }
+    }.toSet
     assert(got.toSet == want)
   }
 
