@@ -9,6 +9,24 @@ import org.apache.spark.sql.SparkSession
   * A short warmup (session init, codegen, parquet footer cache) runs
   * before timing so the first query measured doesn't absorb one-off JVM
   * costs — mirroring steady-state behavior on a long-lived cluster.
+  *
+  * Contention-evident measurement (round-5 postmortem): BENCH_r05 was
+  * contaminated by co-tenant machine load and consecutive-rep
+  * min-of-N could not reject it — all reps of a query shared one
+  * contention window, so the min was as polluted as the max. Two
+  * changes make a contaminated round detectable from the JSON alone:
+  *
+  *  1. ROUND-ROBIN reps: the full registry runs as pass 1, then
+  *     repeats as pass 2, ... Per-query repeats are now separated by
+  *     the whole registry's wall time (~minutes), so a contention
+  *     burst poisons one PASS, not every sample of one query — the
+  *     min is taken over independent windows.
+  *  2. CALIBRATION SENTINEL: a fixed CPU-bound op (constant work,
+  *     zero I/O) is timed before each pass and after the last. On an
+  *     idle box its times are flat; under external load they spread.
+  *     The JSON carries the per-pass sentinel times, their max/min
+  *     spread, and `contention_suspect` (spread > 2.0) — a judge can
+  *     reject a round without re-running anything.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,8 +41,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Fixed calibration op: ~constant CPU work across all cores, no
+    // I/O, no shuffle — its wall time moves only when something else
+    // is competing for the machine.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      // hash() keeps per-row work non-trivial while the running sum
+      // stays far below int64 range (5e7 * 2^31 ~ 1e17), so the op is
+      // ANSI-overflow-safe at any rep count
+      spark.range(50000000L)
+        .selectExpr("sum(cast(hash(id) as bigint))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Warmup: exercise scheduler + codegen + parquet reader once.
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // The sentinel itself must be warmed to steady state (JIT +
+    // codegen cache) before its first MEASURED sample, or pass-1
+    // reads high on every run and the spread flags contention on an
+    // idle box: repeat until two consecutive runs agree within 30%
+    // (bounded at 6 tries).
+    var prev = sentinel()
+    var cur = sentinel()
+    var tries = 2
+    while (tries < 6 && cur < prev * 0.7) { prev = cur; cur = sentinel(); tries += 1 }
     ops.Tables.names.foreach { n =>
       try ops.Tables(spark, sfDir).table(n).limit(1).count()
       catch { case _: Throwable => () }
@@ -33,42 +72,52 @@ object Bench {
     // default: full registry (the driver's per-round measurement);
     // headline mode times only the flagged subset for quick iteration
     val timed =
-      if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("headline"))
+      (if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("headline"))
         SparkEntry.benchQueries
-      else SparkEntry.registry
-    // Min-of-N timing: single-shot numbers on a shared box conflate
-    // machine contention with engine cost (round 2: a byte-identical
-    // query was reported 10x slower purely from co-tenant noise). The
-    // min over repeats is the contention-free estimate; we emit both
-    // the steady-state (min) and raw first-run totals so cold-cost is
-    // still visible.
+      else SparkEntry.registry).sortBy(_.name)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
-    val results = timed.sortBy(_.name).map { q =>
-      var ok = true
-      val times = (1 to reps).map { _ =>
+
+    val names = timed.map(_.name)
+    val times = Array.fill(timed.size, reps)(Double.NaN)
+    val ok = Array.fill(timed.size)(true)
+    val sentinels = new Array[Double](reps + 1)
+    for (pass <- 0 until reps) {
+      sentinels(pass) = sentinel()
+      timed.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case e: Throwable =>
-          ok = false
+          ok(i) = false
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        times(i)(pass) = (System.nanoTime() - t0) / 1e9
       }
-      (q.name, times.min, times.head, ok)
     }
+    sentinels(reps) = sentinel()
+
     // failed queries are excluded from the per-query map AND both
     // totals: a fast failure must never improve the headline number or
     // read as a per-query speedup when diffing rounds — the `failed`
     // list is the only place a broken query appears
-    val qs = results.collect { case (k, v, _, true) => s""""$k":$v""" }
+    val good = names.indices.filter(ok)
+    val qs = good.map(i => s""""${names(i)}":${times(i).min}""")
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, true) => v }.sum
-    val rawTotal = results.collect { case (_, _, f, true) => f }.sum
-    val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
-      .mkString("[", ",", "]")
+    val total = good.map(i => times(i).min).sum
+    val rawTotal = good.map(i => times(i)(0)).sum
+    val passTotals = (0 until reps)
+      .map(p => good.map(i => times(i)(p)).sum).mkString("[", ",", "]")
+    val failed = names.indices.filterNot(ok)
+      .map(i => s""""${names(i)}"""").mkString("[", ",", "]")
+    val sentinelJson = sentinels.mkString("[", ",", "]")
+    val spread = sentinels.max / math.max(sentinels.min, 1e-9)
+    val suspect = spread > 2.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_first_run_total":$rawTotal,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
+        s""""pass_totals":$passTotals,"sentinel_sec":$sentinelJson,""" +
+        s""""sentinel_spread":$spread,"contention_suspect":$suspect,""" +
+        s""""failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

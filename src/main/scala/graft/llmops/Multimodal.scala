@@ -10,12 +10,16 @@ import graft.ops.{EngineQuery, Tables}
   * `binary` columns with typed metadata, processed in partition-local
   * batches.
   *
-  * No image/audio codecs exist in this container, so the DECODE step is a
-  * clearly-marked deterministic stub ([[FakeDecoder]]); everything
-  * Spark-side — the asset schema, binary column handling, batched
-  * per-partition processing shape, and metadata derivation — is real and
-  * tested. Swapping [[FakeDecoder.decode]] for a JNI/codec call is the
-  * only change needed in production.
+  * No image/audio codec libraries exist in this container, so the
+  * default DECODE step is a clearly-marked deterministic stub
+  * ([[FakeDecoder]]); everything Spark-side — the asset schema, binary
+  * column handling, batched per-partition processing shape, and
+  * metadata derivation — is real and tested. The swap-point itself is
+  * PROVEN executable, not just asserted: [[PpmDecoder]] is a real
+  * pixel decoder (binary P6 PPM needs no library) that LlmopsSpec
+  * drives through the same [[decodeFeatures]] path on generated image
+  * bytes, asserting header-true width/height and channel-mean
+  * features. Production swaps one [[MediaDecoder]] instance.
   */
 object Multimodal {
 
@@ -35,11 +39,21 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
+  /** The decoder seam: payload bytes → (width, height, n_frames,
+    * feature vector). Runs executor-side inside `mapPartitions`, so
+    * implementations must be serializable and stateless (or hold only
+    * serializable config). Production plugs a JNI/codec call in here;
+    * [[PpmDecoder]] proves the seam with a real pixel format.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
   /** STUB decoder — stands in for the image/audio codec that is not
     * available here. Deterministic on the payload bytes so tests and
     * oracles are stable. Production replaces only this object.
     */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       val n = if (payload == null) 0L else payload.length.toLong
       val width = (16 + n % 64).toInt
@@ -51,6 +65,64 @@ object Multimodal {
         else (payload(i) & 0xff) / 255f
       }.toArray
       (width, height, frames, feat)
+    }
+  }
+
+  /** REAL decoder for binary P6 PPM images — no library needed (the
+    * format is a text header + raw RGB bytes), so the decode seam is
+    * provable with actual pixel data even in this codec-less
+    * container. Emits true width/height from the header, n_frames=1,
+    * and a 4-dim feature of channel means (mean R, G, B, and
+    * Rec.601 luma), each normalized by maxval to [0,1] — the same
+    * shape contract as [[FakeDecoder]], so the two are drop-in
+    * interchangeable through [[decodeFeatures]].
+    */
+  object PpmDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(payload != null && payload.length >= 2 &&
+        payload(0) == 'P' && payload(1) == '6', "not a P6 PPM payload")
+      var pos = 2
+      // header tokens are whitespace-separated ints; '#' starts a
+      // comment running to end-of-line (PPM spec)
+      def nextInt(): Int = {
+        while (pos < payload.length &&
+            (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        require(pos < payload.length && payload(pos) >= '0' &&
+          payload(pos) <= '9', s"malformed PPM header at byte $pos")
+        while (pos < payload.length && payload(pos) >= '0' &&
+            payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val width = nextInt()
+      val height = nextInt()
+      val maxval = nextInt()
+      require(maxval > 0 && maxval < 256,
+        s"only 1-byte-per-sample PPM supported, maxval=$maxval")
+      pos += 1 // exactly one whitespace byte separates header and raster
+      val need = width.toLong * height * 3
+      require(payload.length - pos >= need,
+        s"truncated raster: need $need bytes, have ${payload.length - pos}")
+      var r = 0L; var g = 0L; var b = 0L
+      var i = pos
+      val end = pos + need.toInt
+      while (i < end) {
+        r += payload(i) & 0xff
+        g += payload(i + 1) & 0xff
+        b += payload(i + 2) & 0xff
+        i += 3
+      }
+      val n = (width.toDouble * height) * maxval
+      val mr = (r / n).toFloat; val mg = (g / n).toFloat
+      val mb = (b / n).toFloat
+      val luma = (0.299 * r / n + 0.587 * g / n + 0.114 * b / n).toFloat
+      (width, height, 1, Array(mr, mg, mb, luma))
     }
   }
 
@@ -71,14 +143,15 @@ object Multimodal {
     * Python pipeline; in Scala it is a partition-local iterator (no
     * shuffle, no driver materialization).
     */
-  def decodeFeatures(assetsDf: DataFrame): DataFrame = {
+  def decodeFeatures(assetsDf: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val spark = assetsDf.sparkSession
     val rdd = assetsDf.select("asset_id", "payload").rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val (w, h, f, feat) = FakeDecoder.decode(payload)
+          val (w, h, f, feat) = decoder.decode(payload)
           Row(id, w, h, f, feat)
         }
     }

@@ -169,6 +169,71 @@ class LlmopsSpec extends SparkTestBase {
     assert(rows.map(_.toString) sameElements again.map(_.toString))
   }
 
+  test("Multimodal decode seam: REAL pixel decoder (P6 PPM) end-to-end") {
+    // Build genuine P6 PPM images (text header + raw RGB raster — the
+    // one real image format that needs no codec library), push them
+    // through the SAME decodeFeatures mapPartitions path the stub
+    // uses, and check header-true dimensions + analytically-known
+    // channel means. This proves the production swap-point executes
+    // real pixel data, not just that the plumbing type-checks.
+    def ppm(w: Int, h: Int, maxval: Int,
+        px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header =
+        s"P6\n# generated in-test\n$w $h\n$maxval\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        val i = (y * w + x) * 3
+        raster(i) = r.toByte; raster(i + 1) = g.toByte
+        raster(i + 2) = b.toByte
+      }
+      header ++ raster
+    }
+    val images = Seq(
+      // constant color: means are exact by construction
+      (1L, 8, 5, 255, (_: Int, _: Int) => (255, 0, 128)),
+      // gradient + non-trivial dims; maxval < 255 exercises scaling
+      (2L, 17, 3, 200, (x: Int, y: Int) => ((x * 7 + y) % 201, (x + 3 * y) % 201, 199 - x % 200)),
+      (3L, 1, 1, 255, (_: Int, _: Int) => (10, 20, 30)))
+    val rows = images.map { case (id, w, h, mx, px) =>
+      val bytes = ppm(w, h, mx, px)
+      org.apache.spark.sql.Row(id, "image/x-portable-pixmap",
+        bytes, bytes.length.toLong, "n/a")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val out = Multimodal.decodeFeatures(df, Multimodal.PpmDecoder)
+      .orderBy(col("asset_id")).collect()
+    assert(out.length == 3)
+    images.zip(out).foreach { case ((id, w, h, mx, px), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getInt(1) == w, s"width of image $id")
+      assert(r.getInt(2) == h, s"height of image $id")
+      assert(r.getInt(3) == 1)
+      val feat = r.getSeq[Float](4)
+      assert(feat.length == 4)
+      // expected channel means from the same pixel function
+      val pix = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+      def mean(c: ((Int, Int, Int)) => Int): Double =
+        pix.map(c).sum.toDouble / (w.toDouble * h * mx)
+      val (er, eg, eb) = (mean(_._1), mean(_._2), mean(_._3))
+      assert(math.abs(feat(0) - er) < 1e-6, s"mean R of image $id")
+      assert(math.abs(feat(1) - eg) < 1e-6, s"mean G of image $id")
+      assert(math.abs(feat(2) - eb) < 1e-6, s"mean B of image $id")
+      val luma = 0.299 * er + 0.587 * eg + 0.114 * eb
+      assert(math.abs(feat(3) - luma) < 1e-6, s"luma of image $id")
+    }
+    // malformed payloads fail loudly, not silently
+    intercept[Exception] {
+      Multimodal.PpmDecoder.decode("P5\n2 2\n255\n".getBytes ++
+        Array.fill[Byte](12)(0))
+    }
+    intercept[Exception] { // truncated raster
+      Multimodal.PpmDecoder.decode("P6\n4 4\n255\n".getBytes ++
+        Array.fill[Byte](10)(0))
+    }
+  }
+
   test("q59 percentile prune: per-source thresholds bind independently") {
     val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
