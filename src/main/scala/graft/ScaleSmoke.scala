@@ -75,6 +75,7 @@ object ScaleSmoke {
       "q41_dedup_minhash_lsh" -> (d => llmops.Dedup.q41.run(spark, d)),
       "q43_dedup_ngram_jaccard" -> (d => llmops.Dedup.q43.run(spark, d)),
       "q47_dup_span_detection" -> (d => llmops.Dedup.q47.run(spark, d)),
+      "q48_cross_split_leakage" -> (d => llmops.Dedup.q48.run(spark, d)),
       "q76_bigram_lm_quality" -> (d => llmops.TextAnalysis.q76.run(spark, d)))
 
     val eventOps: Seq[(String, String => DataFrame)] = Seq(
@@ -99,7 +100,26 @@ object ScaleSmoke {
       "q102_recursive_hierarchy" ->
         (d => graft.ops.Advanced.q102.run(spark, d)),
       "q112_dedup_components" ->
-        (d => graft.llmops.Components.q112.run(spark, d)))
+        (d => graft.llmops.Components.q112.run(spark, d)),
+      // the span/leakage family on the REAL fixtures (500 vs 5000
+      // docs): complements the synthetic points above, which isolate
+      // engine scaling on unique text — these carry the fixtures'
+      // planted duplicates, so span-count fanout is also exercised
+      "q47_dup_span_detection_fixture" ->
+        (d => llmops.Dedup.q47.run(spark, d)),
+      "q48_cross_split_leakage_fixture" ->
+        (d => llmops.Dedup.q48.run(spark, d)),
+      // the ANN family on the real embeddings fixtures (10x rows):
+      // brute-force is the O(n·k) floor, LSH and trained-IVF are the
+      // scale paths whose candidate sets must grow sub-linearly
+      "q50_ann_brute_topk_fixture" ->
+        (d => llmops.Similarity.q50.run(spark, d)),
+      "q52_ann_lsh_fixture" ->
+        (d => llmops.Similarity.q52.run(spark, d)),
+      "q54_ann_ivf_trained_fixture" ->
+        (d => llmops.Similarity.q54.run(spark, d)),
+      "q44_embed_near_dup_fixture" ->
+        (d => llmops.Dedup.q44.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>
@@ -138,7 +158,9 @@ object ScaleSmoke {
     val sfPts = Seq(60000L -> "/root/testdata/sf0.01",
       600000L -> "/root/testdata/sf0.1")
     sfPts.foreach { case (_, d) =>
-      spark.read.parquet(s"$d/lineitem.parquet").count() }
+      spark.read.parquet(s"$d/lineitem.parquet").count()
+      spark.read.parquet(s"$d/documents.parquet").count()
+      spark.read.parquet(s"$d/embeddings.parquet").count() }
     report(tpchOps, sfPts)
     spark.stop()
   }

@@ -15,10 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    already exists.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // session-wide mandatory-filter policy (SURVEY §4); a no-op until a
+    // catalog is installed via MandatoryFilterRule.install(session, cat)
+    e.injectResolutionRule(graft.plans.MandatoryFilterRule.forSession)
+  }
 }
 
 object GraftFunctions {

@@ -136,6 +136,74 @@ class CompileSpec extends SparkTestBase {
     assert(ex.getMessage.contains("is_deleted"))
   }
 
+  test("MandatoryFilterRule: analyzer-rule path equals the spec-level path " +
+      "and pushes down") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.plans.MandatoryFilterRule
+
+    val cat = graft.ops.PipelineQueries.parquetCatalog
+    val orig = spark // force shared-session init before we swap it out
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // extensions only apply at session CONSTRUCTION — build a sibling
+    // session on the same SparkContext with GraftExtensions active
+    val governed = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(governed ne orig)
+      MandatoryFilterRule.install(governed, cat)
+
+      def orders = governed.read.parquet(s"$sfDir/orders.parquet")
+
+      // before install on THIS df / after uninstall: measured below.
+      // aliased scan → policy injected by the analyzer, equal to the
+      // spec-level MandatoryFilters result
+      val ruled = orders.as("orders")
+      val specLevel = MandatoryFilters(orig.read
+        .parquet(s"$sfDir/orders.parquet").as("orders"), "orders", cat)
+      assert(ruled.count() == specLevel.count())
+      assert(ruled.filter(col("o_orderstatus") === "F").count() == 0)
+      assert(ruled.count() < orders.count()) // it actually filtered
+
+      // session-wide: spark.sql over a temp view is governed too — the
+      // coverage the spec-level path cannot give
+      orders.createOrReplaceTempView("orders")
+      val viaSql = governed.sql("SELECT count(*) AS n FROM orders")
+        .head().getLong(0)
+      assert(viaSql == specLevel.count())
+
+      // idempotence: composing the already-analyzed scan into a larger
+      // query injects NO duplicate — exactly one policy Filter in the plan
+      val composed = ruled.filter(col("o_totalprice") > 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val policyFilters = composed.queryExecution.analyzed.collect {
+        case f: LFilter if f.condition.sql.contains("o_orderstatus") => f
+      }
+      assert(policyFilters.size == 1,
+        s"expected exactly 1 injected filter, got ${policyFilters.size}")
+
+      // the injected predicate reaches the parquet scan like any user
+      // filter (analysis-time injection → normal optimizer pushdown)
+      val plan = ruled.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("o_orderstatus"), s"no pushdown visible in:\n$plan")
+
+      // un-governed sessions are untouched; uninstall restores raw reads
+      assert(orig.read.parquet(s"$sfDir/orders.parquet").as("orders")
+        .filter(col("o_orderstatus") === "F").count() > 0)
+      MandatoryFilterRule.uninstall(governed)
+      assert(orders.as("orders").count() == orders.count())
+    } finally {
+      MandatoryFilterRule.uninstall(governed)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("DemoPlanner golden contract: postgres e-commerce sample") {
     // observable contract of sql_generator.py:274-281: first 5 columns,
     // dialect mandatory filter, LIMIT 10
