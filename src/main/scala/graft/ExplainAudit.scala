@@ -28,7 +28,7 @@ object ExplainAudit {
     "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier",
     "q146_tpch_q1_pricing_summary", "q148_tpch_q6_forecast_revenue",
     "q151_tpch_q20_promo_suppliers", "q59_quality_percentile_prune",
-    "q147_tpch_q2_min_cost_supplier")
+    "q147_tpch_q2_min_cost_supplier", "q156_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -253,6 +253,12 @@ object ExplainAudit {
         "global window or nested loop", {
         val p = planOf(spark, byName, sfDir, "q147_tpch_q2_min_cost_supplier")
         p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+          !p.contains("NestedLoop") && !p.contains("CartesianProduct")
+      }),
+      ("q156 semdedup pair space is an equi-join blocked on the cell " +
+        "key and survivors come from an anti-join — no all-pairs scan", {
+        val p = planOf(spark, byName, sfDir, "q156_semdedup")
+        p.contains("[cell") && p.contains("LeftAnti") &&
           !p.contains("NestedLoop") && !p.contains("CartesianProduct")
       }))
 

@@ -575,5 +575,92 @@ object Similarity {
             ORDER BY qid, rn"""),
     bench = true)
 
-  val all: Seq[EngineQuery] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * k-means-clustering the embeddings, then pruning near-duplicate
+    * pairs WITHIN each cluster — a member is dropped when some
+    * same-cell member sits within the cosine threshold AND is farther
+    * from the shared centroid (the paper's keep-rule: retain the
+    * member farthest from the centroid, the most "informative"
+    * representative of the near-dup set; ties broken toward keeping
+    * the smaller vec_id). Complements q44: q44 FINDS the global
+    * top near-dup pairs, this APPLIES a semantic prune to the corpus.
+    *
+    * Output: the surviving corpus (vec_id, cell, cdot) where cdot is
+    * the exact fixed-point cosine to the trained centroid.
+    *
+    * 100 TB shape: training is q53's verified loop (driver state k×dim
+    * only); assignment is a zero-shuffle projection; the pair space is
+    * blocked per cell — in production k scales with the corpus (the
+    * paper runs 11k clusters on LAION) so cell occupancy, not corpus
+    * size, bounds the quadratic term, exactly like q44's buckets. The
+    * drop set comes from ONE equi-join on cell; survivors are ONE
+    * anti-join (unbounded at scale, so no broadcast hint — AQE decides).
+    * Determinism: every ranking quantity (pair dot, centroid dot) is
+    * the exact int64 fixed-point dot, so the drop set is bit-identical
+    * on any engine — the DuckDB oracle replays training + prune.
+    */
+  val q156 = EngineQuery(
+    "q156_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+      val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+        .toDF("cell", "cvec")
+      val assigned = KMeans.assign(t.embeddings, cents)
+        .join(broadcast(centDf), "cell")
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          exactDot(col("embedding").cast("array<double>"), col("cvec"))
+            .as("cdot"))
+      val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("cdot").as("cda"))
+      val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("cdot").as("cdb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("ia") =!= col("ib"))
+        // cheap prefilter at a dims-scaled margin, exact dot decides
+        .filter(fastDot(col("ea"), col("eb")) >=
+          lit(0.2) - dotEps(col("ea")))
+        .filter(exactDot(col("ea"), col("eb")) >= 0.2)
+        // ia is dropped: ib is a witness at >= tau that is FARTHER
+        // from the centroid (or equally far with a smaller id)
+        .filter(col("cda") > col("cdb") ||
+          (col("cda") === col("cdb") && col("ia") > col("ib")))
+        .select(col("ia").as("vec_id"))
+        .distinct()
+      assigned.select(col("vec_id"), col("cell"), col("cdot"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes(4) +
+      """, cd AS (
+           SELECT a.vec_id, a.cell,
+             CAST(d.fdot AS DOUBLE) / 100000000000000.0 AS cdot
+           FROM a3 a JOIN d3 d
+             ON d.vec_id = a.vec_id AND d.cell = a.cell
+         ), pd AS (
+           SELECT ea.vec_id ia, eb.vec_id ib,
+             CAST(SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS dot
+           FROM ex ea
+           JOIN a3 sa ON sa.vec_id = ea.vec_id
+           JOIN a3 sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
+           JOIN ex eb ON eb.vec_id = sb.vec_id AND eb.pos = ea.pos
+           GROUP BY 1, 2
+         ), dropped AS (
+           SELECT DISTINCT p.ia AS vec_id
+           FROM pd p
+           JOIN cd v ON v.vec_id = p.ia
+           JOIN cd u ON u.vec_id = p.ib
+           WHERE p.dot >= 0.2
+             AND (v.cdot > u.cdot OR (v.cdot = u.cdot AND p.ia > p.ib))
+         )
+         SELECT c.vec_id, c.cell, c.cdot FROM cd c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM dropped dr WHERE dr.vec_id = c.vec_id)
+         ORDER BY c.vec_id"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156)
 }

@@ -299,6 +299,33 @@ class LlmopsSpec extends SparkTestBase {
     assert(mean >= 0.45, f"PQ recall degraded: $mean%.3f")
   }
 
+  test("semdedup: no surviving same-cell pair within threshold; deterministic") {
+    import graft.llmops.PortableHash.exactDot
+    val surv = graft.llmops.Similarity.q156.run(spark, sfDir)
+    val rows = surv.collect()
+    val corpus = Tables(spark, sfDir).embeddings
+    assert(rows.nonEmpty && rows.length < corpus.count(),
+      s"expected a non-trivial prune, got ${rows.length} survivors")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // core SemDeDup invariant: if two same-cell members were within the
+    // threshold, the closer-to-centroid one must have been dropped — so
+    // the surviving corpus contains NO same-cell pair at dot >= 0.2
+    val withVec = surv.join(corpus, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val a = withVec.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = withVec.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val residual = a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .filter(exactDot(col("ea"), col("eb")) >= 0.2)
+      .count()
+    assert(residual == 0, s"$residual surviving near-dup pairs remain")
+    // same inputs -> identical surviving set (partition-independent)
+    val again = graft.llmops.Similarity.q156.run(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("span dup detection: exact copies are fully duplicated, counts bounded") {
     val t = Tables(spark, sfDir)
     val out = Dedup.q47.run(spark, sfDir).collect()
