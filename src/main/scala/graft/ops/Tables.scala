@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's Parquet fixture tables (TESTDATA.md).
   *
@@ -21,15 +22,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to a
-    * micros TimestampType — exactly what DuckDB does natively, so oracle
-    * comparisons agree.
+  /** `events.ts` varies across driver fixture generations: parquet
+    * TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read
+    * nanos as long via the legacy conf and truncate) or
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred TIMESTAMP_NTZ —
+    * reinterpret in the UTC session zone). Both normalize to the same
+    * micros TimestampType instants DuckDB produces natively, so oracle
+    * comparisons agree regardless of which generation is on disk.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -31,11 +31,28 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files.
+    *
+    * File streams need an explicit schema; the fixture's `ts` encoding
+    * varies by driver generation (TIMESTAMP(NANOS) read as long vs
+    * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ — see
+    * [[graft.ops.Tables.events]]), so probe the actual type with a
+    * footer-only batch read and normalize to micros TimestampType.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val src = spark.readStream
+      .schema(StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
+      .parquet(dir)
+    tsType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** Tumbling-window aggregation with a watermark — streaming twin of
