@@ -28,7 +28,9 @@ object ExplainAudit {
     "q144_tpch_q16_supplier_diversity", "q145_tpch_q21_waiting_supplier",
     "q146_tpch_q1_pricing_summary", "q148_tpch_q6_forecast_revenue",
     "q151_tpch_q20_promo_suppliers", "q59_quality_percentile_prune",
-    "q147_tpch_q2_min_cost_supplier", "q156_semdedup")
+    "q147_tpch_q2_min_cost_supplier", "q156_semdedup",
+    "q157_dsir_importance_resampling", "q158_ccnet_perplexity_buckets",
+    "q159_pagerank_fixed_point")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -260,6 +262,31 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q156_semdedup")
         p.contains("[cell") && p.contains("LeftAnti") &&
           !p.contains("NestedLoop") && !p.contains("CartesianProduct")
+      }),
+      ("q157 DSIR broadcasts the bucket-bounded weight table into the " +
+        "scoring pass and plans the selection as TakeOrderedAndProject " +
+        "(no global sort, no cartesian)", {
+        val p = planOf(spark, byName, sfDir,
+          "q157_dsir_importance_resampling")
+        p.contains("BroadcastHashJoin") &&
+          p.contains("TakeOrderedAndProject") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q158 CCNet bucketing: the tertile Window runs over the " +
+        "aggregated (lang, cb) histogram (child of the Window is a " +
+        "HashAggregate, never the raw corpus) and the cuts broadcast " +
+        "back into the per-doc assignment", {
+        val p = planOf(spark, byName, sfDir,
+          "q158_ccnet_perplexity_buckets")
+        p.contains("BroadcastHashJoin") && p.contains("Window") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q159 PageRank rounds are hash-partitioned message passing — " +
+        "contributions aggregate on the destination key; the only " +
+        "nested-loop stages are the 1-row |nodes| scalar broadcasts", {
+        val p = planOf(spark, byName, sfDir, "q159_pagerank_fixed_point")
+        "hashpartitioning\\(dst".r.findFirstIn(p).isDefined &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

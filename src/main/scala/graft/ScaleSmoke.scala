@@ -119,7 +119,18 @@ object ScaleSmoke {
       "q54_ann_ivf_trained_fixture" ->
         (d => llmops.Similarity.q54.run(spark, d)),
       "q44_embed_near_dup_fixture" ->
-        (d => llmops.Dedup.q44.run(spark, d)))
+        (d => llmops.Dedup.q44.run(spark, d)),
+      // round-6 curation/graph family on the real fixtures: DSIR's
+      // cost must track the two corpus passes (LM fit + score), CCNet
+      // bucketing must track q76's LM cost (the histogram stage is
+      // size-independent), PageRank's rounds are fixed so its cost
+      // tracks the edge-list size
+      "q157_dsir_fixture" ->
+        (d => llmops.Curation.q157.run(spark, d)),
+      "q158_ccnet_buckets_fixture" ->
+        (d => llmops.Curation.q158.run(spark, d)),
+      "q159_pagerank_fixture" ->
+        (d => graft.ops.GraphRank.q159.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>

@@ -15,7 +15,7 @@ object SparkEntry {
   /** All engine capabilities, in registry order. */
   def registry: Seq[EngineQuery] =
     Relational.all ++ WindowOps.all ++ Scalar.all ++ Advanced.all ++
-      EventOps.all ++ Layout.all ++
+      EventOps.all ++ Layout.all ++ GraphRank.all ++
       graft.llmops.Dedup.all ++ graft.llmops.Components.all ++
       graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++

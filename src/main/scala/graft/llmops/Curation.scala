@@ -1,8 +1,9 @@
 package graft.llmops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.ops.{EngineQuery, Tables}
 
@@ -140,5 +141,198 @@ object Curation {
             WHERE s.n_words >= t.thresh
             ORDER BY s.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q59, q64)
+  /** DSIR feature-space bucket count (hashed unigram features, Xie et
+    * al. 2023 "Data Selection for Language Models via Importance
+    * Resampling" use 10k n-gram hash buckets; 1024 keeps the fixture
+    * LM tables broadcast-tiny while preserving the architecture).
+    */
+  val DsirBuckets = 1024L
+
+  /** Fixed-point scale for the per-bucket importance ratio. */
+  val DsirScale = 1000000L
+
+  /** DSIR importance resampling (deterministic analog of Xie et al.
+    * 2023): select raw-corpus documents whose hashed-unigram feature
+    * distribution looks like a TARGET corpus (here: the `lang='en'`
+    * slice, standing in for "high-quality reference corpus"). Per
+    * token-hash bucket b the importance ratio is
+    *
+    *   w_b = floor( (tgt_b + 1) * 1e6 / (raw_b + 1) )   (add-1 smoothed)
+    *
+    * exact integer division in both engines; a document's score is the
+    * mean bucket ratio over its tokens (sum exact int64, one IEEE
+    * division at the boundary). The true DSIR weight is the PRODUCT of
+    * ratios (sum of logs); ranking by the fixed-point mean keeps the
+    * selection deterministic and cross-engine bit-identical — ln() is
+    * not reproducible across engines — and preserves the architecture:
+    * fit two bucket LMs, score raw docs, keep the top of the
+    * importance order.
+    *
+    * Scale shape (100 TB): the two "LMs" are ONE map-side-combined
+    * hash-agg each, output bounded by the bucket count (1024 rows) —
+    * never corpus-bounded; the weight table broadcasts; scoring is a
+    * map-side broadcast join + per-doc agg. Two passes over the corpus
+    * (fit, then score) — exactly the published algorithm's I/O shape.
+    * The final top-k is TakeOrderedAndProject, no global sort.
+    */
+  val q157 = EngineQuery(
+    "q157_dsir_importance_resampling",
+    (s, dir) => {
+      import PortableHash.{tokens, tokenHashes}
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          tokenHashes(tokens(col("text"))).as("ths"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(col("ths")).as("th"))
+        .withColumn("b", col("th") % DsirBuckets)
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("r"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("t"))
+      // raw covers every bucket any token maps to, so left join is total
+      val w = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          expr(s"((coalesce(t, 0) + 1) * $DsirScale) div (r + 1)").as("w"))
+      toks.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+        .withColumn("avg_w", col("sum_w").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+        .orderBy(col("avg_w").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, lang, source,
+                string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id, lang, source,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks
+            ), tok AS (
+              SELECT doc_id, lang, source, UNNEST(ths) % $DsirBuckets AS b
+              FROM th
+            ), raw AS (
+              SELECT b, COUNT(*) AS r FROM tok GROUP BY b
+            ), tgt AS (
+              SELECT b, COUNT(*) AS t FROM tok WHERE lang = 'en' GROUP BY b
+            ), w AS (
+              SELECT raw.b,
+                ((COALESCE(tgt.t, 0) + 1) * $DsirScale) // (raw.r + 1) AS w
+              FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            )
+            SELECT tok.doc_id, tok.lang, tok.source,
+              COUNT(*) AS n_tokens,
+              CAST(SUM(w.w) AS BIGINT) AS sum_w,
+              CAST(SUM(w.w) AS DOUBLE) / COUNT(*) AS avg_w
+            FROM tok JOIN w ON tok.b = w.b
+            GROUP BY tok.doc_id, tok.lang, tok.source
+            ORDER BY avg_w DESC, tok.doc_id
+            LIMIT 100"""),
+    bench = true)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail thirds by LM score.
+    * The LM score is q76's deterministic perplexity analog (mean corpus
+    * bigram frequency — higher = more fluent = "head").
+    *
+    * Tertile cuts come from a HISTOGRAM, not a per-language window
+    * sort — the production CCNet shape: coarse score bucket
+    * cb = floor(score*100) (exact IEEE arithmetic both engines), one
+    * map-side-combined (lang, cb) count agg, cumulative counts over
+    * that tiny histogram, integer threshold rule 3·cum ≥ total (no
+    * division), cuts broadcast back. Boundary-bucket docs all land in
+    * the higher band, so head/middle are ≥ n/3 and ≥ 2n/3 by
+    * construction — the documented approximation of histogram
+    * quantiles.
+    *
+    * Scale shape (100 TB): corpus-sized stages are one bigram
+    * hash-agg + one per-doc agg (shared with q76); the window runs
+    * over |langs|×|score buckets| rows only; assignment is a broadcast
+    * join in the scan projection.
+    */
+  val q158 = EngineQuery(
+    "q158_ccnet_perplexity_buckets",
+    (s, dir) => {
+      import PortableHash.{tokens, tokenHashes, spanHashes}
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          tokenHashes(col("ws")).as("ths"))
+      val bigrams = toks.select(col("doc_id"), col("lang"),
+        explode(spanHashes(col("ths"), 2)).as("gh"))
+      val lm = bigrams.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+      val scored = bigrams.join(lm, Seq("gh"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+        .select(col("doc_id"), col("lang"),
+          (col("sum_freq").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("score"))
+        .withColumn("cb", floor(col("score") * 100).cast(LongType))
+      val hist = scored.groupBy(col("lang"), col("cb"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCbDesc = Window.partitionBy("lang").orderBy(col("cb").desc)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(byCbDesc))
+        .withColumn("total", sum("cnt").over(Window.partitionBy("lang")))
+      val cuts = cum.groupBy(col("lang")).agg(
+        max(when(col("cum") * 3 >= col("total"), col("cb"))).as("head_cut"),
+        max(when(col("cum") * 3 >= col("total") * 2, col("cb"))).as("mid_cut"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score"), col("cb"),
+          when(col("cb") >= col("head_cut"), "head")
+            .when(col("cb") >= col("mid_cut"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, lang, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id, lang,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 2
+            ), g AS (
+              SELECT doc_id, lang,
+                UNNEST([(${PortableHash.spanHashSql("ths", 2)})
+                        for i in range(1, len(ths))]) AS gh
+              FROM th
+            ), lm AS (
+              SELECT gh, COUNT(*) AS freq FROM g GROUP BY gh
+            ), scored AS (
+              SELECT g.doc_id, g.lang,
+                CAST(SUM(lm.freq) AS DOUBLE) / COUNT(*) AS score,
+                CAST(floor((CAST(SUM(lm.freq) AS DOUBLE) / COUNT(*)) * 100)
+                     AS BIGINT) AS cb
+              FROM g JOIN lm ON g.gh = lm.gh
+              GROUP BY g.doc_id, g.lang
+            ), hist AS (
+              SELECT lang, cb, COUNT(*) AS cnt FROM scored GROUP BY lang, cb
+            ), cum AS (
+              SELECT lang, cb,
+                SUM(cnt) OVER (PARTITION BY lang ORDER BY cb DESC) AS cum,
+                SUM(cnt) OVER (PARTITION BY lang) AS total
+              FROM hist
+            ), cuts AS (
+              SELECT lang,
+                MAX(CASE WHEN cum*3 >= total THEN cb END) AS head_cut,
+                MAX(CASE WHEN cum*3 >= 2*total THEN cb END) AS mid_cut
+              FROM cum GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.score, s.cb,
+              CASE WHEN s.cb >= c.head_cut THEN 'head'
+                   WHEN s.cb >= c.mid_cut THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+            FROM scored s JOIN cuts c ON s.lang = c.lang
+            ORDER BY s.doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158)
 }

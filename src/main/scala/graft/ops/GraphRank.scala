@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the customer↔supplier trade graph.
+  *
+  * The reference's FK graph (sample_metadata.py relationship edges) is a
+  * static schema graph; this is the DATA-level analog a pipeline runs for
+  * entity-importance scoring: nodes = customers ∪ suppliers, an edge per
+  * distinct (customer, supplier) trading pair observed in
+  * lineitem⋈orders, undirected (both directions materialized).
+  *
+  * All arithmetic is integer fixed-point so the oracle is bit-exact:
+  * total rank mass S = 1e12 micro-units, per-edge contribution
+  * r div deg, damping 85/100 — every division is floor division on
+  * int64, identical in Spark (`div`) and DuckDB (`//`). Floor losses
+  * (≤ deg per node per round) stay in the ledger as slightly
+  * sub-stochastic mass — deterministic, documented, and irrelevant to
+  * the ranking.
+  *
+  * Scale shape (100 TB): the edge list is built once (one distinct
+  * agg over the join), degrees are one hash-agg; each of the
+  * [[GraphRank.Iters]] rounds is one shuffle join (ranks ⋈ edges on the
+  * source key) + one hash-agg on the destination key — the Pregel
+  * message-passing shape. Iteration count is FIXED (not a fixpoint), so
+  * the plan depth is bounded; at production scale the edge list is
+  * cached and pre-partitioned by `src` so every round reuses one
+  * partitioning. |nodes| enters the plan as a 1-row broadcast aggregate,
+  * never driver state.
+  */
+object GraphRank {
+
+  /** Total rank mass in fixed-point micro-units. */
+  val S = 1000000000000L
+
+  /** Fixed iteration count — rank ordering is stable well before this
+    * on graphs this dense (diameter 2).
+    */
+  val Iters = 5
+
+  val q159 = EngineQuery(
+    "q159_pagerank_fixed_point",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val eo = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      // node encoding: customer k -> 2k, supplier k -> 2k+1.
+      // localCheckpoint: the edge list is consumed by every round, and
+      // without materialization the lazy plan re-derives the
+      // lineitem⋈orders distinct once PER ROUND (measured 6.5× the
+      // whole query's runtime). Same lineage-truncation move as q112's
+      // star contraction; at production scale this is the cached,
+      // src-partitioned edge RDD every Pregel implementation keeps.
+      val edges = eo
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(eo.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+      val nDf = deg.agg(count(lit(1)).as("n"))
+
+      var ranks = deg.crossJoin(broadcast(nDf))
+        .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
+      for (_ <- 1 to Iters) {
+        val contrib = ranks
+          .join(edges, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        ranks = deg.crossJoin(broadcast(nDf))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("deg"),
+            expr(s"((15 * ($S div n)) div 100)" +
+              " + (85 * coalesce(sc, 0)) div 100").as("r"))
+      }
+      ranks
+        .select(
+          when(col("node") % 2 === 0, "customer")
+            .otherwise("supplier").as("node_type"),
+          expr("node div 2").as("key"),
+          col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node_type"), col("key"))
+        .limit(20)
+    },
+    Some {
+      val header = s"""WITH eo AS (
+              SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), edges AS (
+              SELECT c*2 AS src, sk*2+1 AS dst FROM eo
+              UNION ALL
+              SELECT sk*2+1 AS src, c*2 AS dst FROM eo
+            ), deg AS (
+              SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+            ), nn AS (
+              SELECT COUNT(*) AS n FROM deg
+            ), it0 AS (
+              SELECT node, deg, ${S}::BIGINT // nn.n AS r
+              FROM deg CROSS JOIN nn
+            )"""
+      val iters = (1 to Iters).map { i =>
+        s""", it$i AS (
+              SELECT d.node, d.deg,
+                CAST(((15::BIGINT * (${S}::BIGINT // nn.n)) // 100)
+                  + (85::BIGINT
+                     * COALESCE(SUM(it${i - 1}.r // it${i - 1}.deg), 0))
+                    // 100 AS BIGINT) AS r
+              FROM deg d CROSS JOIN nn
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN it${i - 1} ON it${i - 1}.node = e.src
+              GROUP BY d.node, d.deg, nn.n)"""
+      }.mkString
+      header + iters + s"""
+            SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+              node // 2 AS key, r AS rank_fp
+            FROM it$Iters
+            ORDER BY rank_fp DESC, node_type, key
+            LIMIT 20"""
+    },
+    bench = true)
+
+  val all: Seq[EngineQuery] = Seq(q159)
+}

@@ -486,4 +486,68 @@ class LlmopsSpec extends SparkTestBase {
       assert(cos >= -1.01 && cos <= 1.01, s"cosine out of range: $cos")
     }
   }
+
+  test("DSIR importance resampling selects toward the target slice") {
+    val sel = Curation.q157.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(5)))
+    assert(sel.length == math.min(100,
+      Tables(spark, sfDir).documents.count()).toInt)
+    // deterministic order: (avg_w desc, doc_id)
+    val order = sel.map { case (id, _, w) => (-w, id) }.toSeq
+    assert(order == order.sorted)
+    // selection is biased toward the target distribution: the en share
+    // among selected docs is at least the corpus-wide en share
+    val corpus = Tables(spark, sfDir).documents
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusEnShare = corpus("en").toDouble / corpus.values.sum
+    val selEnShare = sel.count(_._2 == "en").toDouble / sel.length
+    assert(selEnShare >= corpusEnShare,
+      s"selected en share $selEnShare < corpus $corpusEnShare")
+    // rerun is bit-identical (pure integer LM + one boundary division)
+    val again = Curation.q157.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(5)))
+    assert(again.toSeq == sel.toSeq)
+  }
+
+  test("CCNet buckets: per-lang head/middle/tail cover thirds-or-more") {
+    val rows = Curation.q158.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.length
+      val head = docs.count(_._4 == "head")
+      val headMid = docs.count(d => d._4 == "head" || d._4 == "middle")
+      // boundary-bucket docs all land in the higher band, so the bands
+      // are at-least-thirds by construction
+      assert(3 * head >= n, s"$lang: head $head of $n")
+      assert(3 * headMid >= 2 * n, s"$lang: head+middle $headMid of $n")
+      // band order follows the score order: every head doc scores >=
+      // every tail doc within the language
+      val minHead = docs.filter(_._4 == "head").map(_._3).min
+      val tails = docs.filter(_._4 == "tail").map(_._3)
+      if (tails.nonEmpty)
+        assert(minHead >= tails.max, s"$lang: band inversion")
+    }
+  }
+
+  test("PageRank: mass conserved within floor loss, suppliers dominate") {
+    import graft.ops.GraphRank
+    val top = GraphRank.q159.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.length == 20)
+    // descending by fixed-point rank
+    val ranks = top.map(_._3).toSeq
+    assert(ranks == ranks.sorted.reverse)
+    // the 100 suppliers share half the mass that 1000+ customers split,
+    // so the top of the ranking must be supplier-heavy
+    assert(top.take(5).count(_._1 == "supplier") >= 4,
+      s"top-5 not supplier-heavy: ${top.take(5).mkString(", ")}")
+    // every rank positive and below total mass
+    top.foreach { case (_, _, r) =>
+      assert(r > 0 && r < GraphRank.S)
+    }
+  }
 }
