@@ -30,7 +30,7 @@ object ExplainAudit {
     "q151_tpch_q20_promo_suppliers", "q59_quality_percentile_prune",
     "q147_tpch_q2_min_cost_supplier", "q156_semdedup",
     "q157_dsir_importance_resampling", "q158_ccnet_perplexity_buckets",
-    "q159_pagerank_fixed_point")
+    "q159_pagerank_fixed_point", "q160_source_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -287,6 +287,13 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q159_pagerank_fixed_point")
         "hashpartitioning\\(dst".r.findFirstIn(p).isDefined &&
           !p.contains("CartesianProduct")
+      }),
+      ("q160 diversity pre-aggregates trigram types before the rollup " +
+        "— map-side-combined hash-aggs, no countDistinct Expand, no " +
+        "join anywhere", {
+        val p = planOf(spark, byName, sfDir, "q160_source_ngram_diversity")
+        p.contains("HashAggregate") && !p.contains("Expand") &&
+          !p.contains("Join")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -557,6 +557,68 @@ object TextAnalysis {
             FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
             ORDER BY ts.doc_id"""))
 
+  /** Per-source n-gram diversity (the corpus-level distinct-n metric —
+    * the deterministic analog of Self-BLEU diversity auditing): for each
+    * source, the fraction of its trigram OCCURRENCES that are distinct
+    * trigram TYPES. Template farms, boilerplate mirrors, and
+    * low-diversity machine generation collapse this ratio corpus-wide
+    * even when each individual document looks fine to the per-doc
+    * repetition rules (q58 is within-doc; this is ACROSS docs of one
+    * source).
+    *
+    * Scale shape: trigram explode is a pure map stage over the scan;
+    * type counting is one map-side-combined (source, gh) hash-agg
+    * followed by a |sources|-bounded rollup — no distinct over the raw
+    * explode (countDistinct would carry every occurrence into the
+    * shuffle; pre-aggregating to types first shuffles each (source,
+    * trigram) key once). All counts exact int64; the ratio is one IEEE
+    * division at the boundary.
+    */
+  val q160 = EngineQuery(
+    "q160_source_ngram_diversity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tri = t.documents
+        .select(col("source"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(spanHashes(tokenHashes(col("ws")), 3)).as("gh"))
+      tri.groupBy(col("source"), col("gh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_trigrams"),
+          count(lit(1)).as("n_types"))
+        .select(col("source"), col("n_trigrams"), col("n_types"),
+          (col("n_types").cast(DoubleType) /
+            col("n_trigrams").cast(DoubleType)).as("diversity"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tw AS (
+              SELECT source, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT source,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM tw WHERE len(ws) >= 3
+            ), g AS (
+              SELECT source,
+                UNNEST([(${spanHashSql("ths", 3)})
+                        for i in range(1, len(ths)-1)]) AS gh
+              FROM th
+            ), tc AS (
+              SELECT source, gh, COUNT(*) AS c FROM g GROUP BY 1, 2
+            )
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+              COUNT(*) AS n_types,
+              CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS diversity
+            FROM tc GROUP BY source
+            ORDER BY source"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79)
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160)
 }

@@ -533,6 +533,40 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("source n-gram diversity: a template source collapses the ratio") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q160").toString
+    // template source: every doc is the same boilerplate (each doc is
+    // individually fine — q58 sees nothing); diverse source: unique text
+    Seq(
+      (0L, "thank you for visiting our store page today", "en", "tpl", 1L),
+      (1L, "thank you for visiting our store page today", "en", "tpl", 1L),
+      (2L, "thank you for visiting our store page today", "en", "tpl", 1L),
+      (3L, "quarterly revenue grew across all reporting segments", "en",
+        "div", 1L),
+      (4L, "the committee deferred its vote until next session", "en",
+        "div", 1L),
+      (5L, "rainfall totals broke the previous seasonal record", "en",
+        "div", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.q160.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val (tplN, tplT, tplDiv) = out("tpl")
+    val (divN, divT, divDiv) = out("div")
+    assert(tplN == 18 && tplT == 6 && tplDiv == 6.0 / 18) // 3 copies
+    assert(divN == divT && divDiv == 1.0) // all-unique trigrams
+    // fixture invariants: ratio in (0, 1], every source present
+    val fix = TextAnalysis.q160.run(spark, sfDir).collect()
+    assert(fix.length == 20)
+    fix.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("PageRank: mass conserved within floor loss, suppliers dominate") {
     import graft.ops.GraphRank
     val top = GraphRank.q159.run(spark, sfDir).collect()
