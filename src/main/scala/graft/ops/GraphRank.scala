@@ -38,6 +38,42 @@ object GraphRank {
     */
   val Iters = 5
 
+  /** Fixed-point PageRank over an arbitrary (src, dst) edge frame:
+    * returns (node, deg, r) after [[Iters]] rounds. Every participating
+    * node must appear as a `src` (materialize undirected edges in both
+    * directions, as q159 does).
+    *
+    * localCheckpoint: the edge list is consumed by every round, and
+    * without materialization the lazy plan re-derives the upstream
+    * edge construction once PER ROUND (measured 6.5× the whole q159
+    * runtime). Same lineage-truncation move as q112's star
+    * contraction; at production scale this is the cached,
+    * src-partitioned edge RDD every Pregel implementation keeps.
+    */
+  def pagerank(edgesRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = edgesRaw.localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint()
+    val nDf = deg.agg(count(lit(1)).as("n"))
+
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = deg.crossJoin(broadcast(nDf))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"((15 * ($S div n)) div 100)" +
+            " + (85 * coalesce(sc, 0)) div 100").as("r"))
+    }
+    ranks
+  }
+
   val q159 = EngineQuery(
     "q159_pagerank_fixed_point",
     (s, dir) => {
@@ -46,37 +82,12 @@ object GraphRank {
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
         .distinct()
-      // node encoding: customer k -> 2k, supplier k -> 2k+1.
-      // localCheckpoint: the edge list is consumed by every round, and
-      // without materialization the lazy plan re-derives the
-      // lineitem⋈orders distinct once PER ROUND (measured 6.5× the
-      // whole query's runtime). Same lineage-truncation move as q112's
-      // star contraction; at production scale this is the cached,
-      // src-partitioned edge RDD every Pregel implementation keeps.
+      // node encoding: customer k -> 2k, supplier k -> 2k+1
       val edges = eo
         .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .union(eo.select((col("sk") * 2 + 1).as("src"),
           (col("c") * 2).as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint()
-      val nDf = deg.agg(count(lit(1)).as("n"))
-
-      var ranks = deg.crossJoin(broadcast(nDf))
-        .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
-      for (_ <- 1 to Iters) {
-        val contrib = ranks
-          .join(edges, col("node") === col("src"))
-          .select(col("dst"), expr("r div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        ranks = deg.crossJoin(broadcast(nDf))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("deg"),
-            expr(s"((15 * ($S div n)) div 100)" +
-              " + (85 * coalesce(sc, 0)) div 100").as("r"))
-      }
-      ranks
+      pagerank(edges)
         .select(
           when(col("node") % 2 === 0, "customer")
             .otherwise("supplier").as("node_type"),

@@ -567,6 +567,33 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("PageRank semantics: regular graphs rank uniformly, hubs dominate") {
+    import graft.ops.GraphRank
+    import spark.implicits._
+    // 10-cycle (2-regular): symmetry forces identical ranks everywhere
+    val n = 10L
+    val cyc = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i))).toDF("src", "dst")
+    val cycRanks = GraphRank.pagerank(cyc).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cycRanks.size == n)
+    assert(cycRanks.values.toSet.size == 1,
+      s"cycle ranks not uniform: $cycRanks")
+    // uniform rank stays at the initial S/n (stationary by symmetry,
+    // modulo the documented floor loss per round)
+    val uni = cycRanks.values.head
+    assert(uni <= GraphRank.S / n && uni > GraphRank.S / n * 95 / 100)
+
+    // star: the hub out-ranks every leaf
+    val leaves = 1L to 8L
+    val star = leaves.flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val starRanks = GraphRank.pagerank(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hub = starRanks(0L)
+    leaves.foreach(l => assert(hub > starRanks(l) * 3,
+      s"hub $hub does not dominate leaf ${starRanks(l)}"))
+  }
+
   test("PageRank: mass conserved within floor loss, suppliers dominate") {
     import graft.ops.GraphRank
     val top = GraphRank.q159.run(spark, sfDir).collect()
