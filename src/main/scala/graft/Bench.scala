@@ -27,6 +27,14 @@ import org.apache.spark.sql.SparkSession
   *     The JSON carries the per-pass sentinel times, their max/min
   *     spread, and `contention_suspect` (spread > 2.0) — a judge can
   *     reject a round without re-running anything.
+  *
+  * The spread compares only samples taken AFTER at least one full
+  * registry pass: running 150+ queries measurably slows the sentinel
+  * (~2-2.5× — code-cache/GC state, observed on an idle box), so
+  * including the pristine pre-pass-1 sample flags "contention" on
+  * every clean run. The pre sample is still reported (first element
+  * of `sentinel_sec`) — it carries the warmup-quality signal, just
+  * not the contention verdict.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -110,7 +118,11 @@ object Bench {
     val failed = names.indices.filterNot(ok)
       .map(i => s""""${names(i)}"""").mkString("[", ",", "]")
     val sentinelJson = sentinels.mkString("[", ",", "]")
-    val spread = sentinels.max / math.max(sentinels.min, 1e-9)
+    // like-for-like JVM states only: drop the pristine pre-pass-1
+    // sample (see scaladoc) — with reps=1 one sample remains and the
+    // spread degrades to 1.0 (no contention verdict possible)
+    val post = sentinels.drop(1)
+    val spread = post.max / math.max(post.min, 1e-9)
     val suspect = spread > 2.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

@@ -581,8 +581,9 @@ object TextAnalysis {
       val tri = t.documents
         .select(col("source"), tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
+        .select(col("source"), tokenHashes(col("ws")).as("ths"))
         .select(col("source"),
-          explode(spanHashes(tokenHashes(col("ws")), 3)).as("gh"))
+          explode(spanHashes(col("ths"), 3)).as("gh"))
       tri.groupBy(col("source"), col("gh"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
