@@ -38,10 +38,13 @@ object GraphRank {
     */
   val Iters = 5
 
-  /** Fixed-point PageRank over an arbitrary (src, dst) edge frame:
-    * returns (node, deg, r) after [[Iters]] rounds. Every participating
-    * node must appear as a `src` (materialize undirected edges in both
-    * directions, as q159 does).
+  /** Fixed-point PageRank over an arbitrary (src, dst[, w]) edge frame:
+    * returns (node, deg, r) after [[Iters]] rounds, where `deg` is the
+    * node's total outgoing weight. Without a `w` column every edge
+    * weighs 1 and the math reduces exactly to the classic form
+    * ((r·1) div deg ≡ r div deg). Every participating node must appear
+    * as a `src` (materialize undirected edges in both directions, as
+    * q159 does).
     *
     * localCheckpoint: the edge list is consumed by every round, and
     * without materialization the lazy plan re-derives the upstream
@@ -52,8 +55,14 @@ object GraphRank {
     */
   def pagerank(edgesRaw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val edges = edgesRaw.localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted =
+      if (edgesRaw.columns.contains("w")) edgesRaw
+      else edgesRaw.withColumn("w", lit(1L))
+    val edges = weighted.localCheckpoint()
+    // per-edge weight ≤ totw ≤ ~corpus row count; r·w ≤ S·totw must fit
+    // int64, so weights are capped contracts of the caller (q161's
+    // lineitem counts max out far below the 9e6 bound S·w < 2^63 gives)
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .withColumnRenamed("src", "node")
       .localCheckpoint()
     val nDf = deg.agg(count(lit(1)).as("n"))
@@ -63,7 +72,7 @@ object GraphRank {
     for (_ <- 1 to Iters) {
       val contrib = ranks
         .join(edges, col("node") === col("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
+        .select(col("dst"), expr("(r * w) div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       ranks = deg.crossJoin(broadcast(nDf))
         .join(contrib, col("node") === col("dst"), "left")
@@ -134,5 +143,76 @@ object GraphRank {
     },
     bench = true)
 
-  val all: Seq[EngineQuery] = Seq(q159)
+  /** Volume-weighted PageRank: the same graph, but each (customer,
+    * supplier) edge carries its lineitem count — a supplier a few
+    * customers buy HEAVILY from outranks one many customers touched
+    * once, the "supplier criticality" reading procurement analytics
+    * wants. Same integer fixed-point discipline: per-edge contribution
+    * (r·w) div totw, all rounds replayed bit-exactly by the oracle.
+    */
+  val q161 = EngineQuery(
+    "q161_pagerank_weighted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val eo = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"),
+          col("w"))
+      val edges = eo
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"),
+          col("w"))
+        .union(eo.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"), col("w")))
+      pagerank(edges)
+        .select(
+          when(col("node") % 2 === 0, "customer")
+            .otherwise("supplier").as("node_type"),
+          expr("node div 2").as("key"),
+          col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node_type"), col("key"))
+        .limit(20)
+    },
+    Some {
+      val header = s"""WITH eo AS (
+              SELECT o_custkey AS c, l_suppkey AS sk, COUNT(*) AS w
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2
+            ), edges AS (
+              SELECT c*2 AS src, sk*2+1 AS dst, w FROM eo
+              UNION ALL
+              SELECT sk*2+1 AS src, c*2 AS dst, w FROM eo
+            ), deg AS (
+              SELECT src AS node, CAST(SUM(w) AS BIGINT) AS deg
+              FROM edges GROUP BY src
+            ), nn AS (
+              SELECT COUNT(*) AS n FROM deg
+            ), it0 AS (
+              SELECT node, deg, ${S}::BIGINT // nn.n AS r
+              FROM deg CROSS JOIN nn
+            )"""
+      val iters = (1 to Iters).map { i =>
+        s""", it$i AS (
+              SELECT d.node, d.deg,
+                CAST(((15::BIGINT * (${S}::BIGINT // nn.n)) // 100)
+                  + (85::BIGINT
+                     * COALESCE(SUM((it${i - 1}.r * e.w)
+                                    // it${i - 1}.deg), 0))
+                    // 100 AS BIGINT) AS r
+              FROM deg d CROSS JOIN nn
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN it${i - 1} ON it${i - 1}.node = e.src
+              GROUP BY d.node, d.deg, nn.n)"""
+      }.mkString
+      header + iters + s"""
+            SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+              node // 2 AS key, r AS rank_fp
+            FROM it$Iters
+            ORDER BY rank_fp DESC, node_type, key
+            LIMIT 20"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q159, q161)
 }

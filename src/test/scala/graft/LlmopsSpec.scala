@@ -594,6 +594,34 @@ class LlmopsSpec extends SparkTestBase {
       s"hub $hub does not dominate leaf ${starRanks(l)}"))
   }
 
+  test("weighted PageRank: heavy edges pull rank, weight-1 == classic") {
+    import graft.ops.GraphRank
+    import spark.implicits._
+    // star with one heavy spoke: leaf 1 carries 10x the weight of the
+    // others, so it receives 10/17 of the hub's mass each round
+    val leaves = 1L to 8L
+    val wEdges = leaves.flatMap { l =>
+      val w = if (l == 1L) 10L else 1L
+      Seq((0L, l, w), (l, 0L, w))
+    }.toDF("src", "dst", "w")
+    val ranks = GraphRank.pagerank(wEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val others = leaves.drop(1).map(ranks)
+    assert(others.toSet.size == 1, "equal-weight leaves must tie")
+    assert(ranks(1L) > others.head * 5,
+      s"heavy leaf ${ranks(1L)} vs ${others.head}")
+    assert(ranks(0L) > ranks(1L), "hub still dominates")
+    // explicit weight-1 edges reproduce the classic form bit-exactly
+    val star1 = leaves.flatMap(l => Seq((0L, l, 1L), (l, 0L, 1L)))
+      .toDF("src", "dst", "w")
+    val star = leaves.flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val a = GraphRank.pagerank(star1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = GraphRank.pagerank(star).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("PageRank: mass conserved within floor loss, suppliers dominate") {
     import graft.ops.GraphRank
     val top = GraphRank.q159.run(spark, sfDir).collect()
