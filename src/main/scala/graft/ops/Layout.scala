@@ -254,6 +254,158 @@ object Layout {
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4499
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Morton (Z-order) interleave of two non-negative integer keys,
+    * `bits` bits each: bit b of x lands at position 2b, bit b of y at
+    * 2b+1. Pure shift/mask arithmetic — codegen'd builtins, and the
+    * identical expression is writable in ANSI SQL. 21 bits/dim covers
+    * keys to ~2M (orderkey at sf0.1 overflows 16 bits) in a 42-bit
+    * code.
+    */
+  def zvalue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 21): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      (shiftright(x, b) % 2) * lit(1L << (2 * b)) +
+        (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+
+  /** One-time Z-ordered ingest: orders clustered by the Morton code of
+    * (o_custkey, o_orderkey) into ~12 range-partitioned files. Z-order
+    * keeps BOTH dimensions locally dense per file, so per-file min/max
+    * stats are selective for predicates on EITHER column — the property
+    * a linear sort only gives its leading column. This is what
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` does at table-maintenance time.
+    *
+    * Each dimension is min/max-normalized to 16 bits BEFORE the
+    * interleave. Raw interleaving of unequal domains degenerates: with
+    * custkey ≤ 2^8 and orderkey ≤ 2^13, every code bit above 16 comes
+    * from orderkey alone, the curve turns orderkey-major, and custkey
+    * zones span the full range in every file (caught by BucketingSpec
+    * on the raw form; production Z-order implementations normalize via
+    * per-dimension range partitioning for the same reason). The min/max
+    * pass is one tiny agg at layout-maintenance time — the moral
+    * equivalent of the ANALYZE a table service runs before OPTIMIZE.
+    */
+  private def ensureZorderedOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = SessionScratch.dirTag(dir)
+    val path = s"${SessionScratch.base("zorder_tables", app)}/zo_orders_$tag"
+    SessionScratch.once("zorder_tables", app, dir) {
+      val o = Tables(s, dir).orders
+      val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      def normExpr(c: String, lo: Long, hi: Long): String =
+        if (hi > lo) s"(($c - $lo) * 65535) div ${hi - lo}" else "0"
+      o.withColumn("zv", zvalue(
+          expr(normExpr("o_custkey", r.getLong(0), r.getLong(1))),
+          expr(normExpr("o_orderkey", r.getLong(2), r.getLong(3))),
+          bits = 16))
+        .repartitionByRange(12, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Per-file (custkey, orderkey) min/max manifest of the Z-ordered
+    * layout + the file subset overlapping the given ranges (None = no
+    * bound on that dimension). Footer-stats metadata IO only — the same
+    * bounded manifest contract as [[zoneMapPrune]]. Exposed for
+    * BucketingSpec's both-dimension skipping assertions.
+    */
+  private[graft] def zorderPrune(s: org.apache.spark.sql.SparkSession,
+      dir: String, cust: Option[(Long, Long)], ord: Option[(Long, Long)])
+      : (Seq[String], Int, (Long, Long, Long, Long)) = {
+    import scala.jdk.CollectionConverters._
+    val path = ensureZorderedOrders(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        name: String): (Long, Long) = {
+      val cs = b.getColumns.asScala
+        .find(_.getPath.toDotString == name).get.getStatistics
+      (cs.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+        cs.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+    }
+    val manifest = files.flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) None
+        else {
+          val c = blocks.map(colStats(_, "o_custkey"))
+          val k = blocks.map(colStats(_, "o_orderkey"))
+          Some((p.toString, c.map(_._1).min, c.map(_._2).max,
+            k.map(_._1).min, k.map(_._2).max))
+        }
+      } finally reader.close()
+    }
+    val global = (manifest.map(_._2).min, manifest.map(_._3).max,
+      manifest.map(_._4).min, manifest.map(_._5).max)
+    val selected = manifest.filter { case (_, cMin, cMax, kMin, kMax) =>
+      cust.forall { case (lo, hi) => cMax >= lo && cMin <= hi } &&
+        ord.forall { case (lo, hi) => kMax >= lo && kMin <= hi }
+    }.map(_._1).toSeq
+    (selected, manifest.length, global)
+  }
+
+  /** Z-order clustering + two-dimensional zone-map skipping: the fourth
+    * scan-avoidance lever (after q106 partitions, q120 single-key zones,
+    * q121 Bloom rows). The query predicate bounds BOTH o_custkey and
+    * o_orderkey; the manifest prunes files on both dimensions at once,
+    * which the Z-ordered layout makes selective for each — a
+    * single-column sort would give selective zones on its leading
+    * column only (BucketingSpec proves each single-dimension prune reads
+    * a strict subset). Predicate bounds derive from the manifest's own
+    * global min/max (quartile-to-half band per dimension), so the
+    * selectivity tracks every sf; the oracle recomputes identical
+    * bounds from the table.
+    */
+  val q162 = EngineQuery(
+    "q162_zorder_2d_skipping",
+    (s, dir) => {
+      val (_, _, (cMin, cMax, kMin, kMax)) =
+        zorderPrune(s, dir, None, None)
+      val (cLo, cHi) = (cMin + (cMax - cMin) / 4, cMin + (cMax - cMin) / 2)
+      val (kLo, kHi) = (kMin + (kMax - kMin) / 4, kMin + (kMax - kMin) / 2)
+      val (files, _, _) =
+        zorderPrune(s, dir, Some((cLo, cHi)), Some((kLo, kHi)))
+      val src =
+        if (files.isEmpty) Seq(ensureZorderedOrders(s, dir)) else files
+      s.read.parquet(src: _*)
+        .filter(col("o_custkey").between(cLo, cHi) &&
+          col("o_orderkey").between(kLo, kHi))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          toDouble(sum(dec2(col("o_totalprice")))).as("revenue"),
+          min(col("o_custkey")).as("c_min"),
+          max(col("o_orderkey")).as("k_max"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH b AS (
+              SELECT MIN(o_custkey) cmin, MAX(o_custkey) cmax,
+                     MIN(o_orderkey) kmin, MAX(o_orderkey) kmax
+              FROM orders
+            ), r AS (
+              SELECT cmin + (cmax - cmin) // 4 AS clo,
+                     cmin + (cmax - cmin) // 2 AS chi,
+                     kmin + (kmax - kmin) // 4 AS klo,
+                     kmin + (kmax - kmin) // 2 AS khi
+              FROM b
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue,
+              MIN(o_custkey) AS c_min, MAX(o_orderkey) AS k_max
+            FROM orders, r
+            WHERE o_custkey BETWEEN r.clo AND r.chi
+              AND o_orderkey BETWEEN r.klo AND r.khi
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Runtime Bloom-filter join pruning — the third scan-avoidance lever
     * next to q106 (partition pruning) and q120 (zone maps), covering the
     * case where the selective filter lives on the OTHER join side and
@@ -293,5 +445,5 @@ object Layout {
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val all: Seq[EngineQuery] = Seq(q88, q89, q106, q120, q121)
+  val all: Seq[EngineQuery] = Seq(q88, q89, q106, q120, q121, q162)
 }

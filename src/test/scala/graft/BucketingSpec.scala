@@ -125,4 +125,54 @@ class BucketingSpec extends SparkTestBase {
       .filter(col("o_orderkey").between(lo, hi)).count()
     assert(pruned == full, s"pruned read lost rows: $pruned != $full")
   }
+
+  test("q162 Z-order layout skips files on EITHER dimension alone") {
+    import graft.ops.Layout
+    // global bounds from the manifest itself (no data scan)
+    val (_, total, (cMin, cMax, kMin, kMax)) =
+      Layout.zorderPrune(spark, sfDir, None, None)
+    // a ~quarter band on each dimension separately: BOTH must prune —
+    // the Z-order property. A linear sort by custkey would leave every
+    // file's orderkey zone spanning ~the full keyspace (and vice versa).
+    val cBand = (cMin + (cMax - cMin) / 2, cMin + (cMax - cMin) * 3 / 4)
+    val kBand = (kMin + (kMax - kMin) / 2, kMin + (kMax - kMin) * 3 / 4)
+    val (byCust, t1, _) = Layout.zorderPrune(spark, sfDir, Some(cBand), None)
+    val (byOrd, t2, _) = Layout.zorderPrune(spark, sfDir, None, Some(kBand))
+    assert(t1 == total && t2 == total)
+    assert(byCust.nonEmpty && byCust.size < total,
+      s"custkey-only prune read ${byCust.size} of $total")
+    assert(byOrd.nonEmpty && byOrd.size < total,
+      s"orderkey-only prune read ${byOrd.size} of $total")
+    // the 2D prune is the intersection's subset and loses no rows
+    val (both, _, _) =
+      Layout.zorderPrune(spark, sfDir, Some(cBand), Some(kBand))
+    assert(both.toSet.subsetOf(byCust.toSet.intersect(byOrd.toSet)))
+    val expected = Tables(spark, sfDir).orders
+      .filter(col("o_custkey").between(cBand._1, cBand._2) &&
+        col("o_orderkey").between(kBand._1, kBand._2)).count()
+    val got =
+      if (both.isEmpty) 0L
+      else spark.read.parquet(both: _*)
+        .filter(col("o_custkey").between(cBand._1, cBand._2) &&
+          col("o_orderkey").between(kBand._1, kBand._2)).count()
+    assert(got == expected, s"2D pruned read lost rows: $got != $expected")
+  }
+
+  test("zvalue Morton interleave: bit-exact reference, order locality") {
+    import graft.ops.Layout
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 21).map { b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }.sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (150000L, 1500L), (2097151L, 2097151L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y")).as("z")).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == pts.map { case (x, y) => ref(x, y) })
+    // interleave is a bijection on the 21-bit box: distinct points map
+    // to distinct codes
+    assert(got.distinct.length == got.length)
+  }
 }
