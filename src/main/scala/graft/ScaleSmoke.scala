@@ -130,7 +130,11 @@ object ScaleSmoke {
       "q158_ccnet_buckets_fixture" ->
         (d => llmops.Curation.q158.run(spark, d)),
       "q159_pagerank_fixture" ->
-        (d => graft.ops.GraphRank.q159.run(spark, d)))
+        (d => graft.ops.GraphRank.q159.run(spark, d)),
+      "q160_source_diversity_fixture" ->
+        (d => llmops.TextAnalysis.q160.run(spark, d)),
+      "q161_pagerank_weighted_fixture" ->
+        (d => graft.ops.GraphRank.q161.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>

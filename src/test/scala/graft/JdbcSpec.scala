@@ -107,6 +107,37 @@ class JdbcSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("JDBC sink round-trip: write back, append, and re-read") {
+    import spark.implicits._
+    // the write-back half of the extract contract: publish a computed
+    // result into the live database and read it back identically
+    val summary = Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "accounts").load()
+      .groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("balance")).as("total"))
+    summary.write.format("jdbc")
+      .option("url", dbUrl).option("dbtable", "account_summary")
+      .mode("overwrite").save()
+    val back = Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "account_summary").load()
+    assert(back.count() == 10)
+    // Derby narrows the bucket column to INT on the round-trip; compare
+    // through canonical casts
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("cast(bucket as bigint) bucket", "cast(n as bigint) n",
+        "cast(total as double) total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(canon(back) == canon(summary))
+    // append mode accumulates rather than replacing
+    Seq((99L, 1L, 0.0)).toDF("bucket", "n", "total")
+      .write.format("jdbc")
+      .option("url", dbUrl).option("dbtable", "account_summary")
+      .mode("append").save()
+    assert(Connectors.jdbc(spark, dbUrl, "", "")
+      .option("dbtable", "account_summary").load().count() == 11)
+  }
+
   test("reference-contract conf path builds the same reader (URL check)") {
     // the conf overload is the reference's {db_type, host, port, ...}
     // contract; it routes through the SAME reader as the live tests
