@@ -472,6 +472,80 @@ object Advanced {
             GROUP BY 1, 2
             ORDER BY c_nationkey, segment"""))
 
+  /** Histogram-quantile estimation — the MERGEABLE path to percentiles
+    * at 100 TB, where exact `percentile` (q39/q116) needs all values of
+    * a group collected into one sorted buffer. Fixed 1024-bin counts
+    * over the global [min, max] are one map-side-combined hash-agg
+    * (partial histograms merge by addition — the property sketches
+    * exist for); the quantile readout walks the |groups|×1024-bounded
+    * histogram, never the data. Estimate = lower bound of the first
+    * bin where the cumulative count crosses q·n (integer 20·cum ≥ 19·n
+    * form, no division), so the error is bounded by one bin width —
+    * reported alongside. Deterministic end to end: bin indices and bin
+    * bounds are the same IEEE op sequence in both engines, counts are
+    * exact int64 (same histogram discipline as q158's CCNet cuts).
+    */
+  val q163 = EngineQuery(
+    "q163_histogram_quantiles",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val B = 1024
+      val r = t.orders.agg(min(col("o_totalprice")), max(col("o_totalprice")))
+        .head()
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val bin = when(lit(mx) === lit(mn), lit(0L))
+        .otherwise(least(lit(B - 1L),
+          floor((col("o_totalprice") - mn) * B / (mx - mn)).cast("long")))
+      val hist = t.orders
+        .select(col("o_orderpriority"), bin.as("b"))
+        .groupBy(col("o_orderpriority"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val byBin = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("b"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(byBin))
+        .withColumn("n", sum("c").over(org.apache.spark.sql.expressions
+          .Window.partitionBy("o_orderpriority")))
+      cum.groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("b"))).as("b95"))
+        .select(col("o_orderpriority"), col("n"),
+          (lit(mn) + col("b50") * (mx - mn) / B).as("p50_est"),
+          (lit(mn) + col("b95") * (mx - mn) / B).as("p95_est"),
+          lit((mx - mn) / B).as("bin_width"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH r AS (
+              SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+              FROM orders
+            ), hist AS (
+              SELECT o_orderpriority,
+                CASE WHEN r.mx = r.mn THEN 0
+                     ELSE LEAST(1023, CAST(FLOOR(
+                       (o_totalprice - r.mn) * 1024 / (r.mx - r.mn))
+                       AS BIGINT))
+                END AS b,
+                COUNT(*) AS c
+              FROM orders, r GROUP BY 1, 2
+            ), cum AS (
+              SELECT o_orderpriority, b,
+                SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY b)
+                  AS cum,
+                SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+              FROM hist
+            ), qs AS (
+              SELECT o_orderpriority, MAX(n) AS n,
+                MIN(CASE WHEN cum * 2 >= n THEN b END) AS b50,
+                MIN(CASE WHEN cum * 20 >= n * 19 THEN b END) AS b95
+              FROM cum GROUP BY 1
+            )
+            SELECT qs.o_orderpriority, CAST(qs.n AS BIGINT) AS n,
+              r.mn + qs.b50 * (r.mx - r.mn) / 1024 AS p50_est,
+              r.mn + qs.b95 * (r.mx - r.mn) / 1024 AS p95_est,
+              (r.mx - r.mn) / 1024 AS bin_width
+            FROM qs, r ORDER BY qs.o_orderpriority"""))
+
   val all: Seq[EngineQuery] = Seq(q33, q34, q35, q36, q37, q38, q39, q39b,
-    q101, q102, q104, q107, q116, q117)
+    q101, q102, q104, q107, q116, q117, q163)
 }

@@ -205,6 +205,35 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("histogram quantiles land within one bin width of the exact rank") {
+    val got = graft.ops.Advanced.q163.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // the error contract is RANK containment, not proximity to the
+    // interpolated percentile (which averages two order statistics and
+    // can land between sparse bins): the target rank's order statistic
+    // must fall inside [est, est + bin_width]
+    val rows = Tables(spark, sfDir).orders
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(got.keySet == rows.keySet)
+    got.foreach { case (pri, (n, p50, p95, bw)) =>
+      val xs = rows(pri)
+      assert(n == xs.length)
+      assert(bw > 0.0)
+      def rankStat(num: Long, den: Long): Double =
+        xs(((n * num + den - 1) / den - 1).toInt) // ceil(q·n)-th smallest
+      val m = rankStat(1, 2)
+      val t = rankStat(19, 20)
+      assert(p50 <= m + 1e-9 && m <= p50 + bw + 1e-9,
+        s"$pri p50 est $p50 (+$bw) misses rank stat $m")
+      assert(p95 <= t + 1e-9 && t <= p95 + bw + 1e-9,
+        s"$pri p95 est $p95 (+$bw) misses rank stat $t")
+    }
+  }
+
   test("CMS estimates bound exact counts; Bloom filter has no false negatives") {
     val t = Tables(spark, sfDir)
     // Count-Min guarantee: exact <= estimate <= exact + eps * N
