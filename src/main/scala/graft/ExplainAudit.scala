@@ -30,7 +30,8 @@ object ExplainAudit {
     "q151_tpch_q20_promo_suppliers", "q59_quality_percentile_prune",
     "q147_tpch_q2_min_cost_supplier", "q156_semdedup",
     "q157_dsir_importance_resampling", "q158_ccnet_perplexity_buckets",
-    "q159_pagerank_fixed_point", "q160_source_ngram_diversity")
+    "q159_pagerank_fixed_point", "q160_source_ngram_diversity",
+    "q163_histogram_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -293,6 +294,13 @@ object ExplainAudit {
         "join anywhere", {
         val p = planOf(spark, byName, sfDir, "q160_source_ngram_diversity")
         p.contains("HashAggregate") && !p.contains("Expand") &&
+          !p.contains("Join")
+      }),
+      ("q163 histogram quantiles: the corpus-sized stage is one " +
+        "map-side-combined (group, bin) hash-agg; the rank Window runs " +
+        "over the aggregated histogram and no join touches the data", {
+        val p = planOf(spark, byName, sfDir, "q163_histogram_quantiles")
+        p.contains("partial_count") && p.contains("Window") &&
           !p.contains("Join")
       }))
 

@@ -349,4 +349,36 @@ class StreamingSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) =>
       assert(g.toString == w.toString, s"drift: $g vs $w") }
   }
+
+  test("streaming histogram bins merge additively == batch histogram") {
+    // q163's scale claim is that fixed-bin counts are MERGEABLE
+    // (partials combine by addition); a streaming aggregation over the
+    // same bin rule is that property exercised live — micro-batch
+    // partials merge into state, and the final histogram must equal
+    // the batch one bin-for-bin
+    val ordersDir = {
+      val dir = Files.createTempDirectory("graft_orders_stream")
+      Files.copy(Paths.get(s"$sfDir/orders.parquet"),
+        dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val batch = Tables(spark, sfDir).orders
+    val r = batch.agg(min(col("o_totalprice")), max(col("o_totalprice")))
+      .head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    def bin(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderpriority"),
+        least(lit(1023L), floor((col("o_totalprice") - mn) * 1024 /
+          (mx - mn)).cast("long")).as("b"))
+      .groupBy(col("o_orderpriority"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val stream = spark.readStream.schema(batch.schema).parquet(ordersDir)
+    val got = runToMemory(bin(stream), "hist_stream", "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = bin(batch)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
