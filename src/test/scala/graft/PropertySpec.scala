@@ -244,6 +244,41 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Z-order prune never loses rows on randomized 2D bands") {
+    // the invariant that matters at 100 TB: for ANY rectangle of
+    // predicate bounds, manifest pruning + re-applied filter equals the
+    // full-scan filter exactly — skipping is an optimization, never a
+    // semantics change
+    val full = graft.ops.Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (_, total, (cMin, cMax, kMin, kMax)) =
+      graft.ops.Layout.zorderPrune(spark, sfDir, None, None)
+    var skippedAtLeastOnce = false
+    (1 to 12).foreach { _ =>
+      def band(lo: Long, hi: Long): (Long, Long) = {
+        val a = lo + math.abs(rnd.nextLong()) % (hi - lo + 1)
+        val b = lo + math.abs(rnd.nextLong()) % (hi - lo + 1)
+        (math.min(a, b), math.max(a, b))
+      }
+      val cb = band(cMin, cMax)
+      val kb = band(kMin, kMax)
+      val (files, t, _) =
+        graft.ops.Layout.zorderPrune(spark, sfDir, Some(cb), Some(kb))
+      assert(t == total)
+      if (files.size < total) skippedAtLeastOnce = true
+      val want = full.count { case (c, k) =>
+        c >= cb._1 && c <= cb._2 && k >= kb._1 && k <= kb._2 }
+      val got =
+        if (files.isEmpty) 0L
+        else spark.read.parquet(files: _*)
+          .filter(col("o_custkey").between(cb._1, cb._2) &&
+            col("o_orderkey").between(kb._1, kb._2)).count()
+      assert(got == want, s"band $cb x $kb: pruned read $got != $want")
+    }
+    assert(skippedAtLeastOnce, "no random band ever skipped a file")
+  }
+
   test("spanHashes: count, shift-sensitivity, and driver-side reference") {
     import spark.implicits._
     val p = 1000000007L
