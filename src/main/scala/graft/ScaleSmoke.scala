@@ -76,7 +76,13 @@ object ScaleSmoke {
       "q43_dedup_ngram_jaccard" -> (d => llmops.Dedup.q43.run(spark, d)),
       "q47_dup_span_detection" -> (d => llmops.Dedup.q47.run(spark, d)),
       "q48_cross_split_leakage" -> (d => llmops.Dedup.q48.run(spark, d)),
-      "q76_bigram_lm_quality" -> (d => llmops.TextAnalysis.q76.run(spark, d)))
+      "q76_bigram_lm_quality" -> (d => llmops.TextAnalysis.q76.run(spark, d)),
+      "q157_dsir_importance_resampling" ->
+        (d => llmops.Curation.q157.run(spark, d)),
+      "q158_ccnet_perplexity_buckets" ->
+        (d => llmops.Curation.q158.run(spark, d)),
+      "q160_source_ngram_diversity" ->
+        (d => llmops.TextAnalysis.q160.run(spark, d)))
 
     val eventOps: Seq[(String, String => DataFrame)] = Seq(
       "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),

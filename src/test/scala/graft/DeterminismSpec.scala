@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-shape independence: the oracle strategy rests on results
+  * being bit-identical regardless of how work is partitioned — a
+  * different `spark.sql.shuffle.partitions` (a different cluster, a
+  * different AQE decision) must not change a single cell. These runs
+  * execute a representative query per determinism discipline (exact
+  * decimal aggs, windows, portable-hash LSH, fixed-point vector math,
+  * integer fixed-point iteration, histogram ranks) in a sibling
+  * session with a deliberately awkward partition count and compare
+  * row-for-row against the shared session's result.
+  *
+  * This is the test that would catch a `sum(double)` or builtin
+  * stddev sneaking into a gate query: those drift with partition
+  * order and would differ between 4 and 7 partitions long before they
+  * differ between engines.
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  private val probes = Seq(
+    "q06_agg_group",            // exact decimal aggregation
+    "q23_window_running_sum",   // window over frames
+    "q41_dedup_minhash_lsh",    // portable-hash LSH banding
+    "q44_dedup_embed_cosine",   // fixed-point vector math
+    "q157_dsir_importance_resampling", // integer LM ratios + top-k
+    "q159_pagerank_fixed_point",       // fixed-point iteration
+    "q163_histogram_quantiles")        // histogram ranks
+
+  test("gate results are identical under a different shuffle partitioning") {
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val sibling: SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "7")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    }
+    probes.foreach { name =>
+      val q = byName(name)
+      val base = q.run(spark, sfDir).collect().map(_.toString).toSeq
+      val alt = q.run(sibling, sfDir).collect().map(_.toString).toSeq
+      assert(base.nonEmpty, s"$name returned no rows")
+      assert(alt == base,
+        s"$name differs at shuffle.partitions=7 (first diff: ${
+          alt.zip(base).find { case (a, b) => a != b }})")
+    }
+  }
+}
