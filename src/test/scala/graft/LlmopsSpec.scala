@@ -510,6 +510,32 @@ class LlmopsSpec extends SparkTestBase {
     assert(again.toSeq == sel.toSeq)
   }
 
+  test("DSIR/CCNet edge shapes: empty target slice; single-doc language") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q157-edge").toString
+    // no 'en' docs at all: the target LM is empty, every bucket weight
+    // degrades to the add-1-smoothed inverse frequency — the query must
+    // still run deterministically (rarity-based selection), not crash
+    // or return nothing. And 'ko' has a single doc: its CCNet tertile
+    // histogram is one bucket, which must land in 'head'.
+    Seq(
+      (0L, "common words repeated here common words again", "fr", "s0", 1L),
+      (1L, "entirely different vocabulary in this one", "de", "s0", 1L),
+      (2L, "thirdly unrelated tokens appear now", "fr", "s1", 1L),
+      (3L, "단일 한국어 문서 하나 그리고 조금 더", "ko", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sel = Curation.q157.run(spark, dir).collect()
+    assert(sel.length == 4)
+    assert(sel.map(_.getLong(4)).forall(_ > 0L)) // sum_w positive
+    val buckets = Curation.q158.run(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(4)))
+    assert(buckets.count(_._1 == "ko") == 1)
+    assert(buckets.find(_._1 == "ko").get._2 == "head",
+      "a single-doc language's only doc must be its head tertile")
+  }
+
   test("CCNet buckets: per-lang head/middle/tail cover thirds-or-more") {
     val rows = Curation.q158.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
