@@ -24,7 +24,19 @@ class DeterminismSpec extends SparkTestBase {
     "q23_window_running_sum",   // window over frames
     "q41_dedup_minhash_lsh",    // portable-hash LSH banding
     "q44_dedup_embed_cosine",   // fixed-point vector math
+    "q47_dup_span_detection",   // span-hash shuffles
+    "q59_quality_percentile_prune", // percentile threshold broadcast
+    "q74_bm25_search",          // rational-idf scoring + top-k
+    "q90_window_tumbling",      // event-time windows
+    "q95_funnel",               // ordered multi-step sequences
+    "q102_recursive_hierarchy", // recursive CTE fixpoint
+    "q112_dedup_components",    // star-contraction fixpoint
+    "q115_budget_select",       // running-sum budget windows
+    "q133_tpch_q18_large_orders", // aggregate-then-join composite
+    "q148_tpch_q6_forecast_revenue", // decimal superset pushdown
+    "q156_semdedup",            // k-means cells + anti-join
     "q157_dsir_importance_resampling", // integer LM ratios + top-k
+    "q158_ccnet_perplexity_buckets",   // histogram tertile cuts
     "q159_pagerank_fixed_point",       // fixed-point iteration
     "q163_histogram_quantiles")        // histogram ranks
 
