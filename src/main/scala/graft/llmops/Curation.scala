@@ -168,12 +168,13 @@ object Curation {
     * fit two bucket LMs, score raw docs, keep the top of the
     * importance order.
     *
-    * Scale shape (100 TB): the two "LMs" are ONE map-side-combined
-    * hash-agg each, output bounded by the bucket count (1024 rows) —
-    * never corpus-bounded; the weight table broadcasts; scoring is a
+    * Scale shape (100 TB): BOTH "LMs" come from one map-side-combined
+    * hash-agg (target count = conditional sum in the same pass),
+    * output bounded by the bucket count (1024 rows) — never
+    * corpus-bounded; the weight table broadcasts; scoring is a
     * map-side broadcast join + per-doc agg. Two passes over the corpus
-    * (fit, then score) — exactly the published algorithm's I/O shape.
-    * The final top-k is TakeOrderedAndProject, no global sort.
+    * total (fit, then score) — exactly the published algorithm's I/O
+    * shape. The final top-k is TakeOrderedAndProject, no global sort.
     */
   val q157 = EngineQuery(
     "q157_dsir_importance_resampling",
@@ -185,13 +186,14 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"),
           explode(col("ths")).as("th"))
         .withColumn("b", col("th") % DsirBuckets)
-      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("r"))
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("t"))
-      // raw covers every bucket any token maps to, so left join is total
-      val w = raw.join(tgt, Seq("b"), "left")
+      // both LMs from ONE pass over the exploded tokens: the target
+      // count is a conditional sum inside the same hash-agg, so the
+      // fit stage scans the corpus once, not twice
+      val w = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
         .select(col("b"),
-          expr(s"((coalesce(t, 0) + 1) * $DsirScale) div (r + 1)").as("w"))
+          expr(s"((t + 1) * $DsirScale) div (r + 1)").as("w"))
       toks.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
@@ -215,14 +217,13 @@ object Curation {
             ), tok AS (
               SELECT doc_id, lang, source, UNNEST(ths) % $DsirBuckets AS b
               FROM th
-            ), raw AS (
-              SELECT b, COUNT(*) AS r FROM tok GROUP BY b
-            ), tgt AS (
-              SELECT b, COUNT(*) AS t FROM tok WHERE lang = 'en' GROUP BY b
+            ), lm AS (
+              SELECT b, COUNT(*) AS r,
+                CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t
+              FROM tok GROUP BY b
             ), w AS (
-              SELECT raw.b,
-                ((COALESCE(tgt.t, 0) + 1) * $DsirScale) // (raw.r + 1) AS w
-              FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+              SELECT b, ((t + 1) * $DsirScale) // (r + 1) AS w FROM lm
             )
             SELECT tok.doc_id, tok.lang, tok.source,
               COUNT(*) AS n_tokens,
