@@ -37,7 +37,6 @@ class DeterminismSpec extends SparkTestBase {
     "q156_semdedup",            // k-means cells + anti-join
     "q157_dsir_importance_resampling", // integer LM ratios + top-k
     "q158_ccnet_perplexity_buckets",   // histogram tertile cuts
-    "q159_pagerank_fixed_point",       // fixed-point iteration
     "q163_histogram_quantiles")        // histogram ranks
 
   test("gate results are identical under a different shuffle partitioning") {
@@ -57,5 +56,27 @@ class DeterminismSpec extends SparkTestBase {
         s"$name differs at shuffle.partitions=7 (first diff: ${
           alt.zip(base).find { case (a, b) => a != b }})")
     }
+
+    // fixed-point PageRank probed through pagerank() directly: the
+    // gate query memoizes its edge list per session, which would make
+    // the sibling run reuse the shared session's plan — build the
+    // graph fresh on each session instead
+    import org.apache.spark.sql.functions._
+    def prRanks(s: SparkSession): Seq[String] = {
+      val t = graft.ops.Tables(s, sfDir)
+      val eo = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = eo
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(eo.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
+      graft.ops.GraphRank.pagerank(edges)
+        .orderBy(col("node")).collect().map(_.toString).toSeq
+    }
+    val prBase = prRanks(spark)
+    assert(prBase.nonEmpty && prRanks(sibling) == prBase,
+      "pagerank differs at shuffle.partitions=7")
   }
 }
