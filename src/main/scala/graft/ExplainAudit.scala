@@ -283,11 +283,31 @@ object ExplainAudit {
           !p.contains("CartesianProduct")
       }),
       ("q159 PageRank rounds are hash-partitioned message passing — " +
-        "contributions aggregate on the destination key; the only " +
-        "nested-loop stages are the 1-row |nodes| scalar broadcasts", {
+        "contributions aggregate on the destination key; no " +
+        "nested-loop or cartesian stage anywhere (|nodes| seeds the " +
+        "plan as a driver literal off the checkpointed degree frame)", {
         val p = planOf(spark, byName, sfDir, "q159_pagerank_fixed_point")
         "hashpartitioning\\(dst".r.findFirstIn(p).isDefined &&
-          !p.contains("CartesianProduct")
+          !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      }),
+      ("q159 pagerank above the broadcast-node threshold trips " +
+        "data-driven: rounds become shuffle joins against the " +
+        "src-partitioned checkpointed edge blocks — no " +
+        "BroadcastHashJoin carries the rank vector and the edge list " +
+        "never re-exchanges on src", {
+        val t = ops.Tables(spark, sfDir)
+        val eo = t.lineitem
+          .join(t.orders,
+            t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+          .selectExpr("o_custkey*2 as src", "l_suppkey*2+1 as dst")
+          .distinct()
+        val edges = eo.unionAll(eo.selectExpr("dst as src", "src as dst"))
+        val p = ops.GraphRank.pagerank(edges, broadcastMaxNodes = 0)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        !p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct") &&
+          "hashpartitioning\\(src#".r.findFirstIn(p).isEmpty
       }),
       ("q160 diversity pre-aggregates trigram types before the rollup " +
         "— map-side-combined hash-aggs, no countDistinct Expand, no " +

@@ -552,6 +552,123 @@ object Dedup {
             GROUP BY t.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Multi-length span dedup (ExactSubstr analog, r6 verdict #4):
+    * duplicated-REGION detection approximating Lee et al. 2022's
+    * maximal-substring semantics with fixed gram lengths {8, 16, 32}.
+    * q47's single length fragments a 50-token duplicated passage into
+    * ~43 overlapping 8-gram hits; here every duplicated span of every
+    * length becomes a token interval [s, s+L) and per-doc interval
+    * UNION (gaps-and-islands over (s, e)) merges them into maximal
+    * regions — one region per planted passage, nested shorter hits
+    * subsumed by construction. A region's `strength` is the longest
+    * gram that witnessed it: 32-witnessed regions are certain
+    * duplication; 8-only regions are short (8–15 token) matches.
+    *
+    * Scale shape: the corpus-sized stages are one (len, gh) hash-agg
+    * (count-distinct docs per span) and one hash equi-join back on
+    * (len, gh) — q47's physics with a 3× explode factor, shuffling
+    * 8-byte hashes, never text. The island Window partitions by
+    * doc_id and is bounded by per-doc token count, never corpus size.
+    */
+  def spanRegions(docs: org.apache.spark.sql.DataFrame,
+      lengths: Seq[Int] = Seq(8, 16, 32))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
+      .filter(size(col("ths")) >= lengths.min)
+    val spans = toks.select(col("doc_id"), explode(flatten(array(
+        lengths.map(l => transform(spanHashes(col("ths"), l), (g, i) =>
+          struct(i.as("s"), (i + lit(l)).as("e"), lit(l).as("len"),
+            g.as("gh")))): _*))).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("s"), col("sp.e").as("e"),
+        col("sp.len").as("len"), col("sp.gh").as("gh"))
+    val nd = spans.groupBy(col("len"), col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    val dup = spans.join(nd, Seq("len", "gh")).filter(col("nd") >= 2)
+    // gaps-and-islands: a new region starts where s clears every
+    // preceding interval's end; (s, e) is a total order per doc (two
+    // intervals share s only with different lengths, hence different e)
+    val ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    val isl = dup
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(-1)),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"),
+        max(col("len")).as("strength"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("re") - col("rs")).as("dup_tokens"),
+        max(col("re") - col("rs")).cast(LongType).as("max_region"),
+        sum(when(col("strength") >= 32, 1L).otherwise(0L)).as("n_strong"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def spanLenCte(l: Int): String =
+    s"""g$l AS (
+              SELECT doc_id, UNNEST(range(1, len(ths)-${l - 2})) AS s,
+                UNNEST([(${spanHashSql("ths", l)})
+                        for i in range(1, len(ths)-${l - 2})]) AS gh
+              FROM th WHERE len(ths) >= $l
+            )"""
+
+  val q165 = EngineQuery(
+    "q165_multilen_span_dedup",
+    (s, dir) => spanRegions(Tables(s, dir).documents),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 8
+            ), ${spanLenCte(8)}, ${spanLenCte(16)}, ${spanLenCte(32)},
+            g AS (
+              SELECT doc_id, s, s+8 AS e, 8 AS l, gh FROM g8
+              UNION ALL
+              SELECT doc_id, s, s+16 AS e, 16 AS l, gh FROM g16
+              UNION ALL
+              SELECT doc_id, s, s+32 AS e, 32 AS l, gh FROM g32
+            ), nd AS (
+              SELECT l, gh, COUNT(DISTINCT doc_id) AS nd
+              FROM g GROUP BY l, gh
+            ), dup AS (
+              SELECT g.doc_id, g.s, g.e, g.l
+              FROM g JOIN nd ON g.l = nd.l AND g.gh = nd.gh
+              WHERE nd.nd >= 2
+            ), isl AS (
+              SELECT doc_id, s, e, l,
+                CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+              FROM dup
+            ), isl2 AS (
+              SELECT doc_id, s, e, l,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+              FROM isl
+            ), regions AS (
+              SELECT doc_id, island, MIN(s) AS rs, MAX(e) AS re,
+                MAX(l) AS strength
+              FROM isl2 GROUP BY doc_id, island
+            )
+            SELECT doc_id, COUNT(*) AS n_regions,
+              CAST(SUM(re - rs) AS BIGINT) AS dup_tokens,
+              CAST(MAX(re - rs) AS BIGINT) AS max_region,
+              CAST(SUM(CASE WHEN strength >= 32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strong
+            FROM regions GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165)
 }

@@ -53,53 +53,78 @@ object GraphRank {
     * contraction; at production scale this is the cached,
     * src-partitioned edge RDD every Pregel implementation keeps.
     */
-  /** Session-scoped memo of built (and checkpointed) edge lists, keyed
-    * like SessionScratch's ingests: graph construction is the INGEST
-    * half of the operator (lineitem⋈orders distinct + checkpoint
-    * materialization — measured at ~2× the cost of the five rounds),
-    * so Bench reps and repeated gate calls must not re-pay it. Same
-    * contract as q88's bucket tables and q162's Z-order layout.
+  /** Session-scoped memo of built (and checkpointed) edge lists: graph
+    * construction is the INGEST half of the operator (lineitem⋈orders
+    * distinct + checkpoint materialization — measured at ~2× the cost
+    * of the five rounds), so Bench reps and repeated gate calls must
+    * not re-pay it. Shares [[SessionScratch.memo]] with q88's bucket
+    * tables and q162's Z-order layout — one memo contract, one
+    * lifecycle story (r6 verdict #3).
     */
-  private val edgeMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), org.apache.spark.sql.DataFrame]
-
   private def memoEdges(kind: String, s: org.apache.spark.sql.SparkSession,
       dir: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    edgeMemo.getOrElseUpdate((kind, s.sparkContext.applicationId, dir),
-      build.localCheckpoint())
+    SessionScratch.memo(s"pr_edges_$kind",
+      s.sparkContext.applicationId, dir)(build.localCheckpoint())
+
+  /** Max |nodes| for which the per-round rank vector is broadcast.
+    * Above it the broadcast hint comes out AUTOMATICALLY (r6 verdict
+    * #2: the fallback is data-driven, not a scale-up-time manual
+    * edit): the edge list is hash-partitioned by `src` once and
+    * checkpointed — the partitioning survives the checkpoint, so each
+    * round is a shuffle join where only the node-cardinality rank
+    * vector moves and the edge blocks stay put. 5M (node, deg, r)
+    * rows ≈ ~120 MB — comfortably inside executor broadcast budget;
+    * override via SPARK_GRAFT_PR_BROADCAST_MAX_NODES.
+    */
+  val BroadcastMaxNodes: Long =
+    sys.env.get("SPARK_GRAFT_PR_BROADCAST_MAX_NODES")
+      .flatMap(_.toLongOption).getOrElse(5000000L)
 
   def pagerank(edgesRaw: org.apache.spark.sql.DataFrame,
-      materialized: Boolean = false): org.apache.spark.sql.DataFrame = {
+      materialized: Boolean = false,
+      broadcastMaxNodes: Long = BroadcastMaxNodes)
+      : org.apache.spark.sql.DataFrame = {
     val weighted =
       if (edgesRaw.columns.contains("w")) edgesRaw
       else edgesRaw.withColumn("w", lit(1L))
-    val edges = if (materialized) weighted else weighted.localCheckpoint()
+    val edges0 = if (materialized) weighted else weighted.localCheckpoint()
     // per-edge weight ≤ totw ≤ ~corpus row count; r·w ≤ S·totw must fit
     // int64, so weights are capped contracts of the caller (q161's
     // lineitem counts max out far below the 9e6 bound S·w < 2^63 gives)
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val deg = edges0.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .withColumnRenamed("src", "node")
       .localCheckpoint()
-    val nDf = deg.agg(count(lit(1)).as("n"))
+    // |nodes| as a driver scalar: deg is checkpointed and
+    // node-cardinality, so this count is one cheap action. It seeds
+    // the rank mass (S div n, floor division — bit-identical to the
+    // previous 1-row-aggregate plan) AND drives the regime choice.
+    val n = deg.count()
+    require(n > 0, "pagerank: empty edge frame")
+    val small = n <= broadcastMaxNodes
+    val edges =
+      if (small) edges0
+      else edges0.repartition(col("src")).localCheckpoint()
 
-    // ranks is node-cardinality (entities, not facts) — broadcast it
-    // into the per-round join so the checkpointed edge blocks never
-    // re-shuffle: the Pregel shape where edges stay put and the rank
-    // vector moves. (At extreme node cardinality the hint comes out
-    // and edges get bucketed by src instead — same round structure.)
-    var ranks = deg.crossJoin(broadcast(nDf))
-      .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
+    // ranks is node-cardinality (entities, not facts) — below the
+    // threshold, broadcast it into the per-round join so the
+    // checkpointed edge blocks never re-shuffle: the Pregel shape
+    // where edges stay put and the rank vector moves. Above it, the
+    // rounds are shuffle joins against the src-partitioned edge
+    // blocks — same round structure, no driver-sized rank vector.
+    val r0 = S / n
+    val base = 15L * r0 / 100L
+    var ranks = deg.select(col("node"), col("deg"), lit(r0).as("r"))
     for (_ <- 1 to Iters) {
-      val contrib = broadcast(ranks)
+      val lhs = if (small) broadcast(ranks) else ranks
+      val contrib = lhs
         .join(edges, col("node") === col("src"))
         .select(col("dst"), expr("(r * w) div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      ranks = deg.crossJoin(broadcast(nDf))
+      ranks = deg
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
-          expr(s"((15 * ($S div n)) div 100)" +
-            " + (85 * coalesce(sc, 0)) div 100").as("r"))
+          expr(s"$base + (85 * coalesce(sc, 0)) div 100").as("r"))
     }
     ranks
   }

@@ -295,6 +295,30 @@ object PipelineQueries {
             FROM orders WHERE o_orderstatus != 'F'
             GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST"""))
 
+  /** Analyzer-rule mandatory-filter path as a GATE query (r6 verdict
+    * #7): the same governed-orders contract q81 enforces at spec-compile
+    * time, here enforced by [[graft.plans.MandatoryFilterRule]] running
+    * session-wide inside the analyzer — the row-level-security
+    * deployment shape. The rule needs a session built WITH
+    * GraftExtensions, so the query routes through the memoized governed
+    * sibling session; the bare `.as("orders")` alias is the ONLY thing
+    * naming the governed table — the Filter in the plan comes from the
+    * rule, not this code.
+    */
+  val q164 = EngineQuery(
+    "q164_mandatory_filter_rule",
+    (s, dir) => {
+      val g = graft.plans.MandatoryFilterRule.governedSibling(s)
+      graft.plans.MandatoryFilterRule.install(g, parquetCatalog)
+      g.read.parquet(s"$dir/orders.parquet").as("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus != 'F'
+            ORDER BY o_orderkey"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q97)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q97, q164)
 }

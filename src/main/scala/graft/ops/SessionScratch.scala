@@ -16,8 +16,8 @@ package graft.ops
   */
 object SessionScratch {
 
-  private val done =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Unit]
+  private val values =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Any]
   private val hooked =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
@@ -51,13 +51,20 @@ object SessionScratch {
     p
   }
 
+  /** Build `value` exactly once per (purpose, application, input dir)
+    * and cache it for the session — the generalization of [[once]] for
+    * ingests whose product is a VALUE (a checkpointed DataFrame, a
+    * trained model) rather than only a filesystem side effect. One memo
+    * path — one lifecycle/eviction story — for q88's bucket tables,
+    * q162's Z-order layout AND the PageRank edge lists (r6 verdict #3:
+    * GraphRank previously rolled its own TrieMap for the same concept).
+    */
+  def memo[T](purpose: String, app: String, dir: String)(value: => T): T =
+    synchronized {
+      values.getOrElseUpdate((purpose, app, dir), value).asInstanceOf[T]
+    }
+
   /** Run `ingest` exactly once per (purpose, application, input dir). */
   def once(purpose: String, app: String, dir: String)(ingest: => Unit): Unit =
-    synchronized {
-      val key = (purpose, app, dir)
-      if (!done.contains(key)) {
-        ingest
-        done(key) = ()
-      }
-    }
+    memo(purpose, app, dir)(ingest)
 }

@@ -37,6 +37,16 @@ final case class Tables(spark: SparkSession, dir: String) {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType =>
+        // The NTZ→instant cast reinterprets the naive value in the
+        // SESSION zone; oracle agreement with DuckDB's naive read
+        // requires that zone to be UTC. Every in-repo entry point sets
+        // it — fail loudly (instead of silently shifting every events
+        // instant) for a caller that doesn't (r6 advice).
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC: the " +
+            "TIMESTAMP_NTZ fixture is reinterpreted in the session zone " +
+            "and any other zone silently shifts every instant")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

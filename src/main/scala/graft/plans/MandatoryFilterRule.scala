@@ -104,4 +104,33 @@ object MandatoryFilterRule {
     */
   def forSession(session: SparkSession): MandatoryFilterRule =
     MandatoryFilterRule(() => Option(catalogs.get(session)))
+
+  /** Governed sibling session for gate/demo paths. Extensions apply only
+    * at session CONSTRUCTION, so a driver session built without
+    * [[graft.functions.GraftExtensions]] cannot host this rule — build
+    * ONE sibling per application on the same SparkContext (memoized via
+    * [[graft.ops.SessionScratch]]), restoring the default/active session
+    * globals afterwards so the surrounding run is undisturbed. SQL confs
+    * (UTC zone, shuffle partitions) are inherited from the SparkConf the
+    * first session wrote its builder options into.
+    */
+  def governedSibling(s: SparkSession): SparkSession =
+    graft.ops.SessionScratch.memo("governed_session",
+        s.sparkContext.applicationId, "") {
+      this.synchronized {
+        val prevDefault = SparkSession.getDefaultSession
+        val prevActive = SparkSession.getActiveSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        try SparkSession.builder()
+          .withExtensions(new graft.functions.GraftExtensions)
+          .getOrCreate()
+        finally {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          prevDefault.foreach(SparkSession.setDefaultSession)
+          prevActive.foreach(SparkSession.setActiveSession)
+        }
+      }
+    }
 }

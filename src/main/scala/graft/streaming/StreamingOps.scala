@@ -41,7 +41,14 @@ object StreamingOps {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // The probe is a batch read of whatever files are already there.
+    // File-stream sources commonly START on an empty directory with
+    // files arriving later — the probe then throws (unable to infer
+    // schema); fall back to the legacy long-nanos schema rather than
+    // failing stream construction (r6 advice).
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val src = spark.readStream
       .schema(StructType(rawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = tsType) else f)))

@@ -648,6 +648,65 @@ class LlmopsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("multi-length span dedup merges a planted passage into one region") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    // 50 shared tokens embedded in otherwise-distinct text: q47-style
+    // single-length reporting would fragment this into ~43 overlapping
+    // 8-gram hits; spanRegions must emit ONE merged region of exactly
+    // the passage extent, witnessed by a 32-gram (strong)
+    val passage = (1 to 50).map(i => s"p$i").mkString(" ")
+    val short = (1 to 10).map(i => s"q$i").mkString(" ")   // 8 ≤ 10 < 16
+    val tiny = (1 to 7).map(i => s"z$i").mkString(" ")     // < 8: invisible
+    def doc(pre: String, n: Int, mid: String, post: String, m: Int) =
+      ((1 to n).map(i => s"$pre$i") ++ Seq(mid) ++
+        (1 to m).map(i => s"$post$i")).mkString(" ")
+    val docs = Seq(
+      (1L, doc("a", 30, passage, "aa", 20)),
+      (2L, doc("b", 25, passage, "bb", 12)),
+      (3L, doc("c", 20, short + " " + tiny, "cc", 15)),
+      (4L, doc("d", 22, short + " x0 " + tiny, "dd", 18)),
+      (5L, doc("e", 40, "nothing shared here at all really", "ee", 10)))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRegions(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // docs 1/2: one strong merged region of exactly 50 tokens
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id) == ((1L, 50L, 50L, 1L)),
+        s"doc $id expected one merged 50-token strong region, got ${out(id)}")
+    }
+    // docs 3/4: the 10-token shared run is one WEAK region (8-gram
+    // witnessed only — too short for a 16-gram); the 7-token shared
+    // run is invisible at every length
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id) == ((1L, 10L, 10L, 0L)),
+        s"doc $id expected one weak 10-token region, got ${out(id)}")
+    }
+    // doc 5 shares nothing >= 8 tokens: absent from the report
+    assert(!out.contains(5L))
+  }
+
+  test("pagerank broadcast and bucketed regimes are bit-equal") {
+    // r6 verdict #2: the broadcast-vs-bucketed switch is data-driven
+    // (node count vs threshold). Force each regime on the SAME graph
+    // and require row-identical ranks — the DeterminismSpec pattern.
+    import graft.ops.GraphRank
+    import org.apache.spark.sql.functions.col
+    val t = graft.ops.Tables(spark, sfDir)
+    val eo = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_custkey*2 AS src", "l_suppkey*2+1 AS dst").distinct()
+    val edges = eo.unionAll(eo.selectExpr("dst AS src", "src AS dst"))
+    def run(maxNodes: Long): Seq[String] =
+      GraphRank.pagerank(edges, broadcastMaxNodes = maxNodes)
+        .orderBy(col("node")).collect().map(_.toString).toSeq
+    val bcast = run(Long.MaxValue)
+    val bucketed = run(0L)
+    assert(bcast.nonEmpty && bucketed == bcast,
+      "bucketed regime differs from broadcast regime")
+  }
+
   test("PageRank: mass conserved within floor loss, suppliers dominate") {
     import graft.ops.GraphRank
     val top = GraphRank.q159.run(spark, sfDir).collect()
