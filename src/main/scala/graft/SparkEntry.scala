@@ -20,6 +20,7 @@ object SparkEntry {
       graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
+      graft.llmops.Bpe.all ++
       graft.llmops.Multimodal.all ++
       graft.streaming.StreamingTwins.all ++
       graft.sources.FileFormats.all ++

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Bpe
+import graft.ops.Tables
+
+/** BPE vocabulary induction (q166/q167): the merge table on a known
+  * corpus must match a hand-computed BPE run, the greedy replace step
+  * must resolve overlapping candidates left-first, and the corpus-level
+  * fertility metrics must respect the arithmetic identities that hold
+  * for any merge table.
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def tokensOf(s: String): Seq[String] =
+    s.stripPrefix(Bpe.Sep).stripSuffix(Bpe.Sep).split(Bpe.Sep + Bpe.Sep).toSeq
+
+  test("merge table matches a hand-computed BPE on the classic corpus") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example: low×5, lower×2, newest×6,
+    // widest×3 (with EOW '_'). Hand-derived, count desc then (l, r) asc:
+    //   round 1: (e,s)=9  ties (s,t)=9 (t,_)=9 broken by left symbol
+    //   round 2: (es,t)=9 ties (t,_)=9
+    //   round 3: (est,_)=9
+    //   round 4: (l,o)=7  ties (o,w)=7
+    //   round 5: (lo,w)=7
+    //   round 6: (e,w)=6  ties (n,e)=6 (w,est_)=6
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "freq")
+    val got = Bpe.trainOn(words, 6).merges
+      .map(m => (m.lhs, m.rhs, m.cnt))
+    val expected = Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "_", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L))
+    assert(got == expected)
+  }
+
+  test("merge application is greedy left-first on overlapping runs") {
+    import spark.implicits._
+    // 'aaaa' under the merge (a,a): greedy left-to-right pairs up as
+    // (aa)(aa); 'aaa' as (aa)a — never a(aa). One training round on a
+    // corpus whose only pair is (a,a) exercises exactly that replace.
+    val tr = Bpe.trainOn(Seq(("aaaa", 2L), ("aaa", 1L)).toDF("word", "freq"),
+      rounds = 1)
+    assert(tr.merges.map(m => (m.lhs, m.rhs, m.cnt)) == Seq(("a", "a", 8L)))
+    val enc = tr.vocab.select(col("word"), col("s")).collect()
+      .map(r => r.getString(0) -> tokensOf(r.getString(1))).toMap
+    assert(enc("aaaa") == Seq("aa", "aa", "_"))
+    assert(enc("aaa") == Seq("aa", "a", "_"))
+  }
+
+  test("q166: chosen pair counts are non-increasing across rounds") {
+    // merging the argmax pair can only shrink or preserve every other
+    // pair's count, and pairs it creates are bounded by its own count —
+    // so the training-order count column must be non-increasing
+    val rows = graft.llmops.Bpe.q166.run(spark, sfDir).collect()
+    assert(rows.length == Bpe.Rounds)
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"counts increased across rounds: ${cnts.mkString(",")}")
+    // merged symbols are concatenations of corpus characters + EOW
+    rows.foreach { r =>
+      assert((r.getString(1) + r.getString(2)).matches("[a-z_]+"))
+    }
+  }
+
+  test("q167: fertility identities hold against the raw corpus") {
+    val out = graft.llmops.Bpe.q167.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent per-source word/char totals from the raw corpus
+    val raw = Tables(spark, sfDir).documents
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nw"), sum(length(col("word"))).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    out.foreach { r =>
+      val (src, nWords, nTokens, nChars) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nWords, nChars) == raw(src), s"$src word/char totals drifted")
+      // every word is ≥1 token and ≤ chars+1 tokens (unmerged worst case)
+      assert(nTokens >= nWords && nTokens <= nChars + nWords)
+      assert(r.getDouble(4) == nTokens.toDouble / nWords.toDouble)
+      assert(r.getDouble(5) == nChars.toDouble / nTokens.toDouble)
+    }
+  }
+
+  test("q166/q167 share one memoized training run per (app, dir)") {
+    val t1 = Bpe.train(spark, sfDir)
+    val t2 = Bpe.train(spark, sfDir)
+    assert(t1 eq t2)
+  }
+}
