@@ -45,6 +45,7 @@ object ExplainAudit {
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     val sections = audited.map { name =>
+      System.err.println(s"[ExplainAudit] dumping $name")
       val df = byName(name).run(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -296,18 +297,29 @@ object ExplainAudit {
         "BroadcastHashJoin carries the rank vector and the edge list " +
         "never re-exchanges on src", {
         val t = ops.Tables(spark, sfDir)
-        val eo = t.lineitem
-          .join(t.orders,
-            t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+        // bind ONE instance of each side: Tables members are defs, so a
+        // second call mints fresh exprIds and the join condition would
+        // reference attributes missing from the children
+        val l = t.lineitem
+        val o = t.orders
+        val eo = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
           .selectExpr("o_custkey*2 as src", "l_suppkey*2+1 as dst")
           .distinct()
         val edges = eo.unionAll(eo.selectExpr("dst as src", "src as dst"))
         val p = ops.GraphRank.pagerank(edges, broadcastMaxNodes = 0)
           .queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
+        // every hashpartitioning(src) in the plan must sit ON the
+        // checkpointed edge scan (the preserved layout), never in an
+        // Exchange — an Exchange on src would mean the fact-sized edge
+        // blocks re-shuffle per round
+        val srcParts = "hashpartitioning\\(src#".r.findAllIn(p).size
+        val onScan =
+          "ExistingRDD, hashpartitioning\\(src#".r.findAllIn(p).size
         !p.contains("BroadcastHashJoin") &&
           !p.contains("CartesianProduct") &&
-          "hashpartitioning\\(src#".r.findFirstIn(p).isEmpty
+          srcParts > 0 && srcParts == onScan
       }),
       ("q160 diversity pre-aggregates trigram types before the rollup " +
         "— map-side-combined hash-aggs, no countDistinct Expand, no " +
@@ -322,6 +334,24 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q163_histogram_quantiles")
         p.contains("partial_count") && p.contains("Window") &&
           !p.contains("Join")
+      }),
+      ("q165 multi-length span dedup scans documents ONCE and joins " +
+        "nothing: the shared-by-2-docs test is a constant-memory " +
+        "min/max window over the single (len, gh) span shuffle (the " +
+        "q43 window-over-one-exchange discipline)", {
+        val df = byName("q165_multilen_span_dedup").run(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val finalTree = p.split("== Initial Plan ==").head
+        "Scan parquet".r.findAllIn(finalTree).size == 1 &&
+          !finalTree.contains("Join") && finalTree.contains("Window")
+      }),
+      ("q167 BPE encode joins the corpus word counts to the " +
+        "vocab-bounded encoding table by broadcast — the corpus side " +
+        "never re-shuffles for the join", {
+        val p = planOf(spark, byName, sfDir, "q167_bpe_encode_fertility")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -564,11 +564,12 @@ object Dedup {
     * gram that witnessed it: 32-witnessed regions are certain
     * duplication; 8-only regions are short (8–15 token) matches.
     *
-    * Scale shape: the corpus-sized stages are one (len, gh) hash-agg
-    * (count-distinct docs per span) and one hash equi-join back on
-    * (len, gh) — q47's physics with a 3× explode factor, shuffling
-    * 8-byte hashes, never text. The island Window partitions by
-    * doc_id and is bounded by per-doc token count, never corpus size.
+    * Scale shape: the ONLY corpus-sized stage is one (len, gh)
+    * shuffle of the exploded spans, consumed by a constant-memory
+    * min/max window (shared-by-2-docs test) — q47's physics with a 3×
+    * explode factor, shuffling 8-byte hashes, never text, and no join
+    * anywhere. The island Window partitions by doc_id and is bounded
+    * by per-doc token count, never corpus size.
     */
   def spanRegions(docs: org.apache.spark.sql.DataFrame,
       lengths: Seq[Int] = Seq(8, 16, 32))
@@ -581,11 +582,23 @@ object Dedup {
         lengths.map(l => transform(spanHashes(col("ths"), l), (g, i) =>
           struct(i.as("s"), (i + lit(l)).as("e"), lit(l).as("len"),
             g.as("gh")))): _*))).as("sp"))
+    // "shared by >= 2 distinct docs" needs no count-distinct at all:
+    // min(doc_id) != max(doc_id) over a (len, gh) window — the q43
+    // discipline (per-key stat as a window over the ONE span shuffle,
+    // not an agg + join back) taken further: min/max frames are
+    // constant-memory, so the corpus-sized span set shuffles exactly
+    // once and documents is scanned exactly once (an agg+join
+    // formulation re-derived the explode per side — measured ~1.9× the
+    // whole query at sf0.1 — because pruning made the two exchange
+    // subtrees non-identical, defeating AQE exchange reuse)
+    val byKey = Window.partitionBy(col("len"), col("gh"))
+    val dup = spans
       .select(col("doc_id"), col("sp.s").as("s"), col("sp.e").as("e"),
         col("sp.len").as("len"), col("sp.gh").as("gh"))
-    val nd = spans.groupBy(col("len"), col("gh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-    val dup = spans.join(nd, Seq("len", "gh")).filter(col("nd") >= 2)
+      .withColumn("solo",
+        min(col("doc_id")).over(byKey) === max(col("doc_id")).over(byKey))
+      .filter(!col("solo"))
+      .drop("solo")
     // gaps-and-islands: a new region starts where s clears every
     // preceding interval's end; (s, e) is a total order per doc (two
     // intervals share s only with different lengths, hence different e)

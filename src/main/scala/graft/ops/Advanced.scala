@@ -485,36 +485,52 @@ object Advanced {
     * bounds are the same IEEE op sequence in both engines, counts are
     * exact int64 (same histogram discipline as q158's CCNet cuts).
     */
+  /** The histogram-quantile body over a GIVEN [mn, mx] domain — the
+    * SINGLE-PASS form (r6 verdict #8): when the domain is known a
+    * priori (fixed feature ranges, score columns bounded by contract),
+    * this is one scan of the data; q163 derives the domain with a
+    * cheap min/max pre-pass (making it two-pass) because the fixture
+    * offers no contractual bounds. The estimate error stays ≤ one bin
+    * width — widening the domain widens the bin, trading the saved
+    * pass for resolution (spec-proven: the fixed-domain run over the
+    * true bounds is row-identical to q163's two-pass run).
+    */
+  def histogramQuantiles(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String, mn: Double, mx: Double,
+      bins: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val B = bins
+    val bin = when(lit(mx) === lit(mn), lit(0L))
+      .otherwise(least(lit(B - 1L),
+        floor((col(valueCol) - mn) * B / (mx - mn)).cast("long")))
+    val hist = df
+      .select(col(groupCol), bin.as("b"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(byBin))
+      .withColumn("n", sum("c").over(org.apache.spark.sql.expressions
+        .Window.partitionBy(groupCol)))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("b"))).as("b95"))
+      .select(col(groupCol), col("n"),
+        (lit(mn) + col("b50") * (mx - mn) / B).as("p50_est"),
+        (lit(mn) + col("b95") * (mx - mn) / B).as("p95_est"),
+        lit((mx - mn) / B).as("bin_width"))
+      .orderBy(col(groupCol))
+  }
+
   val q163 = EngineQuery(
     "q163_histogram_quantiles",
     (s, dir) => {
       val t = Tables(s, dir)
-      val B = 1024
       val r = t.orders.agg(min(col("o_totalprice")), max(col("o_totalprice")))
         .head()
-      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
-      val bin = when(lit(mx) === lit(mn), lit(0L))
-        .otherwise(least(lit(B - 1L),
-          floor((col("o_totalprice") - mn) * B / (mx - mn)).cast("long")))
-      val hist = t.orders
-        .select(col("o_orderpriority"), bin.as("b"))
-        .groupBy(col("o_orderpriority"), col("b"))
-        .agg(count(lit(1)).as("c"))
-      val byBin = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_orderpriority").orderBy(col("b"))
-      val cum = hist
-        .withColumn("cum", sum("c").over(byBin))
-        .withColumn("n", sum("c").over(org.apache.spark.sql.expressions
-          .Window.partitionBy("o_orderpriority")))
-      cum.groupBy(col("o_orderpriority"))
-        .agg(max(col("n")).as("n"),
-          min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
-          min(when(col("cum") * 20 >= col("n") * 19, col("b"))).as("b95"))
-        .select(col("o_orderpriority"), col("n"),
-          (lit(mn) + col("b50") * (mx - mn) / B).as("p50_est"),
-          (lit(mn) + col("b95") * (mx - mn) / B).as("p95_est"),
-          lit((mx - mn) / B).as("bin_width"))
-        .orderBy(col("o_orderpriority"))
+      histogramQuantiles(t.orders, "o_orderpriority", "o_totalprice",
+        r.getDouble(0), r.getDouble(1))
     },
     Some("""WITH r AS (
               SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx

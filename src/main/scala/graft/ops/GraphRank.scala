@@ -102,9 +102,26 @@ object GraphRank {
     val n = deg.count()
     require(n > 0, "pagerank: empty edge frame")
     val small = n <= broadcastMaxNodes
+    // large regime: hash-partition the edge list by `src` ONCE and
+    // checkpoint it with AQE off for that one eager materialization —
+    // localCheckpoint copies executedPlan.outputPartitioning into the
+    // LogicalRDD, but under AQE the pre-execution partitioning is
+    // Unknown (the same reason a persist()ed repartition reads as an
+    // un-partitioned AdaptiveSparkPlan inside InMemoryRelation), which
+    // would silently re-exchange the fact-sized edge blocks EVERY
+    // round. With the partitioning captured, EnsureRequirements sees
+    // hashpartitioning(src) on the checkpointed scan and each round
+    // shuffles only the node-cardinality rank vector — the cached,
+    // pre-partitioned edge structure every Pregel implementation keeps.
     val edges =
       if (small) edges0
-      else edges0.repartition(col("src")).localCheckpoint()
+      else {
+        val conf = edgesRaw.sparkSession.conf
+        val saved = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try edges0.repartition(col("src")).localCheckpoint()
+        finally conf.set("spark.sql.adaptive.enabled", saved)
+      }
 
     // ranks is node-cardinality (entities, not facts) — below the
     // threshold, broadcast it into the per-round join so the

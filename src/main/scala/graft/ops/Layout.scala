@@ -285,21 +285,30 @@ object Layout {
     * pass is one tiny agg at layout-maintenance time — the moral
     * equivalent of the ANALYZE a table service runs before OPTIMIZE.
     */
+  /** `orders` with its normalized Morton code attached — the shared
+    * front half of both Z-ordered writers ([[ensureZorderedOrders]],
+    * [[ensureZorderedOrdersRg]]).
+    */
+  private def zvaluedOrders(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables(s, dir).orders
+    val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    def normExpr(c: String, lo: Long, hi: Long): String =
+      if (hi > lo) s"(($c - $lo) * 65535) div ${hi - lo}" else "0"
+    o.withColumn("zv", zvalue(
+      expr(normExpr("o_custkey", r.getLong(0), r.getLong(1))),
+      expr(normExpr("o_orderkey", r.getLong(2), r.getLong(3))),
+      bits = 16))
+  }
+
   private def ensureZorderedOrders(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val app = s.sparkContext.applicationId
     val tag = SessionScratch.dirTag(dir)
     val path = s"${SessionScratch.base("zorder_tables", app)}/zo_orders_$tag"
     SessionScratch.once("zorder_tables", app, dir) {
-      val o = Tables(s, dir).orders
-      val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
-        min(col("o_orderkey")), max(col("o_orderkey"))).head()
-      def normExpr(c: String, lo: Long, hi: Long): String =
-        if (hi > lo) s"(($c - $lo) * 65535) div ${hi - lo}" else "0"
-      o.withColumn("zv", zvalue(
-          expr(normExpr("o_custkey", r.getLong(0), r.getLong(1))),
-          expr(normExpr("o_orderkey", r.getLong(2), r.getLong(3))),
-          bits = 16))
+      zvaluedOrders(s, dir)
         .repartitionByRange(12, col("zv"))
         .sortWithinPartitions(col("zv"))
         .drop("zv")
@@ -351,6 +360,98 @@ object Layout {
         ord.forall { case (lo, hi) => kMax >= lo && kMin <= hi }
     }.map(_._1).toSeq
     (selected, manifest.length, global)
+  }
+
+  /** One row group's zone in the row-group-granularity manifest:
+    * `rowStart` is the group's first row position within its file (the
+    * value `_metadata.row_index` carries for that row), so a (file,
+    * rowStart, rows) triple addresses the group through public Spark
+    * surface.
+    */
+  final case class RowGroupZone(file: String, rg: Int, rowStart: Long,
+      rows: Long, cMin: Long, cMax: Long, kMin: Long, kMax: Long)
+
+  /** The Z-ordered layout written so each FILE holds several row groups
+    * at fixture scale: 2 range partitions with a small parquet block
+    * size. At production scale the DEFAULT 128 MB block gives the same
+    * multi-group shape for free (a 1 GB file carries ~8 row groups) —
+    * the small block here only reproduces that shape on a 60 kB
+    * fixture. Same normalize+interleave+sort as [[ensureZorderedOrders]],
+    * so row groups are contiguous Z-ranges and their per-column min/max
+    * stats are selective on BOTH dimensions.
+    */
+  private[graft] def ensureZorderedOrdersRg(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = SessionScratch.dirTag(dir)
+    val path =
+      s"${SessionScratch.base("zorder_rg_tables", app)}/zo_orders_rg_$tag"
+    SessionScratch.once("zorder_rg_tables", app, dir) {
+      zvaluedOrders(s, dir)
+        .repartitionByRange(2, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4096)
+        .option("parquet.page.size", 1024)
+        .parquet(path)
+    }
+    path
+  }
+
+  /** Row-group-granularity Z-order skipping (r6 verdict #6): the q162
+    * manifest prunes whole FILES, but parquet footers already carry
+    * per-ROW-GROUP min/max — at 100 TB with multi-GB files, row-group
+    * skipping inside partially-overlapping files is the lever that
+    * matters (an 8-row-group file whose zone brushes the predicate
+    * still reads 7/8ths less). Returns (selected, all) row-group zones
+    * for the given per-dimension ranges — footer metadata IO only, the
+    * same bounded-manifest contract as [[zoneMapPrune]]/[[zorderPrune]].
+    * This is exactly what Spark's own parquet reader does with a pushed
+    * predicate (filter → row-group stats → skip); the manifest form
+    * exposes it to EXTERNAL fetch planning, and BucketingSpec proves the
+    * stats math: a strict subset of row groups selected on either
+    * dimension alone, with every matching row inside the selection
+    * (via `_metadata.row_index` against each group's row span).
+    */
+  private[graft] def zorderRowGroupManifest(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cust: Option[(Long, Long)], ord: Option[(Long, Long)])
+      : (Seq[RowGroupZone], Seq[RowGroupZone]) = {
+    import scala.jdk.CollectionConverters._
+    val path = ensureZorderedOrdersRg(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        name: String): (Long, Long) = {
+      val cs = b.getColumns.asScala
+        .find(_.getPath.toDotString == name).get.getStatistics
+      (cs.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+        cs.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+    }
+    val zones = files.toSeq.sortBy(_.toString).flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        var rowStart = 0L
+        blocks.zipWithIndex.map { case (b, i) =>
+          val (cMin, cMax) = colStats(b, "o_custkey")
+          val (kMin, kMax) = colStats(b, "o_orderkey")
+          val z = RowGroupZone(p.toUri.getPath, i, rowStart, b.getRowCount,
+            cMin, cMax, kMin, kMax)
+          rowStart += b.getRowCount
+          z
+        }
+      } finally reader.close()
+    }
+    val selected = zones.filter { z =>
+      cust.forall { case (lo, hi) => z.cMax >= lo && z.cMin <= hi } &&
+        ord.forall { case (lo, hi) => z.kMax >= lo && z.kMin <= hi }
+    }
+    (selected, zones)
   }
 
   /** Z-order clustering + two-dimensional zone-map skipping: the fourth

@@ -158,6 +158,56 @@ class BucketingSpec extends SparkTestBase {
     assert(got == expected, s"2D pruned read lost rows: $got != $expected")
   }
 
+  test("Z-order row-group pruning: strict subset, no row loss, both dims") {
+    import graft.ops.Layout
+    // the layout under test really is multi-row-group per file —
+    // otherwise this would silently degrade to the q162 file-level test
+    val (_, all) = Layout.zorderRowGroupManifest(spark, sfDir, None, None)
+    val perFile = all.groupBy(_.file).view.mapValues(_.size)
+    assert(perFile.values.exists(_ > 1),
+      s"fixture layout has one row group per file: $perFile")
+    // row spans within each file are contiguous and non-overlapping
+    all.groupBy(_.file).foreach { case (_, zs) =>
+      val sorted = zs.sortBy(_.rowStart)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.rowStart + a.rows == b.rowStart)
+      }
+      assert(sorted.head.rowStart == 0L)
+    }
+    val (cMin, cMax) = (all.map(_.cMin).min, all.map(_.cMax).max)
+    val (kMin, kMax) = (all.map(_.kMin).min, all.map(_.kMax).max)
+    val cBand = (cMin + (cMax - cMin) / 2, cMin + (cMax - cMin) * 3 / 4)
+    val kBand = (kMin + (kMax - kMin) / 2, kMin + (kMax - kMin) * 3 / 4)
+    val path = Layout.ensureZorderedOrdersRg(spark, sfDir)
+    for ((cust, ord, pred) <- Seq(
+        (Some(cBand), None,
+          col("o_custkey").between(cBand._1, cBand._2)),
+        (None, Some(kBand),
+          col("o_orderkey").between(kBand._1, kBand._2)))) {
+      val (sel, tot) = Layout.zorderRowGroupManifest(spark, sfDir, cust, ord)
+      assert(sel.nonEmpty && sel.size < tot.size,
+        s"row-group prune selected ${sel.size} of ${tot.size}")
+      // no row loss: every row matching the predicate sits inside a
+      // SELECTED row group's (file, row span) — addressed through the
+      // public `_metadata.row_index` surface
+      val spans = sel.groupBy(_.file).view
+        .mapValues(_.map(z => (z.rowStart, z.rowStart + z.rows))).toMap
+      val escaped = spark.read.parquet(path)
+        .filter(pred)
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("ri"))
+        .collect()
+        .filterNot { r =>
+          val f = new java.net.URI(r.getString(0)).getPath
+          val ri = r.getLong(1)
+          spans.get(f).exists(_.exists { case (a, b) => ri >= a && ri < b })
+        }
+      assert(escaped.isEmpty,
+        s"${escaped.length} matching rows outside selected row groups, " +
+          s"e.g. ${escaped.headOption}")
+    }
+  }
+
   test("zvalue Morton interleave: bit-exact reference, order locality") {
     import graft.ops.Layout
     import spark.implicits._

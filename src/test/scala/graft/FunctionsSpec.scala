@@ -234,6 +234,41 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("single-pass fixed-domain histogram quantiles match the two-pass run") {
+    import graft.ops.Advanced
+    val t = Tables(spark, sfDir)
+    val r = t.orders
+      .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    // fixed domain == true bounds: the single-pass form must reproduce
+    // q163's two-pass output cell-for-cell (same IEEE op sequence)
+    val twoPass = Advanced.q163.run(spark, sfDir).collect().map(_.toString)
+    val onePass = Advanced.histogramQuantiles(t.orders, "o_orderpriority",
+      "o_totalprice", mn, mx).collect().map(_.toString)
+    assert(onePass.toSeq == twoPass.toSeq)
+    // a WIDER a-priori domain (the price of skipping the pre-pass) still
+    // honors the rank-containment bound, at its proportionally wider bin
+    val wide = Advanced.histogramQuantiles(t.orders, "o_orderpriority",
+      "o_totalprice", 0.0, mx * 2).collect()
+      .map(r2 => r2.getString(0) ->
+        (r2.getLong(1), r2.getDouble(2), r2.getDouble(3), r2.getDouble(4)))
+      .toMap
+    val rows = t.orders
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r2 => r2.getString(0) -> r2.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    wide.foreach { case (pri, (n, p50, p95, bw)) =>
+      val xs = rows(pri)
+      assert(n == xs.length && bw > 0.0)
+      def rankStat(num: Long, den: Long): Double =
+        xs(((n * num + den - 1) / den - 1).toInt)
+      val m = rankStat(1, 2)
+      val tt = rankStat(19, 20)
+      assert(p50 <= m + 1e-9 && m <= p50 + bw + 1e-9)
+      assert(p95 <= tt + 1e-9 && tt <= p95 + bw + 1e-9)
+    }
+  }
+
   test("CMS estimates bound exact counts; Bloom filter has no false negatives") {
     val t = Tables(spark, sfDir)
     // Count-Min guarantee: exact <= estimate <= exact + eps * N
