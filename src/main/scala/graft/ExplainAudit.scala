@@ -352,6 +352,21 @@ object ExplainAudit {
         "never re-shuffles for the join", {
         val p = planOf(spark, byName, sfDir, "q167_bpe_encode_fertility")
         p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q168 classifier scans documents ONCE (unigram + bigram buckets " +
+        "explode in one projection), the 4096-row weight table joins " +
+        "by broadcast, and the per-doc rollup partially aggregates " +
+        "map-side", {
+        val p = planOf(spark, byName, sfDir, "q168_quality_classifier")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("BroadcastHashJoin") && p.contains("partial_count")
+      }),
+      ("q169 Hamming ANN: code construction is a shuffle-free scan " +
+        "projection (bit_count distance in the probe), and no " +
+        "cartesian stage exists — the probe side broadcasts", {
+        val p = planOf(spark, byName, sfDir, "q169_knn_hamming")
+        p.contains("bit_count") && !p.contains("CartesianProduct") &&
+          p.contains("BroadcastExchange")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -82,7 +82,13 @@ object ScaleSmoke {
       "q158_ccnet_perplexity_buckets" ->
         (d => llmops.Curation.q158.run(spark, d)),
       "q160_source_ngram_diversity" ->
-        (d => llmops.TextAnalysis.q160.run(spark, d)))
+        (d => llmops.TextAnalysis.q160.run(spark, d)),
+      // round-7 additions: the 3-length span explode must track the
+      // corpus like q47 does (3× the spans, same physics); the
+      // classifier is one scan + a broadcast join, so it must run FLAT
+      // relative to corpus growth modulo the explode
+      "q165_multilen_span_dedup" -> (d => llmops.Dedup.q165.run(spark, d)),
+      "q168_quality_classifier" -> (d => llmops.Curation.q168.run(spark, d)))
 
     val eventOps: Seq[(String, String => DataFrame)] = Seq(
       "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),
@@ -140,7 +146,14 @@ object ScaleSmoke {
       "q160_source_diversity_fixture" ->
         (d => llmops.TextAnalysis.q160.run(spark, d)),
       "q161_pagerank_weighted_fixture" ->
-        (d => graft.ops.GraphRank.q161.run(spark, d)))
+        (d => graft.ops.GraphRank.q161.run(spark, d)),
+      // round-7: binary Hamming ANN — code build is one scan
+      // projection, the probe is |q|·|corpus| integer ops, so cost
+      // tracks the code scan, never the raw-vector width
+      "q169_knn_hamming_fixture" ->
+        (d => llmops.Similarity.q169.run(spark, d)),
+      "q165_multilen_span_fixture" ->
+        (d => llmops.Dedup.q165.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>

@@ -157,6 +157,111 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-planes sign-projection bit packer for binary-code ANN (q169):
+  * `signs` is a flattened planes×dim matrix of ±1 (plane-major); the
+  * result is `planes/32` packed 32-bit words, word w bit b = 1 iff
+  * SUM_i sign(32w+b, i)·floor(v_i·1e7) >= 0 — the identical arithmetic
+  * as one [[FixedDotSum]] per plane against a ±1 pattern (±1 quantizes
+  * to exactly ±1e7, a positive common factor that cannot change the
+  * sign), collapsed into ONE expression. The collapse is the point:
+  * 128 separate FixedDotSum expressions made janino compile a
+  * megamorphic projection (~18 s per pass at bench time — compilation,
+  * not compute); this emits two small loops.
+  *
+  * planes = signs.length / dim is derived per row; planes % 32 must be
+  * 0 (enforced by the caller building the literal).
+  */
+case class SignPackBits(left: Expression, right: Expression)
+    extends VectorDotLike {
+
+  override def prettyName: String = "sign_pack_bits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val s = r.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    if (d == 0 || s.numElements() % d != 0) return null
+    val planes = s.numElements() / d
+    val fx = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      fx(i) = math.floor(evalGet(v, i) * 1e7).toLong
+      i += 1
+    }
+    val words = new Array[Long](planes / 32)
+    var p = 0
+    while (p < planes) {
+      var acc = 0L
+      var j = 0
+      while (j < d) {
+        if (s.getFloat(p * d + j) > 0) acc += fx(j) else acc -= fx(j)
+        j += 1
+      }
+      if (acc >= 0) words(p / 32) |= 1L << (p % 32)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+
+  // the signs side is a FLOAT literal by contract
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(FloatType, _))
+          if a == FloatType || a == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, array<float>), " +
+            s"got ${l.sql} and ${r.sql}")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) => {
+      val d = ctx.freshName("d")
+      val planes = ctx.freshName("planes")
+      val fx = ctx.freshName("fx")
+      val words = ctx.freshName("words")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $d = $v.numElements();
+         |boolean $bad = $d == 0 || $s.numElements() % $d != 0;
+         |long[] $words = null;
+         |if (!$bad) {
+         |  int $planes = $s.numElements() / $d;
+         |  long[] $fx = new long[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($v.isNullAt($i)) { $bad = true; break; }
+         |    $fx[$i] = (long) Math.floor(${genGet(v, i)} * 1.0E7);
+         |  }
+         |  if (!$bad) {
+         |    $words = new long[$planes / 32];
+         |    for (int $p = 0; $p < $planes; $p++) {
+         |      long $acc = 0L;
+         |      for (int $j = 0; $j < $d; $j++) {
+         |        if ($s.getFloat($p * $d + $j) > 0) $acc += $fx[$j];
+         |        else $acc -= $fx[$j];
+         |      }
+         |      if ($acc >= 0L) $words[$p / 32] |= 1L << ($p % 32);
+         |    }
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($words); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignPackBits =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorDot {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -169,4 +274,9 @@ object VectorDot {
   def doubleDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DoubleDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Packed 32-bit sign-projection words (see [[SignPackBits]]). */
+  def signPackBits(v: Column, signs: Column): Column =
+    ColumnBridge.column(
+      SignPackBits(ColumnBridge.expression(v), ColumnBridge.expression(signs)))
 }

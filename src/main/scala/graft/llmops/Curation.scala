@@ -335,5 +335,87 @@ object Curation {
             FROM scored s JOIN cuts c ON s.lang = c.lang
             ORDER BY s.doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158)
+  /** Hashed-feature bucket count for the linear quality classifier. */
+  val ClfBuckets = 4096L
+
+  /** fastText-style linear quality classifier INFERENCE (Joulin et al.
+    * 2017 architecture; the quality-filter stage of CCNet-style
+    * curation pipelines, where a linear model over hashed bag-of-ngram
+    * features scores every page). The reference pipeline has no model
+    * host (sql_generator.py's LLM dispatch is the same missing piece);
+    * what the ENGINE owns is the inference plumbing, which is real
+    * here: a |buckets|-row weight table broadcast into one corpus
+    * pass. Weights are a deterministic function of the bucket id (a
+    * stand-in for trained parameters — swapping in a real model is
+    * loading a different 4096-row table); features are hashed word
+    * unigrams + bigrams, the published fastText recipe.
+    *
+    * Determinism: weights, feature hashes, and the score sum are exact
+    * int64; the mean crosses to double once at the boundary (one IEEE
+    * division — identical in both engines). `keep` is the sign of the
+    * integer sum, so classification never touches a float.
+    *
+    * Scale shape (100 TB): the model is 4096 rows broadcast to every
+    * executor (a real 2M-bucket fastText weight vector is ~8 MB — still
+    * broadcast range); ONE documents scan explodes unigram+bigram
+    * buckets in the same projection (no second scan for the second
+    * n-gram order), the weight join is map-side, and the per-doc
+    * rollup is map-side-combined — shuffle carries |docs| rows, never
+    * features.
+    */
+  val q168 = EngineQuery(
+    "q168_quality_classifier",
+    (s, dir) => {
+      import PortableHash.{P, tokens, tokenHashes, spanHashes}
+      val B = ClfBuckets
+      val weights = s.range(0, B).select(col("id").as("b"),
+        (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L).as("wt"))
+      val th = Tables(s, dir).documents
+        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
+        .filter(size(col("ths")) >= 2)
+      val feats = th.select(col("doc_id"), explode(concat(
+          transform(col("ths"), t => t % B),
+          transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
+      feats.join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("w_sum"))
+        .select(col("doc_id"), col("n_feats"), col("w_sum"),
+          (col("w_sum").cast(DoubleType) /
+            col("n_feats").cast(DoubleType)).as("score"),
+          (col("w_sum") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+              SELECT p AS b,
+                ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS wt
+              FROM (SELECT UNNEST(range(0, $ClfBuckets)) p)
+            ), toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 2
+            ), feats AS (
+              SELECT doc_id, UNNEST(list_concat(
+                [t % $ClfBuckets for t in ths],
+                [(${PortableHash.spanHashSql("ths", 2)}) % $ClfBuckets
+                 for i in range(1, len(ths))])) AS b
+              FROM th
+            ), scored AS (
+              SELECT f.doc_id, COUNT(*) AS n_feats,
+                CAST(SUM(w.wt) AS BIGINT) AS w_sum
+              FROM feats f JOIN w ON f.b = w.b
+              GROUP BY f.doc_id
+            )
+            SELECT doc_id, n_feats, w_sum,
+              CAST(w_sum AS DOUBLE) / n_feats AS score,
+              w_sum >= 0 AS keep
+            FROM scored ORDER BY doc_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158, q168)
 }

@@ -661,6 +661,156 @@ object Similarity {
            SELECT 1 FROM dropped dr WHERE dr.vec_id = c.vec_id)
          ORDER BY c.vec_id"""))
 
+  /** 128-bit sign-projection binary codes, four 32-bit words per
+    * vector: bit p = sign of the vector's fixed-point dot with
+    * pseudo-random ±1 hyperplane p. The per-(plane, position) sign
+    * parity is the quadratic charHash multiplier over n = p·4096+pos —
+    * NOT srpBuckets' linear (p·31+pos)·K form, whose n-segments for
+    * adjacent planes overlap, making the planes shifted copies of one
+    * sequence (measured: near-random recall). Quadratic scrambling
+    * over disjoint n-ranges decorrelates the planes (adjacent-plane
+    * agreement 0.499 vs 0.288 linear).
+    *
+    * Computed per-row with ZERO shuffle: each plane is one native
+    * codegen'd [[graft.functions.VectorDot.fixedDotSum]] against a ±1f
+    * literal pattern — the float ±1 quantizes to exactly ±1e7, so the
+    * sign equals the sign of the ±fixedPoint component sum and the
+    * oracle replays it bit-for-bit.
+    */
+  private[llmops] def hammingCodes(emb: org.apache.spark.sql.DataFrame,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    def parityEven(p: Int, i: Int): Boolean = {
+      val n = p.toLong * 4096L + i
+      ((n * n % P) * 2654435761L + 97L * n) % P % 2 == 0
+    }
+    // ALL 128 planes in one flattened ±1 literal consumed by ONE
+    // codegen'd SignPackBits — a per-plane FixedDotSum formulation is
+    // arithmetically identical but hands janino 128 expressions to
+    // compile (~18 s/pass of pure compilation at bench time)
+    val signs = typedLit((0 until 128).flatMap(p =>
+      (1 to dim).map(i => if (parityEven(p, i)) 1.0f else -1.0f)))
+    emb.select(col("vec_id"),
+        graft.functions.VectorDot.signPackBits(col("embedding"), signs)
+          .as("w"))
+      .select(col("vec_id"),
+        element_at(col("w"), 1).as("c0"), element_at(col("w"), 2).as("c1"),
+        element_at(col("w"), 3).as("c2"), element_at(col("w"), 4).as("c3"))
+  }
+
+  /** Binary-code ANN: Hamming shortlist over 128-bit sign-hash codes +
+    * exact rerank (the binary-quantization retrieval recipe — Charikar
+    * 2002 sign-random-projection sketches; shortlist-then-rerank as in
+    * PQ/ADC systems, q56's discipline at 16× smaller codes).
+    *
+    * Scale story (100 TB): the candidate store the probe scans is 16
+    * BYTES per vector (four int32 words in int64s) instead of 4·dims —
+    * the 64-dim float fixture compresses 16×; distance is XOR+POPCNT,
+    * pure codegen'd integer ops, no floats until the refine stage
+    * touches exactly |queries|·128 raw vectors. Code construction is
+    * shuffle-free (one scan projection); the probe set broadcasts; the
+    * only corpus-sized exchange is the per-query shortlist window on
+    * qid. Recall vs exact q50 is asserted in LlmopsSpec (same contract
+    * as q55/q56). Random unit fixture vectors are the worst case for
+    * sign codes (every candidate near 90°) — measured recall@8 ≈ 0.7
+    * at shortlist 128; clustered real corpora do far better.
+    */
+  val q169 = EngineQuery(
+    "q169_knn_hamming",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // dims is a model hyperparameter (64 in the fixture) — one
+      // schema-level head() at plan time, the q56 codebook discipline
+      val dim = t.embeddings
+        .select(size(col("embedding")).as("d")).head().getInt(0)
+      val codes = hammingCodes(t.embeddings, dim)
+      val probes = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("c0").as("q0"),
+          col("c1").as("q1"), col("c2").as("q2"), col("c3").as("q3"))
+      val ham = broadcast(probes)
+        .join(codes, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (0 to 3).map(w =>
+            bit_count(col(s"q$w").bitwiseXOR(col(s"c$w"))))
+            .reduce(_ + _)
+            .cast(org.apache.spark.sql.types.LongType).as("ham"))
+      val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("cid"))
+      val short = ham
+        .withColumn("hrn", row_number().over(wH))
+        .filter(col("hrn") <= 128)
+        .select(col("qid"), col("cid"), col("ham"))
+      val eq = t.embeddings
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val ec = t.embeddings
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      val wS = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      broadcast(short).join(eq, Seq("qid")).join(ec, Seq("cid"))
+        .select(col("qid"), col("cid"), col("ham"),
+          exactDot(col("eq"), col("ec")).as("sim"))
+        .withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("ham"), col("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+                generate_subscripts(embedding, 1) pos
+              FROM embeddings
+            ), sgn AS (
+              SELECT e.vec_id, p.p,
+                CASE WHEN (SELECT SUM(CASE
+                    WHEN (((p.p*4096 + u.pos)*(p.p*4096 + u.pos) % 1000000007)
+                          * 2654435761 + 97*(p.p*4096 + u.pos))
+                         % 1000000007 % 2 = 0
+                    THEN CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    ELSE -CAST(FLOOR(CAST(u.v AS DOUBLE)*10000000.0) AS BIGINT)
+                    END)
+                  FROM (SELECT UNNEST(embedding) v,
+                          generate_subscripts(embedding, 1) pos) u) >= 0
+                THEN 1 ELSE 0 END AS bit
+              FROM embeddings e, (SELECT UNNEST(range(0, 128)) p) p
+            ), codes AS (
+              SELECT vec_id,
+                CAST(SUM(CASE WHEN p < 32
+                  THEN CAST(bit AS BIGINT) << p ELSE 0 END) AS BIGINT) AS c0,
+                CAST(SUM(CASE WHEN p >= 32 AND p < 64
+                  THEN CAST(bit AS BIGINT) << (p-32) ELSE 0 END) AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN p >= 64 AND p < 96
+                  THEN CAST(bit AS BIGINT) << (p-64) ELSE 0 END) AS BIGINT) AS c2,
+                CAST(SUM(CASE WHEN p >= 96
+                  THEN CAST(bit AS BIGINT) << (p-96) ELSE 0 END) AS BIGINT) AS c3
+              FROM sgn GROUP BY vec_id
+            ), probes AS (
+              SELECT vec_id AS qid, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3
+              FROM codes WHERE vec_id < 10
+            ), ham AS (
+              SELECT p.qid, c.vec_id AS cid,
+                CAST(bit_count(xor(p.q0, c.c0))
+                   + bit_count(xor(p.q1, c.c1))
+                   + bit_count(xor(p.q2, c.c2))
+                   + bit_count(xor(p.q3, c.c3)) AS BIGINT) AS ham
+              FROM probes p JOIN codes c ON c.vec_id != p.qid
+            ), short AS (
+              SELECT qid, cid, ham FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY ham, cid) hrn
+                FROM ham) WHERE hrn <= 128
+            ), ref AS (
+              SELECT s.qid, s.cid, s.ham,
+                CAST(SUM(CAST(FLOOR(a.v*10000000.0) AS BIGINT)
+                       * CAST(FLOOR(b.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                  / 100000000000000.0 AS sim
+              FROM short s
+              JOIN ex a ON a.vec_id = s.qid
+              JOIN ex b ON b.vec_id = s.cid AND b.pos = a.pos
+              GROUP BY 1, 2, 3
+            )
+            SELECT qid, cid, ham, sim, rn FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid) rn
+              FROM ref) WHERE rn <= 8
+            ORDER BY qid, rn"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169)
 }

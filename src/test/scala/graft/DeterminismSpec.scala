@@ -37,7 +37,12 @@ class DeterminismSpec extends SparkTestBase {
     "q156_semdedup",            // k-means cells + anti-join
     "q157_dsir_importance_resampling", // integer LM ratios + top-k
     "q158_ccnet_perplexity_buckets",   // histogram tertile cuts
-    "q163_histogram_quantiles")        // histogram ranks
+    "q163_histogram_quantiles",        // histogram ranks
+    "q165_multilen_span_dedup",        // interval-union islands over spans
+    "q168_quality_classifier",         // integer weight sums + sign rule
+    "q169_knn_hamming")                // sign codes + Hamming shortlist
+    // (q166 BPE is probed UNMEMOIZED below — the gate query's
+    // per-(app, dir) memo would hand the sibling the shared result)
 
   test("gate results are identical under a different shuffle partitioning") {
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap

@@ -707,6 +707,53 @@ class LlmopsSpec extends SparkTestBase {
       "bucketed regime differs from broadcast regime")
   }
 
+  test("q168 classifier: feature count identity, integer sign rule") {
+    val out = Curation.q168.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out.nonEmpty)
+    // unigrams + bigrams of an n-token doc = 2n - 1 features
+    val nTokens = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        size(PortableHash.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, (nf, ws, score, keep)) =>
+      assert(nf == 2L * nTokens(id) - 1,
+        s"doc $id: n_feats $nf != 2*${nTokens(id)}-1")
+      assert(keep == (ws >= 0))
+      assert(math.abs(score - ws.toDouble / nf) < 1e-12)
+    }
+    // docs under 2 tokens are excluded by contract
+    assert(out.keySet == nTokens.filter(_._2 >= 2).keySet)
+    // weight table is a fixed function of the bucket id: rerun identical
+    val again = Curation.q168.run(spark, sfDir).collect()
+      .map(r => r.toString).toSeq
+    assert(again == Curation.q168.run(spark, sfDir).collect()
+      .map(r => r.toString).toSeq)
+  }
+
+  test("binary Hamming ANN recall vs the exact top-k") {
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val ham = graft.llmops.Similarity.q169.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(ham.keySet == exact.keySet)
+    ham.values.foreach(s => assert(s.size == 8))
+    val recalls = exact.map { case (q, ex) =>
+      (ham(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"Hamming mean recall@8 = $mean%.3f")
+    // Random unit vectors are the worst case for sign-hash codes (all
+    // angles near 90° — one-bit resolution exactly where every
+    // candidate sits); measured 0.7 at 128 bits/shortlist 128. The
+    // floor asserts the code is informative, the determinism claim is
+    // the q169 oracle.
+    assert(mean >= 0.5, f"Hamming recall degraded: $mean%.3f")
+  }
+
   test("PageRank: mass conserved within floor loss, suppliers dominate") {
     import graft.ops.GraphRank
     val top = GraphRank.q159.run(spark, sfDir).collect()
