@@ -431,7 +431,7 @@ object Dedup {
         .filter(size(col("ws")) >= SpanLen)
         .select(col("doc_id"), tokenHashes(col("ws")).as("ths"))
       val spans = toks.select(col("doc_id"),
-        explode(spanHashes(col("ths"), SpanLen)).as("gh"))
+        explode(spanHashesWide(col("ths"), SpanLen)).as("gh"))
       val docsPerSpan = spans.groupBy(col("gh"))
         .agg(count_distinct(col("doc_id")).as("nd"))
       spans.join(docsPerSpan, Seq("gh"))
@@ -456,7 +456,7 @@ object Dedup {
               FROM toks WHERE len(ws) >= 8
             ), g AS (
               SELECT doc_id,
-                UNNEST([(${spanHashSql("ths", 8)})
+                UNNEST([(${spanHashWideSql("ths", 8)})
                         for i in range(1, len(ths)-6)]) AS gh
               FROM th
             ), ds AS (
@@ -502,7 +502,7 @@ object Dedup {
           tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= SpanLen)
         .select(col("doc_id"), col("bk"),
-          explode(spanHashes(tokenHashes(col("ws")), SpanLen)).as("gh"))
+          explode(spanHashesWide(tokenHashes(col("ws")), SpanLen)).as("gh"))
       val trainIdx = spans.filter(col("bk") < 800)
         .select(col("gh")).distinct()
       val testSpans = spans.filter(col("bk") >= 900)
@@ -532,7 +532,7 @@ object Dedup {
               FROM toks WHERE len(ws) >= 8
             ), g AS (
               SELECT doc_id, bk,
-                UNNEST([(${spanHashSql("ths", 8)})
+                UNNEST([(${spanHashWideSql("ths", 8)})
                         for i in range(1, len(ths)-6)]) AS gh
               FROM th
             ), train_idx AS (
@@ -579,7 +579,7 @@ object Dedup {
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
       .filter(size(col("ths")) >= lengths.min)
     val spans = toks.select(col("doc_id"), explode(flatten(array(
-        lengths.map(l => transform(spanHashes(col("ths"), l), (g, i) =>
+        lengths.map(l => transform(spanHashesWide(col("ths"), l), (g, i) =>
           struct(i.as("s"), (i + lit(l)).as("e"), lit(l).as("len"),
             g.as("gh")))): _*))).as("sp"))
     // "shared by >= 2 distinct docs" needs no count-distinct at all:
@@ -624,7 +624,7 @@ object Dedup {
   private def spanLenCte(l: Int): String =
     s"""g$l AS (
               SELECT doc_id, UNNEST(range(1, len(ths)-${l - 2})) AS s,
-                UNNEST([(${spanHashSql("ths", l)})
+                UNNEST([(${spanHashWideSql("ths", l)})
                         for i in range(1, len(ths)-${l - 2})]) AS gh
               FROM th WHERE len(ths) >= $l
             )"""

@@ -152,13 +152,15 @@ object PortableHash {
       coalesce(graft.functions.CharPolyHash.charPolyHash(w), lit(0L)))
 
   /** Polynomial hash of the n-token span starting at 1-based index i of
-    * a precomputed token-hash array: SUM_d ths[i+d]·m(d+1) mod P with
-    * per-term reduction (every term ≤ P² < 2^63, the reduced sum ≤ n·P).
-    * Identical arithmetic is a one-liner in the DuckDB oracle.
+    * a precomputed token-hash array: SUM_d ths[i+d]·m(d+1+off) mod P
+    * with per-term reduction (every term ≤ P² < 2^63, the reduced sum
+    * ≤ n·P). Identical arithmetic is a one-liner in the DuckDB oracle.
+    * `off` selects an independent multiplier stream (see
+    * [[spanHashesWide]]).
     */
-  def spanHash(ths: Column, i: Column, n: Int): Column =
+  def spanHash(ths: Column, i: Column, n: Int, off: Int = 0): Column =
     (0 until n).map { d =>
-      element_at(ths, i + lit(d)) * lit(multConst(d + 1)) % P
+      element_at(ths, i + lit(d)) * lit(multConst(d + 1 + off)) % P
     }.reduce(_ + _) % P
 
   /** All n-token span hashes of a token array (1 per start position);
@@ -174,10 +176,36 @@ object PortableHash {
   /** DuckDB rendering of [[spanHash]] over list column `ths` and loop
     * variable `i` — identical per-term-reduced arithmetic.
     */
-  def spanHashSql(ths: String, n: Int): String =
+  def spanHashSql(ths: String, n: Int, off: Int = 0): String =
     (0 until n)
-      .map(d => s"$ths[i+$d]*${multConst(d + 1)} % $P")
+      .map(d => s"$ths[i+$d]*${multConst(d + 1 + off)} % $P")
       .mkString("(", " + ", s") % $P")
+
+  /** WIDE (60-bit) span fingerprints for the span-DEDUP family
+    * (q47/q48/q165), where a hash collision materializes as a reported
+    * false duplicate — unlike the hashed-feature consumers (bigram LM
+    * q76/q158, distinct-n q160, classifier buckets q168), where
+    * collisions are ordinary hash bucketing. A single mod-P hash lives
+    * in ~2^30 space, so a corpus of n spans yields ~n²/2^31 colliding
+    * pairs — measured: 25k unique synthetic docs (2.8M spans) produced
+    * ~14k false-dup docs in q165. Two INDEPENDENT multiplier streams
+    * (offsets 0 and 32 — past the longest span, so the streams never
+    * overlap) combine as s1·2^30 + s2 < P·2^30 + P < 2^61: collision
+    * space ~2^60, expected false pairs n²/2^61 — none until ~10^9
+    * spans, and still only ~500 in a 10^12-span (100 TB-class) corpus.
+    * Exact int64 in both engines; [[spanHashWideSql]] replays it.
+    */
+  def spanHashesWide(ths: Column, n: Int): Column =
+    when(size(ths) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(ths) - (n - 1)),
+        i => spanHash(ths, i, n) * lit(1073741824L) +
+          spanHash(ths, i, n, off = 32)))
+
+  /** DuckDB rendering of one [[spanHashesWide]] fingerprint at loop
+    * variable `i`.
+    */
+  def spanHashWideSql(ths: String, n: Int): String =
+    s"(${spanHashSql(ths, n)}) * 1073741824 + (${spanHashSql(ths, n, 32)})"
 
   /** Distinct 3-word shingles of a token array (needs >= 3 tokens). */
   def shingles3(ws: Column): Column =
