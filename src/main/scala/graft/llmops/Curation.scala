@@ -363,28 +363,37 @@ object Curation {
     * rollup is map-side-combined — shuffle carries |docs| rows, never
     * features.
     */
+  /** The classifier-inference core over an ARBITRARY (doc_id, text)
+    * frame — shared by the q168 gate query and the streaming twin
+    * (StreamingSpec scores micro-batches through foreachBatch with
+    * this exact function: per-doc scoring is stateless, so stream
+    * output == batch output by construction, and the spec proves the
+    * harness composition).
+    */
+  def classifierScores(docs: DataFrame): DataFrame = {
+    import PortableHash.{P, tokens, tokenHashes, spanHashes}
+    val B = ClfBuckets
+    val weights = docs.sparkSession.range(0, B).select(col("id").as("b"),
+      (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L).as("wt"))
+    val th = docs
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
+      .filter(size(col("ths")) >= 2)
+    val feats = th.select(col("doc_id"), explode(concat(
+        transform(col("ths"), t => t % B),
+        transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("w_sum"))
+      .select(col("doc_id"), col("n_feats"), col("w_sum"),
+        (col("w_sum").cast(DoubleType) /
+          col("n_feats").cast(DoubleType)).as("score"),
+        (col("w_sum") >= 0).as("keep"))
+  }
+
   val q168 = EngineQuery(
     "q168_quality_classifier",
-    (s, dir) => {
-      import PortableHash.{P, tokens, tokenHashes, spanHashes}
-      val B = ClfBuckets
-      val weights = s.range(0, B).select(col("id").as("b"),
-        (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L).as("wt"))
-      val th = Tables(s, dir).documents
-        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
-        .filter(size(col("ths")) >= 2)
-      val feats = th.select(col("doc_id"), explode(concat(
-          transform(col("ths"), t => t % B),
-          transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
-      feats.join(broadcast(weights), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("w_sum"))
-        .select(col("doc_id"), col("n_feats"), col("w_sum"),
-          (col("w_sum").cast(DoubleType) /
-            col("n_feats").cast(DoubleType)).as("score"),
-          (col("w_sum") >= 0).as("keep"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => classifierScores(Tables(s, dir).documents)
+      .orderBy(col("doc_id")),
     Some(s"""WITH w AS (
               SELECT p AS b,
                 ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS wt

@@ -381,4 +381,50 @@ class StreamingSpec extends SparkTestBase {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("streaming classifier scoring via foreachBatch == batch q168") {
+    // model inference over a document stream: each micro-batch scores
+    // through the SAME classifierScores core the q168 gate query runs
+    // (stateless per-doc scoring — broadcast weights, no cross-batch
+    // state), appending results to a sink. Two-batch split proves the
+    // composition; equality with the batch run is by shared code, and
+    // THAT code is what the DuckDB oracle already hash-checks.
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val docsDir = Files.createTempDirectory("graft_docs_stream")
+    val outDir = Files.createTempDirectory("clf_out").toString
+    val ckpt = Files.createTempDirectory("clf_ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("clf_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, docsDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .parquet(docsDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.llmops.Curation.classifierScores(batch)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "b1.parquet")
+    runOnce()
+    stage(docs.filter(col("doc_id") % 2 === 1), "b2.parquet")
+    runOnce()
+    val got = spark.read.parquet(outDir).orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    val want = graft.llmops.Curation.q168.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
