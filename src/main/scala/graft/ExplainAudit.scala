@@ -367,6 +367,14 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q169_knn_hamming")
         p.contains("bit_count") && !p.contains("CartesianProduct") &&
           p.contains("BroadcastExchange")
+      }),
+      ("q170 drift: corpus-sized stage is the map-side-combined " +
+        "(source, bin) hash-agg; the |bins|-row reference broadcasts " +
+        "into the |sources|×|bins| grid and no Window or sort touches " +
+        "raw rows", {
+        val p = planOf(spark, byName, sfDir, "q170_distribution_drift")
+        p.contains("partial_count") && p.contains("BroadcastExchange") &&
+          !p.contains("Window")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -426,5 +426,93 @@ object Curation {
               w_sum >= 0 AS keep
             FROM scored ORDER BY doc_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158, q168)
+  /** Per-source distribution drift vs the corpus reference — the
+    * ingest-monitoring operator that catches a source whose content
+    * profile shifts (template rollout, crawler truncation, encoding
+    * breakage) before it poisons a training mix. Statistic: total
+    * variation distance between the source's n_chars histogram and the
+    * corpus-wide one over [[DriftBins]] equal-width bins.
+    *
+    * Determinism: TV = ½ Σ_b |c_b/S − r_b/R| is computed as the EXACT
+    * integer Σ_b |c_b·R − r_b·S| (c_b·R ≤ 10^6·10^6 fits int64 easily)
+    * and divided by 2·S·R once at the double boundary — a
+    * deterministic single IEEE division, where a float per-bin sum
+    * would be partition-order-dependent. Floor-division binning is
+    * identical in Spark (`div`) and DuckDB (`//`) on the non-negative
+    * operands here.
+    *
+    * Scale shape (100 TB): one documents scan → one map-side-combined
+    * (source, bin) hash-agg; the reference histogram is |bins| rows
+    * and per-source totals are |sources| rows, both broadcast; the TV
+    * rollup runs over the |sources|×|bins| grid, never raw rows. The
+    * grid is complete by construction (ref = whole corpus ⊇ every
+    * source, so every non-empty source bin exists in the reference;
+    * source-missing bins enter as c_b = 0 via the grid left join —
+    * dropping them would undercount drift exactly where it is worst).
+    */
+  val DriftBins = 32
+
+  val q170 = EngineQuery(
+    "q170_distribution_drift",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val B = DriftBins
+      val r0 = docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val bin =
+        if (mx == mn) lit(0L)
+        else least(lit(B - 1L),
+          expr(s"((n_chars - $mn) * $B) div (${mx - mn})"))
+      val binned = docs.select(col("source"), bin.as("b"))
+      val ref = binned.groupBy(col("b")).agg(count(lit(1)).as("rb"))
+      val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("stot"))
+      val srcBins = binned.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("cb"))
+      val rtot = docs.count()
+      val grid = srcTot.crossJoin(broadcast(ref))
+        .join(srcBins, Seq("source", "b"), "left")
+        .select(col("source"), col("stot"), col("b"), col("rb"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      grid.groupBy(col("source"), col("stot"))
+        .agg(sum(abs(col("cb") * rtot - col("rb") * col("stot")))
+          .as("tv_scaled"))
+        .select(col("source"), col("stot").as("n_docs"),
+          col("tv_scaled").cast(DoubleType)
+            ./(lit(2.0) * col("stot").cast(DoubleType) * rtot.toDouble)
+            .as("tv"))
+        .orderBy(col("tv").desc, col("source"))
+    },
+    Some(s"""WITH bounds AS (
+              SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+            ), binned AS (
+              SELECT source,
+                CASE WHEN b.mx = b.mn THEN 0
+                     ELSE LEAST(${DriftBins - 1},
+                       ((n_chars - b.mn) * $DriftBins) // (b.mx - b.mn))
+                END AS bin
+              FROM documents, bounds b
+            ), ref AS (
+              SELECT bin, COUNT(*) AS rb FROM binned GROUP BY bin
+            ), rtot AS (SELECT COUNT(*) AS r FROM documents
+            ), src_tot AS (
+              SELECT source, COUNT(*) AS stot FROM binned GROUP BY source
+            ), src_bins AS (
+              SELECT source, bin, COUNT(*) AS cb
+              FROM binned GROUP BY source, bin
+            ), grid AS (
+              SELECT t.source, t.stot, f.bin, f.rb,
+                COALESCE(s.cb, 0) AS cb
+              FROM src_tot t
+              CROSS JOIN ref f
+              LEFT JOIN src_bins s
+                ON s.source = t.source AND s.bin = f.bin
+            )
+            SELECT g.source, CAST(MAX(g.stot) AS BIGINT) AS n_docs,
+              CAST(SUM(ABS(g.cb * rtot.r - g.rb * g.stot)) AS DOUBLE)
+                / (2.0 * MAX(g.stot) * MAX(rtot.r)) AS tv
+            FROM grid g, rtot
+            GROUP BY g.source
+            ORDER BY tv DESC, g.source"""))
+
+  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158, q168, q170)
 }

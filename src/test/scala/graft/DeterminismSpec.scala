@@ -40,7 +40,8 @@ class DeterminismSpec extends SparkTestBase {
     "q163_histogram_quantiles",        // histogram ranks
     "q165_multilen_span_dedup",        // interval-union islands over spans
     "q168_quality_classifier",         // integer weight sums + sign rule
-    "q169_knn_hamming")                // sign codes + Hamming shortlist
+    "q169_knn_hamming",                // sign codes + Hamming shortlist
+    "q170_distribution_drift")         // integer TV-distance histograms
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 

@@ -733,6 +733,41 @@ class LlmopsSpec extends SparkTestBase {
       .map(r => r.toString).toSeq)
   }
 
+  test("q170 drift: TV bounds, partition of the corpus, planted shift ranks first") {
+    val out = Curation.q170.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // TV distance is a metric on distributions: every value in [0, 1]
+    out.foreach { case (src, n, tv) =>
+      assert(n > 0 && tv >= 0.0 && tv <= 1.0, s"$src: tv=$tv n=$n") }
+    // sources partition the corpus
+    val total = Tables(spark, sfDir).documents.count()
+    assert(out.map(_._2).sum == total)
+    // output is ranked by drift, ties by source
+    val tvs = out.map(_._3).toSeq
+    assert(tvs == tvs.sorted.reverse)
+    // a planted length-profile shift must outrank every natural source:
+    // clone the corpus but give one synthetic source only the longest
+    // decile — its histogram mass sits in bins the reference barely
+    // occupies, so its TV must rank first
+    import org.apache.spark.sql.functions.{lit => flit}
+    val docs = Tables(spark, sfDir).documents
+    val cut = docs.selectExpr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars) AS c")
+      .head().getDouble(0)
+    val planted = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(docs.filter(col("n_chars") >= cut)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), flit("___drifted").as("source"), col("n_chars")))
+    val dir2 = java.nio.file.Files.createTempDirectory("drift_fixture")
+    planted.write.mode("overwrite")
+      .parquet(dir2.resolve("documents.parquet").toString)
+    val shifted = Curation.q170.run(spark, dir2.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(shifted.head._1 == "___drifted",
+      s"planted drift not ranked first: ${shifted.take(3).mkString(", ")}")
+  }
+
   test("binary Hamming ANN recall vs the exact top-k") {
     val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
