@@ -31,7 +31,10 @@ object ExplainAudit {
     "q147_tpch_q2_min_cost_supplier", "q156_semdedup",
     "q157_dsir_importance_resampling", "q158_ccnet_perplexity_buckets",
     "q159_pagerank_fixed_point", "q160_source_ngram_diversity",
-    "q163_histogram_quantiles")
+    "q163_histogram_quantiles", "q165_multilen_span_dedup",
+    "q167_bpe_encode_fertility", "q168_quality_classifier",
+    "q169_knn_hamming", "q170_distribution_drift",
+    "q171_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -375,6 +378,14 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q170_distribution_drift")
         p.contains("partial_count") && p.contains("BroadcastExchange") &&
           !p.contains("Window")
+      }),
+      ("q171 embedding drift: embeddings scanned ONCE — label totals " +
+        "and global centroid are windows over the one (label, dim) " +
+        "aggregate (the q43 discipline), no join anywhere", {
+        val p = planOf(spark, byName, sfDir, "q171_embedding_drift")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          "Window".r.findAllIn(p).nonEmpty && !p.contains("Join") &&
+          p.contains("partial_sum")
       }))
 
     val summary = checks.map { case (label, ok) =>

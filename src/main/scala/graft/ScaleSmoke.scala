@@ -88,7 +88,8 @@ object ScaleSmoke {
       // classifier is one scan + a broadcast join, so it must run FLAT
       // relative to corpus growth modulo the explode
       "q165_multilen_span_dedup" -> (d => llmops.Dedup.q165.run(spark, d)),
-      "q168_quality_classifier" -> (d => llmops.Curation.q168.run(spark, d)))
+      "q168_quality_classifier" -> (d => llmops.Curation.q168.run(spark, d)),
+      "q170_distribution_drift" -> (d => llmops.Curation.q170.run(spark, d)))
 
     val eventOps: Seq[(String, String => DataFrame)] = Seq(
       "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),
@@ -153,7 +154,9 @@ object ScaleSmoke {
       "q169_knn_hamming_fixture" ->
         (d => llmops.Similarity.q169.run(spark, d)),
       "q165_multilen_span_fixture" ->
-        (d => llmops.Dedup.q165.run(spark, d)))
+        (d => llmops.Dedup.q165.run(spark, d)),
+      "q171_embedding_drift_fixture" ->
+        (d => llmops.Curation.q171.run(spark, d)))
 
     val sizes = Seq(n / 8, n)
     val dirs = sizes.map { sz =>

@@ -514,5 +514,89 @@ object Curation {
             GROUP BY g.source
             ORDER BY tv DESC, g.source"""))
 
-  val all: Seq[EngineQuery] = Seq(q59, q64, q157, q158, q168, q170)
+  /** Embedding-space drift: squared centroid shift of each label's
+    * vectors vs the global centroid — q170's monitoring idea lifted to
+    * the representation space (an embedding pipeline whose encoder,
+    * preprocessing, or upstream mix changes shifts group centroids
+    * long before downstream metrics move).
+    *
+    * Determinism: per-(label, dim) component sums are exact int64
+    * fixed-point; the per-dim difference D = sc·N − sg·n is exact
+    * int64 (|sc·N| ≤ 1e7·n·N ≈ 4e13 at fixture scale); D² sums as
+    * EXACT DECIMAL(38,0) in Spark / HUGEINT in DuckDB — order-free —
+    * and ONE boundary division by (n·N·1e7)² produces the double.
+    * A float per-dim sum would be partition-order-dependent.
+    *
+    * Scale shape (100 TB): one embeddings scan → one map-side-combined
+    * (label, dim) hash-agg (|labels|·dims rows); the global centroid
+    * RE-AGGREGATES that small table (never a second corpus pass); the
+    * distance rollup runs over |labels|·dims rows only.
+    */
+  val q171 = EngineQuery(
+    "q171_embedding_drift",
+    (s, dir) => {
+      import PortableHash.fixedPoint
+      val emb = Tables(s, dir).embeddings
+      val big = emb.count()
+      val fx = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), fixedPoint(col("v")).as("f"))
+      // ONE corpus-sized aggregation; every vector contributes one row
+      // per dim, so cnt per (label, pos) IS the label's vector count.
+      // Label totals and the global centroid are WINDOWS over this
+      // small table (the q43 discipline): one linear lineage, so the
+      // corpus aggregates once — the agg+join-back formulation derived
+      // it three times because pruning made the exchange subtrees
+      // non-identical (no AQE reuse), re-scanning embeddings per
+      // consumer
+      val lab = fx.groupBy(col("label"), col("pos"))
+        .agg(sum(col("f")).as("sc"), count(lit(1)).as("cnt"))
+      val d = lab
+        .withColumn("n", max(col("cnt")).over(Window.partitionBy("label")))
+        .withColumn("sg", sum(col("sc")).over(Window.partitionBy("pos")))
+        .select(col("label"), col("n"),
+          (col("sc") * big - col("sg") * col("n")).as("dd"))
+      d.select(col("label"), col("n"),
+          (col("dd").cast("decimal(38,0)") * col("dd").cast("decimal(38,0)"))
+            .as("d2"))
+        .groupBy(col("label"), col("n"))
+        .agg(sum(col("d2")).as("sum_d2"))
+        .select(col("label"), col("n").as("n_vecs"),
+          (col("sum_d2").cast(DoubleType) /
+            ((col("n").cast(DoubleType) * big * 1e7) *
+              (col("n").cast(DoubleType) * big * 1e7))).as("dist2"))
+        .orderBy(col("dist2").desc, col("label"))
+    },
+    Some("""WITH fx AS (
+              SELECT label,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)*10000000.0)
+                  AS BIGINT) AS f
+              FROM embeddings
+            ), n AS (
+              SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+            ), big AS (SELECT COUNT(*) AS b FROM embeddings
+            ), lab AS (
+              SELECT label, pos, SUM(f) AS sc FROM fx GROUP BY label, pos
+            ), gl AS (
+              SELECT pos, SUM(sc) AS sg FROM lab GROUP BY pos
+            ), d AS (
+              SELECT l.label, n.n,
+                CAST(l.sc * big.b - g.sg * n.n AS BIGINT) AS dd
+              FROM lab l
+              JOIN gl g ON g.pos = l.pos
+              JOIN n ON n.label = l.label
+              CROSS JOIN big
+            )
+            SELECT d.label, CAST(MAX(d.n) AS BIGINT) AS n_vecs,
+              CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE) /
+                ((CAST(MAX(d.n) AS DOUBLE) * MAX(big.b) * 10000000.0) *
+                 (CAST(MAX(d.n) AS DOUBLE) * MAX(big.b) * 10000000.0))
+                AS dist2
+            FROM d CROSS JOIN big
+            GROUP BY d.label
+            ORDER BY dist2 DESC, d.label"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q59, q64, q157, q158, q168, q170, q171)
 }

@@ -768,6 +768,32 @@ class LlmopsSpec extends SparkTestBase {
       s"planted drift not ranked first: ${shifted.take(3).mkString(", ")}")
   }
 
+  test("q171 embedding drift: non-negative, corpus partition, planted shift ranks first") {
+    val out = Curation.q171.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, d2) => assert(n > 0 && d2 >= 0.0) }
+    assert(out.map(_._2).sum == Tables(spark, sfDir).embeddings.count())
+    val d2s = out.map(_._3).toSeq
+    assert(d2s == d2s.sorted.reverse)
+    // planted representation shift: clone the corpus, add a label-999
+    // group whose vectors are translated by +0.5 in every dimension —
+    // its centroid moves ~0.5·√dims away while natural labels are
+    // random draws from one distribution; it must rank first
+    val emb = Tables(spark, sfDir).embeddings
+    val planted = emb.unionByName(emb.limit(50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), v => v + lit(0.5f)).as("embedding"),
+        lit(999).as("label")))
+    val dir2 = java.nio.file.Files.createTempDirectory("emb_drift")
+    planted.write.mode("overwrite")
+      .parquet(dir2.resolve("embeddings.parquet").toString)
+    val shifted = Curation.q171.run(spark, dir2.toString).collect()
+      .map(r => (r.getInt(0), r.getDouble(2)))
+    assert(shifted.head._1 == 999,
+      s"planted shift not ranked first: ${shifted.take(3).mkString(", ")}")
+  }
+
   test("binary Hamming ANN recall vs the exact top-k") {
     val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
