@@ -124,6 +124,51 @@ class FunctionsSpec extends SparkTestBase {
     edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("native SignPackBits == per-plane FixedDotSum signs, both eval paths") {
+    import spark.implicits._
+    import graft.functions.VectorDot
+    val dim = 64
+    // q169's actual plane parities: the packer must agree with 128
+    // independent FixedDotSum signs against the same ±1 patterns
+    def parityEven(p: Int, i: Int): Boolean = {
+      val n = p.toLong * 4096L + i
+      ((n * n % 1000000007L) * 2654435761L + 97L * n) % 1000000007L % 2 == 0
+    }
+    val signs = typedLit((0 until 128).flatMap(p =>
+      (1 to dim).map(i => if (parityEven(p, i)) 1.0f else -1.0f)))
+    def pat(p: Int) = typedLit((1 to dim).map(i =>
+      if (parityEven(p, i)) 1.0f else -1.0f))
+    def refWord(lo: Int) = (lo until lo + 32).map { p =>
+      when(VectorDot.fixedDotSum(col("embedding"), pat(p)) >= 0,
+        lit(1L << (p - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    for (codegenOn <- Seq("true", "false")) {
+      // interpreted mode exercises nullSafeEval — the path a
+      // codegen-splitting fallback would silently take
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val rows = Tables(spark, sfDir).embeddings.limit(64)
+          .select(VectorDot.signPackBits(col("embedding"), signs).as("w"),
+            refWord(0).as("r0"), refWord(32).as("r1"),
+            refWord(64).as("r2"), refWord(96).as("r3"))
+          .collect()
+        assert(rows.length == 64)
+        rows.foreach { r =>
+          val w = r.getSeq[Long](0)
+          assert(w == Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)), s"codegen=$codegenOn: $w")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // degenerate inputs null out (empty vector, non-multiple signs)
+    val edge = Seq((Seq.empty[Float], Seq(1.0f)),
+        (Seq(1.0f, 2.0f), Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("x", "y")
+      .select(VectorDot.signPackBits(col("x"), col("y")).as("w"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("GraftFunctions registers charpolyhash for the SQL surface") {
     import graft.functions.{CharPolyHash, GraftFunctions}
     GraftFunctions.register(spark)
