@@ -388,6 +388,62 @@ object Sampling {
             WHERE r.rk <= t.target
             GROUP BY r.lang ORDER BY r.lang"""))
 
+  /** Group-aware (source-level) holdout split — the leakage-free
+    * complement to q78: q78's per-DOC hash puts near-identical pages
+    * from one host on both sides of the train/test boundary (exactly
+    * the contamination q48 audits for), so eval-split best practice
+    * holds out whole GROUPS. The split key is the portable char hash
+    * of `source` through the SAME mixHash draw as q78 — one shared
+    * split-rule constant family, so the two split operators can never
+    * silently desynchronize.
+    *
+    * Scale shape: the split is a per-row projection (hash of a column
+    * already on the row — zero shuffle, no source registry to join);
+    * the gate rollup is one map-side-combined agg. Group-split
+    * variance is the documented trade: buckets move whole sources, so
+    * realized proportions wobble with the source-size distribution
+    * (17/2/1 sources on the fixture) — the price of a boundary no
+    * duplicate can straddle.
+    */
+  val q172 = EngineQuery(
+    "q172_group_holdout_split",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bucket = draw(
+        graft.functions.CharPolyHash.charPolyHash(col("source")))
+      val split = when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+      t.documents
+        .select(split.as("split"), col("source"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count_distinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH h AS (
+              SELECT source, n_chars,
+                coalesce(list_sum([(ascii(source[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(source)+1)]) % 1000000007, 0)
+                  AS hv
+              FROM documents
+            ), sp AS (
+              SELECT CASE
+                  WHEN (hv % 1000000007) * 2654435761 % 1000000007
+                    % 1000 < 800 THEN 'train'
+                  WHEN (hv % 1000000007) * 2654435761 % 1000000007
+                    % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+                source, n_chars
+              FROM h
+            )
+            SELECT split, COUNT(DISTINCT source) AS n_sources,
+              COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM sp GROUP BY split ORDER BY split"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115)
+    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172)
 }

@@ -707,6 +707,34 @@ class LlmopsSpec extends SparkTestBase {
       "bucketed regime differs from broadcast regime")
   }
 
+  test("q172 group split: sources atomic, corpus partitioned, doc-split straddles") {
+    import org.apache.spark.sql.functions.{countDistinct => cd}
+    val docs = Tables(spark, sfDir).documents
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test")
+    // group rule: every source maps to exactly ONE split
+    val gBucket = PortableHash.splitDraw(
+      graft.functions.CharPolyHash.charPolyHash(col("source")))
+    val perSource = docs.select(col("source"), splitOf(gBucket).as("sp"))
+      .groupBy(col("source")).agg(cd(col("sp")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L))
+    // the gate rollup partitions the corpus
+    val out = Sampling.q172.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == docs.count())
+    assert(out.map(_._2).sum == perSource.length)
+    // and the hazard q172 exists to remove: q78's per-DOC rule splits
+    // at least one source across splits (same-host near-dups would
+    // straddle the train/test boundary)
+    val dBucket = PortableHash.splitDraw(col("doc_id"))
+    val straddled = docs.select(col("source"), splitOf(dBucket).as("sp"))
+      .groupBy(col("source")).agg(cd(col("sp")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddled > 0, "doc-level split unexpectedly group-clean")
+  }
+
   test("q168 classifier: feature count identity, integer sign rule") {
     val out = Curation.q168.run(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
