@@ -164,11 +164,22 @@ object PortableHash {
     }.reduce(_ + _) % P
 
   /** All n-token span hashes of a token array (1 per start position);
-    * empty for arrays shorter than n. The guard matters: Spark's
-    * `sequence(1, size-n+1)` DESCENDS through 0 when size < n, and
-    * element_at(_, 0) throws — same hazard charHash guards against.
+    * empty for arrays shorter than n. Computed by the native codegen'd
+    * [[graft.functions.SpanHashesMod]] — the HOF form
+    * ([[spanHashesHof]], kept as the pin reference) is CodegenFallback
+    * and its per-span interpreted lambdas dominated the span family's
+    * runtime.
     */
   def spanHashes(ths: Column, n: Int): Column =
+    graft.functions.SpanHashesWide.spanHashesMod(ths,
+      typedLit((0 until n).map(d => multConst(d + 1))))
+
+  /** Composed-builtin reference form of [[spanHashes]] (pin test). The
+    * guard matters: Spark's `sequence(1, size-n+1)` DESCENDS through 0
+    * when size < n, and element_at(_, 0) throws — same hazard
+    * charHash guards against.
+    */
+  def spanHashesHof(ths: Column, n: Int): Column =
     when(size(ths) < n, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(1), size(ths) - (n - 1)),
         i => spanHash(ths, i, n)))
@@ -195,7 +206,21 @@ object PortableHash {
     * spans, and still only ~500 in a 10^12-span (100 TB-class) corpus.
     * Exact int64 in both engines; [[spanHashWideSql]] replays it.
     */
-  def spanHashesWide(ths: Column, n: Int): Column =
+  def spanHashesWide(ths: Column, n: Int): Column = {
+    // multiplier table as one literal: stream A (offsets 1..n) then
+    // stream B (offsets 33..n+32) — the native expression's contract
+    val mults = typedLit(
+      (0 until n).map(d => multConst(d + 1)) ++
+        (0 until n).map(d => multConst(d + 1 + 32)))
+    graft.functions.SpanHashesWide.spanHashesWide(ths, mults)
+  }
+
+  /** Composed-builtin reference form of [[spanHashesWide]] — kept for
+    * the FunctionsSpec pin that locks the native codegen expression to
+    * this arithmetic (the exactDotHof discipline). HOFs are
+    * CodegenFallback, so the hot path uses the native form.
+    */
+  def spanHashesWideHof(ths: Column, n: Int): Column =
     when(size(ths) < n, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(1), size(ths) - (n - 1)),
         i => spanHash(ths, i, n) * lit(1073741824L) +

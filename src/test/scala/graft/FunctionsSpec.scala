@@ -169,6 +169,55 @@ class FunctionsSpec extends SparkTestBase {
     edge.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("native SpanHashesWide == composed-builtin reference, both eval paths") {
+    import spark.implicits._
+    import graft.llmops.PortableHash
+    val ths = Tables(spark, sfDir).documents.limit(200)
+      .select(PortableHash.tokenHashes(
+        PortableHash.tokens(col("text"))).as("ths"))
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        Seq(8, 16, 32).foreach { n =>
+          val rows = ths.select(
+              PortableHash.spanHashesWide(col("ths"), n).as("nat"),
+              PortableHash.spanHashesWideHof(col("ths"), n).as("ref"))
+            .collect()
+          assert(rows.length == 200)
+          rows.foreach { r =>
+            assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+              s"codegen=$codegenOn n=$n")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // the narrow native must equal ITS composed reference too (the
+    // mod-P value is the bigram-LM/distinct-n/classifier contract)
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        Seq(2, 3).foreach { n =>
+          val rows = ths.select(
+              PortableHash.spanHashes(col("ths"), n).as("nat"),
+              PortableHash.spanHashesHof(col("ths"), n).as("ref"))
+            .collect()
+          rows.foreach { r =>
+            assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+              s"narrow codegen=$codegenOn n=$n")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // shorter-than-span arrays yield EMPTY (not null) on all forms
+    val short = Seq(Seq(1L, 2L, 3L)).toDF("ths")
+      .select(PortableHash.spanHashesWide(col("ths"), 8).as("nat"),
+        PortableHash.spanHashesWideHof(col("ths"), 8).as("ref"),
+        PortableHash.spanHashes(col("ths"), 8).as("nar"))
+      .head()
+    assert(short.getSeq[Long](0).isEmpty && short.getSeq[Long](1).isEmpty &&
+      short.getSeq[Long](2).isEmpty)
+  }
+
   test("GraftFunctions registers charpolyhash for the SQL surface") {
     import graft.functions.{CharPolyHash, GraftFunctions}
     GraftFunctions.register(spark)
