@@ -371,13 +371,18 @@ object ExplainAudit {
         p.contains("bit_count") && !p.contains("CartesianProduct") &&
           p.contains("BroadcastExchange")
       }),
-      ("q170 drift: corpus-sized stage is the map-side-combined " +
-        "(source, bin) hash-agg; the |bins|-row reference broadcasts " +
-        "into the |sources|×|bins| grid and no Window or sort touches " +
-        "raw rows", {
-        val p = planOf(spark, byName, sfDir, "q170_distribution_drift")
-        p.contains("partial_count") && p.contains("BroadcastExchange") &&
-          !p.contains("Window")
+      ("q170 drift: documents feeds ONE map-side-combined (source, " +
+        "bin) hash-agg — reference histogram, source totals, and the " +
+        "corpus total all re-derive from it (AQE exchange reuse + a " +
+        "grid window), so the executed gate plan scans parquet once", {
+        val df = byName("q170_distribution_drift").run(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val finalTree = p.split("== Initial Plan ==").head
+        "Scan parquet".r.findAllIn(finalTree).size == 1 &&
+          "ReusedExchange".r.findAllIn(finalTree).size >= 2 &&
+          finalTree.contains("BroadcastExchange")
       }),
       ("q171 embedding drift: embeddings scanned ONCE — label totals " +
         "and global centroid are windows over the one (label, dim) " +

@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
   * per-element interpreted dispatch dominated the whole span family's
   * runtime. Same motivation (and structure) as [[CharPolyHash]] /
   * [[FixedDotSum]] / [[SignPackBits]].
+  *
+  * Null-element contract (DELIBERATELY stricter than the HOF
+  * reference): a null token hash nulls the WHOLE result row, where the
+  * HOF form yields an array with null entries for the affected spans
+  * only. Every in-repo caller feeds `PortableHash.tokenHashes`, which
+  * pins empty tokens to 0 — a null reaching here means the coalesce
+  * contract was broken upstream, and a loudly-null row beats spans
+  * silently vanishing span-by-span. The FunctionsSpec pin asserts this
+  * divergence explicitly.
   */
 case class SpanHashesWide(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -168,8 +168,9 @@ case class DoubleDot(left: Expression, right: Expression)
   * megamorphic projection (~18 s per pass at bench time — compilation,
   * not compute); this emits two small loops.
   *
-  * planes = signs.length / dim is derived per row; planes % 32 must be
-  * 0 (enforced by the caller building the literal).
+  * planes = signs.length / dim is derived per row; a signs length that
+  * is not a positive multiple of 32·dim nulls the result (degenerate
+  * input, same policy as a length mismatch).
   */
 case class SignPackBits(left: Expression, right: Expression)
     extends VectorDotLike {
@@ -183,6 +184,7 @@ case class SignPackBits(left: Expression, right: Expression)
     val d = v.numElements()
     if (d == 0 || s.numElements() % d != 0) return null
     val planes = s.numElements() / d
+    if (planes == 0 || planes % 32 != 0) return null
     val fx = new Array[Long](d)
     var i = 0
     while (i < d) {
@@ -234,6 +236,7 @@ case class SignPackBits(left: Expression, right: Expression)
          |long[] $words = null;
          |if (!$bad) {
          |  int $planes = $s.numElements() / $d;
+         |  $bad = $planes == 0 || $planes % 32 != 0;
          |  long[] $fx = new long[$d];
          |  for (int $i = 0; $i < $d; $i++) {
          |    if ($v.isNullAt($i)) { $bad = true; break; }

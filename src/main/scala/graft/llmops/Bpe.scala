@@ -63,7 +63,7 @@ object Bpe {
   /** Word-frequency table: lowercase alphabetic words of `documents` —
     * the single full-corpus pass of the whole operator.
     */
-  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+  private[graft] def wordFreq(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")

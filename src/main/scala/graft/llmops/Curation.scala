@@ -463,22 +463,41 @@ object Curation {
         if (mx == mn) lit(0L)
         else least(lit(B - 1L),
           expr(s"((n_chars - $mn) * $B) div (${mx - mn})"))
-      val binned = docs.select(col("source"), bin.as("b"))
-      val ref = binned.groupBy(col("b")).agg(count(lit(1)).as("rb"))
-      val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("stot"))
+      // ONE corpus-sized aggregation — the reference histogram, the
+      // per-source totals, and the corpus total all RE-AGGREGATE the
+      // small |sources|×|bins| table (ref/srcTot as tiny re-aggs whose
+      // exchange subtree is srcBins' own, AQE-reused; rtot as a window
+      // over the completed grid). An earlier draft computed ref/srcTot
+      // with separate corpus groupBys plus a docs.count() — FOUR
+      // corpus passes where the contract promises one.
+      // explicit not-null filter mirrors what the grid's left join
+      // pushes onto ITS srcBins branch — having it in EVERY consumer
+      // makes the exchange subtrees canonicalize identically, so AQE
+      // reuses one shuffle (the q43 discipline); the oracle carries
+      // the same WHERE
+      val binned = docs
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), bin.as("b"))
       val srcBins = binned.groupBy(col("source"), col("b"))
         .agg(count(lit(1)).as("cb"))
-      val rtot = docs.count()
+      val ref = srcBins.groupBy(col("b")).agg(sum(col("cb")).as("rb"))
+      val srcTot = srcBins.groupBy(col("source"))
+        .agg(sum(col("cb")).as("stot"))
       val grid = srcTot.crossJoin(broadcast(ref))
         .join(srcBins, Seq("source", "b"), "left")
         .select(col("source"), col("stot"), col("b"), col("rb"),
           coalesce(col("cb"), lit(0L)).as("cb"))
+        // grid carries every bin per source, so the per-source sum of
+        // rb IS the corpus total — no separate docs.count() pass
+        .withColumn("rtot",
+          sum(col("rb")).over(Window.partitionBy("source")))
       grid.groupBy(col("source"), col("stot"))
-        .agg(sum(abs(col("cb") * rtot - col("rb") * col("stot")))
-          .as("tv_scaled"))
+        .agg(sum(abs(col("cb") * col("rtot") - col("rb") * col("stot")))
+          .as("tv_scaled"), max(col("rtot")).as("rtot"))
         .select(col("source"), col("stot").as("n_docs"),
           col("tv_scaled").cast(DoubleType)
-            ./(lit(2.0) * col("stot").cast(DoubleType) * rtot.toDouble)
+            ./(lit(2.0) * col("stot").cast(DoubleType) *
+              col("rtot").cast(DoubleType))
             .as("tv"))
         .orderBy(col("tv").desc, col("source"))
     },
@@ -491,6 +510,7 @@ object Curation {
                        ((n_chars - b.mn) * $DriftBins) // (b.mx - b.mn))
                 END AS bin
               FROM documents, bounds b
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
             ), ref AS (
               SELECT bin, COUNT(*) AS rb FROM binned GROUP BY bin
             ), rtot AS (SELECT COUNT(*) AS r FROM documents

@@ -617,7 +617,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_regions"),
         sum(col("re") - col("rs")).as("dup_tokens"),
         max(col("re") - col("rs")).cast(LongType).as("max_region"),
-        sum(when(col("strength") >= 32, 1L).otherwise(0L)).as("n_strong"))
+        sum(when(col("strength") >= lengths.max, 1L).otherwise(0L))
+          .as("n_strong"))
       .orderBy(col("doc_id"))
   }
 

@@ -409,8 +409,12 @@ object Sampling {
     "q172_group_holdout_split",
     (s, dir) => {
       val t = Tables(s, dir)
-      val bucket = draw(
-        graft.functions.CharPolyHash.charPolyHash(col("source")))
+      // coalesce mirrors the oracle's `coalesce(..., 0)` and
+      // tokenHashes' 0-pinning: charPolyHash is NULL for the empty
+      // string, and an un-coalesced NULL bucket would silently route
+      // empty/null sources to 'test' in Spark but 'train' in DuckDB
+      val bucket = draw(coalesce(
+        graft.functions.CharPolyHash.charPolyHash(col("source")), lit(0L)))
       val split = when(bucket < 800, "train")
         .when(bucket < 900, "val")
         .otherwise("test")

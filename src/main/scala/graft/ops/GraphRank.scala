@@ -88,11 +88,16 @@ object GraphRank {
     val weighted =
       if (edgesRaw.columns.contains("w")) edgesRaw
       else edgesRaw.withColumn("w", lit(1L))
-    val edges0 = if (materialized) weighted else weighted.localCheckpoint()
     // per-edge weight ≤ totw ≤ ~corpus row count; r·w ≤ S·totw must fit
     // int64, so weights are capped contracts of the caller (q161's
-    // lineitem counts max out far below the 9e6 bound S·w < 2^63 gives)
-    val deg = edges0.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    // lineitem counts max out far below the 9e6 bound S·w < 2^63 gives).
+    // deg aggregates the UNmaterialized frame: the regime is unknown
+    // until |nodes| is counted, and checkpointing first would leave a
+    // fact-sized edge copy pinned for the session that the large
+    // regime immediately duplicates with its src-partitioned copy —
+    // one extra upstream traversal (cheap for the memoized gate
+    // graphs) buys half the resident edge storage.
+    val deg = weighted.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .withColumnRenamed("src", "node")
       .localCheckpoint()
     // |nodes| as a driver scalar: deg is checkpointed and
@@ -113,13 +118,19 @@ object GraphRank {
     // hashpartitioning(src) on the checkpointed scan and each round
     // shuffles only the node-cardinality rank vector — the cached,
     // pre-partitioned edge structure every Pregel implementation keeps.
+    // The conf toggle is serialized on GraphRank (concurrent pagerank
+    // builds would race the save/restore into a stuck value); other
+    // queries planned during this bounded eager materialization would
+    // compile without AQE — the documented cost of capturing the
+    // partitioning, acceptable because the window is one job.
     val edges =
-      if (small) edges0
-      else {
+      if (small) {
+        if (materialized) weighted else weighted.localCheckpoint()
+      } else GraphRank.synchronized {
         val conf = edgesRaw.sparkSession.conf
         val saved = conf.get("spark.sql.adaptive.enabled", "true")
         conf.set("spark.sql.adaptive.enabled", "false")
-        try edges0.repartition(col("src")).localCheckpoint()
+        try weighted.repartition(col("src")).localCheckpoint()
         finally conf.set("spark.sql.adaptive.enabled", saved)
       }
 

@@ -91,13 +91,10 @@ class DeterminismSpec extends SparkTestBase {
     // hand the sibling the shared session's result. Each round's argmax
     // pair comes off a 1-row TakeOrderedAndProject whose tie-break must
     // not depend on how the pair counts were partitioned.
-    def bpeMerges(s: SparkSession): Seq[String] = {
-      val words = graft.ops.Tables(s, sfDir).documents
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      graft.llmops.Bpe.trainOn(words, 6).merges.map(_.toString)
-    }
+    def bpeMerges(s: SparkSession): Seq[String] =
+      graft.llmops.Bpe
+        .trainOn(graft.llmops.Bpe.wordFreq(s, sfDir), 6)
+        .merges.map(_.toString)
     val bpeBase = bpeMerges(spark)
     assert(bpeBase.nonEmpty && bpeMerges(sibling) == bpeBase,
       "BPE merge table differs at shuffle.partitions=7")

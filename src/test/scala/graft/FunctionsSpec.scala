@@ -160,9 +160,12 @@ class FunctionsSpec extends SparkTestBase {
         }
       } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
-    // degenerate inputs null out (empty vector, non-multiple signs)
+    // degenerate inputs null out (empty vector, non-multiple signs,
+    // plane count not a multiple of 32 — would index past the words
+    // array otherwise)
     val edge = Seq((Seq.empty[Float], Seq(1.0f)),
-        (Seq(1.0f, 2.0f), Seq(1.0f, 1.0f, 1.0f)))
+        (Seq(1.0f, 2.0f), Seq(1.0f, 1.0f, 1.0f)),
+        (Seq(1.0f, 2.0f), Seq.fill(66)(1.0f)))
       .toDF("x", "y")
       .select(VectorDot.signPackBits(col("x"), col("y")).as("w"))
       .collect()
@@ -216,6 +219,19 @@ class FunctionsSpec extends SparkTestBase {
       .head()
     assert(short.getSeq[Long](0).isEmpty && short.getSeq[Long](1).isEmpty &&
       short.getSeq[Long](2).isEmpty)
+    // null-element contract DIVERGES by design: the native nulls the
+    // whole row (a null token hash means tokenHashes' 0-pinning was
+    // bypassed upstream), the HOF yields per-span null entries — pin
+    // the divergence so it stays a documented decision, not drift
+    val nullElem = spark
+      .sql("SELECT array(1L, cast(null AS bigint), 3L, 4L) AS ths")
+      .select(PortableHash.spanHashesWide(col("ths"), 2).as("nat"),
+        PortableHash.spanHashesWideHof(col("ths"), 2).as("ref"))
+      .head()
+    assert(nullElem.isNullAt(0), "native should null the whole row")
+    assert(nullElem.getSeq[Any](1).take(2).forall(_ == null) &&
+      nullElem.getSeq[Any](1)(2) != null,
+      "HOF reference should null affected spans only")
   }
 
   test("GraftFunctions registers charpolyhash for the SQL surface") {

@@ -714,8 +714,8 @@ class LlmopsSpec extends SparkTestBase {
       when(bucket < 800, "train").when(bucket < 900, "val")
         .otherwise("test")
     // group rule: every source maps to exactly ONE split
-    val gBucket = PortableHash.splitDraw(
-      graft.functions.CharPolyHash.charPolyHash(col("source")))
+    val gBucket = PortableHash.splitDraw(coalesce(
+      graft.functions.CharPolyHash.charPolyHash(col("source")), lit(0L)))
     val perSource = docs.select(col("source"), splitOf(gBucket).as("sp"))
       .groupBy(col("source")).agg(cd(col("sp")).as("k"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
