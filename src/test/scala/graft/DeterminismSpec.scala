@@ -42,7 +42,8 @@ class DeterminismSpec extends SparkTestBase {
     "q168_quality_classifier",         // integer weight sums + sign rule
     "q169_knn_hamming",                // sign codes + Hamming shortlist
     "q170_distribution_drift",         // integer TV-distance histograms
-    "q171_embedding_drift")            // decimal-exact centroid shifts
+    "q171_embedding_drift",            // decimal-exact centroid shifts
+    "q172_group_holdout_split")        // char-hash group assignment
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 
