@@ -100,6 +100,11 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         times(i)(pass) = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: release this query's transient
+        // checkpoints so a 169-query marathon doesn't accumulate
+        // block-manager pressure that inflates later queries (the r7
+        // fixpoint family read 2-3× its steady state from exactly this)
+        ops.SessionScratch.evictTransients()
       }
     }
     sentinels(reps) = sentinel()
@@ -110,6 +115,14 @@ object Bench {
     // list is the only place a broken query appears
     val good = names.indices.filter(ok)
     val qs = good.map(i => s""""${names(i)}":${times(i).min}""")
+      .mkString("{", ",", "}")
+    // per-rep samples (pass order): min-of-N hides one-sided pressure —
+    // r7's fixpoint family could only be diagnosed by an out-of-band
+    // re-run because BOTH passes ran inside the same marathon. With the
+    // raw samples in the artifact, drift vs steady state is readable
+    // without re-running anything.
+    val samples = good.map(i =>
+        s""""${names(i)}":${times(i).mkString("[", ",", "]")}""")
       .mkString("{", ",", "}")
     val total = good.map(i => times(i).min).sum
     val rawTotal = good.map(i => times(i)(0)).sum
@@ -134,7 +147,8 @@ object Bench {
         s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
         s""""pass_totals":$passTotals,"sentinel_sec":$sentinelJson,""" +
         s""""sentinel_spread":$spread,"contention_suspect":$suspect,""" +
-        s""""failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+        s""""failed":$failed,"queries":$qs,"samples":$samples,""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     // A println is a fragile artifact channel: BENCH_r06.json preserved
     // only the log TAIL, losing every q1xx per-query timing. Persist the

@@ -24,6 +24,7 @@ object TimeQ {
         val t0 = System.nanoTime()
         val c = byName(n).run(spark, sfDir).count()
         println(f"[timeq] $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        ops.SessionScratch.evictTransients()
       }
     }
     spark.stop()

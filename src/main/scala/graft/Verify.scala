@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the result is fully written: per-query transient checkpoints
+      // (fixpoint iterates, degree tables) are dead — release them so a
+      // 169-query dump doesn't accumulate block-manager pressure
+      graft.ops.SessionScratch.evictTransients()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

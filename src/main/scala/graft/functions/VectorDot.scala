@@ -207,16 +207,21 @@ case class SignPackBits(left: Expression, right: Expression)
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
   }
 
-  // the signs side is a FLOAT literal by contract
+  // the signs side is a FLOAT literal by contract; containsNull must be
+  // false — the plane loop reads sign elements without a null branch,
+  // and a null sign silently reading as 0.0f (= a -1 plane weight)
+  // would break the null-poisoning contract the other VectorDotLike
+  // expressions follow, so nullable sign arrays are rejected at
+  // type-check time instead
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(a, _), ArrayType(FloatType, _))
+      case (ArrayType(a, _), ArrayType(FloatType, false))
           if a == FloatType || a == DoubleType =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires (array<float|double>, array<float>), " +
-            s"got ${l.sql} and ${r.sql}")
+          s"$prettyName requires (array<float|double>, " +
+            s"array<float not null>), got ${l.sql} and ${r.sql}")
     }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

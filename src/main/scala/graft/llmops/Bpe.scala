@@ -113,11 +113,16 @@ object Bpe {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(i.toLong, l, r, c)
+        val prev = w
         w = w.select(col("word"),
             replace(col("s"), lit(Sep + l + Sep2 + r + Sep),
               lit(Sep + l + r + Sep)).as("s"),
             col("freq"))
           .localCheckpoint()
+        // round i's blocks are dead once round i+1 is materialized —
+        // without this every round stays pinned for the session (~13×
+        // the necessary resident vocab storage on a real vocabulary)
+        SessionScratch.releaseCheckpoint(prev)
       }
       Trained(merges.result(), w)
     }

@@ -110,10 +110,17 @@ object Components {
       // counts never overflow — no label arithmetic involved.
       val m = small.count()
       converged = m == n && small.except(e).isEmpty
+      // round i's edge blocks are dead once the witness has compared
+      // them against round i+1 — release instead of pinning every
+      // round's edge set for the session
+      graft.ops.SessionScratch.releaseCheckpoint(e)
       e = small
       n = m
       rounds += 1
     }
+    // the surviving edge set backs the returned labels lazily: evicted
+    // only once the harness has consumed the query result
+    graft.ops.SessionScratch.registerTransient(e)
     val labels = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
       .select(col("u").as("id"), col("comp"))
     // star centers appear only on the v side: comp = own id
@@ -150,8 +157,13 @@ object Components {
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
       converged = changed == 0
+      graft.ops.SessionScratch.releaseCheckpoint(labels)
       labels = updated
     }
+    // sym fed only the loop (the final labels checkpoint has truncated
+    // lineage); the final labels back the returned frame until eviction
+    graft.ops.SessionScratch.releaseCheckpoint(sym)
+    graft.ops.SessionScratch.registerTransient(labels)
     labels
   }
 

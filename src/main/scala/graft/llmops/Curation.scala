@@ -513,7 +513,7 @@ object Curation {
               WHERE source IS NOT NULL AND n_chars IS NOT NULL
             ), ref AS (
               SELECT bin, COUNT(*) AS rb FROM binned GROUP BY bin
-            ), rtot AS (SELECT COUNT(*) AS r FROM documents
+            ), rtot AS (SELECT COUNT(*) AS r FROM binned
             ), src_tot AS (
               SELECT source, COUNT(*) AS stot FROM binned GROUP BY source
             ), src_bins AS (

@@ -97,9 +97,11 @@ object GraphRank {
     // regime immediately duplicates with its src-partitioned copy —
     // one extra upstream traversal (cheap for the memoized gate
     // graphs) buys half the resident edge storage.
-    val deg = weighted.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      .withColumnRenamed("src", "node")
-      .localCheckpoint()
+    // per-CALL checkpoint (unlike the memoized edge lists): transient,
+    // released by the harness once the query result is consumed
+    val deg = SessionScratch.transientCheckpoint(
+      weighted.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+        .withColumnRenamed("src", "node"))
     // |nodes| as a driver scalar: deg is checkpointed and
     // node-cardinality, so this count is one cheap action. It seeds
     // the rank mass (S div n, floor division — bit-identical to the
@@ -125,13 +127,22 @@ object GraphRank {
     // partitioning, acceptable because the window is one job.
     val edges =
       if (small) {
-        if (materialized) weighted else weighted.localCheckpoint()
+        if (materialized) weighted
+        else SessionScratch.transientCheckpoint(weighted)
       } else GraphRank.synchronized {
         val conf = edgesRaw.sparkSession.conf
-        val saved = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try weighted.repartition(col("src")).localCheckpoint()
-        finally conf.set("spark.sql.adaptive.enabled", saved)
+        val key = "spark.sql.adaptive.enabled"
+        // getOption/unset round-trip: a caller who never SET the conf
+        // must get the unset state back, not an explicit "true" that
+        // would shadow a later spark-defaults change
+        val saved = conf.getOption(key)
+        conf.set(key, "false")
+        try SessionScratch.transientCheckpoint(
+          weighted.repartition(col("src")))
+        finally saved match {
+          case Some(v) => conf.set(key, v)
+          case None    => conf.unset(key)
+        }
       }
 
     // ranks is node-cardinality (entities, not facts) — below the

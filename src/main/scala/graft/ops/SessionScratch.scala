@@ -67,4 +67,59 @@ object SessionScratch {
   /** Run `ingest` exactly once per (purpose, application, input dir). */
   def once(purpose: String, app: String, dir: String)(ingest: => Unit): Unit =
     memo(purpose, app, dir)(ingest)
+
+  // ---- transient checkpoint ledger -------------------------------------
+  //
+  // localCheckpoint() pins executor storage for the session with no
+  // public release handle, so per-QUERY checkpoints (PageRank's degree
+  // table, star contraction's final edge set) accumulate across a long
+  // run: the round-7 bench marathon (169 queries × 2 passes in one JVM)
+  // read the fixpoint family at 2-3× steady state purely from this
+  // block-manager pressure. Checkpoints that live only for one query go
+  // through [[transientCheckpoint]]; the harness mains call
+  // [[evictTransients]] once the query's result is fully consumed.
+  // MEMOIZED checkpoints (edge lists, bucket tables) deliberately do NOT
+  // register — they are the cross-rep reuse the memo contract promises.
+
+  private val transients =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+
+  /** `df.localCheckpoint()` whose pinned blocks are released by the next
+    * [[evictTransients]] — for checkpoints consumed within one query.
+    * The returned frame must not be used past that eviction (lineage is
+    * truncated; the blocks are the only copy).
+    */
+  def transientCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val out = df.localCheckpoint()
+    registerTransient(out)
+    out
+  }
+
+  /** Register an ALREADY-localCheckpointed frame for the next
+    * [[evictTransients]] — for loops where the final checkpoint is only
+    * identified after the fixpoint test (star contraction's last edge
+    * set).
+    */
+  def registerTransient(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.checkpointRdd(df)
+      .foreach(transients.add)
+
+  /** Release every transient checkpoint registered since the last call.
+    * Safe once the current query's result has been fully consumed
+    * (counted / written); memoized checkpoints are unaffected.
+    */
+  def evictTransients(): Unit = {
+    var r = transients.poll()
+    while (r != null) { r.unpersist(blocking = false); r = transients.poll() }
+  }
+
+  /** Immediately release one superseded localCheckpointed frame — for
+    * iterative operators where round i's blocks are dead the moment
+    * round i+1 is materialized (BPE vocab rounds, star-contraction edge
+    * sets). Keeps resident checkpoint storage at one round, not the
+    * whole history.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(df)
 }

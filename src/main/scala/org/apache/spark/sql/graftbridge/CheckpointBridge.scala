@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Bridge to the pinned RDD behind a `localCheckpoint()`ed DataFrame.
+  *
+  * `Dataset.localCheckpoint` materializes the plan into a storage-pinned
+  * RDD wrapped in a [[LogicalRDD]], but exposes no public handle to
+  * release those blocks — so iterative operators (BPE rounds, star
+  * contraction, PageRank) would pin every superseded iteration for the
+  * whole session. Living under org.apache.spark.sql lets the
+  * private[sql] `queryExecution` resolve; same pattern as
+  * [[ColumnBridge]].
+  */
+object CheckpointBridge {
+
+  /** The checkpointed RDD a localCheckpointed frame scans, if the
+    * frame's root is a [[LogicalRDD]] (it is, directly after
+    * `localCheckpoint()`).
+    */
+  def checkpointRdd(df: DataFrame): Option[RDD[_]] = df match {
+    case d: ClassicDataset[_] => d.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
+    case _ => None
+  }
+
+  /** Unpersist the blocks behind a localCheckpointed frame. The frame
+    * must not be computed again afterwards — its lineage is truncated,
+    * so the blocks are the only copy.
+    */
+  def release(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+}
