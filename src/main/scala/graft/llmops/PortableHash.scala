@@ -232,6 +232,19 @@ object PortableHash {
   def spanHashWideSql(ths: String, n: Int): String =
     s"(${spanHashSql(ths, n)}) * 1073741824 + (${spanHashSql(ths, n, 32)})"
 
+  /** DuckDB rendering of [[charHash]] over string expression `c` — the
+    * list-comprehension form q168/q172's oracles inline — 0-pinned for
+    * the empty string (`coalesce(list_sum([]) % P, 0)`).
+    */
+  def charHashSql(c: String): String =
+    s"coalesce(list_sum([(ascii($c[i])" +
+      s" * (((i*i % $P)*2654435761 + i*97) % $P)) % $P" +
+      s" for i in range(1, length($c)+1)]) % $P, 0)"
+
+  /** DuckDB rendering of [[splitDraw]] over integer expression `e`. */
+  def splitDrawSql(e: String): String =
+    s"(($e) % $P) * 2654435761 % $P % 1000"
+
   /** Distinct 3-word shingles of a token array (needs >= 3 tokens). */
   def shingles3(ws: Column): Column =
     array_distinct(transform(sequence(lit(1), size(ws) - 2),

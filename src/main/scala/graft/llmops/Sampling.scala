@@ -405,21 +405,33 @@ object Sampling {
     * (17/2/1 sources on the fixture) — the price of a boundary no
     * duplicate can straddle.
     */
+  /** The q172 source-level split label, shared with every consumer that
+    * partitions work along the holdout boundary (the held-out tokenizer
+    * eval q173 trains on `groupSplit === "train"` only) — one rule, one
+    * constant family, so a consumer cannot silently desynchronize from
+    * the split it claims to respect.
+    *
+    * coalesce mirrors the oracle's `coalesce(..., 0)` and tokenHashes'
+    * 0-pinning: charPolyHash is NULL for the empty string, and an
+    * un-coalesced NULL bucket would silently route empty/null sources
+    * to 'test' in Spark but 'train' in DuckDB.
+    */
+  def groupSplit(source: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bucket = splitDraw(coalesce(
+      graft.functions.CharPolyHash.charPolyHash(source), lit(0L)))
+    when(bucket < 800, "train")
+      .when(bucket < 900, "val")
+      .otherwise("test")
+  }
+
   val q172 = EngineQuery(
     "q172_group_holdout_split",
     (s, dir) => {
       val t = Tables(s, dir)
-      // coalesce mirrors the oracle's `coalesce(..., 0)` and
-      // tokenHashes' 0-pinning: charPolyHash is NULL for the empty
-      // string, and an un-coalesced NULL bucket would silently route
-      // empty/null sources to 'test' in Spark but 'train' in DuckDB
-      val bucket = draw(coalesce(
-        graft.functions.CharPolyHash.charPolyHash(col("source")), lit(0L)))
-      val split = when(bucket < 800, "train")
-        .when(bucket < 900, "val")
-        .otherwise("test")
       t.documents
-        .select(split.as("split"), col("source"), col("n_chars"))
+        .select(groupSplit(col("source")).as("split"), col("source"),
+          col("n_chars"))
         .groupBy(col("split"))
         .agg(count_distinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"),

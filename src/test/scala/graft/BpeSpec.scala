@@ -58,9 +58,10 @@ class BpeSpec extends SparkTestBase {
     val cnts = rows.map(_.getLong(3))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
       s"counts increased across rounds: ${cnts.mkString(",")}")
-    // merged symbols are concatenations of corpus characters + EOW
+    // merged symbols are concatenations of corpus letters + EOW
+    // (\p{L} — segmentation is Unicode-aware)
     rows.foreach { r =>
-      assert((r.getString(1) + r.getString(2)).matches("[a-z_]+"))
+      assert((r.getString(1) + r.getString(2)).matches("[\\p{L}_]+"))
     }
   }
 
@@ -70,7 +71,7 @@ class BpeSpec extends SparkTestBase {
     // independent per-source word/char totals from the raw corpus
     val raw = Tables(spark, sfDir).documents
       .select(col("source"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("nw"), sum(length(col("word"))).as("nc"))
@@ -91,5 +92,83 @@ class BpeSpec extends SparkTestBase {
     val t1 = Bpe.train(spark, sfDir)
     val t2 = Bpe.train(spark, sfDir)
     assert(t1 eq t2)
+  }
+
+  test("unicode segmentation: non-Latin documents contribute words") {
+    import spark.implicits._
+    // planted multilingual docs — under the old [^a-z]+ split the
+    // non-Latin rows produced ZERO words (silent corpus loss)
+    val docs = Seq("Füße größer 3kg", "한국어 텍스트 corpus",
+      "Ёлка и ёжик", "plain ascii text").toDF("text")
+    val wf = Bpe.wordFreqOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wf.contains("füße") && wf.contains("größer"))
+    assert(wf.contains("한국어") && wf.contains("텍스트"))
+    assert(wf.contains("ёлка") && wf.contains("ёжик"))
+    assert(wf.contains("plain") && wf("corpus") == 1L)
+    // digits/punct are separators, never symbols
+    assert(!wf.keys.exists(_.exists(c => !c.isLetter)))
+  }
+
+  /** Reference merge application: the same leftmost, non-overlapping,
+    * continue-after-replacement semantics as `replace` in both engines
+    * (java.lang.String.replace matches it exactly).
+    */
+  private def handApply(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+    val sep = Bpe.Sep
+    val init = sep + word.flatMap(c => c.toString + sep + sep) +
+      Bpe.Eow + sep
+    val fin = merges.sortBy(_.merge_rank).foldLeft(init) { (s, m) =>
+      s.replace(sep + m.lhs + sep + sep + m.rhs + sep,
+        sep + m.lhs + m.rhs + sep)
+    }
+    fin.stripPrefix(sep).stripSuffix(sep).split(sep + sep).toSeq
+  }
+
+  test("encodeWord on an UNSEEN word equals hand-applied merges") {
+    import spark.implicits._
+    val tr = Bpe.trainOn(Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "freq"), 6)
+    // none of these words were in the training corpus; 'slowest'
+    // exercises est_/lo merges inside a novel word, 'xyz' no merges at
+    // all, 'newlow' two merge families adjacent
+    val unseen = Seq("slowest", "xyz", "newlow", "lowestlow")
+    val got = unseen.toDF("word")
+      .select(col("word"), Bpe.encodeWord(col("word"), tr.merges).as("s"))
+      .collect().map(r => r.getString(0) -> tokensOf(r.getString(1))).toMap
+    unseen.foreach { w =>
+      assert(got(w) == handApply(w, tr.merges),
+        s"'$w': ${got(w)} != ${handApply(w, tr.merges)}")
+    }
+    assert(got("xyz") == Seq("x", "y", "z", "_"))
+  }
+
+  test("encodeWord reproduces the trained encoding on every seen word") {
+    import spark.implicits._
+    // merge application composes the same replaces training applied, so
+    // on the training vocabulary the two paths must agree exactly
+    val tr = Bpe.trainOn(Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "freq"), 6)
+    val diff = tr.vocab
+      .select(col("word"), col("s"),
+        Bpe.encodeWord(col("word"), tr.merges).as("s2"))
+      .filter(col("s") =!= col("s2"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("q173: held-out fertility covers only non-train sources") {
+    val rows = Bpe.q173.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("val", "test")), s"got splits $splits")
+    // held-out sources are disjoint from the train split by the q172
+    // rule; every fertility is at least 1 token per word
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L)
+      assert(r.getLong(3) >= r.getLong(2))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(2))
+      assert(r.getDouble(5) >= 1.0)
+    }
   }
 }
