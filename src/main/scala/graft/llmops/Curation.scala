@@ -452,54 +452,71 @@ object Curation {
     */
   val DriftBins = 32
 
+  /** The monitor's STATE: per-(source, bin) document counts of a
+    * documents frame under fixed bounds — exact int64, so partial
+    * counts from independent micro-batches merge by ADDITION into the
+    * same state a single batch pass produces (the streaming-twin
+    * contract StreamingSpec proves).
+    */
+  private[graft] def driftSrcBins(docs: DataFrame, mn: Long, mx: Long,
+      bins: Int = DriftBins): DataFrame = {
+    val bin =
+      if (mx == mn) lit(0L)
+      else least(lit(bins - 1L),
+        expr(s"((n_chars - $mn) * $bins) div (${mx - mn})"))
+    // explicit not-null filter mirrors what the grid's left join
+    // pushes onto ITS srcBins branch — having it in EVERY consumer
+    // makes the exchange subtrees canonicalize identically, so AQE
+    // reuses one shuffle (the q43 discipline); the oracle carries
+    // the same WHERE
+    docs
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), bin.as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+  }
+
+  /** The monitor's READOUT: TV distance per source from the (source,
+    * b, cb) count grid. Runs over |sources|×|bins| rows only — the
+    * reference histogram, per-source totals, and corpus total all
+    * RE-AGGREGATE the small state table (ref/srcTot as tiny re-aggs
+    * whose exchange subtree is the state's own, AQE-reused; rtot as a
+    * window over the completed grid). An earlier draft computed
+    * ref/srcTot with separate corpus groupBys plus a docs.count() —
+    * FOUR corpus passes where the contract promises one.
+    */
+  private[graft] def driftTv(srcBins: DataFrame): DataFrame = {
+    val ref = srcBins.groupBy(col("b")).agg(sum(col("cb")).as("rb"))
+    val srcTot = srcBins.groupBy(col("source"))
+      .agg(sum(col("cb")).as("stot"))
+    val grid = srcTot.crossJoin(broadcast(ref))
+      .join(srcBins, Seq("source", "b"), "left")
+      .select(col("source"), col("stot"), col("b"), col("rb"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      // grid carries every bin per source, so the per-source sum of
+      // rb IS the corpus total — no separate docs.count() pass
+      .withColumn("rtot",
+        sum(col("rb")).over(Window.partitionBy("source")))
+    grid.groupBy(col("source"), col("stot"))
+      .agg(sum(abs(col("cb") * col("rtot") - col("rb") * col("stot")))
+        .as("tv_scaled"), max(col("rtot")).as("rtot"))
+      .select(col("source"), col("stot").as("n_docs"),
+        col("tv_scaled").cast(DoubleType)
+          ./(lit(2.0) * col("stot").cast(DoubleType) *
+            col("rtot").cast(DoubleType))
+          .as("tv"))
+      .orderBy(col("tv").desc, col("source"))
+  }
+
   val q170 = EngineQuery(
     "q170_distribution_drift",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val B = DriftBins
       val r0 = docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
       val (mn, mx) = (r0.getLong(0), r0.getLong(1))
-      val bin =
-        if (mx == mn) lit(0L)
-        else least(lit(B - 1L),
-          expr(s"((n_chars - $mn) * $B) div (${mx - mn})"))
-      // ONE corpus-sized aggregation — the reference histogram, the
-      // per-source totals, and the corpus total all RE-AGGREGATE the
-      // small |sources|×|bins| table (ref/srcTot as tiny re-aggs whose
-      // exchange subtree is srcBins' own, AQE-reused; rtot as a window
-      // over the completed grid). An earlier draft computed ref/srcTot
-      // with separate corpus groupBys plus a docs.count() — FOUR
-      // corpus passes where the contract promises one.
-      // explicit not-null filter mirrors what the grid's left join
-      // pushes onto ITS srcBins branch — having it in EVERY consumer
-      // makes the exchange subtrees canonicalize identically, so AQE
-      // reuses one shuffle (the q43 discipline); the oracle carries
-      // the same WHERE
-      val binned = docs
-        .filter(col("source").isNotNull && col("n_chars").isNotNull)
-        .select(col("source"), bin.as("b"))
-      val srcBins = binned.groupBy(col("source"), col("b"))
-        .agg(count(lit(1)).as("cb"))
-      val ref = srcBins.groupBy(col("b")).agg(sum(col("cb")).as("rb"))
-      val srcTot = srcBins.groupBy(col("source"))
-        .agg(sum(col("cb")).as("stot"))
-      val grid = srcTot.crossJoin(broadcast(ref))
-        .join(srcBins, Seq("source", "b"), "left")
-        .select(col("source"), col("stot"), col("b"), col("rb"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
-        // grid carries every bin per source, so the per-source sum of
-        // rb IS the corpus total — no separate docs.count() pass
-        .withColumn("rtot",
-          sum(col("rb")).over(Window.partitionBy("source")))
-      grid.groupBy(col("source"), col("stot"))
-        .agg(sum(abs(col("cb") * col("rtot") - col("rb") * col("stot")))
-          .as("tv_scaled"), max(col("rtot")).as("rtot"))
-        .select(col("source"), col("stot").as("n_docs"),
-          col("tv_scaled").cast(DoubleType)
-            ./(lit(2.0) * col("stot").cast(DoubleType) *
-              col("rtot").cast(DoubleType))
-            .as("tv"))
-        .orderBy(col("tv").desc, col("source"))
+      // ONE corpus-sized aggregation (the state build); the readout
+      // re-aggregates the |sources|×|bins| state only
+      driftTv(driftSrcBins(docs, mn, mx))
     },
     Some(s"""WITH bounds AS (
               SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
@@ -552,40 +569,57 @@ object Curation {
     * RE-AGGREGATES that small table (never a second corpus pass); the
     * distance rollup runs over |labels|·dims rows only.
     */
+  /** The embedding monitor's STATE: exact int64 fixed-point component
+    * sums + vector counts per (label, dim). Additive across
+    * micro-batches by construction — partial sums from independent
+    * batches merge by ADDITION into the single-pass state
+    * (StreamingSpec proves the twin).
+    *
+    * ONE corpus-sized aggregation; every vector contributes one row
+    * per dim, so cnt per (label, pos) IS the label's vector count.
+    */
+  private[graft] def embedLabelSums(emb: DataFrame): DataFrame = {
+    import PortableHash.fixedPoint
+    emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), fixedPoint(col("v")).as("f"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("f")).as("sc"), count(lit(1)).as("cnt"))
+  }
+
+  /** The embedding monitor's READOUT over the (label, pos, sc, cnt)
+    * state: squared centroid shift per label vs the global centroid.
+    * Label totals and the global centroid are WINDOWS over the small
+    * state table (the q43 discipline): one linear lineage, so the
+    * corpus aggregates once — the agg+join-back formulation derived it
+    * three times because pruning made the exchange subtrees
+    * non-identical (no AQE reuse), re-scanning embeddings per consumer.
+    * `big` is the corpus vector count (1-row action for the batch gate;
+    * derivable from the state itself in the streaming twin).
+    */
+  private[graft] def embedDrift(lab: DataFrame, big: Long): DataFrame = {
+    val d = lab
+      .withColumn("n", max(col("cnt")).over(Window.partitionBy("label")))
+      .withColumn("sg", sum(col("sc")).over(Window.partitionBy("pos")))
+      .select(col("label"), col("n"),
+        (col("sc") * big - col("sg") * col("n")).as("dd"))
+    d.select(col("label"), col("n"),
+        (col("dd").cast("decimal(38,0)") * col("dd").cast("decimal(38,0)"))
+          .as("d2"))
+      .groupBy(col("label"), col("n"))
+      .agg(sum(col("d2")).as("sum_d2"))
+      .select(col("label"), col("n").as("n_vecs"),
+        (col("sum_d2").cast(DoubleType) /
+          ((col("n").cast(DoubleType) * big * 1e7) *
+            (col("n").cast(DoubleType) * big * 1e7))).as("dist2"))
+      .orderBy(col("dist2").desc, col("label"))
+  }
+
   val q171 = EngineQuery(
     "q171_embedding_drift",
     (s, dir) => {
-      import PortableHash.fixedPoint
       val emb = Tables(s, dir).embeddings
-      val big = emb.count()
-      val fx = emb.select(col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos"), fixedPoint(col("v")).as("f"))
-      // ONE corpus-sized aggregation; every vector contributes one row
-      // per dim, so cnt per (label, pos) IS the label's vector count.
-      // Label totals and the global centroid are WINDOWS over this
-      // small table (the q43 discipline): one linear lineage, so the
-      // corpus aggregates once — the agg+join-back formulation derived
-      // it three times because pruning made the exchange subtrees
-      // non-identical (no AQE reuse), re-scanning embeddings per
-      // consumer
-      val lab = fx.groupBy(col("label"), col("pos"))
-        .agg(sum(col("f")).as("sc"), count(lit(1)).as("cnt"))
-      val d = lab
-        .withColumn("n", max(col("cnt")).over(Window.partitionBy("label")))
-        .withColumn("sg", sum(col("sc")).over(Window.partitionBy("pos")))
-        .select(col("label"), col("n"),
-          (col("sc") * big - col("sg") * col("n")).as("dd"))
-      d.select(col("label"), col("n"),
-          (col("dd").cast("decimal(38,0)") * col("dd").cast("decimal(38,0)"))
-            .as("d2"))
-        .groupBy(col("label"), col("n"))
-        .agg(sum(col("d2")).as("sum_d2"))
-        .select(col("label"), col("n").as("n_vecs"),
-          (col("sum_d2").cast(DoubleType) /
-            ((col("n").cast(DoubleType) * big * 1e7) *
-              (col("n").cast(DoubleType) * big * 1e7))).as("dist2"))
-        .orderBy(col("dist2").desc, col("label"))
+      embedDrift(embedLabelSums(emb), emb.count())
     },
     Some("""WITH fx AS (
               SELECT label,

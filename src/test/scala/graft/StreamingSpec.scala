@@ -427,4 +427,100 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  /** Stage a frame as one parquet file named `name` inside `dir`. */
+  private def stageInto(dir: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, dir.resolve(name),
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  test("streaming TV-distance drift == batch q170 (additive bin state)") {
+    // monitoring is the operator class that RUNS continuously: each
+    // micro-batch contributes exact-int64 (source, bin) partial counts
+    // — the monitor's whole state — which merge by ADDITION; the TV
+    // readout re-aggregates the accumulated state grid. After all
+    // batches the readout must equal the single-pass batch gate query
+    // bit-exactly (integer state + one boundary division).
+    import graft.llmops.Curation
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // production fixed-bin monitoring: bounds are a deployment constant
+    // (here: the corpus bounds, so the twin and the gate bin alike)
+    val r0 = docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
+    val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+    val inDir = Files.createTempDirectory("graft_drift_stream")
+    val stateDir = Files.createTempDirectory("drift_state").toString
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Curation.driftSrcBins(batch, mn, mx)
+            .write.mode("append").parquet(stateDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, docs.filter(col("doc_id") % 2 === 0), "b1.parquet")
+    runOnce()
+    stageInto(inDir, docs.filter(col("doc_id") % 2 === 1), "b2.parquet")
+    runOnce()
+    val merged = spark.read.parquet(stateDir)
+      .groupBy(col("source"), col("b")).agg(sum(col("cb")).as("cb"))
+    val got = Curation.driftTv(merged).collect().map(_.toString).toSeq
+    val want = Curation.q170.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming embedding drift == batch q171 (additive sum state)") {
+    // same shape in representation space: per-batch exact fixed-point
+    // (label, dim) component sums + vector counts are the state; the
+    // centroid-shift readout runs over the merged |labels|×dims grid.
+    import graft.llmops.Curation
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val inDir = Files.createTempDirectory("graft_emb_stream")
+    val stateDir = Files.createTempDirectory("emb_state").toString
+    val ckpt = Files.createTempDirectory("emb_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(emb.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Curation.embedLabelSums(batch.select(col("label"),
+              col("embedding")))
+            .write.mode("append").parquet(stateDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, emb.filter(col("vec_id") % 2 === 0), "b1.parquet")
+    runOnce()
+    stageInto(inDir, emb.filter(col("vec_id") % 2 === 1), "b2.parquet")
+    runOnce()
+    val merged = spark.read.parquet(stateDir)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("sc")).as("sc"), sum(col("cnt")).as("cnt"))
+    // the corpus vector count is derivable from the state itself: cnt
+    // at any one dim sums to it
+    val big = merged.filter(col("pos") === 0)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val got = Curation.embedDrift(merged, big)
+      .collect().map(_.toString).toSeq
+    val want = Curation.q171.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
