@@ -289,17 +289,72 @@ object Layout {
     * front half of both Z-ordered writers ([[ensureZorderedOrders]],
     * [[ensureZorderedOrdersRg]]).
     */
+  /** The layout's normalization constants: per-dimension min/max of the
+    * table at initial ingest — the ANALYZE output a table service
+    * records next to the layout. Incremental maintenance MUST reuse the
+    * recorded bounds (re-deriving them per increment would put old and
+    * new files on incomparable curves, silently destroying cross-file
+    * clustering).
+    */
+  private[graft] def zorderBounds(o: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Long, Long) = {
+    val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Morton code under FIXED bounds. Values outside the recorded box
+    * (appends grow keyspaces) saturate at the box edge — clustering
+    * quality degrades gracefully at the boundary while correctness is
+    * untouched, because pruning reads the REAL per-file column stats
+    * from footers, never the code.
+    */
+  private def zvaluedUnder(o: org.apache.spark.sql.DataFrame,
+      b: (Long, Long, Long, Long)): org.apache.spark.sql.DataFrame = {
+    def normExpr(c: String, lo: Long, hi: Long): String =
+      if (hi > lo)
+        s"((least(greatest($c, $lo), $hi) - $lo) * 65535) div ${hi - lo}"
+      else "0"
+    o.withColumn("zv", zvalue(
+      expr(normExpr("o_custkey", b._1, b._2)),
+      expr(normExpr("o_orderkey", b._3, b._4)),
+      bits = 16))
+  }
+
+  /** Cluster `rows` under the layout bounds into `files` Z-range files
+    * at `path` — the shared writer of the initial ingest
+    * (mode=overwrite) and incremental maintenance (mode=append).
+    */
+  private[graft] def zorderWrite(rows: org.apache.spark.sql.DataFrame,
+      bounds: (Long, Long, Long, Long), path: String, files: Int,
+      mode: String): Unit =
+    zvaluedUnder(rows, bounds)
+      .repartitionByRange(files, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode(mode).parquet(path)
+
+  /** OPTIMIZE-on-append (incremental Z-order maintenance): cluster ONLY
+    * the newly-arrived rows under the layout's recorded bounds and
+    * append the resulting Z-ranged files — never rewriting the base
+    * layout. At 100 TB appends arrive continuously and a full rebuild
+    * per maintenance window re-writes the whole table; clustering the
+    * delta alone is the lever (Delta/Iceberg's incremental OPTIMIZE
+    * ZORDER shape). The manifest needs NO merge step: it is DERIVED
+    * from parquet footers at listing time ([[zorderManifestAt]]), so
+    * appended files join it on the next prune. BucketingSpec proves
+    * base + append + maintain answers the q162 probe identically to a
+    * full rebuild, reading a strict file subset, with base files
+    * untouched.
+    */
+  private[graft] def zorderMaintain(newRows: org.apache.spark.sql.DataFrame,
+      bounds: (Long, Long, Long, Long), path: String, files: Int): Unit =
+    zorderWrite(newRows, bounds, path, files, "append")
+
   private def zvaluedOrders(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val o = Tables(s, dir).orders
-    val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
-      min(col("o_orderkey")), max(col("o_orderkey"))).head()
-    def normExpr(c: String, lo: Long, hi: Long): String =
-      if (hi > lo) s"(($c - $lo) * 65535) div ${hi - lo}" else "0"
-    o.withColumn("zv", zvalue(
-      expr(normExpr("o_custkey", r.getLong(0), r.getLong(1))),
-      expr(normExpr("o_orderkey", r.getLong(2), r.getLong(3))),
-      bits = 16))
+    zvaluedUnder(o, zorderBounds(o))
   }
 
   private def ensureZorderedOrders(
@@ -308,11 +363,8 @@ object Layout {
     val tag = SessionScratch.dirTag(dir)
     val path = s"${SessionScratch.base("zorder_tables", app)}/zo_orders_$tag"
     SessionScratch.once("zorder_tables", app, dir) {
-      zvaluedOrders(s, dir)
-        .repartitionByRange(12, col("zv"))
-        .sortWithinPartitions(col("zv"))
-        .drop("zv")
-        .write.mode("overwrite").parquet(path)
+      val o = Tables(s, dir).orders
+      zorderWrite(o, zorderBounds(o), path, files = 12, mode = "overwrite")
     }
     path
   }
@@ -325,9 +377,18 @@ object Layout {
     */
   private[graft] def zorderPrune(s: org.apache.spark.sql.SparkSession,
       dir: String, cust: Option[(Long, Long)], ord: Option[(Long, Long)])
+      : (Seq[String], Int, (Long, Long, Long, Long)) =
+    zorderManifestAt(s, ensureZorderedOrders(s, dir), cust, ord)
+
+  /** The file-level manifest + prune over an EXPLICIT layout path —
+    * incremental maintenance relies on this being footer-derived: a
+    * freshly appended file enters the manifest on the next listing with
+    * no merge/compaction bookkeeping.
+    */
+  private[graft] def zorderManifestAt(s: org.apache.spark.sql.SparkSession,
+      path: String, cust: Option[(Long, Long)], ord: Option[(Long, Long)])
       : (Seq[String], Int, (Long, Long, Long, Long)) = {
     import scala.jdk.CollectionConverters._
-    val path = ensureZorderedOrders(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)

@@ -208,6 +208,61 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("incremental Z-order maintenance == full rebuild on the q162 probe") {
+    import graft.ops.Layout
+    val orders = Tables(spark, sfDir).orders
+    // the append is interleaved through the keyspace (every 7th order)
+    // — the realistic shape where new rows overlap existing Z-ranges,
+    // not a clean tail partition
+    val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val delta = orders.filter(col("o_orderkey") % 7 === 0)
+    // bounds recorded at initial ingest (the layout's ANALYZE
+    // constants); the delta reuses them — re-deriving per increment
+    // would put old and new files on incomparable curves
+    val bounds = Layout.zorderBounds(base)
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_zo_inc").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_zo_full").toString
+    Layout.zorderWrite(base, bounds, incDir, files = 12,
+      mode = "overwrite")
+    val baseFiles = new java.io.File(incDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // OPTIMIZE-on-append: cluster ONLY the delta, append its files
+    Layout.zorderMaintain(delta, bounds, incDir, files = 3)
+    val afterFiles = new java.io.File(incDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // base files are untouched — maintenance wrote only new files
+    assert(baseFiles.subsetOf(afterFiles))
+    assert(afterFiles.size > baseFiles.size)
+    // the comparison layout: a full rebuild over base ∪ delta
+    Layout.zorderWrite(orders, bounds, fullDir, files = 12,
+      mode = "overwrite")
+    // q162's probe band from the table bounds
+    val (cMin, cMax, kMin, kMax) = bounds
+    val cBand = (cMin + (cMax - cMin) / 4, cMin + (cMax - cMin) / 2)
+    val kBand = (kMin + (kMax - kMin) / 4, kMin + (kMax - kMin) / 2)
+    val pred = col("o_custkey").between(cBand._1, cBand._2) &&
+      col("o_orderkey").between(kBand._1, kBand._2)
+    def probe(path: String): (Long, Int, Int) = {
+      val (sel, total, _) = Layout.zorderManifestAt(spark, path,
+        Some(cBand), Some(kBand))
+      val n =
+        if (sel.isEmpty) 0L
+        else spark.read.parquet(sel: _*).filter(pred).count()
+      (n, sel.size, total)
+    }
+    val (nInc, selInc, totInc) = probe(incDir)
+    val (nFull, _, _) = probe(fullDir)
+    val expected = orders.filter(pred).count()
+    // identical answers: incremental == full rebuild == direct scan
+    assert(nInc == expected && nFull == expected,
+      s"inc=$nInc full=$nFull direct=$expected")
+    // and the incremental layout still SKIPS: a strict file subset
+    assert(selInc < totInc,
+      s"incremental layout read every file ($selInc of $totInc)")
+  }
+
   test("zvalue Morton interleave: bit-exact reference, order locality") {
     import graft.ops.Layout
     import spark.implicits._
