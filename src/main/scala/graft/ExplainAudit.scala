@@ -34,7 +34,8 @@ object ExplainAudit {
     "q163_histogram_quantiles", "q165_multilen_span_dedup",
     "q167_bpe_encode_fertility", "q168_quality_classifier",
     "q169_knn_hamming", "q170_distribution_drift",
-    "q171_embedding_drift")
+    "q171_embedding_drift", "q173_bpe_heldout_fertility",
+    "q174_unigram_lm_vocab")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -391,6 +392,25 @@ object ExplainAudit {
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
           "Window".r.findAllIn(p).nonEmpty && !p.contains("Join") &&
           p.contains("partial_sum")
+      }),
+      ("q173 held-out BPE: ENCODING is a chained-replace projection " +
+        "over the held-out word agg — no join in the encode path (no " +
+        "OOV dropout possible); the only join is the broadcast LEFT " +
+        "join against the vocab word list for n_unseen, and the gate " +
+        "plan scans parquet once (training is memoized checkpoint " +
+        "state)", {
+        val p = planOf(spark, byName, sfDir, "q173_bpe_heldout_fertility")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("BroadcastHashJoin") && p.contains("LeftOuter") &&
+          p.contains("replace(") && !p.contains("CartesianProduct")
+      }),
+      ("q174 unigram-LM: the steady-state gate plan reads the memoized " +
+        "trained vocabulary (a session checkpoint — NO parquet rescan, " +
+        "training is the ingest half) and plans top-k as " +
+        "TakeOrderedAndProject, not a global sort", {
+        val p = planOf(spark, byName, sfDir, "q174_unigram_lm_vocab")
+        !p.contains("Scan parquet") && p.contains("TakeOrderedAndProject") &&
+          p.contains("Scan ExistingRDD")
       }))
 
     val summary = checks.map { case (label, ok) =>

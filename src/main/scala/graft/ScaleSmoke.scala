@@ -89,7 +89,15 @@ object ScaleSmoke {
       // relative to corpus growth modulo the explode
       "q165_multilen_span_dedup" -> (d => llmops.Dedup.q165.run(spark, d)),
       "q168_quality_classifier" -> (d => llmops.Curation.q168.run(spark, d)),
-      "q170_distribution_drift" -> (d => llmops.Curation.q170.run(spark, d)))
+      "q170_distribution_drift" -> (d => llmops.Curation.q170.run(spark, d)),
+      // round-8: held-out BPE — training runs on the Zipf-bounded
+      // word table (synth vocab is fixed at 30k words, so train cost
+      // should be ~flat in corpus size), the eval side is one
+      // held-out word agg + a chained-replace projection
+      "q173_bpe_heldout_fertility" -> (d => llmops.Bpe.q173.run(spark, d)),
+      // round-8: unigram-LM EM — ONE corpus pass (word freq), then
+      // seeding/DP/recounts on the fixed-vocab word table → ~flat
+      "q174_unigram_lm_vocab" -> (d => llmops.UnigramLm.q174.run(spark, d)))
 
     val eventOps: Seq[(String, String => DataFrame)] = Seq(
       "q111_rolling_active_users" -> (d => graft.ops.EventOps.q111.run(spark, d)),

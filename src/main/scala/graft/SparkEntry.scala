@@ -21,6 +21,7 @@ object SparkEntry {
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
       graft.llmops.Bpe.all ++
+      graft.llmops.UnigramLm.all ++
       graft.llmops.Multimodal.all ++
       graft.streaming.StreamingTwins.all ++
       graft.sources.FileFormats.all ++

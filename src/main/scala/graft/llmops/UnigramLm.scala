@@ -1,0 +1,329 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EngineQuery, SessionScratch, Tables}
+
+/** Unigram-LM tokenizer induction (SentencePiece's second algorithm,
+  * Kudo 2018, "Subword Regularization") — the other half of the
+  * tokenizer-training story next to BPE (q166): instead of greedily
+  * growing merges, START from a large candidate-piece vocabulary and
+  * let EM keep the pieces that actually carry the corpus.
+  *
+  * Deterministic, integer-exact variant (the q166/q159 oracle-replay
+  * discipline): hard-EM with a Viterbi E-step under a lexicographic
+  * objective — segment each word into the FEWEST pieces, breaking ties
+  * toward the highest total piece count, then toward the earliest
+  * split. The published algorithm scores segmentations by float
+  * log-likelihood; a float objective would make tie order
+  * engine-dependent (the exact class of divergence the oracle gate
+  * exists to catch), so the objective is encoded in one int64 per DP
+  * cell: `score = pieces·2^42 − Σ min(cnt, 2^36)`, minimized —
+  * piece-count dominates, counts break ties, and every candidate
+  * carries its split point in the low 5 bits so the argmin IS the
+  * tie-broken backpointer. All arithmetic replays bit-exactly in
+  * DuckDB.
+  *
+  *  - SEED: every substring of length ≤ [[MaxPiece]] of the (capped)
+  *    word table, counted with word frequency; the top [[SeedTopK]]
+  *    multi-char candidates plus ALL single characters (coverage: any
+  *    word can always fall back to chars, so Viterbi is total).
+  *  - E-step: Viterbi DP per word — [[MaxWord]] unrolled steps, each
+  *    cell a `least()` over ≤ [[MaxPiece]] candidates looked up in the
+  *    word's own piece→count map (built once per word by ONE broadcast
+  *    join against the vocab). Backtracking is [[MaxWord]] more
+  *    unrolled projections reading the packed backpointers.
+  *  - M-step: piece counts over the chosen segmentations; multi-char
+  *    pieces that no word used are PRUNED (the SentencePiece shrink
+  *    step), single chars persist at count 0.
+  *  - [[EmRounds]] rounds, then the top pieces by final count.
+  *
+  * Scale shape (100 TB): the corpus is touched ONCE (the word-frequency
+  * hash-agg, Zipf-bounded output — same boundedness as q166); seeding,
+  * DP, and both M-steps run on word-table-sized frames. The vocab
+  * (≤ SeedTopK + |alphabet| rows) broadcasts into the per-word map
+  * build; the DP itself is a pure unrolled projection — no shuffle, no
+  * UDF, bounded width (MaxWord·MaxPiece lookups/row). EM round count
+  * is FIXED, so plan depth is bounded; each round's words frame is
+  * localCheckpointed and the previous round released (the BPE
+  * discipline).
+  */
+object UnigramLm {
+
+  /** Words are capped to this many chars before seeding/DP (both
+    * engines identically); the DP unrolls exactly this many steps.
+    */
+  val MaxWord = 16
+
+  /** Max candidate piece length. */
+  val MaxPiece = 4
+
+  /** Multi-char seed candidates kept (by count desc, piece asc). */
+  val SeedTopK = 120
+
+  /** Hard-EM rounds (segment → recount → prune). */
+  val EmRounds = 2
+
+  /** Final vocabulary rows reported by the gate query. */
+  val TopOut = 30
+
+  /** Piece-cost base: dominates any capped count sum (16·2^36 < 2^42). */
+  val Big = 1L << 42
+
+  /** Count cap inside the DP objective — keeps the packed score exact
+    * at any corpus size (counts beyond the cap cannot influence
+    * tie-breaks, which is the documented trade for int64 exactness).
+    */
+  val CntCap = 1L << 36
+
+  /** Capped word-frequency table of a documents frame: Unicode letter
+    * runs (the [[Bpe.WordSplitRe]] segmentation), truncated to
+    * [[MaxWord]] chars, re-aggregated.
+    */
+  private[graft] def cappedWords(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), Bpe.WordSplitRe))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .select(substring(col("w"), 1, MaxWord).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** All (piece, freq) substring occurrences of the word table —
+    * every start position, lengths 1..[[MaxPiece]].
+    */
+  private def subPieces(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+          transform(sequence(1, least($MaxPiece, length(word) - i + 1)),
+            l -> substring(word, i, l))))""")).as("piece"))
+
+  /** Seed vocabulary: top-[[SeedTopK]] substrings by weighted count
+    * plus every single character (coverage floor).
+    */
+  private[graft] def seedVocab(words: DataFrame): DataFrame = {
+    val seed = subPieces(words)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    seed.orderBy(col("cnt").desc, col("piece")).limit(SeedTopK)
+      .unionByName(seed.filter(length(col("piece")) === 1))
+      .distinct()
+  }
+
+  /** One hard-EM E-step: Viterbi-segment every word under `vocab`
+    * (piece, cnt) and return (word, freq, pieces) with `pieces` the
+    * chosen segmentation (emitted back-to-front; order is irrelevant
+    * to the M-step and the coverage invariant).
+    */
+  private[graft] def viterbiSegment(words: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    // the word's own piece→cnt map: ONE broadcast join against the
+    // vocab, grouped back — ≤ MaxWord·MaxPiece entries per word
+    val entries = words
+      .select(col("word"), col("freq"), explode(expr(
+        s"""array_distinct(flatten(transform(sequence(1, length(word)),
+            i -> transform(sequence(1,
+              least($MaxPiece, length(word) - i + 1)),
+              l -> substring(word, i, l)))))""")).as("piece"))
+      .join(broadcast(vocab), Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("cnt"))))
+        .as("m"))
+    // forward DP, unrolled: e_j = packed (score·32 + split), s_j = the
+    // score, a_j = the winning split point (the backpointer)
+    var df = entries.withColumn("s0", lit(0L))
+    for (j <- 1 to MaxWord) {
+      val cands: Seq[Column] = (math.max(0, j - MaxPiece) until j).map { i =>
+        val piece = expr(s"substring(word, ${i + 1}, ${j - i})")
+        val cnt = element_at(col("m"), piece)
+        when(length(col("word")) >= j && cnt.isNotNull,
+          (col(s"s$i") + lit(Big) - least(cnt, lit(CntCap))) * 32 + i)
+      }
+      val enc = if (cands.size == 1) cands.head else least(cands: _*)
+      df = df
+        .withColumn(s"e$j", enc)
+        .withColumn(s"s$j", expr(s"e$j div 32"))
+        .withColumn(s"a$j", expr(s"e$j % 32"))
+    }
+    // backtrack, unrolled: p_t walks the backpointers from the word
+    // end; each step emits the piece it jumped over
+    val aArr = array((1 to MaxWord).map(j => col(s"a$j")): _*)
+    df = df.withColumn("p0", length(col("word")).cast("long"))
+    for (t <- 1 to MaxWord) {
+      df = df
+        .withColumn(s"p$t",
+          when(col(s"p${t - 1}") > 0,
+            element_at(aArr, col(s"p${t - 1}").cast("int"))))
+        .withColumn(s"pc$t",
+          when(col(s"p${t - 1}") > 0, expr(
+            s"substr(word, cast(p$t + 1 as int), " +
+              s"cast(p${t - 1} - p$t as int))")))
+    }
+    // the E-step MATERIALIZES its segmentations (word-table-sized):
+    // composing further operators (the M-step's explode) directly over
+    // the 32-step unrolled DP plan sends the optimizer's project
+    // inlining into exponential expression growth — measured OOM at 8g
+    // on a 2-word corpus. The checkpoint is the analysis barrier; it
+    // registers as transient so harness mains release it, and trainOn
+    // releases it explicitly once the round's recount materializes.
+    SessionScratch.transientCheckpoint(
+      df.select(col("word"), col("freq"),
+        expr(s"filter(array(${(1 to MaxWord).map("pc" + _).mkString(",")}), " +
+          "x -> x is not null)").as("pieces")))
+  }
+
+  /** M-step: piece counts over the chosen segmentations, pruned to the
+    * used pieces plus the persistent single-char floor.
+    */
+  private[graft] def recount(segmented: DataFrame,
+      chars: DataFrame): DataFrame = {
+    val used = segmented
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    used.unionByName(
+      chars.join(used, Seq("piece"), "left_anti")
+        .select(col("piece"), lit(0L).as("cnt")))
+  }
+
+  /** Train [[EmRounds]] hard-EM rounds; returns the final (piece, cnt)
+    * vocabulary. Memoized per (app, dir) — training is the ingest half,
+    * same contract as [[Bpe.train]].
+    */
+  def train(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    SessionScratch.memo("unigram_train", s.sparkContext.applicationId,
+      dir) {
+      trainOn(cappedWords(Tables(s, dir).documents))
+    }
+
+  /** The EM loop over an arbitrary capped (word, freq) frame — public
+    * for the spec's hand-computed corpus.
+    */
+  def trainOn(wordsRaw: DataFrame): DataFrame = {
+    var words = wordsRaw.localCheckpoint()
+    val chars = seedVocab(words).filter(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint()
+    var vocab = seedVocab(words).localCheckpoint()
+    for (_ <- 1 to EmRounds) {
+      val seg = viterbiSegment(words, vocab)
+      val prev = vocab
+      vocab = recount(seg, chars).localCheckpoint()
+      SessionScratch.releaseCheckpoint(prev)
+      SessionScratch.releaseCheckpoint(seg)
+    }
+    // the final vocab stays pinned — train() memoizes it for the
+    // session (the Bpe.trainOn contract), so it must NOT be transient
+    SessionScratch.releaseCheckpoint(words)
+    SessionScratch.releaseCheckpoint(chars)
+    vocab
+  }
+
+  // ---- oracle ---------------------------------------------------------
+
+  /** The whole EM replay as one CTE chain over the `documents`
+    * relation — programmatically generated so the (i, j) loops are the
+    * SAME loops the Spark side unrolls. Per-word piece lookups go
+    * through a map column (DuckDB map extraction yields a LIST;
+    * `[1]` is value-or-NULL, mirroring Spark's `element_at`).
+    */
+  private[graft] def oracleSql: String = {
+    val head = s"""WITH wcap AS MATERIALIZED (
+        SELECT substr(word, 1, $MaxWord) AS word, COUNT(*) AS freq
+        FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
+            AS word
+          FROM documents
+        ) WHERE word <> '' GROUP BY 1
+      ), subs AS MATERIALIZED (
+        SELECT word, freq, substr(word, i.i, l.l) AS piece
+        FROM wcap,
+          UNNEST(generate_series(1, length(word))) AS i(i),
+          UNNEST(generate_series(1, $MaxPiece)) AS l(l)
+        WHERE i.i + l.l - 1 <= length(word)
+      ), seed AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM subs GROUP BY piece
+      ), chars AS MATERIALIZED (
+        SELECT piece FROM seed WHERE length(piece) = 1
+      ), v0 AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM seed
+          ORDER BY cnt DESC, piece LIMIT $SeedTopK
+        ) UNION
+        SELECT piece, cnt FROM seed WHERE length(piece) = 1
+      )"""
+    val rounds = (1 to EmRounds).map { r =>
+      val v = s"v${r - 1}"
+      // per-word piece map under this round's vocab
+      val wmap = s""", wm$r AS MATERIALIZED (
+          SELECT word, freq,
+            map_from_entries(list({'k': piece, 'v': cnt})) AS m
+          FROM (
+            SELECT DISTINCT s.word, s.freq, s.piece, vv.cnt
+            FROM subs s JOIN $v vv ON vv.piece = s.piece
+          ) GROUP BY word, freq
+        ), d${r}_0 AS (SELECT *, CAST(0 AS BIGINT) AS s0 FROM wm$r)"""
+      val fwd = (1 to MaxWord).map { j =>
+        val cands = (math.max(0, j - MaxPiece) until j).map { i =>
+          val piece = s"substr(word, ${i + 1}, ${j - i})"
+          s"""CASE WHEN length(word) >= $j
+                AND len(m[$piece]) > 0
+              THEN (s$i + $Big - least(m[$piece][1], $CntCap)) * 32 + $i
+              END"""
+        }.mkString(", ")
+        s""", d${r}_$j AS (
+            SELECT *, least($cands) AS e$j,
+              least($cands) // 32 AS s$j,
+              least($cands) % 32 AS a$j
+            FROM d${r}_${j - 1})"""
+      }.mkString
+      val bt0 = s""", b${r}_0 AS (
+          SELECT *, CAST(length(word) AS BIGINT) AS p0,
+            [${(1 to MaxWord).map("a" + _).mkString(",")}] AS aa
+          FROM d${r}_$MaxWord)"""
+      val bt = (1 to MaxWord).map { t =>
+        s""", b${r}_$t AS (
+            SELECT *,
+              CASE WHEN p${t - 1} > 0
+                THEN aa[CAST(p${t - 1} AS INT)] END AS p$t,
+              CASE WHEN p${t - 1} > 0
+                THEN substr(word, CAST(p$t + 1 AS INT),
+                  CAST(p${t - 1} - p$t AS INT)) END AS pc$t
+            FROM b${r}_${t - 1})"""
+      }.mkString
+      val pcs = (1 to MaxWord).map("pc" + _).mkString(",")
+      val mstep = s""", seg$r AS MATERIALIZED (
+          SELECT freq, unnest(list_filter([$pcs], x -> x IS NOT NULL))
+            AS piece
+          FROM b${r}_$MaxWord
+        ), used$r AS MATERIALIZED (
+          SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM seg$r GROUP BY piece
+        ), v$r AS MATERIALIZED (
+          SELECT piece, cnt FROM used$r
+          UNION ALL
+          SELECT c.piece, CAST(0 AS BIGINT) AS cnt
+          FROM chars c ANTI JOIN used$r u ON c.piece = u.piece
+        )"""
+      wmap + fwd + bt0 + bt + mstep
+    }.mkString
+    head + rounds + s"""
+      SELECT piece, cnt, length(piece) AS piece_len
+      FROM v$EmRounds
+      ORDER BY cnt DESC, piece LIMIT $TopOut"""
+  }
+
+  /** Gate row: the final unigram-LM vocabulary — every EM round
+    * (seeding, both Viterbi segmentations, both recounts) replayed
+    * bit-exactly by the oracle.
+    */
+  val q174 = EngineQuery(
+    "q174_unigram_lm_vocab",
+    (s, dir) => train(s, dir)
+      .select(col("piece"), col("cnt"),
+        length(col("piece")).cast("long").as("piece_len"))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(TopOut),
+    Some(oracleSql))
+
+  val all: Seq[EngineQuery] = Seq(q174)
+}
