@@ -22,9 +22,14 @@ object ScaleSmoke {
   private def synth(spark: SparkSession, n: Long, toks: Int): DataFrame =
     spark.range(n).select(
       col("id").as("doc_id"),
+      // tokens are LETTER-only ("w" + digits spelled a-j): the text
+      // operators segment words as \p{L} runs, so digit-bearing
+      // tokens would all collapse to the single word "w" and starve
+      // the tokenizer-training ops (BPE measured exactly that)
       concat_ws(" ", transform(sequence(lit(1), lit(toks)),
-        i => concat(lit("w"),
-          pmod(hash(col("id") * 131 + i), lit(30000))))).as("text"),
+        i => concat(lit("w"), translate(
+          pmod(hash(col("id") * 131 + i), lit(30000)).cast("string"),
+          "0123456789", "abcdefghij")))).as("text"),
       lit("en").as("lang"),
       concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
       lit(toks.toLong * 6).as("n_chars"))
