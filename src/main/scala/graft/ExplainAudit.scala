@@ -35,7 +35,7 @@ object ExplainAudit {
     "q167_bpe_encode_fertility", "q168_quality_classifier",
     "q169_knn_hamming", "q170_distribution_drift",
     "q171_embedding_drift", "q173_bpe_heldout_fertility",
-    "q174_unigram_lm_vocab")
+    "q174_unigram_lm_vocab", "q175_unigram_heldout_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -410,6 +410,16 @@ object ExplainAudit {
         "TakeOrderedAndProject, not a global sort", {
         val p = planOf(spark, byName, sfDir, "q174_unigram_lm_vocab")
         !p.contains("Scan parquet") && p.contains("TakeOrderedAndProject") &&
+          p.contains("Scan ExistingRDD")
+      }),
+      ("q175 held-out unigram eval: the corpus side is one parquet " +
+        "scan into the (split, source, word) agg; per-word token " +
+        "counts rejoin by broadcast LEFT join (unseen words become " +
+        "<unk>, never dropped) from the materialized DP output", {
+        val p = planOf(spark, byName, sfDir,
+          "q175_unigram_heldout_fertility")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("BroadcastHashJoin") && p.contains("LeftOuter") &&
           p.contains("Scan ExistingRDD")
       }))
 

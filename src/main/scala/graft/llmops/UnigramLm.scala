@@ -218,28 +218,89 @@ object UnigramLm {
   }
 
   // ---- oracle ---------------------------------------------------------
+  //
+  // Programmatically generated so the (i, j) loops are the SAME loops
+  // the Spark side unrolls. Per-word piece lookups go through a map
+  // column (DuckDB map extraction yields a LIST; `[1]` is
+  // value-or-NULL, mirroring Spark's `element_at`).
 
-  /** The whole EM replay as one CTE chain over the `documents`
-    * relation — programmatically generated so the (i, j) loops are the
-    * SAME loops the Spark side unrolls. Per-word piece lookups go
-    * through a map column (DuckDB map extraction yields a LIST;
-    * `[1]` is value-or-NULL, mirroring Spark's `element_at`).
-    */
-  private[graft] def oracleSql: String = {
-    val head = s"""WITH wcap AS MATERIALIZED (
+  /** Capped word-frequency CTE over a documents relation. */
+  private def wordsCte(name: String, docsRel: String) =
+    s""", $name AS MATERIALIZED (
         SELECT substr(word, 1, $MaxWord) AS word, COUNT(*) AS freq
         FROM (
           SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
             AS word
-          FROM documents
+          FROM $docsRel
         ) WHERE word <> '' GROUP BY 1
-      ), subs AS MATERIALIZED (
+      )"""
+
+  /** All (word, freq, piece) substring occurrences of a word table. */
+  private def subsCte(name: String, wordsRel: String) =
+    s""", $name AS MATERIALIZED (
         SELECT word, freq, substr(word, i.i, l.l) AS piece
-        FROM wcap,
+        FROM $wordsRel,
           UNNEST(generate_series(1, length(word))) AS i(i),
           UNNEST(generate_series(1, $MaxPiece)) AS l(l)
         WHERE i.i + l.l - 1 <= length(word)
-      ), seed AS MATERIALIZED (
+      )"""
+
+  /** One Viterbi segmentation pass (forward DP + backtrack) of the
+    * words behind `subsRel` under `vocabRel`; the final relation
+    * `b{tag}_MaxWord` carries (word, freq, pc1..pcN).
+    */
+  private def segChain(tag: String, subsRel: String,
+      vocabRel: String): String = {
+    val wmap = s""", wm$tag AS MATERIALIZED (
+        SELECT word, freq,
+          map_from_entries(list({'k': piece, 'v': cnt})) AS m
+        FROM (
+          SELECT DISTINCT s.word, s.freq, s.piece, vv.cnt
+          FROM $subsRel s JOIN $vocabRel vv ON vv.piece = s.piece
+        ) GROUP BY word, freq
+      ), d${tag}_0 AS (SELECT *, CAST(0 AS BIGINT) AS s0 FROM wm$tag)"""
+    val fwd = (1 to MaxWord).map { j =>
+      val cands = (math.max(0, j - MaxPiece) until j).map { i =>
+        val piece = s"substr(word, ${i + 1}, ${j - i})"
+        s"""CASE WHEN length(word) >= $j
+              AND len(m[$piece]) > 0
+            THEN (s$i + $Big - least(m[$piece][1], $CntCap)) * 32 + $i
+            END"""
+      }.mkString(", ")
+      s""", d${tag}_$j AS (
+          SELECT *, least($cands) AS e$j,
+            least($cands) // 32 AS s$j,
+            least($cands) % 32 AS a$j
+          FROM d${tag}_${j - 1})"""
+    }.mkString
+    val bt0 = s""", b${tag}_0 AS (
+        SELECT *, CAST(length(word) AS BIGINT) AS p0,
+          [${(1 to MaxWord).map("a" + _).mkString(",")}] AS aa
+        FROM d${tag}_$MaxWord)"""
+    val bt = (1 to MaxWord).map { t =>
+      s""", b${tag}_$t AS (
+          SELECT *,
+            CASE WHEN p${t - 1} > 0
+              THEN aa[CAST(p${t - 1} AS INT)] END AS p$t,
+            CASE WHEN p${t - 1} > 0
+              THEN substr(word, CAST(p$t + 1 AS INT),
+                CAST(p${t - 1} - p$t AS INT)) END AS pc$t
+          FROM b${tag}_${t - 1})"""
+    }.mkString
+    wmap + fwd + bt0 + bt
+  }
+
+  /** The filtered-non-null pieces list of a segmentation relation. */
+  private def piecesList: String =
+    s"list_filter([${(1 to MaxWord).map("pc" + _).mkString(",")}], " +
+      "x -> x IS NOT NULL)"
+
+  /** Seed + [[EmRounds]] EM rounds over the word table `wcap` (already
+    * in scope via [[wordsCte]]): defines `subs`, `seed`, `chars`,
+    * `v0`..`v{EmRounds}`.
+    */
+  private def trainingCtes: String = {
+    val head = subsCte("subs", "wcap") + s""", seed AS MATERIALIZED (
         SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
         FROM subs GROUP BY piece
       ), chars AS MATERIALIZED (
@@ -252,48 +313,8 @@ object UnigramLm {
         SELECT piece, cnt FROM seed WHERE length(piece) = 1
       )"""
     val rounds = (1 to EmRounds).map { r =>
-      val v = s"v${r - 1}"
-      // per-word piece map under this round's vocab
-      val wmap = s""", wm$r AS MATERIALIZED (
-          SELECT word, freq,
-            map_from_entries(list({'k': piece, 'v': cnt})) AS m
-          FROM (
-            SELECT DISTINCT s.word, s.freq, s.piece, vv.cnt
-            FROM subs s JOIN $v vv ON vv.piece = s.piece
-          ) GROUP BY word, freq
-        ), d${r}_0 AS (SELECT *, CAST(0 AS BIGINT) AS s0 FROM wm$r)"""
-      val fwd = (1 to MaxWord).map { j =>
-        val cands = (math.max(0, j - MaxPiece) until j).map { i =>
-          val piece = s"substr(word, ${i + 1}, ${j - i})"
-          s"""CASE WHEN length(word) >= $j
-                AND len(m[$piece]) > 0
-              THEN (s$i + $Big - least(m[$piece][1], $CntCap)) * 32 + $i
-              END"""
-        }.mkString(", ")
-        s""", d${r}_$j AS (
-            SELECT *, least($cands) AS e$j,
-              least($cands) // 32 AS s$j,
-              least($cands) % 32 AS a$j
-            FROM d${r}_${j - 1})"""
-      }.mkString
-      val bt0 = s""", b${r}_0 AS (
-          SELECT *, CAST(length(word) AS BIGINT) AS p0,
-            [${(1 to MaxWord).map("a" + _).mkString(",")}] AS aa
-          FROM d${r}_$MaxWord)"""
-      val bt = (1 to MaxWord).map { t =>
-        s""", b${r}_$t AS (
-            SELECT *,
-              CASE WHEN p${t - 1} > 0
-                THEN aa[CAST(p${t - 1} AS INT)] END AS p$t,
-              CASE WHEN p${t - 1} > 0
-                THEN substr(word, CAST(p$t + 1 AS INT),
-                  CAST(p${t - 1} - p$t AS INT)) END AS pc$t
-            FROM b${r}_${t - 1})"""
-      }.mkString
-      val pcs = (1 to MaxWord).map("pc" + _).mkString(",")
-      val mstep = s""", seg$r AS MATERIALIZED (
-          SELECT freq, unnest(list_filter([$pcs], x -> x IS NOT NULL))
-            AS piece
+      segChain(s"$r", "subs", s"v${r - 1}") + s""", seg$r AS MATERIALIZED (
+          SELECT freq, unnest($piecesList) AS piece
           FROM b${r}_$MaxWord
         ), used$r AS MATERIALIZED (
           SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -304,13 +325,20 @@ object UnigramLm {
           SELECT c.piece, CAST(0 AS BIGINT) AS cnt
           FROM chars c ANTI JOIN used$r u ON c.piece = u.piece
         )"""
-      wmap + fwd + bt0 + bt + mstep
     }.mkString
-    head + rounds + s"""
+    head + rounds
+  }
+
+  /** q174's oracle: train on the full corpus, emit the top vocab.
+    * (`_one` is a 1-row anchor CTE so every generated CTE can start
+    * with a comma uniformly.)
+    */
+  private[graft] def oracleSql: String =
+    "WITH _one AS (SELECT 1)" + wordsCte("wcap", "documents") +
+      trainingCtes + s"""
       SELECT piece, cnt, length(piece) AS piece_len
       FROM v$EmRounds
       ORDER BY cnt DESC, piece LIMIT $TopOut"""
-  }
 
   /** Gate row: the final unigram-LM vocabulary — every EM round
     * (seeding, both Viterbi segmentations, both recounts) replayed
@@ -325,5 +353,106 @@ object UnigramLm {
       .limit(TopOut),
     Some(oracleSql))
 
-  val all: Seq[EngineQuery] = Seq(q174)
+  /** Vocab trained on the q172 TRAIN split only — the ingest half of
+    * the held-out eval (q175), same memo contract as
+    * [[Bpe.heldoutTrain]].
+    */
+  def heldoutTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionScratch.memo("unigram_train_holdout",
+      s.sparkContext.applicationId, dir) {
+      trainOn(cappedWords(Tables(s, dir).documents
+        .filter(Sampling.groupSplit(col("source")) === "train")))
+    }
+
+  /** HELD-OUT unigram-LM eval — q173's story for the second tokenizer:
+    * vocab hard-EM-trained on the q172 train split, then val/test
+    * sources segmented by the SAME Viterbi DP. A held-out word the
+    * vocabulary cannot cover (a character never seen in training, so
+    * even the single-char floor misses) segments to ZERO pieces — it
+    * surfaces as one `<unk>` token and is counted in `n_unk` instead
+    * of silently vanishing from the denominator (the q173 no-dropout
+    * contract; the join back to per-source counts is a LEFT join for
+    * the same reason).
+    *
+    * Scale shape: the held-out corpus contributes one (split, source,
+    * word) hash-agg; the DP runs once per DISTINCT held-out word
+    * (word-table-sized), and rejoins by broadcast.
+    */
+  val q175 = EngineQuery(
+    "q175_unigram_heldout_fertility",
+    (s, dir) => {
+      val vocab = heldoutTrain(s, dir)
+      val held = Tables(s, dir).documents
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") =!= "train")
+      val hw = held
+        .select(col("split"), col("source"),
+          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("split"), col("source"),
+          substring(col("w"), 1, MaxWord).as("word"))
+        .groupBy(col("split"), col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val hwd = hw.groupBy(col("word")).agg(sum(col("n")).as("freq"))
+      val enc = viterbiSegment(hwd, vocab)
+        .select(col("word"), size(col("pieces")).as("np"))
+      val unk = col("np").isNull || col("np") === 0
+      hw.join(broadcast(enc), Seq("word"), "left")
+        .select(col("split"), col("source"), col("n"),
+          when(unk, lit(1L)).otherwise(col("np").cast("long"))
+            .as("n_toks"),
+          unk.as("unk"))
+        .groupBy(col("split"), col("source"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_toks")).as("n_tokens"),
+          sum(when(col("unk"), col("n")).otherwise(lit(0L)))
+            .as("n_unk"))
+        .select(col("split"), col("source"), col("n_words"),
+          col("n_tokens"), col("n_unk"),
+          (col("n_tokens").cast("double") /
+            col("n_words").cast("double")).as("tokens_per_word"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some {
+      val bucket = PortableHash.splitDrawSql(
+        PortableHash.charHashSql("source"))
+      s"""WITH _one AS (SELECT 1), sp AS (
+            SELECT source, text, $bucket AS bkt FROM documents
+          ), tdocs AS (
+            SELECT source, text FROM sp WHERE bkt < 800
+          ), hdocs AS (
+            SELECT CASE WHEN bkt < 900 THEN 'val' ELSE 'test' END
+              AS split, source, text
+            FROM sp WHERE bkt >= 800
+          )""" + wordsCte("wcap", "tdocs") + trainingCtes + s""", hw AS (
+            SELECT split, source, substr(word, 1, $MaxWord) AS word,
+              COUNT(*) AS n
+            FROM (
+              SELECT split, source,
+                unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
+                  AS word
+              FROM hdocs
+            ) WHERE word <> '' GROUP BY 1, 2, 3
+          ), hwd AS (
+            SELECT word, CAST(SUM(n) AS BIGINT) AS freq
+            FROM hw GROUP BY word
+          )""" + subsCte("subsh", "hwd") +
+        segChain("h", "subsh", s"v$EmRounds") + s""", ench AS (
+            SELECT word, len($piecesList) AS np FROM bh_$MaxWord
+          )
+          SELECT h.split, h.source,
+            CAST(SUM(h.n) AS BIGINT) AS n_words,
+            CAST(SUM(h.n * CASE WHEN e.np IS NULL OR e.np = 0
+              THEN 1 ELSE e.np END) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN e.np IS NULL OR e.np = 0
+              THEN h.n ELSE 0 END) AS BIGINT) AS n_unk,
+            CAST(SUM(h.n * CASE WHEN e.np IS NULL OR e.np = 0
+              THEN 1 ELSE e.np END) AS DOUBLE)
+              / CAST(SUM(h.n) AS DOUBLE) AS tokens_per_word
+          FROM hw h LEFT JOIN ench e ON e.word = h.word
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q174, q175)
 }

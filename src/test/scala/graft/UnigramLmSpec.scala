@@ -51,6 +51,34 @@ class UnigramLmSpec extends SparkTestBase {
     assert(bad == 0L, s"$bad words not exactly covered")
   }
 
+  test("held-out words outside the vocab's coverage surface as UNK") {
+    import spark.implicits._
+    // vocab trained on 'abc' only: 'xyz' shares NO substring with the
+    // vocab (absent from the DP entirely -> np NULL after the left
+    // join), 'axz' shares only 'a' so the DP cannot complete (pieces
+    // = [] -> np 0). Both must read as one <unk> token in q175's
+    // accounting rather than dropping out of the denominator.
+    val v = UnigramLm.trainOn(Seq(("abc", 5L)).toDF("word", "freq"))
+    val seg = UnigramLm.viterbiSegment(
+        Seq(("xyz", 1L), ("axz", 1L), ("abc", 1L)).toDF("word", "freq"), v)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(!seg.contains("xyz"))
+    assert(seg("axz").isEmpty)
+    assert(seg("abc").nonEmpty &&
+      seg("abc").reverse.mkString("") == "abc")
+  }
+
+  test("q175: held-out fertility covers only non-train sources") {
+    val rows = UnigramLm.q175.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("val", "test")))
+    rows.foreach { r =>
+      val (nw, nt, nu) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nw > 0 && nt >= nw && nu >= 0 && nu <= nw)
+      assert(r.getDouble(5) >= 1.0)
+    }
+  }
+
   test("q174: output invariants hold") {
     val rows = UnigramLm.q174.run(spark, sfDir).collect()
     assert(rows.length == UnigramLm.TopOut)
