@@ -191,6 +191,12 @@ object ScaleSmoke {
       groups.foreach { case (name, run) =>
         val res = pts.map { case (sz, d) =>
           val (sec, rows) = timed(run(d).count())
+          // outside the timed window, between measurements: without
+          // this, per-call transient checkpoints (fixpoint iterates,
+          // degree tables, DP segmentations) accumulate across the
+          // whole op matrix and bias later points — the exact
+          // marathon pressure the Bench eviction fixed
+          graft.ops.SessionScratch.evictTransients()
           (sz, sec, rows)
         }
         val (s1, t1, r1) = res.head

@@ -460,10 +460,15 @@ object Curation {
     */
   private[graft] def driftSrcBins(docs: DataFrame, mn: Long, mx: Long,
       bins: Int = DriftBins): DataFrame = {
+    // clamped on BOTH sides: under fixed deployment bounds a later
+    // micro-batch can carry values outside [mn, mx], and an unclamped
+    // low side would emit negative bin ids into the state grid (with
+    // engine-dependent rounding: Spark's div truncates toward zero,
+    // DuckDB's // floors — they disagree on negatives)
     val bin =
       if (mx == mn) lit(0L)
-      else least(lit(bins - 1L),
-        expr(s"((n_chars - $mn) * $bins) div (${mx - mn})"))
+      else greatest(lit(0L), least(lit(bins - 1L),
+        expr(s"((n_chars - $mn) * $bins) div (${mx - mn})")))
     // explicit not-null filter mirrors what the grid's left join
     // pushes onto ITS srcBins branch — having it in EVERY consumer
     // makes the exchange subtrees canonicalize identically, so AQE
@@ -523,8 +528,8 @@ object Curation {
             ), binned AS (
               SELECT source,
                 CASE WHEN b.mx = b.mn THEN 0
-                     ELSE LEAST(${DriftBins - 1},
-                       ((n_chars - b.mn) * $DriftBins) // (b.mx - b.mn))
+                     ELSE GREATEST(0, LEAST(${DriftBins - 1},
+                       ((n_chars - b.mn) * $DriftBins) // (b.mx - b.mn)))
                 END AS bin
               FROM documents, bounds b
               WHERE source IS NOT NULL AND n_chars IS NOT NULL

@@ -438,27 +438,29 @@ object Sampling {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"))
     },
-    Some("""WITH h AS (
+    Some {
+      // ONE SQL rendering of the split rule: the same PortableHash
+      // helpers q173/q175's oracles use — a constant edited in the
+      // helper updates every oracle that claims this split, so the
+      // split gate and the held-out tokenizer gates cannot disagree
+      // about which sources are train
+      val draw = PortableHash.splitDrawSql("hv")
+      s"""WITH h AS (
               SELECT source, n_chars,
-                coalesce(list_sum([(ascii(source[i])
-                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
-                    % 1000000007
-                    for i in range(1, length(source)+1)]) % 1000000007, 0)
-                  AS hv
+                ${PortableHash.charHashSql("source")} AS hv
               FROM documents
             ), sp AS (
               SELECT CASE
-                  WHEN (hv % 1000000007) * 2654435761 % 1000000007
-                    % 1000 < 800 THEN 'train'
-                  WHEN (hv % 1000000007) * 2654435761 % 1000000007
-                    % 1000 < 900 THEN 'val'
+                  WHEN $draw < 800 THEN 'train'
+                  WHEN $draw < 900 THEN 'val'
                   ELSE 'test' END AS split,
                 source, n_chars
               FROM h
             )
             SELECT split, COUNT(DISTINCT source) AS n_sources,
               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-            FROM sp GROUP BY split ORDER BY split"""))
+            FROM sp GROUP BY split ORDER BY split"""
+    })
 
   val all: Seq[EngineQuery] =
     Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172)

@@ -200,9 +200,13 @@ object UnigramLm {
     */
   def trainOn(wordsRaw: DataFrame): DataFrame = {
     var words = wordsRaw.localCheckpoint()
-    val chars = seedVocab(words).filter(length(col("piece")) === 1)
-      .select(col("piece")).localCheckpoint()
     var vocab = seedVocab(words).localCheckpoint()
+    // the single-char floor, read off the already-materialized seed
+    // vocab (a second seedVocab call would re-run the whole substring
+    // explode-and-aggregate); checkpointed because `vocab` is released
+    // round by round while chars must persist across all rounds
+    val chars = vocab.filter(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint()
     for (_ <- 1 to EmRounds) {
       val seg = viterbiSegment(words, vocab)
       val prev = vocab
@@ -386,14 +390,19 @@ object UnigramLm {
       val held = Tables(s, dir).documents
         .withColumn("split", Sampling.groupSplit(col("source")))
         .filter(col("split") =!= "train")
-      val hw = held
+      // materialized once: hw feeds BOTH the distinct-word DP input
+      // and the final rollup join — without the checkpoint the
+      // held-out corpus would be scanned and word-aggregated twice
+      // (once in the DP's eager materialization, once at gate
+      // execution)
+      val hw = SessionScratch.transientCheckpoint(held
         .select(col("split"), col("source"),
           explode(split(lower(col("text")), Bpe.WordSplitRe)).as("w"))
         .filter(col("w") =!= "")
         .select(col("split"), col("source"),
           substring(col("w"), 1, MaxWord).as("word"))
         .groupBy(col("split"), col("source"), col("word"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val hwd = hw.groupBy(col("word")).agg(sum(col("n")).as("freq"))
       val enc = viterbiSegment(hwd, vocab)
         .select(col("word"), size(col("pieces")).as("np"))

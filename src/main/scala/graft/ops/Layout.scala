@@ -323,22 +323,50 @@ object Layout {
 
   /** Cluster `rows` under the layout bounds into `files` Z-range files
     * at `path` — the shared writer of the initial ingest
-    * (mode=overwrite) and incremental maintenance (mode=append).
+    * (mode=overwrite) and incremental maintenance (mode=append). The
+    * initial ingest RECORDS its bounds in a `_zorder_bounds` sidecar
+    * (underscore-prefixed, so data readers treat it as hidden) — the
+    * mechanism, not a comment, carries the reuse invariant.
     */
   private[graft] def zorderWrite(rows: org.apache.spark.sql.DataFrame,
       bounds: (Long, Long, Long, Long), path: String, files: Int,
-      mode: String): Unit =
+      mode: String): Unit = {
     zvaluedUnder(rows, bounds)
       .repartitionByRange(files, col("zv"))
       .sortWithinPartitions(col("zv"))
       .drop("zv")
       .write.mode(mode).parquet(path)
+    if (mode == "overwrite") {
+      val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path, "_zorder_bounds")
+      val out = p.getFileSystem(conf).create(p, true)
+      try out.write(
+        s"${bounds._1},${bounds._2},${bounds._3},${bounds._4}"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The normalization bounds recorded at the layout's initial ingest. */
+  private[graft] def recordedBounds(s: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Long, Long) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "_zorder_bounds")
+    val in = p.getFileSystem(conf).open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(a, b, c, d) = txt.trim.split(",").map(_.toLong)
+    (a, b, c, d)
+  }
 
   /** OPTIMIZE-on-append (incremental Z-order maintenance): cluster ONLY
-    * the newly-arrived rows under the layout's recorded bounds and
-    * append the resulting Z-ranged files — never rewriting the base
-    * layout. At 100 TB appends arrive continuously and a full rebuild
-    * per maintenance window re-writes the whole table; clustering the
+    * the newly-arrived rows under the layout's RECORDED bounds (read
+    * back from the sidecar — re-deriving bounds from the grown table
+    * would put old and new files on incomparable curves) and append
+    * the resulting Z-ranged files — never rewriting the base layout.
+    * At 100 TB appends arrive continuously and a full rebuild per
+    * maintenance window re-writes the whole table; clustering the
     * delta alone is the lever (Delta/Iceberg's incremental OPTIMIZE
     * ZORDER shape). The manifest needs NO merge step: it is DERIVED
     * from parquet footers at listing time ([[zorderManifestAt]]), so
@@ -348,8 +376,9 @@ object Layout {
     * untouched.
     */
   private[graft] def zorderMaintain(newRows: org.apache.spark.sql.DataFrame,
-      bounds: (Long, Long, Long, Long), path: String, files: Int): Unit =
-    zorderWrite(newRows, bounds, path, files, "append")
+      path: String, files: Int): Unit =
+    zorderWrite(newRows,
+      recordedBounds(newRows.sparkSession, path), path, files, "append")
 
   private def zvaluedOrders(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

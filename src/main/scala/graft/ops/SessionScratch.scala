@@ -108,10 +108,14 @@ object SessionScratch {
   /** Release every transient checkpoint registered since the last call.
     * Safe once the current query's result has been fully consumed
     * (counted / written); memoized checkpoints are unaffected.
+    * BLOCKING — the harness calls this between timed queries, and an
+    * async unpersist would overlap block deletion with the next
+    * query's measured window (the noise the per-rep samples exist to
+    * rule out).
     */
   def evictTransients(): Unit = {
     var r = transients.poll()
-    while (r != null) { r.unpersist(blocking = false); r = transients.poll() }
+    while (r != null) { r.unpersist(blocking = true); r = transients.poll() }
   }
 
   /** Immediately release one superseded localCheckpointed frame — for

@@ -217,8 +217,9 @@ class BucketingSpec extends SparkTestBase {
     val base = orders.filter(col("o_orderkey") % 7 =!= 0)
     val delta = orders.filter(col("o_orderkey") % 7 === 0)
     // bounds recorded at initial ingest (the layout's ANALYZE
-    // constants); the delta reuses them — re-deriving per increment
-    // would put old and new files on incomparable curves
+    // constants); maintenance reads them back from the sidecar —
+    // re-deriving per increment would put old and new files on
+    // incomparable curves
     val bounds = Layout.zorderBounds(base)
     val incDir = java.nio.file.Files
       .createTempDirectory("graft_zo_inc").toString
@@ -226,10 +227,12 @@ class BucketingSpec extends SparkTestBase {
       .createTempDirectory("graft_zo_full").toString
     Layout.zorderWrite(base, bounds, incDir, files = 12,
       mode = "overwrite")
+    assert(Layout.recordedBounds(spark, incDir) == bounds)
     val baseFiles = new java.io.File(incDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
-    // OPTIMIZE-on-append: cluster ONLY the delta, append its files
-    Layout.zorderMaintain(delta, bounds, incDir, files = 3)
+    // OPTIMIZE-on-append: cluster ONLY the delta, append its files —
+    // the recorded bounds come from the sidecar, not the caller
+    Layout.zorderMaintain(delta, incDir, files = 3)
     val afterFiles = new java.io.File(incDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     // base files are untouched — maintenance wrote only new files

@@ -99,5 +99,20 @@ class DeterminismSpec extends SparkTestBase {
     val bpeBase = bpeMerges(spark)
     assert(bpeBase.nonEmpty && bpeMerges(sibling) == bpeBase,
       "BPE merge table differs at shuffle.partitions=7")
+
+    // unigram-LM hard-EM probed through trainOn for the same reason.
+    // The partition-sensitive surfaces are the seed's top-K sort-limit
+    // and the DP's packed argmin — a tie broken by arrival order
+    // instead of the encoded (score, split) key would flip here long
+    // before it flipped between engines.
+    def ugVocab(s: SparkSession): Seq[String] =
+      graft.llmops.UnigramLm
+        .trainOn(graft.llmops.UnigramLm.cappedWords(
+          graft.ops.Tables(s, sfDir).documents))
+        .orderBy(col("cnt").desc, col("piece"))
+        .collect().map(_.toString).toSeq
+    val ugBase = ugVocab(spark)
+    assert(ugBase.nonEmpty && ugVocab(sibling) == ugBase,
+      "unigram-LM vocabulary differs at shuffle.partitions=7")
   }
 }

@@ -482,6 +482,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("drift state bins clamp to [0, B) for out-of-range micro-batches") {
+    import spark.implicits._
+    // under FIXED deployment bounds a later micro-batch can carry
+    // values outside [mn, mx]; both tails must clamp into the grid
+    // (an unclamped low side emits negative bins with engine-dependent
+    // rounding — Spark's div truncates, DuckDB's // floors)
+    val docs = Seq((1L, "s1", 5L), (2L, "s1", 500L), (3L, "s2", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    val bins = graft.llmops.Curation.driftSrcBins(docs, mn = 10L, mx = 100L)
+      .select(col("b")).collect().map(_.getLong(0))
+    assert(bins.nonEmpty)
+    assert(bins.forall(b =>
+      b >= 0 && b < graft.llmops.Curation.DriftBins))
+    assert(bins.contains(0L) &&
+      bins.contains(graft.llmops.Curation.DriftBins - 1L))
+  }
+
   test("streaming embedding drift == batch q171 (additive sum state)") {
     // same shape in representation space: per-batch exact fixed-point
     // (label, dim) component sums + vector counts are the state; the
