@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.ops.{EngineQuery, Tables}
+import graft.ops.{EngineQuery, SessionScratch, Tables}
 
 /** End-to-end training-data curation pipeline (north star): the composed
   * form of the individual llmops operators —
@@ -338,6 +338,22 @@ object Curation {
   /** Hashed-feature bucket count for the linear quality classifier. */
   val ClfBuckets = 4096L
 
+  /** Hashed unigram+bigram (doc_id, b) feature rows — the shared front
+    * half of classifier INFERENCE (q168) and TRAINING (q176): one
+    * documents scan, both n-gram orders exploded in the same
+    * projection.
+    */
+  private[graft] def classifierFeatures(docs: DataFrame): DataFrame = {
+    import PortableHash.{tokens, tokenHashes, spanHashes}
+    val B = ClfBuckets
+    docs
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
+      .filter(size(col("ths")) >= 2)
+      .select(col("doc_id"), explode(concat(
+        transform(col("ths"), t => t % B),
+        transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
+  }
+
   /** fastText-style linear quality classifier INFERENCE (Joulin et al.
     * 2017 architecture; the quality-filter stage of CCNet-style
     * curation pipelines, where a linear model over hashed bag-of-ngram
@@ -371,16 +387,11 @@ object Curation {
     * harness composition).
     */
   def classifierScores(docs: DataFrame): DataFrame = {
-    import PortableHash.{P, tokens, tokenHashes, spanHashes}
+    import PortableHash.P
     val B = ClfBuckets
     val weights = docs.sparkSession.range(0, B).select(col("id").as("b"),
       (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L).as("wt"))
-    val th = docs
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
-      .filter(size(col("ths")) >= 2)
-    val feats = th.select(col("doc_id"), explode(concat(
-        transform(col("ths"), t => t % B),
-        transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
+    val feats = classifierFeatures(docs)
     feats.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("w_sum"))
@@ -425,6 +436,155 @@ object Curation {
               CAST(w_sum AS DOUBLE) / n_feats AS score,
               w_sum >= 0 AS keep
             FROM scored ORDER BY doc_id"""))
+
+  /** Batch-perceptron training rounds for q176. */
+  val ClfRounds = 5
+
+  /** Weak-label threshold: documents with at least this many
+    * whitespace tokens label +1 ("keep-quality"), else -1.
+    */
+  val LabelMinTokens = 60
+
+  /** Linear quality classifier TRAINING (q176) — the learning half of
+    * the q168 inference stage: a batch perceptron over the same hashed
+    * unigram+bigram buckets, trained on the q172 TRAIN split against a
+    * deterministic weak label (the distant-supervision shape CCNet-
+    * style pipelines actually use — label by a cheap heuristic, train
+    * a dense model to generalize it). Every quantity is exact int64:
+    * scores are integer weight sums, the misclassification rule is
+    * `y·score <= 0` (sign(0) counts as a miss — the classic perceptron
+    * convention), and the update is the batch-perceptron step
+    * `w += Σ_miss y·x` — so the oracle replays ALL [[ClfRounds]]
+    * epochs bit-exactly, and DeterminismSpec-style partitioning cannot
+    * flip a single weight. A float learning rate or logistic loss
+    * would make epoch results partition-order-dependent; the batch
+    * perceptron is the published integer-exact member of the family
+    * (Rosenblatt's rule summed over the batch).
+    *
+    * Scale shape (100 TB): ONE documents scan builds the (doc, bucket,
+    * count) feature table, checkpointed HASH-PARTITIONED on doc_id
+    * ([[graft.ops.SessionScratch.partitionedTransientCheckpoint]]) so
+    * each epoch's two consumers — the per-doc score rollup and the
+    * miss-join — reuse the partitioning instead of re-exchanging the
+    * feature table every round (the Pregel edge-list move). The weight
+    * vector is ≤ [[ClfBuckets]] rows, broadcast into the score join;
+    * per-epoch driver state is two scalars (miss count, |w|₁ — the
+    * KMeans discipline). Epoch count is FIXED.
+    */
+  val q176 = EngineQuery(
+    "q176_classifier_training",
+    (s, dir) => {
+      import s.implicits._
+      import PortableHash.tokens
+      val train = Tables(s, dir).documents
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")
+      val lab = SessionScratch.transientCheckpoint(
+        train.select(col("doc_id"),
+          when(size(tokens(col("text"))) >= LabelMinTokens, 1L)
+            .otherwise(-1L).as("y")))
+      val fx = SessionScratch.partitionedTransientCheckpoint(
+        classifierFeatures(train)
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c")),
+        Seq(col("doc_id")))
+      var w = Seq.empty[(Long, Long)].toDF("b", "w").localCheckpoint()
+      val curve = Seq.newBuilder[(Long, Long, Long)]
+      for (r <- 1 to ClfRounds) {
+        val scores = fx.join(broadcast(w), Seq("b"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+        // materialized: the epoch's miss set is consumed by the delta
+        // agg AND the curve count, and its lazy plan references the
+        // CURRENT weights — which are released the moment the next
+        // epoch's weights exist (counting it lazily afterwards would
+        // read a dead checkpoint)
+        val miss = SessionScratch.transientCheckpoint(
+          lab.join(scores, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("y"),
+              coalesce(col("score"), lit(0L)).as("score"))
+            .filter(col("y") * col("score") <= 0)
+            .select(col("doc_id"), col("y")))
+        val delta = fx.join(miss, Seq("doc_id"))
+          .groupBy(col("b")).agg(sum(col("c") * col("y")).as("w"))
+        val prev = w
+        w = w.unionByName(delta)
+          .groupBy(col("b")).agg(sum(col("w")).as("w"))
+          .localCheckpoint()
+        SessionScratch.releaseCheckpoint(prev)
+        val nm = miss.count()
+        val l1r = w.agg(sum(abs(col("w")))).head()
+        SessionScratch.releaseCheckpoint(miss)
+        curve += ((r.toLong, nm,
+          if (l1r.isNullAt(0)) 0L else l1r.getLong(0)))
+      }
+      SessionScratch.registerTransient(w)
+      curve.result().toDF("round", "n_miss", "w_l1")
+        .orderBy(col("round"))
+    },
+    Some {
+      val bucket = PortableHash.splitDrawSql(
+        PortableHash.charHashSql("source"))
+      val head = s"""WITH train AS MATERIALIZED (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text, $bucket AS bkt FROM documents
+            ) WHERE bkt < 800
+          ), lab AS MATERIALIZED (
+            SELECT doc_id,
+              CASE WHEN len(string_split(trim(text), ' '))
+                     >= $LabelMinTokens
+                THEN 1 ELSE -1 END AS y
+            FROM train
+          ), toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') ws FROM train
+          ), th AS (
+            SELECT doc_id,
+              [coalesce(list_sum([(ascii(w[i])
+                  * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                  % 1000000007
+                  for i in range(1, length(w)+1)]) % 1000000007, 0)
+               for w in ws] AS ths
+            FROM toks WHERE len(ws) >= 2
+          ), fx AS MATERIALIZED (
+            SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT doc_id, UNNEST(list_concat(
+                [t % $ClfBuckets for t in ths],
+                [(${PortableHash.spanHashSql("ths", 2)}) % $ClfBuckets
+                 for i in range(1, len(ths))])) AS b
+              FROM th
+            ) GROUP BY 1, 2
+          ), w0 AS (
+            SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+            WHERE 1 = 0
+          )"""
+      val rounds = (1 to ClfRounds).map { r =>
+        s""", s$r AS MATERIALIZED (
+            SELECT l.doc_id, l.y,
+              CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
+            FROM lab l
+            LEFT JOIN fx f ON f.doc_id = l.doc_id
+            LEFT JOIN w${r - 1} w ON w.b = f.b
+            GROUP BY 1, 2
+          ), m$r AS MATERIALIZED (
+            SELECT doc_id, y FROM s$r WHERE y * score <= 0
+          ), d$r AS (
+            SELECT f.b, CAST(SUM(f.c * m.y) AS BIGINT) AS w
+            FROM fx f JOIN m$r m ON m.doc_id = f.doc_id
+            GROUP BY f.b
+          ), w$r AS MATERIALIZED (
+            SELECT b, CAST(SUM(w) AS BIGINT) AS w FROM (
+              SELECT b, w FROM w${r - 1}
+              UNION ALL SELECT b, w FROM d$r
+            ) GROUP BY b
+          )"""
+      }.mkString
+      val out = (1 to ClfRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+              (SELECT COUNT(*) FROM m$r) AS n_miss,
+              (SELECT CAST(COALESCE(SUM(ABS(w)), 0) AS BIGINT) FROM w$r)
+                AS w_l1"""
+      }.mkString(" UNION ALL ")
+      head + rounds + s" $out ORDER BY round"
+    })
 
   /** Per-source distribution drift vs the corpus reference — the
     * ingest-monitoring operator that catches a source whose content
@@ -657,5 +817,5 @@ object Curation {
             ORDER BY dist2 DESC, d.label"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q59, q64, q157, q158, q168, q170, q171)
+    Seq(q59, q64, q157, q158, q168, q170, q171, q176)
 }

@@ -110,40 +110,18 @@ object GraphRank {
     require(n > 0, "pagerank: empty edge frame")
     val small = n <= broadcastMaxNodes
     // large regime: hash-partition the edge list by `src` ONCE and
-    // checkpoint it with AQE off for that one eager materialization —
-    // localCheckpoint copies executedPlan.outputPartitioning into the
-    // LogicalRDD, but under AQE the pre-execution partitioning is
-    // Unknown (the same reason a persist()ed repartition reads as an
-    // un-partitioned AdaptiveSparkPlan inside InMemoryRelation), which
-    // would silently re-exchange the fact-sized edge blocks EVERY
-    // round. With the partitioning captured, EnsureRequirements sees
+    // checkpoint it with the partitioning CAPTURED
+    // (SessionScratch.partitionedTransientCheckpoint — see its scaladoc
+    // for the AQE mechanics). EnsureRequirements then sees
     // hashpartitioning(src) on the checkpointed scan and each round
     // shuffles only the node-cardinality rank vector — the cached,
     // pre-partitioned edge structure every Pregel implementation keeps.
-    // The conf toggle is serialized on GraphRank (concurrent pagerank
-    // builds would race the save/restore into a stuck value); other
-    // queries planned during this bounded eager materialization would
-    // compile without AQE — the documented cost of capturing the
-    // partitioning, acceptable because the window is one job.
     val edges =
       if (small) {
         if (materialized) weighted
         else SessionScratch.transientCheckpoint(weighted)
-      } else GraphRank.synchronized {
-        val conf = edgesRaw.sparkSession.conf
-        val key = "spark.sql.adaptive.enabled"
-        // getOption/unset round-trip: a caller who never SET the conf
-        // must get the unset state back, not an explicit "true" that
-        // would shadow a later spark-defaults change
-        val saved = conf.getOption(key)
-        conf.set(key, "false")
-        try SessionScratch.transientCheckpoint(
-          weighted.repartition(col("src")))
-        finally saved match {
-          case Some(v) => conf.set(key, v)
-          case None    => conf.unset(key)
-        }
-      }
+      } else SessionScratch.partitionedTransientCheckpoint(
+        weighted, Seq(col("src")))
 
     // ranks is node-cardinality (entities, not facts) — below the
     // threshold, broadcast it into the per-round join so the

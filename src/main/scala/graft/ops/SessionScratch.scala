@@ -126,4 +126,30 @@ object SessionScratch {
     */
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(df)
+
+  /** [[transientCheckpoint]] that CAPTURES a hash partitioning on
+    * `keys`, so iterative consumers (Pregel rounds, training epochs)
+    * see `hashpartitioning(keys)` on the checkpointed scan and never
+    * re-exchange it. AQE is off for the one eager materialization —
+    * under AQE the pre-execution partitioning is Unknown and the
+    * LogicalRDD loses it (the same reason a persisted repartition
+    * reads as un-partitioned inside InMemoryRelation). The conf toggle
+    * is serialized here (concurrent callers would race the
+    * save/restore into a stuck value); unrelated queries planned
+    * during the bounded materialization window compile without AQE —
+    * the documented cost of capturing the partitioning.
+    */
+  def partitionedTransientCheckpoint(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = synchronized {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val saved = conf.getOption(key)
+    conf.set(key, "false")
+    try transientCheckpoint(df.repartition(keys: _*))
+    finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
 }

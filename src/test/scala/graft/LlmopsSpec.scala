@@ -761,6 +761,29 @@ class LlmopsSpec extends SparkTestBase {
       .map(r => r.toString).toSeq)
   }
 
+  test("q176 classifier training: epoch-0 identity, learning, determinism") {
+    val out = Curation.q176.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (1L to Curation.ClfRounds).toSeq)
+    val nTrain = Tables(spark, sfDir).documents
+      .filter(graft.llmops.Sampling.groupSplit(col("source")) === "train")
+      .count()
+    // round 1 scores under w=0 are all zero, and y·0 <= 0 for every
+    // label — the whole train split is misclassified by definition
+    assert(out.head._2 == nTrain,
+      s"round-1 misses ${out.head._2} != |train| $nTrain")
+    // every epoch's miss count is bounded by the train split, and the
+    // perceptron learned SOMETHING: later epochs beat epoch 1
+    out.foreach { case (_, nm, l1) =>
+      assert(nm <= nTrain && l1 >= 0) }
+    assert(out.last._2 < out.head._2)
+    assert(out.head._3 > 0, "round-1 update left all weights zero")
+    // fixed data + fixed rounds => bit-identical rerun
+    val again = Curation.q176.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("q170 drift: TV bounds, partition of the corpus, planted shift ranks first") {
     val out = Curation.q170.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

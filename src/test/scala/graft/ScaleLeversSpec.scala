@@ -102,4 +102,26 @@ class ScaleLeversSpec extends SparkTestBase {
     assert(reordered.exists(_.contains("cbo_tiny")),
       s"CBO should join the selective tiny dim first, got: $reordered")
   }
+
+  test("partitioned checkpoint survives as hashpartitioning for consumers") {
+    import spark.implicits._
+    // the Pregel/epoch lever behind q159's large regime and q176's
+    // feature table: a checkpoint taken through
+    // partitionedTransientCheckpoint must carry hashpartitioning(k), so
+    // a downstream groupBy(k) needs NO exchange — a plain checkpoint of
+    // the same repartition (under AQE) loses the partitioning and
+    // re-shuffles every consumer
+    val df = spark.range(10000L)
+      .select((col("id") % 100).as("k"), col("id").as("v"))
+    val part = graft.ops.SessionScratch
+      .partitionedTransientCheckpoint(df, Seq(col("k")))
+    val agg = part.groupBy(col("k")).agg(sum(col("v")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(k"),
+      s"groupBy over the partitioned checkpoint re-exchanged:\n$plan")
+    // and the values are intact
+    assert(agg.agg(sum(col("s"))).head().getLong(0) ==
+      (0L until 10000L).sum)
+    graft.ops.SessionScratch.evictTransients()
+  }
 }
