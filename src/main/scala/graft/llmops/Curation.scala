@@ -394,10 +394,11 @@ object Curation {
     * harness composition).
     */
   def classifierScores(docs: DataFrame): DataFrame = {
-    import PortableHash.P
-    val B = ClfBuckets
-    val weights = docs.sparkSession.range(0, B).select(col("id").as("b"),
-      (((col("id") + 1) * lit(2654435761L)) % P % 2001L - 1000L).as("wt"))
+    // the model table IS the distillation teacher — one definition
+    // (teacherWeights), so q168 inference and the q176/q177 teacher
+    // cannot silently desynchronize
+    val weights = teacherWeights(docs.sparkSession)
+      .withColumnRenamed("tw", "wt")
     val feats = classifierFeatures(docs)
     feats.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
@@ -532,28 +533,42 @@ object Curation {
   def trainClassifier(s: org.apache.spark.sql.SparkSession,
       dir: String): ClfTrained =
     SessionScratch.memo("clf_train", s.sparkContext.applicationId, dir) {
-      import s.implicits._
-      import PortableHash.tokens
-      val train = Tables(s, dir).documents
+      trainClassifierOn(s, Tables(s, dir).documents
         .withColumn("split", Sampling.groupSplit(col("source")))
-        .filter(col("split") === "train")
+        .filter(col("split") === "train"))
+    }
+
+  /** The UNmemoized loop over an arbitrary train frame — public so the
+    * determinism spec can re-execute training for real (a rerun through
+    * [[trainClassifier]] just returns the memo's cached curve, which
+    * can never disagree with itself).
+    */
+  def trainClassifierOn(s: org.apache.spark.sql.SparkSession,
+      train: DataFrame): ClfTrained = {
+      import s.implicits._
       // augmented input: every doc carries a constant BIAS feature at
-      // bucket id ClfBuckets (one past the hash range). Without it a
-      // homogeneous linear form cannot represent a threshold concept —
-      // the weak label IS one ("token count >= K"), and the first
-      // bias-free draft oscillated at ~45% training error with an
-      // all-negative held-out model (measured). With the bias the
-      // concept is exactly representable (uniform positive weights +
-      // negative bias). Featureless (<2-token) docs still get the bias
-      // row, so they are classifiable rather than pinned to score 0.
-      val fx = SessionScratch.partitionedTransientCheckpoint(
+      // bucket id ClfBuckets (one past the hash range) — the standard
+      // augmented-input intercept. The teacher itself is homogeneous,
+      // but the MarginMin filter skews the labeled class balance and
+      // the intercept lets the student absorb that shift; featureless
+      // (<2-token) docs still get the bias row, so they are
+      // classifiable rather than pinned to score 0.
+      val fxAll = SessionScratch.transientCheckpoint(
         classifierFeatures(train)
           .unionByName(train.select(col("doc_id"),
             lit(ClfBuckets).as("b")))
-          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c")),
-        Seq(col("doc_id")))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c")))
       // labels come off the SAME feature table (one corpus scan total)
-      val lab = SessionScratch.transientCheckpoint(teacherLabels(fx))
+      val lab = SessionScratch.transientCheckpoint(teacherLabels(fxAll))
+      // epochs iterate ONLY the margin-confident labeled docs (~half
+      // the mass survives the filter) — scoring the dropped docs every
+      // epoch would be wasted work the oracle never does (its s_r
+      // starts FROM lab)
+      val fx = SessionScratch.partitionedTransientCheckpoint(
+        fxAll.join(lab.select(col("doc_id")), Seq("doc_id"),
+          "left_semi"),
+        Seq(col("doc_id")))
+      SessionScratch.releaseCheckpoint(fxAll)
       var w = Seq.empty[(Long, Long)].toDF("b", "w").localCheckpoint()
       val curve = Seq.newBuilder[(Long, Long, Long)]
       for (r <- 1 to ClfRounds) {

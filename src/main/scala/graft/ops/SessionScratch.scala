@@ -135,13 +135,18 @@ object SessionScratch {
     * LogicalRDD loses it (the same reason a persisted repartition
     * reads as un-partitioned inside InMemoryRelation). The conf toggle
     * is serialized here (concurrent callers would race the
-    * save/restore into a stuck value); unrelated queries planned
-    * during the bounded materialization window compile without AQE —
+    * save/restore into a stuck value) on a DEDICATED lock — the
+    * SessionScratch object monitor also guards memo(), whose bodies
+    * run multi-second ingests, and sharing it would serialize this
+    * bounded toggle behind whole training runs; unrelated queries
+    * planned during the materialization window compile without AQE —
     * the documented cost of capturing the partitioning.
     */
+  private val aqeToggleLock = new Object
+
   def partitionedTransientCheckpoint(df: org.apache.spark.sql.DataFrame,
       keys: Seq[org.apache.spark.sql.Column])
-      : org.apache.spark.sql.DataFrame = synchronized {
+      : org.apache.spark.sql.DataFrame = aqeToggleLock.synchronized {
     val conf = df.sparkSession.conf
     val key = "spark.sql.adaptive.enabled"
     val saved = conf.getOption(key)

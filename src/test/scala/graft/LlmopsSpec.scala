@@ -781,10 +781,15 @@ class LlmopsSpec extends SparkTestBase {
     assert(out.last._2 * 4 < out.head._2,
       s"no convergence: ${out.map(_._2).mkString(",")}")
     assert(out.head._3 > 0, "round-1 update left all weights zero")
-    // fixed data + fixed rounds => bit-identical rerun
-    val again = Curation.q176.run(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(again.toSeq == out.toSeq)
+    // fixed data + fixed rounds => bit-identical rerun. Through the
+    // UNmemoized loop — a rerun through the gate query just returns
+    // the memo's cached curve, which can never disagree with itself
+    val again = Curation.trainClassifierOn(spark,
+      Tables(spark, sfDir).documents
+        .withColumn("split",
+          graft.llmops.Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")).curve
+    assert(again == out.toSeq)
   }
 
   test("q177 distillation fidelity: confusion identity, generalization") {
