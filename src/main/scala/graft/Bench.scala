@@ -94,7 +94,11 @@ object Bench {
       sentinels(pass) = sentinel()
       timed.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count()
+        // withEvictionDiagnostics: a query that retains a transient
+        // checkpoint across evictions fails here with a descriptive
+        // contract-violation error instead of a bare block-not-found
+        try ops.SessionScratch.withEvictionDiagnostics(
+          q.run(spark, sfDir).count())
         catch { case e: Throwable =>
           ok(i) = false
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

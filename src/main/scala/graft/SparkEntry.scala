@@ -20,6 +20,7 @@ object SparkEntry {
       graft.llmops.Similarity.all ++
       graft.llmops.TextAnalysis.all ++ graft.llmops.Sampling.all ++
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
+      graft.llmops.CurationDag.all ++
       graft.llmops.Bpe.all ++
       graft.llmops.UnigramLm.all ++
       graft.llmops.Multimodal.all ++

@@ -9,9 +9,14 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
+    // SPARK_GRAFT_CPUS lets steady-state numbers be taken at the SAME
+    // parallelism as the driver's bench (4 cpus) — comparing a
+    // local[32] TimeQ reading against a 4-cpu marathon sample is
+    // apples-to-oranges (the r8 q159 "residual" investigation)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,7 +27,8 @@ object TimeQ {
     names.foreach { n =>
       (1 to 3).foreach { rep =>
         val t0 = System.nanoTime()
-        val c = byName(n).run(spark, sfDir).count()
+        val c = ops.SessionScratch.withEvictionDiagnostics(
+          byName(n).run(spark, sfDir).count())
         println(f"[timeq] $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
         ops.SessionScratch.evictTransients()
       }

@@ -264,28 +264,34 @@ object Bpe {
     * tokenizer team reads to compare vocabularies across data sources.
     * Per-word token count is pure string arithmetic on the delimited
     * form (symbols = ␟␟-boundaries + 1); the corpus side is one
-    * (source, word) hash-agg joined to the vocab-bounded encoding table
-    * (broadcast — the table is true-vocabulary-sized at any corpus
-    * scale, the same boundedness argument as q157's DSIR weight table).
-    * The join cannot drop rows here BY CONSTRUCTION — the vocab was
-    * trained on this same corpus, so every corpus word is in it; for
-    * text the vocab has never seen, use [[q173]]'s merge-application
-    * encoder.
+    * (source, word) hash-agg, then the [[Rounds]] merges applied as a
+    * chained-replace PROJECTION ([[encodeWord]] — the q173 encoder).
+    * An earlier form encoded via an inner join against the trained
+    * vocab table, which was correct ONLY by the same-corpus
+    * construction (an unseen word would silently vanish from the
+    * fertility denominator); routing this gate through the
+    * merge-application encoder removes that OOV-dropout bug class
+    * entirely — BpeSpec proves the encoder reproduces the trained
+    * vocabulary's symbol sequences exactly on the training corpus, so
+    * the gate's values are unchanged. Zero joins anywhere: the whole
+    * encode is codegen'd string arithmetic over the Zipf-bounded
+    * (source, word) aggregate.
     */
   val q167 = EngineQuery(
     "q167_bpe_encode_fertility",
     (s, dir) => {
-      val enc = train(s, dir).vocab
-        .select(col("word"), expr(
-          "(length(s) - length(replace(s, concat(char(31), char(31)), '')))" +
-            " div 2 + 1").as("n_toks"))
+      val merges = train(s, dir).merges
       val words = Tables(s, dir).documents
         .select(col("source"),
           explode(split(lower(col("text")), WordSplitRe)).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("source"), col("word"))
         .agg(count(lit(1)).as("n"))
-      words.join(broadcast(enc), Seq("word"))
+      words
+        .withColumn("es", encodeWord(col("word"), merges))
+        .withColumn("n_toks", expr(
+          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+            "''))) div 2 + 1"))
         .groupBy(col("source"))
         .agg(sum(col("n")).as("n_words"),
           sum(col("n") * col("n_toks")).as("n_tokens"),

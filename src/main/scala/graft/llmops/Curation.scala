@@ -543,9 +543,13 @@ object Curation {
     * [[trainClassifier]] just returns the memo's cached curve, which
     * can never disagree with itself).
     */
-  def trainClassifierOn(s: org.apache.spark.sql.SparkSession,
-      train: DataFrame): ClfTrained = {
-      import s.implicits._
+  /** The shared training-data prep: augmented feature table
+    * (checkpointed HASH-PARTITIONED on doc_id) + confident teacher
+    * labels — extracted so the plan audit can probe one epoch's exact
+    * plan shape ([[epochPlanProbe]]) without running all
+    * [[ClfRounds]] epochs.
+    */
+  private def clfPrep(train: DataFrame): (DataFrame, DataFrame) = {
       // augmented input: every doc carries a constant BIAS feature at
       // bucket id ClfBuckets (one past the hash range) — the standard
       // augmented-input intercept. The teacher itself is homogeneous,
@@ -569,6 +573,45 @@ object Curation {
           "left_semi"),
         Seq(col("doc_id")))
       SessionScratch.releaseCheckpoint(fxAll)
+      (fx, lab)
+  }
+
+  /** One epoch's (scores, delta) frames UNEXECUTED over the real
+    * checkpointed feature table, with the teacher weight table standing
+    * in for the epoch's weights (same 4096-row broadcast shape) — the
+    * ExplainAudit hook proving the scale claims of q176's loop as plan
+    * assertions: the score rollup reuses the checkpoint's doc_id hash
+    * partitioning (no exchange between the scan and the aggregate), the
+    * weight join is broadcast, and the miss-join's fx side never
+    * re-exchanges.
+    */
+  private[graft] def epochPlanProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val train = Tables(s, dir).documents
+      .withColumn("split", Sampling.groupSplit(col("source")))
+      .filter(col("split") === "train")
+    val (fx, lab) = clfPrep(train)
+    val w = teacherWeights(s).withColumnRenamed("tw", "w")
+    val scores = fx.join(broadcast(w), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+    // the miss set materializes exactly as in the training loop, so the
+    // delta plan below is the loop's real second consumer
+    val miss = SessionScratch.transientCheckpoint(
+      lab.join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("y"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select(col("doc_id"), col("y")))
+    val delta = fx.join(miss, Seq("doc_id"))
+      .groupBy(col("b")).agg(sum(col("c") * col("y")).as("dw"))
+    (scores, delta)
+  }
+
+  def trainClassifierOn(s: org.apache.spark.sql.SparkSession,
+      train: DataFrame): ClfTrained = {
+      import s.implicits._
+      val (fx, lab) = clfPrep(train)
       var w = Seq.empty[(Long, Long)].toDF("b", "w").localCheckpoint()
       val curve = Seq.newBuilder[(Long, Long, Long)]
       for (r <- 1 to ClfRounds) {

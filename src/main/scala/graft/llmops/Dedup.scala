@@ -44,9 +44,17 @@ object Dedup {
     * (incremental dedup of new docs against an existing corpus).
     */
   private[llmops] def bandSignatures(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-      val t = Tables(s, dir)
-      val toks = t.documents
+      dir: String): org.apache.spark.sql.DataFrame =
+    bandSignaturesOf(Tables(s, dir).documents)
+
+  /** The signature pipeline over an ARBITRARY (doc_id, text) frame —
+    * shared by the full-corpus form above and the persisted signature
+    * index ([[DedupIndex]]), whose append path must hash ONLY the
+    * newly-arrived documents.
+    */
+  private[graft] def bandSignaturesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val toks = docs
         .select(col("doc_id"), tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
       val sh = toks.select(col("doc_id"),
@@ -363,29 +371,37 @@ object Dedup {
   /** Incremental (cross-corpus) near-dup: dedup NEW documents against an
     * EXISTING corpus without ever pairing existing×existing — the shape
     * of a daily crawl landing next to a 100 TB corpus. Here "existing"
-    * is even doc_ids and "new" is odd ones; in production the existing
-    * side's band signatures are precomputed and stored, so the per-run
-    * cost is hashing the new docs plus one bucket-bounded join. A new
-    * doc is dropped when it shares >= 4 of 8 band signatures with ANY
-    * existing doc (the q41/q45 threshold).
+    * is even doc_ids and "new" is odd ones, and the existing side's
+    * band signatures are a PERSISTED index artifact ([[DedupIndex]]):
+    * the gate's ingest half builds the signature index ON DISK once
+    * per (session, dir) — hashing only the existing docs, recording
+    * the hash config in a sidecar — and the probe half hashes ONLY the
+    * incoming docs and joins them against the stored index on the
+    * bucket key. A new doc is dropped when it shares >= 4 of 8 band
+    * signatures with ANY existing doc (the q41/q45 threshold).
+    * Maintenance (appending accepted docs' signatures so tomorrow's
+    * crawl dedups against today's survivors) is [[DedupIndex.append]],
+    * proven equivalent to a full rebuild in IndexMaintenanceSpec.
     */
+  private[llmops] def existingDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("dedup_index", app)}/di_$tag"
+    graft.ops.SessionScratch.once("dedup_index", app, dir) {
+      DedupIndex.build(
+        Tables(s, dir).documents.filter(col("doc_id") % 2 === 0), path)
+    }
+    path
+  }
+
   val q46 = EngineQuery(
     "q46_dedup_incremental",
     (s, dir) => {
       val t = Tables(s, dir)
-      val bands = bandSignatures(s, dir)
-      val existing = bands.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("doc_e"), col("band"), col("sig"))
-      val incoming = bands.filter(col("doc_id") % 2 === 1)
-      val dupes = incoming.join(existing, Seq("band", "sig"))
-        .groupBy(col("doc_id"), col("doc_e"))
-        .agg(count(lit(1)).as("n_bands"))
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_id"))
-        .distinct()
-      t.documents
-        .filter(col("doc_id") % 2 === 1)
-        .join(dupes, Seq("doc_id"), "left_anti")
+      val path = existingDedupIndex(s, dir)
+      DedupIndex.probe(t.documents.filter(col("doc_id") % 2 === 1), path)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },

@@ -350,5 +350,76 @@ object Multimodal {
               substr(hx, 64*frame_idx+1, 64) AS frame_hex
             FROM f ORDER BY asset_id, frame_idx"""))
 
-  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153)
+  /** Gate query for the REAL decode path: deterministic binary P6 PPM
+    * images are constructed in-query from doc_id (header text + raster
+    * bytes via hex assembly — `unhex` is the only way to produce
+    * arbitrary 0..255 bytes from SQL), then driven through the SAME
+    * assets → [[decodeFeatures]] plumbing as q71, but with
+    * [[PpmDecoder]] — an actual pixel decoder parsing an actual image
+    * format — in the seam instead of the arithmetic stub. The gate's
+    * width/height come out of the decoder's HEADER PARSE and the
+    * features out of its raster scan, so a mis-assembled header, a
+    * wrong raster length, or a parser bug all hash-mismatch (the
+    * decoder also hard-fails on truncated rasters). The oracle
+    * replays the construction arithmetic — per-channel byte sums over
+    * the same `(doc_id·31 + i) % 256` raster — without ever building
+    * the binary, which is exactly what makes the comparison a proof
+    * that the decode path reads the bytes back correctly.
+    *
+    * Scale shape: identical to q71 — a partition-local mapPartitions
+    * over the binary column, no shuffle, no driver materialization;
+    * payload construction is a pure projection.
+    */
+  val q179 = EngineQuery(
+    "q179_multimodal_ppm_decode",
+    (s, dir) => {
+      val ppm = Tables(s, dir).documents
+        .withColumn("w", expr("4 + doc_id % 13"))
+        .withColumn("h", expr("3 + doc_id % 7"))
+        .select(col("doc_id").as("asset_id"), expr(
+          """unhex(concat(
+               hex(cast(concat('P6\n', cast(w as string), ' ',
+                 cast(h as string), '\n255\n') as binary)),
+               concat_ws('', transform(
+                 sequence(0, cast(w*h*3 - 1 as int)),
+                 i -> lpad(hex((doc_id*31 + i) % 256), 2, '0')))))""")
+          .as("payload"))
+      decodeFeatures(ppm, PpmDecoder)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS asset_id,
+                4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+              FROM documents
+            ), sums AS (
+              SELECT asset_id, w, h,
+                list_sum([(asset_id*31 + i) % 256
+                          for i in range(0, w*h*3, 3)]) AS r,
+                list_sum([(asset_id*31 + i) % 256
+                          for i in range(1, w*h*3, 3)]) AS g,
+                list_sum([(asset_id*31 + i) % 256
+                          for i in range(2, w*h*3, 3)]) AS b,
+                CAST(w*h AS DOUBLE) * 255.0 AS n
+              FROM p
+            )
+            SELECT asset_id, CAST(w AS INT) AS width,
+              CAST(h AS INT) AS height, CAST(1 AS INT) AS n_frames,
+              array_to_string([
+                CAST(CAST(FLOOR(CAST(CAST(r / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(g / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(b / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(
+                  0.299*r/n + 0.587*g/n + 0.114*b/n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
+            FROM sums ORDER BY asset_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179)
 }

@@ -191,10 +191,25 @@ object Similarity {
         col("embedding").as("em"))
     val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
       .toDF("ccell", "ec")
+    ivfSearchOver(
+      t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+      assigned, centDf)
+  }
+
+  /** The IVF probe+search tail over an arbitrary (qid, eq) query set,
+    * a (member_id, cell, em) assignment table, and a (ccell, ec)
+    * centroid table — shared by the in-session trained form above and
+    * the PERSISTED index ([[IvfIndex]]), whose assignment table comes
+    * off parquet instead of a fresh training run.
+    */
+  private[llmops] def ivfSearchOver(queries: org.apache.spark.sql.DataFrame,
+      assigned: org.apache.spark.sql.DataFrame,
+      centDf: org.apache.spark.sql.DataFrame,
+      nprobe: Int = 2, topk: Int = 8): org.apache.spark.sql.DataFrame = {
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("cdot").desc, col("ccell"))
-    val probes = t.embeddings.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val probes = queries
       .crossJoin(broadcast(centDf))
       // rank on the exact int64 fdot (like the oracle's BIGINT ORDER
       // BY) — the double form collapses distinct dots at dims >~ 91
@@ -202,7 +217,7 @@ object Similarity {
         graft.functions.VectorDot.fixedDotSum(
           col("eq").cast("array<double>"), col("ec")).as("cdot"))
       .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= nprobe)
       .select(col("qid"), col("eq"), col("ccell").as("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("member_id"))
@@ -211,7 +226,7 @@ object Similarity {
       .select(col("qid"), col("member_id"),
         exactDot(col("eq"), col("em")).as("sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 8)
+      .filter(col("rn") <= topk)
       .select(col("qid"), col("member_id").as("cid"), col("sim"),
         col("rn"))
       .orderBy(col("qid"), col("rn"))

@@ -78,6 +78,22 @@ object UnigramLm {
     */
   val CntCap = 1L << 36
 
+  // The DP packs (score, split) into ONE int64 cell as `score*32 + i`
+  // and relies on three inequalities that are only true for the current
+  // constants; editing any of MaxWord/MaxPiece/Big/CntCap without
+  // re-checking them would silently corrupt the packed argmin (and the
+  // oracle equivalence) rather than fail. Tie them together statically:
+  //  - the split point i < MaxWord must fit the low 5 bits (÷32 packing);
+  //  - piece-count must dominate the count sum: a segmentation with
+  //    fewer pieces must always win, i.e. MaxWord·CntCap < Big;
+  //  - the packed value must not overflow: worst score ≈ MaxWord·Big,
+  //    times 32 for the packing, must stay under Long.MaxValue.
+  require(MaxWord <= 32, "DP packing: split point must fit 5 bits")
+  require(MaxWord.toLong * CntCap < Big,
+    "DP objective: piece-count term must dominate any capped count sum")
+  require(MaxWord.toLong * Big <= Long.MaxValue / 32,
+    "DP packing: score*32 must not overflow int64")
+
   /** Capped word-frequency table of a documents frame: Unicode letter
     * runs (the [[Bpe.WordSplitRe]] segmentation), truncated to
     * [[MaxWord]] chars, re-aggregated.
@@ -100,14 +116,23 @@ object UnigramLm {
             l -> substring(word, i, l))))""")).as("piece"))
 
   /** Seed vocabulary: top-[[SeedTopK]] substrings by weighted count
-    * plus every single character (coverage floor).
+    * plus every single character (coverage floor). Returns an
+    * already-localCheckpointed frame: the seed aggregate feeds BOTH
+    * union branches, so it is materialized once (without this the full
+    * substring explode-and-aggregate ran twice per call — the same
+    * re-run cost the chars checkpoint in [[trainOn]] avoids), and its
+    * blocks are released as soon as the combined result materializes.
     */
   private[graft] def seedVocab(words: DataFrame): DataFrame = {
     val seed = subPieces(words)
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-    seed.orderBy(col("cnt").desc, col("piece")).limit(SeedTopK)
+      .localCheckpoint()
+    val out = seed.orderBy(col("cnt").desc, col("piece")).limit(SeedTopK)
       .unionByName(seed.filter(length(col("piece")) === 1))
       .distinct()
+      .localCheckpoint()
+    SessionScratch.releaseCheckpoint(seed)
+    out
   }
 
   /** One hard-EM E-step: Viterbi-segment every word under `vocab`
@@ -200,7 +225,9 @@ object UnigramLm {
     */
   def trainOn(wordsRaw: DataFrame): DataFrame = {
     var words = wordsRaw.localCheckpoint()
-    var vocab = seedVocab(words).localCheckpoint()
+    // seedVocab returns its own checkpoint (it must materialize to
+    // release the internal seed aggregate) — no second checkpoint here
+    var vocab = seedVocab(words)
     // the single-char floor, read off the already-materialized seed
     // vocab (a second seedVocab call would re-run the whole substring
     // explode-and-aggregate); checkpointed because `vocab` is released

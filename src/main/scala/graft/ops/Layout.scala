@@ -337,13 +337,25 @@ object Layout {
       .drop("zv")
       .write.mode(mode).parquet(path)
     if (mode == "overwrite") {
+      // the sidecar write is ATOMIC (write-to-temp + rename): a crash
+      // between the parquet overwrite and a direct sidecar write would
+      // leave a layout zorderMaintain can never maintain — with the
+      // rename, the sidecar either exists complete or not at all, and
+      // recordedBounds reports the missing-sidecar case descriptively
       val conf = rows.sparkSession.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path, "_zorder_bounds")
-      val out = p.getFileSystem(conf).create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"._zorder_bounds.tmp.${java.util.UUID.randomUUID()}")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(tmp, true)
       try out.write(
         s"${bounds._1},${bounds._2},${bounds._3},${bounds._4}"
           .getBytes("UTF-8"))
       finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"zorderWrite: failed to publish bounds sidecar at $p")
     }
   }
 
@@ -352,7 +364,16 @@ object Layout {
       path: String): (Long, Long, Long, Long) = {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path, "_zorder_bounds")
-    val in = p.getFileSystem(conf).open(p)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"Z-order layout at $path has no _zorder_bounds sidecar — the " +
+          "layout was not created by zorderWrite(overwrite) or its " +
+          "initial ingest did not complete. Incremental maintenance " +
+          "cannot proceed without the recorded normalization bounds " +
+          "(re-deriving them would put old and new files on " +
+          "incomparable curves); rebuild the layout from scratch.")
+    val in = fs.open(p)
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -115,7 +115,11 @@ object SessionScratch {
     */
   def evictTransients(): Unit = {
     var r = transients.poll()
-    while (r != null) { r.unpersist(blocking = true); r = transients.poll() }
+    while (r != null) {
+      evictedIds.add(r.id)
+      r.unpersist(blocking = true)
+      r = transients.poll()
+    }
   }
 
   /** Immediately release one superseded localCheckpointed frame — for
@@ -124,37 +128,89 @@ object SessionScratch {
     * sets). Keeps resident checkpoint storage at one round, not the
     * whole history.
     */
-  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    org.apache.spark.sql.graftbridge.CheckpointBridge.checkpointRdd(df)
+      .foreach(r => evictedIds.add(r.id))
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(df)
+  }
 
   /** [[transientCheckpoint]] that CAPTURES a hash partitioning on
     * `keys`, so iterative consumers (Pregel rounds, training epochs)
     * see `hashpartitioning(keys)` on the checkpointed scan and never
-    * re-exchange it. AQE is off for the one eager materialization —
+    * re-exchange it. AQE must be off for the one eager materialization —
     * under AQE the pre-execution partitioning is Unknown and the
     * LogicalRDD loses it (the same reason a persisted repartition
-    * reads as un-partitioned inside InMemoryRelation). The conf toggle
-    * is serialized here (concurrent callers would race the
-    * save/restore into a stuck value) on a DEDICATED lock — the
-    * SessionScratch object monitor also guards memo(), whose bodies
-    * run multi-second ingests, and sharing it would serialize this
-    * bounded toggle behind whole training runs; unrelated queries
-    * planned during the materialization window compile without AQE —
-    * the documented cost of capturing the partitioning.
+    * reads as un-partitioned inside InMemoryRelation). The toggle is
+    * SCOPED to a session clone: the repartition+checkpoint plans under
+    * a cloned session whose conf has AQE disabled, so the shared
+    * session's conf is never mutated and queries planned concurrently
+    * keep AQE (previously this toggled the shared conf and anything
+    * planned in the window silently compiled without AQE). The
+    * materialized LogicalRDD — which carries the captured partitioning
+    * — is re-rooted back into the caller's session before returning.
     */
-  private val aqeToggleLock = new Object
-
   def partitionedTransientCheckpoint(df: org.apache.spark.sql.DataFrame,
       keys: Seq[org.apache.spark.sql.Column])
-      : org.apache.spark.sql.DataFrame = aqeToggleLock.synchronized {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val saved = conf.getOption(key)
-    conf.set(key, "false")
-    try transientCheckpoint(df.repartition(keys: _*))
-    finally saved match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val orig = df.sparkSession
+    val scoped = CheckpointBridge.cloneWithConf(orig,
+      "spark.sql.adaptive.enabled" -> "false")
+    val ck = CheckpointBridge.inSession(scoped, df)
+      .repartition(keys: _*).localCheckpoint()
+    val out = CheckpointBridge.inSession(orig, ck)
+    registerTransient(out)
+    out
+  }
+
+  // ---- eviction diagnostics --------------------------------------------
+  //
+  // A frame that escapes its query and is read after evictTransients
+  // fails deep inside Spark with "Checkpoint block rdd_N_i not found!" —
+  // technically correct (lineage is truncated; the blocks were the only
+  // copy) but useless for diagnosing WHICH contract was violated. The
+  // ledger remembers every RDD id it released so the harness can turn
+  // that failure into a descriptive contract-violation error.
+
+  private val evictedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private val BlockIdRe = "rdd_(\\d+)_".r
+
+  /** If `e` (or any cause) is a missing-checkpoint-block failure whose
+    * RDD id this ledger evicted, a descriptive explanation of the
+    * contract violation; None for unrelated failures.
+    */
+  def explainEvictionFailure(e: Throwable): Option[String] = {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    msgs.collectFirst {
+      case m if m.contains("not found") &&
+        BlockIdRe.findFirstMatchIn(m)
+          .exists(g => evictedIds.contains(g.group(1).toInt)) =>
+        val id = BlockIdRe.findFirstMatchIn(m).get.group(1)
+        s"TRANSIENT CHECKPOINT REUSED AFTER EVICTION: rdd_$id was a " +
+          "transient checkpoint released by SessionScratch.evictTransients " +
+          "(or releaseCheckpoint). Frames built on transientCheckpoint " +
+          "are valid only until the harness finishes consuming the " +
+          "query's result — a consumer retained this frame across " +
+          "queries. Fix: fully materialize (collect/write) before " +
+          "eviction, or use a memoized (non-transient) checkpoint for " +
+          "cross-query state."
     }
   }
+
+  /** Run `body`, rethrowing any missing-evicted-block failure wrapped
+    * in a descriptive contract-violation error — used by the harness
+    * mains so lifecycle violations fail loudly and explainably.
+    */
+  def withEvictionDiagnostics[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        explainEvictionFailure(e) match {
+          case Some(msg) => throw new IllegalStateException(msg, e)
+          case None      => throw e
+        }
+    }
 }

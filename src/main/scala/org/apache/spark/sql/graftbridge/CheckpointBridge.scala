@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bridge to the pinned RDD behind a `localCheckpoint()`ed DataFrame.
@@ -35,4 +36,29 @@ object CheckpointBridge {
     */
   def release(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** A session clone sharing the context and current conf, with the
+    * given overrides applied to the CLONE only — the scoping mechanism
+    * for conf toggles that must not leak to queries planned concurrently
+    * on the shared session (`cloneSession` is private[sql]; living in
+    * this package resolves it, same as `queryExecution` above).
+    */
+  def cloneWithConf(spark: SparkSession, kv: (String, String)*)
+      : SparkSession = spark match {
+    case s: ClassicSparkSession =>
+      val c = s.cloneSession()
+      kv.foreach { case (k, v) => c.conf.set(k, v) }
+      c
+    case other => other
+  }
+
+  /** Re-root a DataFrame's logical plan under another session (of the
+    * same context), so it plans/executes under THAT session's conf.
+    */
+  def inSession(spark: SparkSession, df: DataFrame): DataFrame =
+    (spark, df) match {
+      case (s: ClassicSparkSession, d: ClassicDataset[_]) =>
+        ClassicDataset.ofRows(s, d.queryExecution.logical)
+      case _ => df
+    }
 }

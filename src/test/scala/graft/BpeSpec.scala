@@ -157,6 +157,27 @@ class BpeSpec extends SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("q167 encode path: chained-replace equals the trained vocab on " +
+    "the full fixture corpus, and the gate plans zero joins") {
+    // the proof the q167 rewire rests on: for every word the training
+    // saw, applying the merges in rank order reproduces the trained
+    // symbol sequence exactly — so replacing the old vocab inner join
+    // with encodeWord cannot change a single gate value, while removing
+    // the OOV-dropout bug class (an unseen word now encodes instead of
+    // silently vanishing from the fertility denominator)
+    val tr = Bpe.train(spark, sfDir)
+    val diff = tr.vocab
+      .select(col("word"), col("s"),
+        Bpe.encodeWord(col("word"), tr.merges).as("s2"))
+      .filter(col("s") =!= col("s2"))
+      .count()
+    assert(diff == 0L, "encodeWord diverged from the trained vocabulary")
+    // and the encode really is a pure projection now — no join anywhere
+    val plan = Bpe.q167.run(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), s"q167 should be join-free:\n$plan")
+  }
+
   test("q173: held-out fertility covers only non-train sources") {
     val rows = Bpe.q173.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Dedup, DedupIndex, IvfIndex, KMeans}
+
+/** Proofs for the persisted incremental index artifacts
+  * (llmops/IndexMaintenance.scala) — the BucketingSpec discipline
+  * applied to the dedup signature index and the IVF index:
+  * build + append + maintain must answer the probe identically to a
+  * full rebuild, touching only the delta, with base files untouched.
+  */
+class IndexMaintenanceSpec extends SparkTestBase {
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_idx_${tag}_").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  /** (name, length) of every data file under a directory — mtime is
+    * not compared (filesystems vary); identity of name+length across
+    * an append is the "base files untouched" witness.
+    */
+  private def dataFiles(dir: String): Set[(String, Long)] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Set.empty
+    else fs.filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(f => f.getName -> f.length()).toSet
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ---- dedup signature index -------------------------------------------
+
+  test("DedupIndex: build+probe answers q46's incremental dedup exactly") {
+    val path = freshDir("dedup")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val got = DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // independent recompute of the same semantics without the index:
+    // full self-join signatures, new×existing band matches >= 4
+    val bands = Dedup.bandSignaturesOf(docs)
+    val existing = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("doc_e"), col("band"), col("sig"))
+    val dropped = bands.filter(col("doc_id") % 2 === 1)
+      .join(existing, Seq("band", "sig"))
+      .groupBy(col("doc_id"), col("doc_e"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 4)
+      .select(col("doc_id")).distinct()
+    val want = docs.filter(col("doc_id") % 2 === 1)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    assert(got.length < 250, "fixture should drop at least one dup")
+  }
+
+  test("DedupIndex: append == full rebuild over the accepted corpus, " +
+    "base files untouched, only survivors' signatures added") {
+    val maintained = freshDir("dedup_m")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    DedupIndex.build(even, maintained)
+    val baseFiles = dataFiles(s"$maintained/signatures")
+
+    val survivors = DedupIndex.append(odd, maintained)
+    val survivorIds = survivors.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+
+    // base parquet files byte-identical (same name+length), new files
+    // appended — maintenance never rewrites the base index
+    val afterFiles = dataFiles(s"$maintained/signatures")
+    assert(baseFiles.subsetOf(afterFiles),
+      "append must not rewrite or remove base index files")
+    assert(afterFiles.size > baseFiles.size,
+      "append must add new signature files")
+
+    // maintained index == index REBUILT from scratch over the accepted
+    // corpus (even ∪ odd-survivors): identical (doc_id, band, sig) sets
+    val rebuilt = freshDir("dedup_r")
+    DedupIndex.build(
+      even.unionByName(odd.join(
+        survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")),
+      rebuilt)
+    val a = DedupIndex.signatures(spark, maintained)
+    val b = DedupIndex.signatures(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "maintained index must equal a full rebuild row-for-row")
+
+    // and only SURVIVOR signatures were appended (dropped docs never
+    // enter the index)
+    val indexedIds = a.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val evenIds = even.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // docs with < 3 tokens produce no signatures; compare against the
+    // signature-producing subset
+    assert(indexedIds.subsetOf(evenIds ++ survivorIds))
+    assert(indexedIds.intersect(survivorIds).nonEmpty)
+    graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("DedupIndex: a second wave probes identically on maintained vs " +
+    "rebuilt index") {
+    val maintained = freshDir("dedup_w2m")
+    val rebuilt = freshDir("dedup_w2r")
+    // wave structure by doc_id % 3: base=0, wave1=1, wave2=2
+    DedupIndex.build(docs.filter(col("doc_id") % 3 === 0), maintained)
+    val s1 = DedupIndex.append(docs.filter(col("doc_id") % 3 === 1),
+      maintained)
+    DedupIndex.build(
+      docs.filter(col("doc_id") % 3 === 0).unionByName(
+        docs.filter(col("doc_id") % 3 === 1).join(
+          s1.select(col("doc_id")), Seq("doc_id"), "left_semi")),
+      rebuilt)
+    val wave2 = docs.filter(col("doc_id") % 3 === 2)
+    val pm = DedupIndex.probe(wave2, maintained).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val pr = DedupIndex.probe(wave2, rebuilt).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(pm.sameElements(pr))
+    graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("DedupIndex: probe hashes ONLY the new docs — the plan's single " +
+    "parquet scan is the stored index") {
+    val path = freshDir("dedup_plan")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    // new docs arrive as an in-memory frame, so any parquet scan in the
+    // probe plan can only be the index: exactly one, and it is the
+    // signatures table — the existing corpus is never re-shingled
+    val newDocs = spark.createDataFrame(Seq(
+      (100001L, "completely novel text never seen before in the corpus"),
+      (100002L, "another brand new arrival with its own words")
+    )).toDF("doc_id", "text")
+    val plan = DedupIndex.probe(newDocs, path)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"probe must scan only the index parquet:\n$plan")
+    assert(plan.contains("signatures"))
+  }
+
+  test("DedupIndex: config sidecar guards against mixed-recipe appends") {
+    val path = freshDir("dedup_cfg")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    // tamper: a foreign config must fail descriptively
+    graft.llmops.IndexMaintenance.writeSidecar(spark, path,
+      "_dedup_index_config", "minhash=32;bands=16;v=99")
+    val e = intercept[IllegalStateException] {
+      DedupIndex.probe(docs.limit(1), path).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // missing sidecar (crashed initial ingest) fails descriptively too
+    val bare = freshDir("dedup_bare")
+    spark.range(1).toDF("x").write.parquet(s"$bare/signatures")
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.signatures(spark, bare)
+    }
+    assert(e2.getMessage.contains("sidecar"))
+  }
+
+  // ---- IVF index -------------------------------------------------------
+
+  /** Exact top-k neighbor ids per query by fixed-point cosine — the
+    * ground truth for recall.
+    */
+  private def exactTopK(queries: Seq[Long], k: Int): Map[Long, Set[Long]] = {
+    val q = embs.filter(col("vec_id").isin(queries: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("ec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.llmops.PortableHash.exactDot(col("eq"), col("ec"))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+  }
+
+  private def recallOf(path: String, queries: Seq[Long],
+      truth: Map[Long, Set[Long]]): Double = {
+    val q = embs.filter(col("vec_id").isin(queries: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val got = IvfIndex.search(q, path).select(col("qid"), col("cid"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    val hits = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size }.sum
+    hits.toDouble / truth.map(_._2.size).sum
+  }
+
+  test("IvfIndex: maintained (build even + append odd) matches the " +
+    "rebuilt index's recall within the floor; no retrain on append") {
+    val maintained = freshDir("ivf_m")
+    val rebuilt = freshDir("ivf_r")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), maintained, k = 4)
+    val centBefore = dataFiles(s"$maintained/centroids")
+    val asgBefore = dataFiles(s"$maintained/assignments")
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), maintained)
+    // append must not retrain (centroid files untouched) and must not
+    // rewrite base assignment files
+    assert(dataFiles(s"$maintained/centroids") == centBefore,
+      "append must never retrain or rewrite centroids")
+    assert(asgBefore.subsetOf(dataFiles(s"$maintained/assignments")))
+
+    IvfIndex.build(embs, rebuilt, k = 4)
+    // every vector present exactly once in both assignment tables
+    val n = embs.count()
+    assert(spark.read.parquet(s"$maintained/assignments")
+      .select(col("member_id")).distinct().count() == n)
+    assert(spark.read.parquet(s"$rebuilt/assignments")
+      .select(col("member_id")).distinct().count() == n)
+
+    val queries = (10L until 20L).toSeq
+    val truth = exactTopK(queries, 8)
+    val rm = recallOf(maintained, queries, truth)
+    val rr = recallOf(rebuilt, queries, truth)
+    info(f"recall@8 maintained=$rm%.3f rebuilt=$rr%.3f")
+    assert(rm >= 0.5, s"maintained-index recall floor: $rm")
+    assert(rm >= rr - 0.15,
+      s"maintained recall ($rm) must track the rebuilt index ($rr)")
+  }
+
+  test("IvfIndex: config sidecar guards k / recipe changes") {
+    val path = freshDir("ivf_cfg")
+    IvfIndex.build(embs.filter(col("vec_id") < 100), path, k = 4)
+    graft.llmops.IndexMaintenance.writeSidecar(spark, path,
+      "_ivf_index_config", "kind=ivf-spherical-kmeans;k=16;v=0")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(embs.filter(col("vec_id") >= 100), path)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+}
