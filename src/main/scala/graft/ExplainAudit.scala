@@ -36,7 +36,8 @@ object ExplainAudit {
     "q169_knn_hamming", "q170_distribution_drift",
     "q171_embedding_drift", "q173_bpe_heldout_fertility",
     "q174_unigram_lm_vocab", "q175_unigram_heldout_fertility",
-    "q177_classifier_holdout_eval")
+    "q177_classifier_holdout_eval", "q178_curation_pipeline",
+    "q179_multimodal_ppm_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -480,6 +481,26 @@ object ExplainAudit {
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("BroadcastHashJoin") &&
           !p.contains("CartesianProduct")
+      }),
+      ("q178 composed curation DAG: the executed gate plan scans ZERO " +
+        "parquet — the survivor checkpoint (the single stage boundary) " +
+        "feeds BOTH the split assignment and the classifier feature " +
+        "explode; the 4096-row weight table joins by broadcast and the " +
+        "split⋈scores rejoin is the only exchange-bearing join", {
+        val p = planOf(spark, byName, sfDir, "q178_curation_pipeline")
+        !p.contains("Scan parquet") &&
+          "Scan ExistingRDD".r.findAllIn(p).nonEmpty &&
+          p.contains("BroadcastHashJoin") && p.contains("LeftOuter") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q179 real-decode PPM gate: the decode seam is per-partition " +
+        "imperative code over (asset_id, payload) rows — the post-" +
+        "decode plan is a pure projection + the determinism sort over " +
+        "the seam's ExistingRDD scan, with no join, no cartesian, and " +
+        "no aggregation (channel means come out of the decoder itself)", {
+        val p = planOf(spark, byName, sfDir, "q179_multimodal_ppm_decode")
+        p.contains("Scan ExistingRDD") && !p.contains("Join") &&
+          !p.contains("CartesianProduct") && !p.contains("HashAggregate")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -46,7 +46,10 @@ object ScaleTpch {
       .parquet(s"$dir/orders.parquet")
     shifted(l, "l_orderkey").write.mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
-    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+    // dims byte-copied unchanged; events/documents/embeddings copied
+    // too so Tables can resolve every path it may probe eagerly
+    Seq("customer", "supplier", "part", "nation", "region",
+        "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
