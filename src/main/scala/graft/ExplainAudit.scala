@@ -37,7 +37,8 @@ object ExplainAudit {
     "q171_embedding_drift", "q173_bpe_heldout_fertility",
     "q174_unigram_lm_vocab", "q175_unigram_heldout_fertility",
     "q177_classifier_holdout_eval", "q178_curation_pipeline",
-    "q179_multimodal_ppm_decode")
+    "q179_multimodal_ppm_decode", "q180_knn_ivf_persisted",
+    "q181_curation_pipeline_tokenized", "q182_multimodal_frames_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -491,6 +492,40 @@ object ExplainAudit {
         !p.contains("Scan parquet") &&
           "Scan ExistingRDD".r.findAllIn(p).nonEmpty &&
           p.contains("BroadcastHashJoin") && p.contains("LeftOuter") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q181 curate-then-tokenize DAG: the executed gate plan scans " +
+        "ZERO parquet (the survivor checkpoint feeds split, scoring, " +
+        "AND the tokenizer stage; BPE training is memoized ingest), the " +
+        "encode is a chained-replace projection (replace( in-plan, no " +
+        "vocab join), classifier weights join by broadcast, no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q181_curation_pipeline_tokenized")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("replace(") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q182 multi-frame real-decode gate: like q179, the decode seam " +
+        "is per-partition imperative code — the post-decode plan is a " +
+        "pure projection + determinism sort over the seam's ExistingRDD " +
+        "scan, with no join and no aggregation (frame directory, " +
+        "geometry, and cross-frame channel means all come out of the " +
+        "container parser)", {
+        val p = planOf(spark, byName, sfDir,
+          "q182_multimodal_frames_decode")
+        p.contains("Scan ExistingRDD") && !p.contains("Join") &&
+          !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q180 persisted-IVF search reads its candidates off the INDEX " +
+        "parquet: the plan's two parquet scans are the vec_id<10 query " +
+        "fetch (filter pushed to the scan) and the index assignment " +
+        "table — the corpus embeddings are never re-assigned at query " +
+        "time (centroids are a k-bounded driver read, not a plan node), " +
+        "and the probe join shuffles on the cell key, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q180_knn_ivf_persisted")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
+          p.contains("assignments") &&
+          p.contains("LessThan(vec_id,10)") &&
           !p.contains("CartesianProduct")
       }),
       ("q179 real-decode PPM gate: the decode seam is per-partition " +

@@ -197,7 +197,7 @@ object Bpe {
     * twice (pair counting and the next replace), so without it DuckDB's
     * CTE inlining doubles the expression tree per round.
     */
-  private def oracleChainBody(docsRel: String): String = {
+  private[llmops] def oracleChainBody(docsRel: String): String = {
     val header = s"""wf AS MATERIALIZED (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))

@@ -105,5 +105,168 @@ object CurationDag {
            GROUP BY s.split ORDER BY s.split"""
     })
 
-  val all: Seq[EngineQuery] = Seq(q178)
+  /** BPE merges trained on the DAG's survivor TRAIN split — stage 4's
+    * ingest half, memoized per (app, dir) like [[Bpe.heldoutTrain]].
+    * The memo recomputes the survivor set itself (dedup resolution is
+    * deterministic, so it equals the gate's transient boundary
+    * checkpoint row-for-row) — the gate query never re-trains.
+    */
+  private def dagTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): Bpe.Trained =
+    SessionScratch.memo("bpe_train_dag", s.sparkContext.applicationId,
+      dir) {
+      val losers = Dedup.minhashPairs(s, dir)
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      val trainDocs = Tables(s, dir).documents
+        .join(losers, Seq("doc_id"), "left_anti")
+        .filter(Sampling.groupSplit(col("source")) === "train")
+        .select(col("text"))
+      Bpe.trainOn(Bpe.wordFreqOf(trainDocs), Bpe.Rounds)
+    }
+
+  /** The DAG extended through the TOKENIZER stage (round-9 verdict #5):
+    * dedup → split → score → BPE-encode, the full curate-then-tokenize
+    * chain a training-data pipeline executes before packing. Stage 4
+    * applies the merge table TRAINED ON THE SURVIVOR TRAIN SPLIT
+    * (memoized ingest, like q173's held-out training) to the train-split
+    * survivors via [[Bpe.encodeWord]] — a chained-replace projection
+    * over the SAME survivor checkpoint the split and scoring stages
+    * read, so the executed gate plan still scans ZERO parquet (PLANS.md
+    * asserts it). Output: one row per train source with corpus size,
+    * teacher-keep count, and the tokenizer fertility readout.
+    *
+    * The oracle replays all four stages over shared CTEs: the q41 pair
+    * space, q45's greedy resolution, q172's split rule, q168's exact
+    * integer scoring, and the full 12-round BPE training + encode on
+    * the survivor train split (training corpus == encoded corpus, so
+    * the w12 vocab join is exact — the same-corpus construction q167's
+    * oracle uses).
+    */
+  val q181 = EngineQuery(
+    "q181_curation_pipeline_tokenized",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val merges = dagTrain(s, dir).merges
+      // STAGE 1 — dedup survivors, the single materialized boundary
+      val losers = Dedup.minhashPairs(s, dir)
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      val survivors = SessionScratch.transientCheckpoint(
+        t.documents.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("text")))
+      // STAGE 2 — split assignment (pure projection over the boundary)
+      val train = survivors
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")
+      // STAGE 3 — quality scoring over the SAME boundary
+      val scored = Curation.classifierScores(survivors)
+      val perSource = train.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      // STAGE 4 — tokenizer application: encode the train-split corpus
+      // with the survivor-trained merges (chained-replace projection,
+      // zero joins in the encode) and roll up fertility per source
+      val words = train
+        .select(col("source"),
+          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val fert = words
+        .withColumn("es", Bpe.encodeWord(col("word"), merges))
+        .withColumn("n_toks", expr(
+          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+            "''))) div 2 + 1"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_toks")).as("n_tokens"))
+      perSource.join(fert, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") /
+            col("n_words").cast("double")).as("tokens_per_word"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val B = Curation.ClfBuckets
+      val bucket = PortableHash.splitDrawSql(
+        PortableHash.charHashSql("source"))
+      Dedup.minhashPairsCtes + s"""
+         , losers AS (
+             SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
+           ), surv AS MATERIALIZED (
+             SELECT d.doc_id, d.source, d.text
+             FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+           ), spl AS (
+             SELECT doc_id, source,
+               CASE WHEN bkt < 800 THEN 'train'
+                    WHEN bkt < 900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, source, $bucket AS bkt FROM surv)
+           ), tdocs AS MATERIALIZED (
+             SELECT s.doc_id, s.source, s.text
+             FROM surv s JOIN spl p ON s.doc_id = p.doc_id
+             WHERE p.split = 'train'
+           ), cw AS (
+             SELECT p AS b,
+               ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS wt
+             FROM (SELECT UNNEST(range(0, $B)) p)
+           ), stoks AS (
+             SELECT doc_id, string_split(trim(text), ' ') ws FROM surv
+           ), sth AS (
+             SELECT doc_id,
+               [coalesce(list_sum([(ascii(w[i])
+                   * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                   % 1000000007
+                   for i in range(1, length(w)+1)]) % 1000000007, 0)
+                for w in ws] AS ths
+             FROM stoks WHERE len(ws) >= 2
+           ), sfeats AS (
+             SELECT doc_id, UNNEST(list_concat(
+               [t % $B for t in ths],
+               [(${PortableHash.spanHashSql("ths", 2)}) % $B
+                for i in range(1, len(ths))])) AS b
+             FROM sth
+           ), sscored AS (
+             SELECT f.doc_id, CAST(SUM(cw.wt) AS BIGINT) AS w_sum
+             FROM sfeats f JOIN cw ON f.b = cw.b
+             GROUP BY f.doc_id
+           ), psrc AS (
+             SELECT t.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN sc.w_sum >= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_keep
+             FROM tdocs t LEFT JOIN sscored sc ON t.doc_id = sc.doc_id
+             GROUP BY t.source
+           ), ${Bpe.oracleChainBody("tdocs")}, enc AS MATERIALIZED (
+             SELECT word,
+               (length(s) - length(replace(s, chr(31) || chr(31), ''))) // 2
+                 + 1 AS n_toks
+             FROM w${Bpe.Rounds}
+           ), dw AS (
+             SELECT source, word, COUNT(*) AS n FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
+                   AS word
+               FROM tdocs
+             ) WHERE word <> '' GROUP BY 1, 2
+           ), fert AS (
+             SELECT d.source,
+               CAST(SUM(d.n) AS BIGINT) AS n_words,
+               CAST(SUM(d.n * e.n_toks) AS BIGINT) AS n_tokens
+             FROM dw d JOIN enc e ON d.word = e.word
+             GROUP BY d.source
+           )
+           SELECT p.source, p.n_docs, p.n_keep, f.n_words, f.n_tokens,
+             CAST(f.n_tokens AS DOUBLE) / CAST(f.n_words AS DOUBLE)
+               AS tokens_per_word
+           FROM psrc p JOIN fert f ON p.source = f.source
+           ORDER BY p.source"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q178, q181)
 }

@@ -45,7 +45,11 @@ object IndexMaintenance {
 
   /** Atomic sidecar publish: write-to-temp + rename (the
     * Layout.zorderWrite discipline) — the sidecar either exists
-    * complete or not at all.
+    * complete or not at all. The rename is an overwrite-capable
+    * FileContext rename, so RE-publishing over an existing sidecar is
+    * one atomic replace too (a delete-then-rename would open a crash
+    * window where the index has valid data but no sidecar, forcing a
+    * spurious full rebuild).
     */
   private[graft] def writeSidecar(s: SparkSession, dir: String,
       name: String, content: String): Unit = {
@@ -57,10 +61,9 @@ object IndexMaintenance {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(
-        s"IndexMaintenance: failed to publish sidecar $name at $dir")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[graft] def readSidecar(s: SparkSession, dir: String,
@@ -97,11 +100,117 @@ object IndexMaintenance {
             "the current config.")
       case _ => ()
     }
+
+  // ---- manifested data-file store ----------------------------------------
+  //
+  // `write.mode("append").parquet(dir)` has no commit marker: a crash
+  // mid-append leaves partial part-files that a later directory read
+  // silently absorbs — for the dedup index that means over-dropping
+  // every future doc that collides with a torn signature row. The fix
+  // is the zorder-sidecar discipline applied to the FILE SET: a
+  // manifest sidecar atomically records the exact (name, length) set
+  // that constitutes the store (plus which generation directory holds
+  // it), appends publish the manifest only AFTER their parquet write,
+  // and every read first verifies listing == manifest — so a torn
+  // append (or a torn compaction) is DETECTED and reported as
+  // rebuild-required, never silently read.
+  //
+  // The generation token exists for compaction: rewriting many small
+  // appended files into few cannot be atomic inside one directory, so
+  // compact() writes generation N+1 as a fresh directory and the
+  // manifest publish IS the atomic swap; the superseded generation is
+  // deleted best-effort afterwards (a crash between the two leaves
+  // only unreferenced garbage, never a half-swapped store).
+
+  /** (name, length) of every data file directly under `dir`. */
+  private[llmops] def listDataFiles(s: SparkSession, dir: String)
+      : Set[(String, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> st.getLen).toSet
+  }
+
+  /** Record `subdir`'s CURRENT data-file set as the store's contents —
+    * the atomic commit point of an append or a compaction swap.
+    */
+  private[llmops] def publishManifest(s: SparkSession, path: String,
+      name: String, subdir: String): Unit = {
+    val files = listDataFiles(s, s"$path/$subdir")
+    val body = (s"dir=$subdir" +:
+      files.toSeq.sorted.map { case (n, l) => s"$n:$l" }).mkString("\n")
+    writeSidecar(s, path, name, body)
+  }
+
+  /** Verify listing == manifest and return the absolute data directory
+    * of the current generation. Descriptive failures for a missing
+    * manifest, a torn append (unlisted files present), and lost files.
+    */
+  private[llmops] def verifiedDir(s: SparkSession, path: String,
+      name: String, what: String): String = {
+    val m = readSidecar(s, path, name).getOrElse(
+      throw new IllegalStateException(
+        s"$what at $path has no $name manifest — the store was not " +
+          "created by build() or its initial ingest did not complete; " +
+          "rebuild the index."))
+    val lines = m.trim.split("\n").toSeq
+    val subdir = lines.head.stripPrefix("dir=")
+    val recorded = lines.tail.filter(_.nonEmpty).map { ln =>
+      val i = ln.lastIndexOf(':')
+      (ln.substring(0, i), ln.substring(i + 1).toLong)
+    }.toSet
+    val actual = listDataFiles(s, s"$path/$subdir")
+    if (actual != recorded) {
+      val extra = (actual -- recorded).map(_._1).toSeq.sorted
+      val missing = (recorded -- actual).map(_._1).toSeq.sorted
+      throw new IllegalStateException(
+        s"$what at $path fails manifest verification: " +
+          (if (extra.nonEmpty)
+            s"${extra.size} file(s) present but not committed " +
+              s"(torn append? e.g. ${extra.take(3).mkString(", ")}) "
+          else "") +
+          (if (missing.nonEmpty)
+            s"${missing.size} committed file(s) missing or resized " +
+              s"(e.g. ${missing.take(3).mkString(", ")}) "
+          else "") +
+          "— reading would return wrong rows; rebuild the index.")
+    }
+    s"$path/$subdir"
+  }
+
+  /** Compact the manifested store under its RECORDED config: rewrite
+    * the current generation's many appended files into ~targetBytes
+    * files in generation N+1 (delegating the sizing + round-robin
+    * rewrite to [[graft.etl.Compaction]]), atomically swap via the
+    * manifest publish, then best-effort delete the old generation.
+    * Returns (filesBefore, filesAfter).
+    */
+  private[llmops] def compactStore(s: SparkSession, path: String,
+      name: String, what: String, targetBytes: Long): (Int, Int) = {
+    val cur = verifiedDir(s, path, name, what)
+    val curSub = cur.substring(path.length + 1)
+    val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
+      .map(_.group(1).toInt).getOrElse(0)
+    val base = "-g(\\d+)$".r.replaceAllIn(curSub, "")
+    val nextSub = s"$base-g${gen + 1}"
+    val before = listDataFiles(s, cur).size
+    graft.etl.Compaction.compact(s, cur, s"$path/$nextSub", targetBytes)
+    publishManifest(s, path, name, nextSub)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+    (before, listDataFiles(s, s"$path/$nextSub").size)
+  }
 }
 
 /** The persisted MinHash-LSH signature index behind incremental dedup
   * (q46's operational form). Layout at `path`:
-  * `signatures/` (doc_id, band, sig) parquet + `_dedup_index_config`.
+  * `signatures-g<N>/` (doc_id, band, sig) parquet (current generation
+  * named by `_dedup_index_manifest`) + `_dedup_index_config`.
   */
 object DedupIndex {
 
@@ -118,25 +227,34 @@ object DedupIndex {
   /** Band-match floor for "duplicate" — the q41/q45/q46 threshold. */
   val MatchBands = 4
 
-  private def sigDir(path: String) = s"$path/signatures"
+  private val ManifestName = "_dedup_index_manifest"
+  private val What = "Dedup signature index"
 
-  /** Initial build: signatures of the accepted corpus + config sidecar.
-    * One corpus scan (the q41 signature pipeline), written
-    * hash-distributed on the LSH bucket key so probe joins read
-    * co-bucketed files.
+  /** The manifest-verified current data directory (spec/harness use). */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+
+  /** Initial build: signatures of the accepted corpus, then the
+    * manifest (committing the file set), then the config sidecar (the
+    * "ingest complete" marker) — a crash anywhere mid-build reads as
+    * missing-sidecar, never as a silently short index.
     */
   def build(docs: DataFrame, path: String): Unit = {
     val s = docs.sparkSession
     Dedup.bandSignaturesOf(docs)
-      .write.mode("overwrite").parquet(sigDir(path))
+      .write.mode("overwrite").parquet(s"$path/signatures-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      "signatures-g0")
     IndexMaintenance.writeSidecar(s, path, "_dedup_index_config", Config)
   }
 
-  /** The stored signature table (config-verified). */
+  /** The stored signature table (config- AND manifest-verified: a torn
+    * append fails descriptively here instead of being read).
+    */
   def signatures(s: SparkSession, path: String): DataFrame = {
     IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
-      Config, "Dedup signature index")
-    s.read.parquet(sigDir(path))
+      Config, What)
+    s.read.parquet(dataDir(s, path))
   }
 
   /** READ-ONLY probe: the rows of `newDocs` that survive dedup against
@@ -155,9 +273,13 @@ object DedupIndex {
     val s = newDocs.sparkSession
     val idx = signatures(s, path)
       .select(col("doc_id").as("doc_e"), col("band"), col("sig"))
+    // count DISTINCT bands, not join rows: a healthy index has one row
+    // per (doc, band), but a replayed append could leave duplicate
+    // signature rows, and a plain count would then inflate a 2-band
+    // overlap past the >=MatchBands threshold (false drop)
     val dropped = newSigs.join(idx, Seq("band", "sig"))
       .groupBy(col("doc_id"), col("doc_e"))
-      .agg(count(lit(1)).as("n_bands"))
+      .agg(count_distinct(col("band")).as("n_bands"))
       .filter(col("n_bands") >= MatchBands)
       .select(col("doc_id"))
       .distinct()
@@ -173,20 +295,46 @@ object DedupIndex {
     * rewritten.
     */
   def append(newDocs: DataFrame, path: String): DataFrame = {
+    val s = newDocs.sparkSession
     val newSigs = SessionScratch.transientCheckpoint(
       Dedup.bandSignaturesOf(newDocs))
     val survivors = SessionScratch.transientCheckpoint(
       probeWithSigs(newDocs, newSigs, path))
+    // the probe above verified the manifest; resolve the committed
+    // generation once, append the survivors' signatures into it, then
+    // publish the widened manifest — the COMMIT of this append. A crash
+    // between the parquet write and the publish leaves uncommitted
+    // part-files that the next read rejects descriptively.
+    val cur = dataDir(s, path)
     newSigs.join(survivors.select(col("doc_id")), Seq("doc_id"),
         "left_semi")
-      .write.mode("append").parquet(sigDir(path))
+      .write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
     survivors
+  }
+
+  /** Compact the accumulated append files under the RECORDED config
+    * (daily appends otherwise grow the file count forever): rewrite
+    * into ~targetBytes files in the next generation directory, swap
+    * atomically via the manifest, delete the old generation. The probe
+    * answers identically before and after (row set unchanged;
+    * IndexMaintenanceSpec proves it), and the config sidecar — the
+    * signature recipe — is untouched.
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
+      Config, What)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes)
   }
 }
 
 /** The persisted IVF ANN index behind q54's operational form. Layout at
-  * `path`: `centroids/` (cell, centroid) + `assignments/` (member_id,
-  * cell, em) parquet + `_ivf_index_config`.
+  * `path`: `centroids/` (cell, centroid) + `assignments-g<N>/`
+  * (member_id, cell, em) parquet (current generation named by
+  * `_ivf_index_manifest`) + `_ivf_index_config`.
   */
 object IvfIndex {
 
@@ -198,11 +346,18 @@ object IvfIndex {
       "seed=first-k-by-id;v=1"
 
   private def centDir(path: String) = s"$path/centroids"
-  private def asgDir(path: String) = s"$path/assignments"
+  private val ManifestName = "_ivf_index_manifest"
+  private val What = "IVF index"
+
+  /** The manifest-verified current assignment directory. */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
 
   /** Initial build: train k centroids on the corpus (the expensive,
     * corpus-sized step), persist centroids AND the corpus assignment
-    * table, record the config. After this, appends never retrain.
+    * table (manifested, so torn appends are detectable), record the
+    * config last — the "ingest complete" marker. After this, appends
+    * never retrain.
     */
   def build(embeddings: DataFrame, path: String, k: Int): Unit = {
     val s = embeddings.sparkSession
@@ -214,23 +369,38 @@ object IvfIndex {
     KMeans.assign(embeddings, cents)
       .select(col("vec_id").as("member_id"), col("cell"),
         col("embedding").as("em"))
-      .write.mode("overwrite").parquet(asgDir(path))
+      .write.mode("overwrite").parquet(s"$path/assignments-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      "assignments-g0")
     IndexMaintenance.writeSidecar(s, path, "_ivf_index_config", config(k))
   }
 
-  /** The recorded centroids (k-bounded collect; config-verified — the
-    * k in the sidecar must match the stored table).
+  /** The recorded centroids (k-bounded collect). Config-verified FIRST:
+    * the sidecar is read and checked before the centroid parquet is
+    * touched, so a missing or half-written index fails with the
+    * descriptive rebuild error, not a raw path/analysis error — and the
+    * expected k comes from the RECORD, which the stored table must then
+    * match (previously k was derived from the stored row count, so a
+    * truncated centroid table would have self-certified).
     */
   def centroids(s: SparkSession, path: String): Seq[KMeans.Centroid] = {
     import s.implicits._
+    val k = IndexMaintenance.readSidecar(s, path, "_ivf_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
+      .getOrElse(0)
+    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
+      config(k), "IVF index")
     val cents = s.read.parquet(centDir(path))
       .select(col("cell"), col("centroid"))
       .as[(Long, Seq[Double])]
       .collect()
       .map { case (cell, v) => KMeans.Centroid(cell, v.toArray) }
       .toSeq
-    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
-      config(cents.size), "IVF index")
+    if (cents.size != k)
+      throw new IllegalStateException(
+        s"IVF index at $path records k=$k in its sidecar but stores " +
+          s"${cents.size} centroids — the centroid table is truncated or " +
+          "foreign; rebuild the index.")
     cents.sortBy(_.cell)
   }
 
@@ -243,10 +413,28 @@ object IvfIndex {
   def append(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
     val cents = centroids(s, path)
+    val cur = dataDir(s, path)
     KMeans.assign(newVecs, cents)
       .select(col("vec_id").as("member_id"), col("cell"),
         col("embedding").as("em"))
-      .write.mode("append").parquet(asgDir(path))
+      .write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
+  }
+
+  /** Compact the accumulated assignment appends (config preserved,
+    * centroids untouched, atomic manifest swap — see
+    * [[DedupIndex.compact]]). Returns (filesBefore, filesAfter).
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    val k = IndexMaintenance.readSidecar(s, path, "_ivf_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
+      .getOrElse(0)
+    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
+      config(k), What)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes)
   }
 
   /** Search the MAINTAINED index: the q54 probe shape (top-`nprobe`
@@ -260,7 +448,7 @@ object IvfIndex {
     import s.implicits._
     val centDf = centroids(s, path)
       .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-    Similarity.ivfSearchOver(queries, s.read.parquet(asgDir(path)),
+    Similarity.ivfSearchOver(queries, s.read.parquet(dataDir(s, path)),
       centDf, nprobe, topk)
   }
 }

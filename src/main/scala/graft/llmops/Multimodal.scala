@@ -126,6 +126,96 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the multi-frame "PV" container — the video-shaped
+    * twin of [[PpmDecoder]] (round-9 verdict #8: q153's frame-sample
+    * path previously gated only on hex-slicing arithmetic). The format
+    * is a frame DIRECTORY plus concatenated P6 PPM frames:
+    *
+    *   `PV\n<n_frames>\n<len_0> <len_1> ... <len_{n-1}>\n<frame bytes…>`
+    *
+    * The decoder parses the directory, slices each frame by its
+    * recorded length, re-parses every frame's own PPM header (all
+    * frames must agree on width/height/maxval — a container contract),
+    * and accumulates EXACT integer channel sums across all rasters;
+    * the feature is the global per-channel mean + Rec.601 luma over
+    * the whole clip, n_frames from the directory. A mis-assembled
+    * directory, a wrong per-frame length, or a header/raster bug all
+    * shift the sums and hash-mismatch the q182 gate.
+    */
+  object PpmFramesDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(payload != null && payload.length >= 2 &&
+        payload(0) == 'P' && payload(1) == 'V', "not a PV container")
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < payload.length && payload(pos).toChar.isWhitespace)
+          pos += 1
+        var v = 0
+        require(pos < payload.length && payload(pos) >= '0' &&
+          payload(pos) <= '9', s"malformed PV directory at byte $pos")
+        while (pos < payload.length && payload(pos) >= '0' &&
+            payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val nFrames = nextInt()
+      require(nFrames > 0, s"PV container with $nFrames frames")
+      val lens = Array.fill(nFrames)(nextInt())
+      pos += 1 // exactly one whitespace byte ends the directory
+      var w = -1; var h = -1; var mv = -1
+      var r = 0L; var g = 0L; var b = 0L
+      lens.foreach { len =>
+        require(payload.length - pos >= len,
+          s"truncated container: frame needs $len bytes, " +
+            s"have ${payload.length - pos}")
+        // per-frame P6 header parse (same grammar as PpmDecoder)
+        val end = pos + len
+        require(end - pos >= 2 && payload(pos) == 'P' &&
+          payload(pos + 1) == '6', "frame is not a P6 PPM")
+        var fp = pos + 2
+        def frameInt(): Int = {
+          while (fp < end && (payload(fp).toChar.isWhitespace ||
+              payload(fp) == '#')) {
+            if (payload(fp) == '#')
+              while (fp < end && payload(fp) != '\n') fp += 1
+            else fp += 1
+          }
+          var v = 0
+          require(fp < end && payload(fp) >= '0' && payload(fp) <= '9',
+            s"malformed frame header at byte $fp")
+          while (fp < end && payload(fp) >= '0' && payload(fp) <= '9') {
+            v = v * 10 + (payload(fp) - '0'); fp += 1
+          }
+          v
+        }
+        val width = frameInt(); val height = frameInt()
+        val maxval = frameInt()
+        fp += 1
+        if (w < 0) { w = width; h = height; mv = maxval }
+        else require(w == width && h == height && mv == maxval,
+          "container frames disagree on geometry")
+        val need = width * height * 3
+        require(end - fp >= need,
+          s"truncated frame raster: need $need, have ${end - fp}")
+        var i = fp
+        val rEnd = fp + need
+        while (i < rEnd) {
+          r += payload(i) & 0xff
+          g += payload(i + 1) & 0xff
+          b += payload(i + 2) & 0xff
+          i += 3
+        }
+        pos = end
+      }
+      val n = (w.toDouble * h * nFrames) * mv
+      val mr = (r / n).toFloat; val mg = (g / n).toFloat
+      val mb = (b / n).toFloat
+      val luma = (0.299 * r / n + 0.587 * g / n + 0.114 * b / n).toFloat
+      (w, h, nFrames, Array(mr, mg, mb, luma))
+    }
+  }
+
   /** Documents rendered as binary media assets (the fixture set has no
     * real media; text bytes stand in for the payload).
     */
@@ -421,5 +511,89 @@ object Multimodal {
                   * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
             FROM sums ORDER BY asset_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179)
+  /** Gate query for the MULTI-FRAME real decode path (the video-shaped
+    * seam): deterministic PV containers — a frame directory plus
+    * 1..3 concatenated P6 PPM frames per asset — are assembled in-query
+    * from doc_id (header text + per-frame rasters via hex assembly,
+    * frame f's raster byte i = `(doc_id·31 + f·97 + i) % 256`), then
+    * driven through the SAME assets → [[decodeFeatures]] plumbing with
+    * [[PpmFramesDecoder]] in the seam. The gate's width/height come out
+    * of the per-frame HEADER PARSES, n_frames out of the DIRECTORY
+    * parse, and the features out of the cross-frame raster sums — so a
+    * mis-assembled directory, a wrong per-frame length, frame-geometry
+    * drift, or a slicing bug all hash-mismatch. The oracle replays the
+    * construction arithmetic (per-channel integer sums over all frames)
+    * without ever building the binary.
+    *
+    * Scale shape: identical to q179 — payload construction is a pure
+    * projection; decode is a partition-local mapPartitions with no
+    * shuffle and no driver materialization.
+    */
+  val q182 = EngineQuery(
+    "q182_multimodal_frames_decode",
+    (s, dir) => {
+      val pv = Tables(s, dir).documents
+        .withColumn("w", expr("3 + doc_id % 5"))
+        .withColumn("h", expr("2 + doc_id % 4"))
+        .withColumn("nf", expr("1 + doc_id % 3"))
+        .withColumn("flen", expr(
+          """length(concat('P6\n', cast(w as string), ' ',
+               cast(h as string), '\n255\n')) + w*h*3"""))
+        .select(col("doc_id").as("asset_id"), expr(
+          """unhex(concat(
+               hex(cast(concat('PV\n', cast(nf as string), '\n',
+                 concat_ws(' ', transform(sequence(1, cast(nf as int)),
+                   f -> cast(flen as string))), '\n') as binary)),
+               concat_ws('', transform(
+                 sequence(0, cast(nf - 1 as int)),
+                 f -> concat(
+                   hex(cast(concat('P6\n', cast(w as string), ' ',
+                     cast(h as string), '\n255\n') as binary)),
+                   concat_ws('', transform(
+                     sequence(0, cast(w*h*3 - 1 as int)),
+                     i -> lpad(hex((doc_id*31 + f*97 + i) % 256),
+                       2, '0'))))))))""")
+          .as("payload"))
+      decodeFeatures(pv, PpmFramesDecoder)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS asset_id,
+                3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                1 + doc_id % 3 AS nf
+              FROM documents
+            ), sums AS (
+              SELECT asset_id, w, h, nf,
+                list_sum([list_sum([(asset_id*31 + f*97 + i) % 256
+                          for i in range(0, w*h*3, 3)])
+                          for f in range(0, nf)]) AS r,
+                list_sum([list_sum([(asset_id*31 + f*97 + i) % 256
+                          for i in range(1, w*h*3, 3)])
+                          for f in range(0, nf)]) AS g,
+                list_sum([list_sum([(asset_id*31 + f*97 + i) % 256
+                          for i in range(2, w*h*3, 3)])
+                          for f in range(0, nf)]) AS b,
+                CAST(w*h*nf AS DOUBLE) * 255.0 AS n
+              FROM p
+            )
+            SELECT asset_id, CAST(w AS INT) AS width,
+              CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
+              array_to_string([
+                CAST(CAST(FLOOR(CAST(CAST(r / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(g / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(b / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(
+                  0.299*r/n + 0.587*g/n + 0.114*b/n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
+            FROM sums ORDER BY asset_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179, q182)
 }

@@ -271,7 +271,7 @@ object Similarity {
     (s, dir) => ivfTrained(s, dir, k = 16),
     Some(kmeansTrainCtes(16) + ivfProbeTailSql))
 
-  /** Shared oracle prefix for q52/q53/q54: replays KMeans.fit(k,
+  /** Shared oracle prefix for q52/q53/q54/q180: replays KMeans.fit(k,
     * iters=2) in unrolled SQL — seed = first k vectors; per iteration:
     * exact int64 fixed-point dot argmax (tie → smaller cell),
     * fixed-point means, fixed-point renormalization; empty cells keep
@@ -279,8 +279,15 @@ object Similarity {
     * exact integer arithmetic or a bit-specified IEEE double op, so the
     * trained centroids — and everything derived from them — are
     * bit-identical across engines (KMeans.scala determinism contract).
+    *
+    * `trainPred` restricts TRAINING (seed selection + the per-iteration
+    * assignments feeding the means) to a vec_id subset; the FINAL
+    * assignment (d3/a3) always covers every vector — that is q180's
+    * persisted-index shape, where the index is built on the existing
+    * corpus and later arrivals are assigned under the recorded
+    * centroids without retraining.
     */
-  private def kmeansTrainCtes(k: Int): String =
+  private def kmeansTrainCtes(k: Int, trainPred: String = "TRUE"): String =
     s"""WITH ex AS (
          SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
            generate_subscripts(embedding, 1) pos
@@ -288,7 +295,8 @@ object Similarity {
        ), seed AS (
          SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)
+         FROM (SELECT vec_id FROM embeddings WHERE $trainPred
+               ORDER BY vec_id LIMIT $k)
        ), c0 AS (
          SELECT s.cell, e.pos, e.v AS c
          FROM seed s JOIN ex e ON e.vec_id = s.vec_id
@@ -297,6 +305,7 @@ object Similarity {
            SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
              * CAST(FLOOR(c.c*10000000.0) AS BIGINT)) AS fdot
          FROM ex e JOIN c0 c ON e.pos = c.pos
+         WHERE $trainPred
          GROUP BY 1, 2
        ), a1 AS (
          SELECT vec_id, cell FROM (
@@ -327,6 +336,7 @@ object Similarity {
            SUM(CAST(FLOOR(e.v*10000000.0) AS BIGINT)
              * CAST(FLOOR(c.c*10000000.0) AS BIGINT)) AS fdot
          FROM ex e JOIN c1 c ON e.pos = c.pos
+         WHERE $trainPred
          GROUP BY 1, 2
        ), a2 AS (
          SELECT vec_id, cell FROM (
@@ -392,6 +402,51 @@ object Similarity {
     "q54_knn_ivf_trained",
     (s, dir) => ivfTrained(s, dir, k = 4),
     Some(kmeansTrainCtes(4) + ivfProbeTailSql))
+
+  /** The PERSISTED index built+maintained once per (session, dir) —
+    * q180's ingest half, the `existingDedupIndex` pattern
+    * (Dedup.scala): train on the even-id half (the "existing corpus"),
+    * then APPEND the odd-id half as the arriving delta — assigned under
+    * the RECORDED centroids, no retrain. The gate query then exercises
+    * [[IvfIndex.search]], the maintained-index read path.
+    */
+  private[llmops] def existingIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivf_index", app)}/ivf_$tag"
+    graft.ops.SessionScratch.once("ivf_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+    }
+    path
+  }
+
+  /** IVF ANN over the PERSISTED, MAINTAINED index (q54's operational
+    * form; round-9 verdict #1): centroids trained on the even half
+    * only, odd half appended under the recorded centroids (the FAISS
+    * train-then-add contract), and the SEARCH reads the assignment
+    * table off the index parquet — the corpus embeddings are never
+    * re-assigned at query time. The oracle replays training restricted
+    * to the even half (`trainPred`), assigns EVERY vector under the
+    * final centroids (build-assign ∪ append-assign ≡ one assignment
+    * pass, because append uses the recorded centroids), and probes
+    * identically to q54 — so a drifted append (retrained centroids,
+    * missed vectors, double-assigned vectors) hash-mismatches.
+    */
+  val q180 = EngineQuery(
+    "q180_knn_ivf_persisted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfProbeTailSql))
 
   /** Int8-quantized ANN — the memory-side scale lever: symmetric
     * per-vector quantization (scale = 127/max|v|, code = floor(v·scale))
@@ -827,5 +882,5 @@ object Similarity {
             ORDER BY qid, rn"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180)
 }

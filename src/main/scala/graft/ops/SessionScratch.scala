@@ -182,7 +182,13 @@ object SessionScratch {
     * contract violation; None for unrelated failures.
     */
   def explainEvictionFailure(e: Throwable): Option[String] = {
-    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+    // bounded walk: a circular cause chain (a cause referencing an
+    // ancestor) must not hang the diagnostics path itself
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    val msgs = Iterator.iterate(e)(_.getCause)
+      .takeWhile(t => t != null && seen.add(t))
+      .take(20)
       .flatMap(t => Option(t.getMessage)).toSeq
     msgs.collectFirst {
       case m if m.contains("not found") &&

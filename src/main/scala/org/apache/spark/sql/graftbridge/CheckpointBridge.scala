@@ -49,7 +49,14 @@ object CheckpointBridge {
       val c = s.cloneSession()
       kv.foreach { case (k, v) => c.conf.set(k, v) }
       c
-    case other => other
+    case other =>
+      // a silent fallthrough here would hand the UN-overridden session
+      // back and partitionedTransientCheckpoint would quietly plan with
+      // AQE on, losing its captured partitioning with no signal
+      throw new IllegalStateException(
+        "CheckpointBridge.cloneWithConf: cannot scope conf overrides " +
+          s"on a non-classic SparkSession (${other.getClass.getName}); " +
+          "the caller's conf-dependent contract would silently degrade.")
   }
 
   /** Re-root a DataFrame's logical plan under another session (of the
@@ -59,6 +66,11 @@ object CheckpointBridge {
     (spark, df) match {
       case (s: ClassicSparkSession, d: ClassicDataset[_]) =>
         ClassicDataset.ofRows(s, d.queryExecution.logical)
-      case _ => df
+      case _ =>
+        throw new IllegalStateException(
+          "CheckpointBridge.inSession: cannot re-root a non-classic " +
+            s"session/frame pair (${spark.getClass.getName}, " +
+            s"${df.getClass.getName}); the frame would silently keep " +
+            "executing under the original session's conf.")
     }
 }

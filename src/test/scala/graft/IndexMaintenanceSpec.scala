@@ -64,7 +64,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val even = docs.filter(col("doc_id") % 2 === 0)
     val odd = docs.filter(col("doc_id") % 2 === 1)
     DedupIndex.build(even, maintained)
-    val baseFiles = dataFiles(s"$maintained/signatures")
+    val baseFiles = dataFiles(DedupIndex.dataDir(spark, maintained))
 
     val survivors = DedupIndex.append(odd, maintained)
     val survivorIds = survivors.select(col("doc_id"))
@@ -72,7 +72,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
 
     // base parquet files byte-identical (same name+length), new files
     // appended — maintenance never rewrites the base index
-    val afterFiles = dataFiles(s"$maintained/signatures")
+    val afterFiles = dataFiles(DedupIndex.dataDir(spark, maintained))
     assert(baseFiles.subsetOf(afterFiles),
       "append must not rewrite or remove base index files")
     assert(afterFiles.size > baseFiles.size,
@@ -206,20 +206,20 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val rebuilt = freshDir("ivf_r")
     IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), maintained, k = 4)
     val centBefore = dataFiles(s"$maintained/centroids")
-    val asgBefore = dataFiles(s"$maintained/assignments")
+    val asgBefore = dataFiles(IvfIndex.dataDir(spark, maintained))
     IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), maintained)
     // append must not retrain (centroid files untouched) and must not
     // rewrite base assignment files
     assert(dataFiles(s"$maintained/centroids") == centBefore,
       "append must never retrain or rewrite centroids")
-    assert(asgBefore.subsetOf(dataFiles(s"$maintained/assignments")))
+    assert(asgBefore.subsetOf(dataFiles(IvfIndex.dataDir(spark, maintained))))
 
     IvfIndex.build(embs, rebuilt, k = 4)
     // every vector present exactly once in both assignment tables
     val n = embs.count()
-    assert(spark.read.parquet(s"$maintained/assignments")
+    assert(spark.read.parquet(IvfIndex.dataDir(spark, maintained))
       .select(col("member_id")).distinct().count() == n)
-    assert(spark.read.parquet(s"$rebuilt/assignments")
+    assert(spark.read.parquet(IvfIndex.dataDir(spark, rebuilt))
       .select(col("member_id")).distinct().count() == n)
 
     val queries = (10L until 20L).toSeq
@@ -241,5 +241,169 @@ class IndexMaintenanceSpec extends SparkTestBase {
       IvfIndex.append(embs.filter(col("vec_id") >= 100), path)
     }
     assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("IvfIndex: a missing index fails with the descriptive rebuild " +
+    "error BEFORE any parquet read; a truncated centroid table is " +
+    "caught against the recorded k") {
+    // missing index: sidecar check fires first, so the error names the
+    // contract (no raw path/analysis error from the centroids read)
+    val missing = freshDir("ivf_missing")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.centroids(spark, missing)
+    }
+    assert(e.getMessage.contains("sidecar"))
+    // truncated centroids: sidecar records k=4 but the stored table has
+    // fewer rows — must fail descriptively, not self-certify
+    val trunc = freshDir("ivf_trunc")
+    IvfIndex.build(embs.filter(col("vec_id") < 100), trunc, k = 4)
+    spark.read.parquet(s"$trunc/centroids").limit(2)
+      .write.mode("overwrite").parquet(s"$trunc/centroids_cut")
+    // swap in the truncated table
+    val dir = new java.io.File(s"$trunc/centroids")
+    dir.listFiles().foreach(_.delete())
+    new java.io.File(s"$trunc/centroids_cut").listFiles()
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$trunc/centroids/${f.getName}")))
+    val e2 = intercept[IllegalStateException] {
+      IvfIndex.centroids(spark, trunc)
+    }
+    assert(e2.getMessage.contains("rebuild") &&
+      e2.getMessage.contains("k=4"))
+  }
+
+  // ---- crash-atomic append (manifest) + compaction -----------------------
+
+  test("DedupIndex: a torn append (parquet files written, manifest not " +
+    "published) fails the next probe descriptively instead of " +
+    "returning wrong rows") {
+    val path = freshDir("dedup_torn")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val dir = DedupIndex.dataDir(spark, path)
+    // simulate a crash mid-append: a data file lands in the store
+    // without its manifest commit (copy an existing part under a new
+    // uncommitted name — exactly what a killed write.mode("append")
+    // leaves behind)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.probe(docs.limit(5), path).collect()
+    }
+    assert(e.getMessage.contains("not committed") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+    // a LOST committed file is detected too
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    java.nio.file.Files.delete(part.toPath)
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.probe(docs.limit(5), path).collect()
+    }
+    assert(e2.getMessage.contains("missing"), e2.getMessage)
+  }
+
+  test("DedupIndex: compaction under the recorded config — fewer files, " +
+    "probe row-identical, append→compact→append == full rebuild") {
+    val path = freshDir("dedup_cpt")
+    // base + two append waves accumulate small files
+    DedupIndex.build(docs.filter(col("doc_id") % 4 === 0), path)
+    val s1 = DedupIndex.append(docs.filter(col("doc_id") % 4 === 1), path)
+    val s1Ids = s1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    graft.ops.SessionScratch.evictTransients()
+    val s2 = DedupIndex.append(docs.filter(col("doc_id") % 4 === 2), path)
+    val s2Ids = s2.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    graft.ops.SessionScratch.evictTransients()
+    val wave3 = docs.filter(col("doc_id") % 4 === 3)
+    val preSigs = DedupIndex.signatures(spark, path)
+      .collect().map(_.toString).sorted
+    val preProbe = DedupIndex.probe(wave3, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val dirBefore = DedupIndex.dataDir(spark, path)
+
+    val (before, after) = DedupIndex.compact(spark, path,
+      targetBytes = 64L * 1024 * 1024)
+    assert(after < before, s"compaction must reduce files: $before -> $after")
+    // atomic swap: new generation directory, old one gone
+    val dirAfter = DedupIndex.dataDir(spark, path)
+    assert(dirAfter != dirBefore && !new java.io.File(dirBefore).exists())
+    // probe answers identically off the compacted store
+    val postSigs = DedupIndex.signatures(spark, path)
+      .collect().map(_.toString).sorted
+    val postProbe = DedupIndex.probe(wave3, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(postSigs.sameElements(preSigs))
+    assert(postProbe.sameElements(preProbe))
+
+    // the cycle continues: an append AFTER compaction still equals the
+    // index rebuilt from scratch over the whole accepted corpus
+    val s3 = DedupIndex.append(wave3, path)
+    val s3Ids = s3.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val accepted = docs.filter(col("doc_id") % 4 === 0).unionByName(
+      docs.filter(col("doc_id").isin((s1Ids ++ s2Ids ++ s3Ids).toSeq: _*)))
+    val rebuilt = freshDir("dedup_cpt_r")
+    DedupIndex.build(accepted, rebuilt)
+    val a = DedupIndex.signatures(spark, path)
+    val b = DedupIndex.signatures(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "append after compaction must still equal a full rebuild")
+    graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("IvfIndex: torn assignment append is detected; compaction keeps " +
+    "search row-identical with centroids and config untouched") {
+    val path = freshDir("ivf_cpt")
+    IvfIndex.build(embs.filter(col("vec_id") % 3 === 0), path, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 3 === 1), path)
+    IvfIndex.append(embs.filter(col("vec_id") % 3 === 2), path)
+    import spark.implicits._
+    val q = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val pre = IvfIndex.search(q, path).collect().map(_.toString).sorted
+    val centBefore = dataFiles(s"$path/centroids")
+
+    // torn append first: uncommitted file → search must refuse
+    val dir = IvfIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val torn = java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}")
+    java.nio.file.Files.copy(part.toPath, torn)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.search(q, path).collect()
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    java.nio.file.Files.delete(torn)
+
+    val (before, after) = IvfIndex.compact(spark, path)
+    assert(after < before)
+    val post = IvfIndex.search(q, path).collect().map(_.toString).sorted
+    assert(post.sameElements(pre),
+      "search must answer identically off the compacted store")
+    assert(dataFiles(s"$path/centroids") == centBefore,
+      "compaction must never touch centroids")
+    // append still works after compaction and lands in the new generation
+    IvfIndex.append(embs.filter(col("vec_id") === 999999L), path) // empty delta
+    assert(IvfIndex.dataDir(spark, path).contains("-g1"))
+  }
+
+  test("IvfIndex: search plans its candidates off the index parquet — " +
+    "the corpus embeddings are never re-assigned at query time") {
+    val path = freshDir("ivf_plan")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    // queries arrive as an in-memory frame, so any parquet scan in the
+    // search plan can only be index state: exactly one, the assignments
+    // table (centroids are a k-bounded driver read, not a plan node)
+    import spark.implicits._
+    val q = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("qid", "eq")
+    val plan = IvfIndex.search(q, path)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"search must scan only the index parquet:\n$plan")
+    assert(plan.contains("assignments"))
   }
 }

@@ -234,6 +234,73 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("Multimodal decode seam: multi-frame PV container decoder " +
+    "end-to-end") {
+    // build genuine PV containers (frame directory + concatenated P6
+    // PPMs) and drive them through the SAME decodeFeatures seam with
+    // PpmFramesDecoder: n_frames must come from the DIRECTORY parse,
+    // geometry from the per-frame headers, features from exact
+    // cross-frame channel sums
+    def ppm(w: Int, h: Int,
+        px: (Int, Int, Int) => (Int, Int, Int), f: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y, f)
+        val i = (y * w + x) * 3
+        raster(i) = r.toByte; raster(i + 1) = g.toByte
+        raster(i + 2) = b.toByte
+      }
+      header ++ raster
+    }
+    def container(w: Int, h: Int, nf: Int,
+        px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val frames = (0 until nf).map(f => ppm(w, h, px, f))
+      val dir = (s"PV\n$nf\n" + frames.map(_.length).mkString(" ") + "\n")
+        .getBytes("US-ASCII")
+      dir ++ frames.reduce(_ ++ _)
+    }
+    val px = (x: Int, y: Int, f: Int) =>
+      ((x * 11 + f) % 256, (y * 13 + 2 * f) % 256, (x + y + 3 * f) % 256)
+    val clips = Seq((1L, 4, 3, 1), (2L, 5, 2, 3), (3L, 2, 2, 2))
+    val rows = clips.map { case (id, w, h, nf) =>
+      val bytes = container(w, h, nf, px)
+      org.apache.spark.sql.Row(id, "video/x-pv", bytes,
+        bytes.length.toLong, "n/a")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val out = Multimodal.decodeFeatures(df, Multimodal.PpmFramesDecoder)
+      .orderBy(col("asset_id")).collect()
+    assert(out.length == 3)
+    clips.zip(out).foreach { case ((id, w, h, nf), r) =>
+      assert(r.getLong(0) == id && r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == nf, s"n_frames of clip $id")
+      val feat = r.getSeq[Float](4)
+      val pix = for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield px(x, y, f)
+      def mean(c: ((Int, Int, Int)) => Int): Double =
+        pix.map(c).sum.toDouble / (w.toDouble * h * nf * 255)
+      assert(math.abs(feat(0) - mean(_._1)) < 1e-6, s"mean R of clip $id")
+      assert(math.abs(feat(1) - mean(_._2)) < 1e-6, s"mean G of clip $id")
+      assert(math.abs(feat(2) - mean(_._3)) < 1e-6, s"mean B of clip $id")
+    }
+    // a lying directory (frame length short by one) must fail loudly
+    intercept[Exception] {
+      val frames = (0 until 2).map(f => ppm(3, 2, px, f))
+      val dir = (s"PV\n2\n${frames.head.length - 1} " +
+        s"${frames(1).length}\n").getBytes("US-ASCII")
+      Multimodal.PpmFramesDecoder.decode(dir ++ frames.reduce(_ ++ _))
+    }
+    // frames disagreeing on geometry must fail loudly
+    intercept[Exception] {
+      val f1 = ppm(3, 2, px, 0); val f2 = ppm(2, 2, px, 1)
+      val dir = (s"PV\n2\n${f1.length} ${f2.length}\n")
+        .getBytes("US-ASCII")
+      Multimodal.PpmFramesDecoder.decode(dir ++ f1 ++ f2)
+    }
+  }
+
   test("q59 percentile prune: per-source thresholds bind independently") {
     val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))

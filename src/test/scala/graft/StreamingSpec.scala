@@ -540,4 +540,73 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("streaming persisted-index maintenance via foreachBatch == " +
+    "sequential batch appends (DedupIndex as the stream's state)") {
+    // the daily crawl is naturally a stream; DedupIndex.append per
+    // micro-batch is the pipeline-shaped form of q46's maintenance —
+    // the cross-batch state is the ON-DISK index itself (q155's
+    // stream-static pattern with a persisted sink). The twin: N
+    // micro-batch appends must leave an index row-identical to the
+    // same N waves appended in batch mode, with identical survivors —
+    // so batch-2 docs dedup against batch-1 SURVIVORS, across a
+    // stream restart (fresh query per wave, shared checkpoint).
+    import graft.llmops.DedupIndex
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val wave1 = docs.filter(col("doc_id") % 3 === 1)
+    val wave2 = docs.filter(col("doc_id") % 3 === 2)
+
+    // batch side: sequential appends
+    val batchIdx = Files.createTempDirectory("didx_batch").toString
+    DedupIndex.build(base, batchIdx)
+    val sB1 = DedupIndex.append(wave1, batchIdx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+    val sB2 = DedupIndex.append(wave2, batchIdx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+
+    // stream side: same waves as micro-batches through foreachBatch
+    val streamIdx = Files.createTempDirectory("didx_stream").toString
+    DedupIndex.build(base, streamIdx)
+    val inDir = Files.createTempDirectory("didx_in")
+    val survOut = Files.createTempDirectory("didx_surv").toString
+    val ckpt = Files.createTempDirectory("didx_ckpt").toString
+    var batches = 0
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          DedupIndex.append(batch, streamIdx)
+            .write.mode("append").parquet(survOut)
+          graft.ops.SessionScratch.evictTransients()
+          batches += 1
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+    assert(batches == 2, s"expected two micro-batches, saw $batches")
+
+    // index row-identical to the batch twin's
+    val a = DedupIndex.signatures(spark, streamIdx)
+    val b = DedupIndex.signatures(spark, batchIdx)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed index must equal the batch-appended index row-for-row")
+    // survivors identical per wave (wave-1 ids ≡ %3==1, wave-2 ≡ %3==2)
+    val got = spark.read.parquet(survOut).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(got.filter(_ % 3 == 1).sorted.sameElements(sB1))
+    assert(got.filter(_ % 3 == 2).sorted.sameElements(sB2))
+    // and the stream really dropped something (cross-wave dups exist)
+    assert(got.length < wave1.count() + wave2.count())
+  }
 }
