@@ -98,11 +98,30 @@ object ScaleIndex {
       }
       val rebuild = timed(llmops.DedupIndex.build(
         dBase.unionByName(dDelta), s"$root/dedup_rb"))
+      // compaction: the build+append-fragmented store rewrites into
+      // ~64 MB files under the recorded config (atomic generation
+      // swap); probe timed before/after — the claim is that probe cost
+      // never degrades and the file count collapses
+      val probePre = timed {
+        llmops.DedupIndex.probe(dDelta, dPath).count()
+        ops.SessionScratch.evictTransients()
+      }
+      var cFiles = (0, 0)
+      val compactSec = timed {
+        cFiles = llmops.DedupIndex.compact(spark, dPath)
+      }
+      val probePost = timed {
+        llmops.DedupIndex.probe(dDelta, dPath).count()
+        ops.SessionScratch.evictTransients()
+      }
       println(f"""{"index":"dedup_signatures","corpus_scale":$f,""" +
         f""""n_base":$nBase,"n_delta":$nDocDelta,""" +
         f""""build_sec":$build%.2f,"append_delta_sec":$append%.2f,""" +
         f""""rebuild_full_sec":$rebuild%.2f,""" +
-        f""""append_vs_rebuild":${append / rebuild}%.2f}""")
+        f""""append_vs_rebuild":${append / rebuild}%.2f,""" +
+        f""""compact_sec":$compactSec%.2f,""" +
+        f""""files_before":${cFiles._1},"files_after":${cFiles._2},""" +
+        f""""probe_pre_sec":$probePre%.2f,"probe_post_sec":$probePost%.2f}""")
 
       val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
         "vec_id", f, s"$root/embs_base")
@@ -112,11 +131,22 @@ object ScaleIndex {
       val vAppend = timed(llmops.IvfIndex.append(vDelta, vPath))
       val vRebuild = timed(llmops.IvfIndex.build(
         vBase.unionByName(vDelta), s"$root/ivf_rb", k = 16))
+      val vq = vDelta.limit(10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val vProbePre = timed(llmops.IvfIndex.search(vq, vPath).count())
+      var vFiles = (0, 0)
+      val vCompactSec = timed {
+        vFiles = llmops.IvfIndex.compact(spark, vPath)
+      }
+      val vProbePost = timed(llmops.IvfIndex.search(vq, vPath).count())
       println(f"""{"index":"ivf_ann","corpus_scale":$f,""" +
         f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
         f""""build_sec":$vBuild%.2f,"append_delta_sec":$vAppend%.2f,""" +
         f""""rebuild_full_sec":$vRebuild%.2f,""" +
-        f""""append_vs_rebuild":${vAppend / vRebuild}%.2f}""")
+        f""""append_vs_rebuild":${vAppend / vRebuild}%.2f,""" +
+        f""""compact_sec":$vCompactSec%.2f,""" +
+        f""""files_before":${vFiles._1},"files_after":${vFiles._2},""" +
+        f""""search_pre_sec":$vProbePre%.2f,"search_post_sec":$vProbePost%.2f}""")
     }
     spark.stop()
   }
