@@ -38,7 +38,9 @@ object ExplainAudit {
     "q174_unigram_lm_vocab", "q175_unigram_heldout_fertility",
     "q177_classifier_holdout_eval", "q178_curation_pipeline",
     "q179_multimodal_ppm_decode", "q180_knn_ivf_persisted",
-    "q181_curation_pipeline_tokenized", "q182_multimodal_frames_decode")
+    "q181_curation_pipeline_tokenized", "q182_multimodal_frames_decode",
+    "q183_multimodal_real_resize", "q184_bm25_persisted_index",
+    "q185_curation_pipeline_packed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -515,6 +517,37 @@ object ExplainAudit {
           "q182_multimodal_frames_decode")
         p.contains("Scan ExistingRDD") && !p.contains("Join") &&
           !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q183 real-resize gate: transform (box downscale) and decode " +
+        "are two chained per-partition seams — the plan is a pure " +
+        "projection + determinism sort over the seams' ExistingRDD " +
+        "scan, no join, no aggregation, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q183_multimodal_real_resize")
+        p.contains("Scan ExistingRDD") && !p.contains("Join") &&
+          !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q185 complete pipeline (dedup → split → score-filter → " +
+        "tokenize → pack): gate plan scans ZERO parquet (one survivor " +
+        "checkpoint feeds every stage), the pack is a per-source " +
+        "running-sum Window over doc-level token counts (|kept docs| " +
+        "rows, never tokens), encode is join-free chained-replace, " +
+        "classifier weights broadcast, no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q185_curation_pipeline_packed")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("replace(") && p.contains("Window") &&
+          p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q184 persisted-BM25 search reads ONLY the postings store: the " +
+        "query-term filter pushes to the index parquet scan (posting-" +
+        "list cost, never corpus cost), df broadcasts back from the " +
+        "same filtered postings, corpus stats are sidecar literals, " +
+        "and top-k plans as TakeOrderedAndProject", {
+        val p = planOf(spark, byName, sfDir, "q184_bm25_persisted_index")
+        p.contains("postings") && p.contains("In(w, [") &&
+          !p.contains("documents") && p.contains("BroadcastHashJoin") &&
+          p.contains("TakeOrderedAndProject") &&
+          !p.contains("CartesianProduct")
       }),
       ("q180 persisted-IVF search reads its candidates off the INDEX " +
         "parquet: the plan's two parquet scans are the vec_id<10 query " +

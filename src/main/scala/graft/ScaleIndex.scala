@@ -82,6 +82,11 @@ object ScaleIndex {
       llmops.IvfIndex.build(embs.filter(col("vec_id") % 10 =!= 0),
         s"$w/ivf", k = 16)
       llmops.IvfIndex.append(vDelta, s"$w/ivf")
+      llmops.TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+        s"$w/text")
+      llmops.TextIndex.append(dDelta, s"$w/text")
+      llmops.TextIndex.search(spark, s"$w/text",
+        Seq("spark", "join", "window")).count()
       ops.SessionScratch.evictTransients()
     }
 
@@ -122,6 +127,27 @@ object ScaleIndex {
         f""""compact_sec":$compactSec%.2f,""" +
         f""""files_before":${cFiles._1},"files_after":${cFiles._2},""" +
         f""""probe_pre_sec":$probePre%.2f,"probe_post_sec":$probePost%.2f}""")
+
+      val tPath = s"$root/text"
+      val tBuild = timed(llmops.TextIndex.build(dBase, tPath))
+      val tAppend = timed(llmops.TextIndex.append(dDelta, tPath))
+      val tRebuild = timed(llmops.TextIndex.build(
+        dBase.unionByName(dDelta), s"$root/text_rb"))
+      val tq = Seq("spark", "join", "window")
+      val tPre = timed(llmops.TextIndex.search(spark, tPath, tq).count())
+      var tFiles = (0, 0)
+      val tCompact = timed {
+        tFiles = llmops.TextIndex.compact(spark, tPath)
+      }
+      val tPost = timed(llmops.TextIndex.search(spark, tPath, tq).count())
+      println(f"""{"index":"text_bm25","corpus_scale":$f,""" +
+        f""""n_base":$nBase,"n_delta":$nDocDelta,""" +
+        f""""build_sec":$tBuild%.2f,"append_delta_sec":$tAppend%.2f,""" +
+        f""""rebuild_full_sec":$tRebuild%.2f,""" +
+        f""""append_vs_rebuild":${tAppend / tRebuild}%.2f,""" +
+        f""""compact_sec":$tCompact%.2f,""" +
+        f""""files_before":${tFiles._1},"files_after":${tFiles._2},""" +
+        f""""search_pre_sec":$tPre%.2f,"search_post_sec":$tPost%.2f}""")
 
       val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
         "vec_id", f, s"$root/embs_base")

@@ -268,5 +268,144 @@ object CurationDag {
            ORDER BY p.source"""
     })
 
-  val all: Seq[EngineQuery] = Seq(q178, q181)
+  /** The COMPLETE pre-training pipeline (q181 + the final stage):
+    * dedup → split → score-FILTER → tokenize → PACK. Scoring is now
+    * load-bearing in the chain, not a side readout — only teacher-KEPT
+    * train-split survivors are tokenized and packed into 2048-token
+    * context bins per source (q69's per-stratum running-sum rule), so
+    * the output is literally the batch plan a training run consumes:
+    * per (source, bin) document counts and token mass. Docs the
+    * classifier cannot featurize (<2 tokens — no score row) are not
+    * kept, and kept docs that segment to zero words carry no packable
+    * tokens; both exclusions are replayed by the oracle. The tokenizer
+    * stays trained on the FULL survivor train split (the q181 memo) —
+    * training the tokenizer before quality filtering and applying it
+    * after is the standard pipeline ordering.
+    *
+    * Scale shape: everything q181 claims, plus one per-source window
+    * over the doc-level token counts (strata parallelize; the window
+    * input is |kept docs| rows, never tokens).
+    */
+  val q185 = EngineQuery(
+    "q185_curation_pipeline_packed",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val merges = dagTrain(s, dir).merges
+      val losers = Dedup.minhashPairs(s, dir)
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      val survivors = SessionScratch.transientCheckpoint(
+        t.documents.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("text")))
+      val train = survivors
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")
+      val kept = train.join(
+        Curation.classifierScores(survivors).filter(col("keep")),
+        Seq("doc_id"), "left_semi")
+      val words = kept
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val perDoc = words
+        .withColumn("es", Bpe.encodeWord(col("word"), merges))
+        .withColumn("n_toks", expr(
+          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+            "''))) div 2 + 1"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n") * col("n_toks")).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDoc
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2048.0)))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some {
+      val B = Curation.ClfBuckets
+      val bucket = PortableHash.splitDrawSql(
+        PortableHash.charHashSql("source"))
+      Dedup.minhashPairsCtes + s"""
+         , losers AS (
+             SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
+           ), surv AS MATERIALIZED (
+             SELECT d.doc_id, d.source, d.text
+             FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+           ), spl AS (
+             SELECT doc_id, source,
+               CASE WHEN bkt < 800 THEN 'train'
+                    WHEN bkt < 900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, source, $bucket AS bkt FROM surv)
+           ), tdocs AS MATERIALIZED (
+             SELECT s.doc_id, s.source, s.text
+             FROM surv s JOIN spl p ON s.doc_id = p.doc_id
+             WHERE p.split = 'train'
+           ), cw AS (
+             SELECT p AS b,
+               ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS wt
+             FROM (SELECT UNNEST(range(0, $B)) p)
+           ), stoks AS (
+             SELECT doc_id, string_split(trim(text), ' ') ws FROM surv
+           ), sth AS (
+             SELECT doc_id,
+               [coalesce(list_sum([(ascii(w[i])
+                   * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                   % 1000000007
+                   for i in range(1, length(w)+1)]) % 1000000007, 0)
+                for w in ws] AS ths
+             FROM stoks WHERE len(ws) >= 2
+           ), sfeats AS (
+             SELECT doc_id, UNNEST(list_concat(
+               [t % $B for t in ths],
+               [(${PortableHash.spanHashSql("ths", 2)}) % $B
+                for i in range(1, len(ths))])) AS b
+             FROM sth
+           ), sscored AS (
+             SELECT f.doc_id, CAST(SUM(cw.wt) AS BIGINT) AS w_sum
+             FROM sfeats f JOIN cw ON f.b = cw.b
+             GROUP BY f.doc_id
+           ), kept AS MATERIALIZED (
+             SELECT t.doc_id, t.source, t.text
+             FROM tdocs t JOIN sscored sc ON t.doc_id = sc.doc_id
+             WHERE sc.w_sum >= 0
+           ), ${Bpe.oracleChainBody("tdocs")}, enc AS MATERIALIZED (
+             SELECT word,
+               (length(s) - length(replace(s, chr(31) || chr(31), ''))) // 2
+                 + 1 AS n_toks
+             FROM w${Bpe.Rounds}
+           ), dwd AS (
+             SELECT doc_id, source, word, COUNT(*) AS n FROM (
+               SELECT doc_id, source,
+                 unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
+                   AS word
+               FROM kept
+             ) WHERE word <> '' GROUP BY 1, 2, 3
+           ), dtok AS (
+             SELECT d.doc_id, d.source,
+               CAST(SUM(d.n * e.n_toks) AS BIGINT) AS n_tok
+             FROM dwd d JOIN enc e ON d.word = e.word
+             GROUP BY 1, 2
+           ), binned AS (
+             SELECT source, doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin
+             FROM dtok
+           )
+           SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+           FROM binned GROUP BY 1, 2
+           ORDER BY source, bin"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q178, q181, q185)
 }

@@ -331,6 +331,170 @@ object DedupIndex {
   }
 }
 
+/** The persisted FULL-TEXT (BM25) index — the retrieval family's
+  * maintained artifact (q74's operational form, the same daily-crawl
+  * story as [[DedupIndex]]): a 100 TB corpus cannot re-tokenize itself
+  * per search, so the postings live on disk and arrivals append only
+  * their own postings. Layout at `path`:
+  * `postings-g<N>/` (doc_id, w, tf, dl) parquet (current generation
+  * named by `_text_index_manifest`) + `_text_index_stats` (exact
+  * integer corpus stats: n_docs, sum_dl — avgdl is DERIVED at query
+  * time so one atomic sidecar publish keeps it consistent) +
+  * `_text_index_config`.
+  *
+  * df is NOT materialized: it is an aggregate over the postings of the
+  * QUERY terms only (the term filter pushes to the parquet scan), so
+  * appends can never leave a stale document-frequency table — the
+  * search recomputes df from the one source of truth at posting-list
+  * cost, not corpus cost.
+  *
+  * Crash safety is the [[DedupIndex]] discipline with one more moving
+  * part: append publishes postings files → stats sidecar → manifest,
+  * in that order; a crash between ANY two steps leaves uncommitted
+  * part-files that the manifest check rejects descriptively, so a
+  * stats/postings mismatch can never be silently read.
+  */
+object TextIndex {
+
+  /** Tokenizer + scoring recipe (the q74 contract): whitespace tokens
+    * of trimmed text, rational BM25 idf (no log — see TextAnalysis),
+    * k1=2.2 (as k1+1=2.2 numerator form), b=0.75.
+    */
+  val Config: String =
+    "tok=whitespace-trim-split;score=bm25-rational;k1tf=2.2;b=0.75;v=1"
+
+  private val ManifestName = "_text_index_manifest"
+  private val StatsName = "_text_index_stats"
+  private val What = "Full-text BM25 index"
+
+  /** The manifest-verified current postings directory. */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+
+  /** Postings of a documents frame: one row per (doc, term) with the
+    * term frequency and the doc length — the single tokenize pass a
+    * doc pays on ingest.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextStats.nWords(col("text")).cast("long").as("dl"),
+        explode(PortableHash.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("w"), col("tf"), col("dl"))
+
+  /** (n_docs, sum_dl) of a documents frame — exact integers. */
+  private def statsOf(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      sum(TextStats.nWords(col("text")).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def writeStats(s: SparkSession, path: String,
+      nDocs: Long, sumDl: Long): Unit =
+    IndexMaintenance.writeSidecar(s, path, StatsName,
+      s"n_docs=$nDocs;sum_dl=$sumDl")
+
+  /** The recorded corpus stats (n_docs, sum_dl). */
+  def stats(s: SparkSession, path: String): (Long, Long) = {
+    val raw = IndexMaintenance.readSidecar(s, path, StatsName)
+      .getOrElse(throw new IllegalStateException(
+        s"$What at $path has no $StatsName sidecar — initial ingest " +
+          "did not complete; rebuild the index."))
+    val m = raw.trim.split(";").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v.toLong
+    }.toMap
+    (m("n_docs"), m("sum_dl"))
+  }
+
+  /** Initial build: postings, stats, manifest, config — config last as
+    * the ingest-complete marker.
+    */
+  def build(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    postingsOf(docs).write.mode("overwrite").parquet(s"$path/postings-g0")
+    val (n, dl) = statsOf(docs)
+    writeStats(s, path, n, dl)
+    IndexMaintenance.publishManifest(s, path, ManifestName, "postings-g0")
+    IndexMaintenance.writeSidecar(s, path, "_text_index_config", Config)
+  }
+
+  /** The stored postings (config- and manifest-verified). */
+  def postings(s: SparkSession, path: String): DataFrame = {
+    IndexMaintenance.requireConfig(s, path, "_text_index_config",
+      Config, What)
+    s.read.parquet(dataDir(s, path))
+  }
+
+  /** MAINTENANCE: tokenize ONLY the new docs, append their postings,
+    * fold their counts into the stats, publish the manifest (the
+    * commit). Cost shape: one delta scan + delta-sized hash-agg +
+    * append; the corpus postings are never read or rewritten.
+    */
+  def append(newDocs: DataFrame, path: String): Unit = {
+    val s = newDocs.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_text_index_config",
+      Config, What)
+    val cur = dataDir(s, path)
+    val (n0, dl0) = stats(s, path)
+    postingsOf(newDocs).write.mode("append").parquet(cur)
+    val (n1, dl1) = statsOf(newDocs)
+    writeStats(s, path, n0 + n1, dl0 + dl1)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
+  }
+
+  /** BM25 search off the MAINTAINED index — q74's exact scoring
+    * (rational idf, fixed-order per-term sum) with tf/dl read from the
+    * postings (term filter PUSHED to the parquet scan), df aggregated
+    * from those same posting lists, and n_docs/avgdl from the recorded
+    * stats. Returns the top-`topk` (doc_id, score).
+    */
+  def search(s: SparkSession, path: String, terms: Seq[String],
+      topk: Int = 15): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val (nDocs, sumDl) = stats(s, path)
+    val avgdl = sumDl.toDouble / nDocs
+    val p = postings(s, path).filter(col("w").isin(terms: _*))
+    val df = p.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = p
+      .join(broadcast(df), Seq("w"))
+      .withColumn("idf",
+        ((lit(nDocs) - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)))
+      .withColumn("tfn",
+        (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast(DoubleType) / lit(avgdl)))))
+      .withColumn("c", col("idf") * col("tfn"))
+    val termAggs = terms.map(tm =>
+      max(when(col("w") === tm, col("c"))).as(s"c_$tm"))
+    scored.groupBy(col("doc_id"))
+      .agg(termAggs.head, termAggs.tail: _*)
+      .select(col("doc_id") +: terms.map(tm =>
+        coalesce(col(s"c_$tm"), lit(0.0)).as(s"s_$tm")): _*)
+      .withColumn("score",
+        terms.map(tm => col(s"s_$tm")).reduceLeft(_ + _))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topk)
+  }
+
+  /** Compact the accumulated posting appends (config + stats preserved,
+    * atomic manifest swap — see [[DedupIndex.compact]]).
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    IndexMaintenance.requireConfig(s, path, "_text_index_config",
+      Config, What)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes)
+  }
+}
+
 /** The persisted IVF ANN index behind q54's operational form. Layout at
   * `path`: `centroids/` (cell, centroid) + `assignments-g<N>/`
   * (member_id, cell, em) parquet (current generation named by

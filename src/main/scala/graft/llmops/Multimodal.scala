@@ -216,6 +216,101 @@ object Multimodal {
     }
   }
 
+  /** The binary→binary transform seam (the resize/transcode slot):
+    * payload bytes in, payload bytes out, executor-side. q152's stride
+    * decimation is the stub occupant; [[PpmBoxHalver]] proves the seam
+    * with a real pixel operation.
+    */
+  trait MediaTransform extends Serializable {
+    def transform(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** REAL resizer: 2x box downscale of a binary P6 PPM — each output
+    * pixel is the floor-average of its 2x2 source block, per channel
+    * (exact integer arithmetic, so an oracle can replay it), re-emitted
+    * as a well-formed P6 PPM. Re-emission is the point: the output of
+    * a real resize stage is another decodable asset, so q183 chains
+    * this transform into [[PpmDecoder]] and the gate checks the
+    * re-emitted HEADER (halved geometry) and RASTER (block means)
+    * together.
+    */
+  object PpmBoxHalver extends MediaTransform {
+    def transform(payload: Array[Byte]): Array[Byte] = {
+      require(payload != null && payload.length >= 2 &&
+        payload(0) == 'P' && payload(1) == '6', "not a P6 PPM payload")
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < payload.length &&
+            (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        require(pos < payload.length && payload(pos) >= '0' &&
+          payload(pos) <= '9', s"malformed PPM header at byte $pos")
+        while (pos < payload.length && payload(pos) >= '0' &&
+            payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1
+      require(w % 2 == 0 && h % 2 == 0,
+        s"box halver needs even dimensions, got ${w}x$h")
+      require(payload.length - pos >= w.toLong * h * 3,
+        "truncated raster")
+      val w2 = w / 2; val h2 = h / 2
+      val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w2 * h2 * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          var c = 0
+          while (c < 3) {
+            val i00 = pos + ((2 * by) * w + 2 * bx) * 3 + c
+            val i01 = i00 + 3
+            val i10 = pos + ((2 * by + 1) * w + 2 * bx) * 3 + c
+            val i11 = i10 + 3
+            val sum = (payload(i00) & 0xff) + (payload(i01) & 0xff) +
+              (payload(i10) & 0xff) + (payload(i11) & 0xff)
+            out(o) = (sum / 4).toByte
+            o += 1; c += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+  }
+
+  /** Batched per-partition binary→binary transform through a REAL
+    * [[MediaTransform]] — the generalized form of [[resizePayloads]]'
+    * seam (same partition-local iterator; production swaps the
+    * transform object exactly like [[decodeFeatures]] swaps decoders).
+    */
+  def transformPayloads(assetsDf: DataFrame,
+      t: MediaTransform): DataFrame = {
+    val spark = assetsDf.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rdd = assetsDf.select("asset_id", "payload").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(id, if (p == null) null else t.transform(p))
+        }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Documents rendered as binary media assets (the fixture set has no
     * real media; text bytes stand in for the payload).
     */
@@ -595,5 +690,88 @@ object Multimodal {
                   * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
             FROM sums ORDER BY asset_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179, q182)
+  /** Gate query for the REAL resize path (binary→binary): even-dimension
+    * P6 PPMs assembled in-query from doc_id, box-downscaled 2x by
+    * [[PpmBoxHalver]] through the partition-local transform seam, then
+    * the RE-EMITTED payload decoded by [[PpmDecoder]] — so the gate
+    * checks the halved geometry out of the re-emitted header AND the
+    * block floor-averages out of the re-emitted raster. A wrong output
+    * header, a mis-indexed block, or biased rounding all hash-mismatch
+    * (the oracle replays every block's `(a+b+c+d) // 4` in exact
+    * integers without ever building bytes).
+    *
+    * Scale shape: two chained mapPartitions projections (transform,
+    * decode) over the binary column — no shuffle, no driver
+    * materialization, same physics as q71/q179.
+    */
+  val q183 = EngineQuery(
+    "q183_multimodal_real_resize",
+    (s, dir) => {
+      val ppm = Tables(s, dir).documents
+        .withColumn("w", expr("4 + 2*(doc_id % 5)"))
+        .withColumn("h", expr("2 + 2*(doc_id % 4)"))
+        .select(col("doc_id").as("asset_id"), expr(
+          """unhex(concat(
+               hex(cast(concat('P6\n', cast(w as string), ' ',
+                 cast(h as string), '\n255\n') as binary)),
+               concat_ws('', transform(
+                 sequence(0, cast(w*h*3 - 1 as int)),
+                 i -> lpad(hex((doc_id*31 + i) % 256), 2, '0')))))""")
+          .as("payload"))
+      decodeFeatures(transformPayloads(ppm, PpmBoxHalver), PpmDecoder)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS asset_id,
+                4 + 2*(doc_id % 5) AS w, 2 + 2*(doc_id % 4) AS h
+              FROM documents
+            ), sums AS (
+              SELECT asset_id, w, h,
+                list_sum(flatten([[
+                    ((asset_id*31 + ((2*by)*w + 2*bx)*3 + 0) % 256
+                   + (asset_id*31 + ((2*by)*w + 2*bx + 1)*3 + 0) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx)*3 + 0) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx + 1)*3 + 0) % 256)
+                     // 4
+                  for bx in range(0, w//2)] for by in range(0, h//2)]))
+                  AS r,
+                list_sum(flatten([[
+                    ((asset_id*31 + ((2*by)*w + 2*bx)*3 + 1) % 256
+                   + (asset_id*31 + ((2*by)*w + 2*bx + 1)*3 + 1) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx)*3 + 1) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx + 1)*3 + 1) % 256)
+                     // 4
+                  for bx in range(0, w//2)] for by in range(0, h//2)]))
+                  AS g,
+                list_sum(flatten([[
+                    ((asset_id*31 + ((2*by)*w + 2*bx)*3 + 2) % 256
+                   + (asset_id*31 + ((2*by)*w + 2*bx + 1)*3 + 2) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx)*3 + 2) % 256
+                   + (asset_id*31 + ((2*by+1)*w + 2*bx + 1)*3 + 2) % 256)
+                     // 4
+                  for bx in range(0, w//2)] for by in range(0, h//2)]))
+                  AS b,
+                CAST((w//2)*(h//2) AS DOUBLE) * 255.0 AS n
+              FROM p
+            )
+            SELECT asset_id, CAST(w//2 AS INT) AS width,
+              CAST(h//2 AS INT) AS height, CAST(1 AS INT) AS n_frames,
+              array_to_string([
+                CAST(CAST(FLOOR(CAST(CAST(r / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(g / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(b / n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(
+                  0.299*r/n + 0.587*g/n + 0.114*b/n AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
+            FROM sums ORDER BY asset_id"""))
+
+  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179, q182, q183)
 }

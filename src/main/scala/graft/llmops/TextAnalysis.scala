@@ -360,6 +360,45 @@ object TextAnalysis {
          SELECT doc_id, score FROM bm25
          ORDER BY score DESC, doc_id LIMIT 15"""))
 
+  /** The persisted text index built+maintained once per (session, dir):
+    * postings of the even-id half (the "existing corpus"), odd half
+    * APPENDED as the arriving delta — the `existingDedupIndex` pattern
+    * applied to retrieval.
+    */
+  private def existingTextIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("text_index", app)}/ti_$tag"
+    graft.ops.SessionScratch.once("text_index", app, dir) {
+      val docs = Tables(s, dir).documents
+      TextIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+    }
+    path
+  }
+
+  /** BM25 over the PERSISTED, INCREMENTALLY-MAINTAINED text index
+    * (q74's operational form; the round-10 extension of the maintained-
+    * index family to retrieval): the index is built on half the corpus
+    * and the other half APPENDED — postings, exact-integer corpus
+    * stats, df-from-postings — and the search answers off the stored
+    * posting lists with the term filter pushed to the index scan. The
+    * oracle is q74's full-corpus replay VERBATIM: after maintenance the
+    * index must reproduce the from-scratch computation bit-exactly, so
+    * a stale stats sidecar, a missed append, a double-counted posting,
+    * or a df drifting from the postings all hash-mismatch.
+    */
+  val q184 = EngineQuery(
+    "q184_bm25_persisted_index",
+    (s, dir) => TextIndex.search(s, existingTextIndex(s, dir),
+      bm25Terms, topk = 15),
+    Some(bm25Ctes +
+      """
+         SELECT doc_id, score FROM bm25
+         ORDER BY score DESC, doc_id LIMIT 15"""))
+
   /** Bigram language-model quality score (the deterministic analog of
     * CCNet-style perplexity filtering): score each document by the mean
     * CORPUS frequency of its word bigrams — documents full of word
@@ -621,5 +660,5 @@ object TextAnalysis {
             ORDER BY source"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160)
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184)
 }

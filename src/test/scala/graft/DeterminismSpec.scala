@@ -43,7 +43,12 @@ class DeterminismSpec extends SparkTestBase {
     "q169_knn_hamming",                // sign codes + Hamming shortlist
     "q170_distribution_drift",         // integer TV-distance histograms
     "q171_embedding_drift",            // decimal-exact centroid shifts
-    "q172_group_holdout_split")        // char-hash group assignment
+    "q172_group_holdout_split",        // char-hash group assignment
+    "q180_knn_ivf_persisted",          // persisted-index probe + fixed-point dots
+    "q184_bm25_persisted_index",       // postings-index BM25 + fixed-order sums
+    "q181_curation_pipeline_tokenized", // composed DAG + chained-replace encode
+    "q185_curation_pipeline_packed",   // full pipeline + per-source pack window
+    "q182_multimodal_frames_decode")   // per-partition container decode, f32 means
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 

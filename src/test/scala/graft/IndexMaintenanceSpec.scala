@@ -163,7 +163,79 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("sidecar"))
   }
 
-  // ---- IVF index -------------------------------------------------------
+  // ---- text (BM25) index -------------------------------------------------
+
+  test("TextIndex: build+append == full rebuild (postings row-identical, " +
+    "stats equal), base files untouched") {
+    import graft.llmops.TextIndex
+    val maintained = freshDir("text_m")
+    val rebuilt = freshDir("text_r")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.build(even, maintained)
+    val baseFiles = dataFiles(TextIndex.dataDir(spark, maintained))
+    TextIndex.append(odd, maintained)
+    assert(baseFiles.subsetOf(dataFiles(TextIndex.dataDir(spark, maintained))))
+    TextIndex.build(docs, rebuilt)
+    val a = TextIndex.postings(spark, maintained)
+    val b = TextIndex.postings(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "maintained postings must equal a full rebuild row-for-row")
+    assert(TextIndex.stats(spark, maintained) ==
+      TextIndex.stats(spark, rebuilt))
+  }
+
+  test("TextIndex: search off the maintained index == the q74 scoring " +
+    "over the full corpus; torn append refuses; compaction preserves " +
+    "answers and stats") {
+    import graft.llmops.TextIndex
+    val path = freshDir("text_cpt")
+    TextIndex.build(docs.filter(col("doc_id") % 3 === 0), path)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 1), path)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 2), path)
+    val terms = Seq("spark", "join", "window")
+    val viaIndex = TextIndex.search(spark, path, terms, topk = 15)
+      .collect().map(_.toString).toSeq
+    val fromScratch = graft.llmops.TextAnalysis.q74.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(viaIndex == fromScratch,
+      "maintained-index search must reproduce the from-scratch BM25")
+    // torn append: an uncommitted posting file must refuse the search
+    val dir = TextIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val torn = java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}")
+    java.nio.file.Files.copy(part.toPath, torn)
+    val e = intercept[IllegalStateException] {
+      TextIndex.search(spark, path, terms).collect()
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    java.nio.file.Files.delete(torn)
+    // compaction: fewer files, search row-identical, stats preserved
+    val statsBefore = TextIndex.stats(spark, path)
+    val (before, after) = TextIndex.compact(spark, path)
+    assert(after < before)
+    assert(TextIndex.dataDir(spark, path).contains("-g1"))
+    val post = TextIndex.search(spark, path, terms, topk = 15)
+      .collect().map(_.toString).toSeq
+    assert(post == viaIndex)
+    assert(TextIndex.stats(spark, path) == statsBefore)
+  }
+
+  test("TextIndex: the search plan's only parquet scan is the postings " +
+    "store with the query-term filter PUSHED to it") {
+    import graft.llmops.TextIndex
+    val path = freshDir("text_plan")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val plan = TextIndex.search(spark, path, Seq("spark", "join"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size <= 2,
+      s"search must scan only the postings (tf side + df agg side — " +
+        s"AQE may reuse the exchange at runtime):\n$plan")
+    assert(plan.contains("postings"))
+    assert(plan.contains("In(w, ["), s"term filter must push:\n$plan")
+  }
 
   /** Exact top-k neighbor ids per query by fixed-point cosine — the
     * ground truth for recall.
@@ -348,6 +420,34 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "append after compaction must still equal a full rebuild")
     graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("DedupIndex: a crash MID-COMPACT leaves the store readable off " +
+    "the old generation, and a retried compact self-heals") {
+    val path = freshDir("dedup_crash_cpt")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val wave = docs.filter(col("doc_id") % 2 === 1)
+    val pre = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // simulate a compact that wrote generation 1 but crashed BEFORE the
+    // manifest publish: leftover files in signatures-g1, manifest still
+    // pointing at g0
+    graft.etl.Compaction.compact(spark,
+      DedupIndex.dataDir(spark, path), s"$path/signatures-g1",
+      64L * 1024 * 1024)
+    assert(DedupIndex.dataDir(spark, path).endsWith("signatures-g0"),
+      "an unpublished compaction must not become visible")
+    val mid = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(mid.sameElements(pre),
+      "probe must answer identically off the old generation")
+    // the retried compact overwrites the leftover generation and swaps
+    val (_, after) = DedupIndex.compact(spark, path)
+    assert(after >= 1)
+    assert(DedupIndex.dataDir(spark, path).endsWith("signatures-g1"))
+    val post = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(post.sameElements(pre))
   }
 
   test("IvfIndex: torn assignment append is detected; compaction keeps " +

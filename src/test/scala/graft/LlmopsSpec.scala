@@ -301,6 +301,47 @@ class LlmopsSpec extends SparkTestBase {
     }
   }
 
+  test("Multimodal transform seam: REAL 2x box downscale re-emits a " +
+    "decodable PPM with block floor-averages") {
+    def ppm(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        val i = (y * w + x) * 3
+        raster(i) = r.toByte; raster(i + 1) = g.toByte
+        raster(i + 2) = b.toByte
+      }
+      header ++ raster
+    }
+    // known-answer check: a 4x2 image whose 2x2 blocks have hand-
+    // computable floor-averages
+    val src = ppm(4, 2, (x, y) => (x * 10 + y, 100 + x, 200 + y))
+    val out = Multimodal.PpmBoxHalver.transform(src)
+    val (w, h, nf, feat) = Multimodal.PpmDecoder.decode(out)
+    assert(w == 2 && h == 1 && nf == 1)
+    // block(0): R pixels {0,10,1,11} -> floor(22/4)=5; block(1):
+    // {20,30,21,31} -> 25. G = 100+x: {100,101}x2 -> 100 | {102,103}x2
+    // -> floor(410/4)=102
+    val raster = out.drop(out.length - 2 * 1 * 3)
+    assert((raster(0) & 0xff) == 5 && (raster(3) & 0xff) == 25)
+    assert((raster(1) & 0xff) == 100 && (raster(4) & 0xff) == 102)
+    assert(math.abs(feat(0) - (5 + 25) / (2.0 * 255)) < 1e-6)
+    // odd dimensions refuse loudly (no silent crop)
+    intercept[Exception] {
+      Multimodal.PpmBoxHalver.transform(ppm(3, 2, (_, _) => (0, 0, 0)))
+    }
+    // the seam composes: transform -> decode over a DataFrame
+    val rows = Seq(org.apache.spark.sql.Row(7L, "image/x-portable-pixmap",
+      src, src.length.toLong, "n/a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val got = Multimodal.decodeFeatures(
+      Multimodal.transformPayloads(df, Multimodal.PpmBoxHalver),
+      Multimodal.PpmDecoder).collect()
+    assert(got.length == 1 && got(0).getInt(1) == 2 && got(0).getInt(2) == 1)
+  }
+
   test("q59 percentile prune: per-source thresholds bind independently") {
     val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))

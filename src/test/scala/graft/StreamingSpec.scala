@@ -609,4 +609,102 @@ class StreamingSpec extends SparkTestBase {
     // and the stream really dropped something (cross-wave dups exist)
     assert(got.length < wave1.count() + wave2.count())
   }
+
+  test("streaming IVF maintenance via foreachBatch == sequential batch " +
+    "appends (assignments under the recorded centroids)") {
+    // the embedding-side twin of the dedup-index stream: vectors arrive
+    // as micro-batches, each assigned under the RECORDED centroids and
+    // appended — no retrain, so the on-disk index after N micro-batches
+    // must equal the batch-mode appends of the same waves row-for-row
+    import graft.llmops.IvfIndex
+    val embs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 3 === 0)
+    val wave1 = embs.filter(col("vec_id") % 3 === 1)
+    val wave2 = embs.filter(col("vec_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("ivfx_batch").toString
+    IvfIndex.build(base, batchIdx, k = 4)
+    IvfIndex.append(wave1, batchIdx)
+    IvfIndex.append(wave2, batchIdx)
+
+    val streamIdx = Files.createTempDirectory("ivfx_stream").toString
+    IvfIndex.build(base, streamIdx, k = 4)
+    val inDir = Files.createTempDirectory("ivfx_in")
+    val ckpt = Files.createTempDirectory("ivfx_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(embs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.append(batch, streamIdx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = spark.read.parquet(IvfIndex.dataDir(spark, streamIdx))
+      .selectExpr("member_id", "cell")
+    val b = spark.read.parquet(IvfIndex.dataDir(spark, batchIdx))
+      .selectExpr("member_id", "cell")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed IVF index must equal the batch-appended index")
+    assert(a.count() == embs.count(), "every vector indexed exactly once")
+  }
+
+  test("streaming text-index maintenance via foreachBatch == batch " +
+    "appends (postings + exact-integer stats)") {
+    import graft.llmops.TextIndex
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val wave1 = docs.filter(col("doc_id") % 3 === 1)
+    val wave2 = docs.filter(col("doc_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("tix_batch").toString
+    TextIndex.build(base, batchIdx)
+    TextIndex.append(wave1, batchIdx)
+    TextIndex.append(wave2, batchIdx)
+
+    val streamIdx = Files.createTempDirectory("tix_stream").toString
+    TextIndex.build(base, streamIdx)
+    val inDir = Files.createTempDirectory("tix_in")
+    val ckpt = Files.createTempDirectory("tix_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextIndex.append(batch, streamIdx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = TextIndex.postings(spark, streamIdx)
+    val b = TextIndex.postings(spark, batchIdx)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed postings must equal the batch-appended postings")
+    assert(TextIndex.stats(spark, streamIdx) ==
+      TextIndex.stats(spark, batchIdx))
+    // and the search answers identically off both
+    val terms = Seq("spark", "join", "window")
+    val sa = TextIndex.search(spark, streamIdx, terms)
+      .collect().map(_.toString).toSeq
+    val sb = TextIndex.search(spark, batchIdx, terms)
+      .collect().map(_.toString).toSeq
+    assert(sa.nonEmpty && sa == sb)
+  }
 }
