@@ -40,7 +40,7 @@ object ExplainAudit {
     "q179_multimodal_ppm_decode", "q180_knn_ivf_persisted",
     "q181_curation_pipeline_tokenized", "q182_multimodal_frames_decode",
     "q183_multimodal_real_resize", "q184_bm25_persisted_index",
-    "q185_curation_pipeline_packed")
+    "q185_curation_pipeline_packed", "q186_ngram_lm_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -537,6 +537,16 @@ object ExplainAudit {
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("replace(") && p.contains("Window") &&
           p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q186 persisted bigram-LM scoring: exactly two parquet scans — " +
+        "the scored docs (bigram derive, a pure map stage) and the " +
+        "counts store, whose partials merge in ONE hash-agg on the " +
+        "int64 gh before the 8-byte-key equi-join; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q186_ngram_lm_persisted")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
+          p.contains("counts") &&
+          "keys \\[1\\]: \\[gh#\\d+L?\\]".r.findFirstIn(p).isDefined &&
+          !p.contains("CartesianProduct")
       }),
       ("q184 persisted-BM25 search reads ONLY the postings store: the " +
         "query-term filter pushes to the index parquet scan (posting-" +

@@ -87,6 +87,10 @@ object ScaleIndex {
       llmops.TextIndex.append(dDelta, s"$w/text")
       llmops.TextIndex.search(spark, s"$w/text",
         Seq("spark", "join", "window")).count()
+      llmops.NgramIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+        s"$w/ngram")
+      llmops.NgramIndex.append(dDelta, s"$w/ngram")
+      llmops.NgramIndex.score(dDelta, s"$w/ngram").count()
       ops.SessionScratch.evictTransients()
     }
 
@@ -148,6 +152,26 @@ object ScaleIndex {
         f""""compact_sec":$tCompact%.2f,""" +
         f""""files_before":${tFiles._1},"files_after":${tFiles._2},""" +
         f""""search_pre_sec":$tPre%.2f,"search_post_sec":$tPost%.2f}""")
+
+      val nPath = s"$root/ngram"
+      val nBuild = timed(llmops.NgramIndex.build(dBase, nPath))
+      val nAppend = timed(llmops.NgramIndex.append(dDelta, nPath))
+      val nRebuild = timed(llmops.NgramIndex.build(
+        dBase.unionByName(dDelta), s"$root/ngram_rb"))
+      val nScorePre = timed(llmops.NgramIndex.score(dDelta, nPath).count())
+      var nFiles = (0, 0)
+      val nCompact = timed {
+        nFiles = llmops.NgramIndex.compact(spark, nPath)
+      }
+      val nScorePost = timed(llmops.NgramIndex.score(dDelta, nPath).count())
+      println(f"""{"index":"ngram_lm","corpus_scale":$f,""" +
+        f""""n_base":$nBase,"n_delta":$nDocDelta,""" +
+        f""""build_sec":$nBuild%.2f,"append_delta_sec":$nAppend%.2f,""" +
+        f""""rebuild_full_sec":$nRebuild%.2f,""" +
+        f""""append_vs_rebuild":${nAppend / nRebuild}%.2f,""" +
+        f""""compact_sec":$nCompact%.2f,""" +
+        f""""files_before":${nFiles._1},"files_after":${nFiles._2},""" +
+        f""""score_pre_sec":$nScorePre%.2f,"score_post_sec":$nScorePost%.2f}""")
 
       val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
         "vec_id", f, s"$root/embs_base")

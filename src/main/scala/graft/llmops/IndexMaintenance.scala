@@ -184,13 +184,20 @@ object IndexMaintenance {
 
   /** Compact the manifested store under its RECORDED config: rewrite
     * the current generation's many appended files into ~targetBytes
-    * files in generation N+1 (delegating the sizing + round-robin
-    * rewrite to [[graft.etl.Compaction]]), atomically swap via the
-    * manifest publish, then best-effort delete the old generation.
-    * Returns (filesBefore, filesAfter).
+    * files in generation N+1, atomically swap via the manifest
+    * publish, then best-effort delete the old generation. Returns
+    * (filesBefore, filesAfter).
+    *
+    * Plain stores (row set preserved) delegate the sizing +
+    * round-robin rewrite to [[graft.etl.Compaction]]. LOG-STRUCTURED
+    * stores whose rows are additive PARTIALS (the [[NgramIndex]]
+    * counts) pass `merge` — the compaction then also AGGREGATES the
+    * partials (the LSM merge step), sized from the pre-merge bytes as
+    * an upper bound.
     */
   private[llmops] def compactStore(s: SparkSession, path: String,
-      name: String, what: String, targetBytes: Long): (Int, Int) = {
+      name: String, what: String, targetBytes: Long,
+      merge: Option[DataFrame => DataFrame] = None): (Int, Int) = {
     val cur = verifiedDir(s, path, name, what)
     val curSub = cur.substring(path.length + 1)
     val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
@@ -198,7 +205,17 @@ object IndexMaintenance {
     val base = "-g(\\d+)$".r.replaceAllIn(curSub, "")
     val nextSub = s"$base-g${gen + 1}"
     val before = listDataFiles(s, cur).size
-    graft.etl.Compaction.compact(s, cur, s"$path/$nextSub", targetBytes)
+    merge match {
+      case None =>
+        graft.etl.Compaction.compact(s, cur, s"$path/$nextSub",
+          targetBytes)
+      case Some(m) =>
+        val bytes = listDataFiles(s, cur).map(_._2).sum
+        val n = math.max(1,
+          math.ceil(bytes.toDouble / targetBytes).toInt)
+        m(s.read.parquet(cur)).repartition(n)
+          .write.mode("overwrite").parquet(s"$path/$nextSub")
+    }
     publishManifest(s, path, name, nextSub)
     val fs = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -492,6 +509,118 @@ object TextIndex {
       Config, What)
     IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes)
+  }
+}
+
+/** The persisted bigram language model behind q76's quality scoring —
+  * the LOG-STRUCTURED member of the maintained-index family. Its state
+  * is ADDITIVE (bigram counts), so maintenance uses the LSM pattern
+  * the other stores don't need: appends land the DELTA's partial
+  * counts as new rows (the same int64 gh may appear in many files),
+  * every read MERGES partials with one hash-agg on the 8-byte key, and
+  * compaction is the LSM merge step — it aggregates the partials down
+  * to one row per gh while swapping generations atomically. Layout at
+  * `path`: `counts-g<N>/` (gh, freq) partial rows + manifest + config.
+  *
+  * The read-side merge is why correctness survives any append
+  * interleaving: addition is associative/commutative, so partials in
+  * any file arrangement aggregate to the same model — and the q186
+  * gate requires the maintained model to reproduce q76's from-scratch
+  * computation bit-exactly.
+  */
+object NgramIndex {
+
+  /** The counting recipe (q76's): whitespace tokens of trimmed text,
+    * per-token charpoly hash, positional 2-gram span hash.
+    */
+  val Config: String =
+    "tok=whitespace-trim-split;tokhash=charpoly-1000000007;" +
+      "span=positional-2gram;v=1"
+
+  private val ManifestName = "_ngram_index_manifest"
+  private val What = "Bigram LM index"
+
+  /** The manifest-verified current counts directory. */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+
+  /** (gh, freq) partial counts of a documents frame — q76's bigram
+    * pipeline ending at the count aggregation.
+    */
+  private def bigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), PortableHash.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(PortableHash.spanHashes(
+        PortableHash.tokenHashes(col("ws")), 2)).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+
+  def build(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    bigramCounts(docs).write.mode("overwrite").parquet(s"$path/counts-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName, "counts-g0")
+    IndexMaintenance.writeSidecar(s, path, "_ngram_index_config", Config)
+  }
+
+  /** MAINTENANCE: count ONLY the new docs' bigrams and append the
+    * partial rows — delta-sized, commutative, never reads the corpus
+    * counts.
+    */
+  def append(newDocs: DataFrame, path: String): Unit = {
+    val s = newDocs.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
+      Config, What)
+    val cur = dataDir(s, path)
+    bigramCounts(newDocs).write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
+  }
+
+  /** The MERGED model: partials aggregated to one (gh, freq) per gh —
+    * the read-side LSM merge (config- and manifest-verified).
+    */
+  def lm(s: SparkSession, path: String): DataFrame = {
+    IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
+      Config, What)
+    s.read.parquet(dataDir(s, path))
+      .groupBy(col("gh")).agg(sum(col("freq")).as("freq"))
+  }
+
+  /** q76's per-document quality scores computed against the MAINTAINED
+    * model: the scored docs' bigrams re-derive at query time (a pure
+    * map stage), the model side comes off the counts store.
+    */
+  def score(docs: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val s = docs.sparkSession
+    val bigrams = docs
+      .select(col("doc_id"), PortableHash.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(PortableHash.spanHashes(
+        PortableHash.tokenHashes(col("ws")), 2)).as("gh"))
+    bigrams.join(lm(s, path), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        (col("sum_freq").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("avg_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LSM MERGE compaction: aggregate the partial rows down to one
+    * per gh into generation N+1 (atomic manifest swap). Reads answer
+    * identically before and after because they always merge; what
+    * changes is the stored row count (and with it every future read's
+    * merge cost).
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
+      Config, What)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes,
+      merge = Some(df =>
+        df.groupBy(col("gh")).agg(sum(col("freq")).as("freq"))))
   }
 }
 

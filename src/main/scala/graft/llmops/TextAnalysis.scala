@@ -458,6 +458,62 @@ object TextAnalysis {
             ORDER BY g.doc_id"""),
     bench = true)
 
+  /** The persisted bigram-LM built+maintained once per (session, dir):
+    * counts of the even-id half, odd half APPENDED as delta partials.
+    */
+  private def existingNgramIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ngram_index", app)}/ni_$tag"
+    graft.ops.SessionScratch.once("ngram_index", app, dir) {
+      val docs = Tables(s, dir).documents
+      NgramIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+      NgramIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+    }
+    path
+  }
+
+  /** Quality scoring over the PERSISTED, LOG-STRUCTURED bigram LM
+    * (q76's operational form): the model is built on half the corpus
+    * and the other half appended as PARTIAL count rows — the additive
+    * LSM pattern, merged at read time and by compaction. The oracle is
+    * q76's full-corpus replay VERBATIM: the maintained partials must
+    * aggregate to exactly the from-scratch model, so a lost partial
+    * file, a double append, or a merge bug all hash-mismatch.
+    */
+  val q186 = EngineQuery(
+    "q186_ngram_lm_persisted",
+    (s, dir) => NgramIndex.score(Tables(s, dir).documents,
+      existingNgramIndex(s, dir)),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 2
+            ), g AS (
+              SELECT doc_id,
+                UNNEST([(${spanHashSql("ths", 2)})
+                        for i in range(1, len(ths))]) AS gh
+              FROM th
+            ), lm AS (
+              SELECT gh, COUNT(*) AS freq FROM g GROUP BY gh
+            )
+            SELECT g.doc_id,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM(lm.freq) AS BIGINT) AS sum_freq,
+              CAST(SUM(lm.freq) AS DOUBLE) / COUNT(*) AS avg_freq
+            FROM g JOIN lm ON g.gh = lm.gh
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id"""))
+
   /** Hybrid retrieval: BM25 keyword candidates re-ranked by embedding
     * cosine — the standard two-stage search a training-data pipeline
     * runs for contamination audits and eval-set curation. Stage 1
@@ -660,5 +716,5 @@ object TextAnalysis {
             ORDER BY source"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184)
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186)
 }

@@ -46,6 +46,7 @@ class DeterminismSpec extends SparkTestBase {
     "q172_group_holdout_split",        // char-hash group assignment
     "q180_knn_ivf_persisted",          // persisted-index probe + fixed-point dots
     "q184_bm25_persisted_index",       // postings-index BM25 + fixed-order sums
+    "q186_ngram_lm_persisted",         // LSM partial-count merge + int64 sums
     "q181_curation_pipeline_tokenized", // composed DAG + chained-replace encode
     "q185_curation_pipeline_packed",   // full pipeline + per-source pack window
     "q182_multimodal_frames_decode")   // per-partition container decode, f32 means

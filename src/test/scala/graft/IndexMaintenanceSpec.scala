@@ -344,6 +344,60 @@ class IndexMaintenanceSpec extends SparkTestBase {
       e2.getMessage.contains("k=4"))
   }
 
+  // ---- n-gram LM index (log-structured additive counts) -----------------
+
+  test("NgramIndex: appended partials merge to the full-rebuild model; " +
+    "the LSM compaction collapses partials to one row per gh with " +
+    "scores unchanged; the cycle continues after compaction") {
+    import graft.llmops.NgramIndex
+    val maintained = freshDir("ngram_m")
+    val rebuilt = freshDir("ngram_r")
+    NgramIndex.build(docs.filter(col("doc_id") % 3 === 0), maintained)
+    NgramIndex.append(docs.filter(col("doc_id") % 3 === 1), maintained)
+    NgramIndex.build(docs.filter(col("doc_id") % 3 =!= 2), rebuilt)
+    val a = NgramIndex.lm(spark, maintained)
+    val b = NgramIndex.lm(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "merged partials must equal the from-scratch model")
+    // the store REALLY is log-structured: more stored rows than
+    // distinct gh (the two ingests share bigrams)
+    val stored = spark.read
+      .parquet(NgramIndex.dataDir(spark, maintained)).count()
+    val distinctGh = a.count()
+    assert(stored > distinctGh,
+      s"expected overlapping partials: stored=$stored distinct=$distinctGh")
+    val scorePre = NgramIndex.score(docs, maintained)
+      .collect().map(_.toString).toSeq
+    // LSM merge compaction: one row per gh afterwards, scores unchanged
+    val (before, after) = NgramIndex.compact(spark, maintained)
+    assert(after <= before)
+    assert(spark.read.parquet(NgramIndex.dataDir(spark, maintained))
+      .count() == distinctGh,
+      "compaction must collapse partials to one row per gh")
+    val scorePost = NgramIndex.score(docs, maintained)
+      .collect().map(_.toString).toSeq
+    assert(scorePost == scorePre)
+    // append after compaction: partials again, still == full rebuild
+    NgramIndex.append(docs.filter(col("doc_id") % 3 === 2), maintained)
+    val full = freshDir("ngram_f")
+    NgramIndex.build(docs, full)
+    val c = NgramIndex.lm(spark, maintained)
+    val d = NgramIndex.lm(spark, full)
+    assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty,
+      "append after compaction must still merge to the full model")
+    // torn append refused (the shared manifest discipline)
+    val dir = NgramIndex.dataDir(spark, maintained)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val torn = java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}")
+    java.nio.file.Files.copy(part.toPath, torn)
+    val e = intercept[IllegalStateException] {
+      NgramIndex.lm(spark, maintained).collect()
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    java.nio.file.Files.delete(torn)
+  }
+
   // ---- crash-atomic append (manifest) + compaction -----------------------
 
   test("DedupIndex: a torn append (parquet files written, manifest not " +

@@ -707,4 +707,45 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(sa.nonEmpty && sa == sb)
   }
+
+  test("streaming n-gram-LM maintenance via foreachBatch == batch " +
+    "appends (additive partials merge identically)") {
+    import graft.llmops.NgramIndex
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val wave1 = docs.filter(col("doc_id") % 3 === 1)
+    val wave2 = docs.filter(col("doc_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("nix_batch").toString
+    NgramIndex.build(base, batchIdx)
+    NgramIndex.append(wave1, batchIdx)
+    NgramIndex.append(wave2, batchIdx)
+
+    val streamIdx = Files.createTempDirectory("nix_stream").toString
+    NgramIndex.build(base, streamIdx)
+    val inDir = Files.createTempDirectory("nix_in")
+    val ckpt = Files.createTempDirectory("nix_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          NgramIndex.append(batch, streamIdx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = NgramIndex.lm(spark, streamIdx)
+    val b = NgramIndex.lm(spark, batchIdx)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed partials must merge to the batch-appended model")
+  }
 }
