@@ -40,7 +40,9 @@ object ExplainAudit {
     "q179_multimodal_ppm_decode", "q180_knn_ivf_persisted",
     "q181_curation_pipeline_tokenized", "q182_multimodal_frames_decode",
     "q183_multimodal_real_resize", "q184_bm25_persisted_index",
-    "q185_curation_pipeline_packed", "q186_ngram_lm_persisted")
+    "q185_curation_pipeline_packed", "q186_ngram_lm_persisted",
+    "q187_curation_day2_increment", "q188_multimodal_wav_decode",
+    "q189_multimodal_wav_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -577,6 +579,37 @@ object ExplainAudit {
         "the seam's ExistingRDD scan, with no join, no cartesian, and " +
         "no aggregation (channel means come out of the decoder itself)", {
         val p = planOf(spark, byName, sfDir, "q179_multimodal_ppm_decode")
+        p.contains("Scan ExistingRDD") && !p.contains("Join") &&
+          !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q187 day-2 increment over PERSISTED artifacts: the executed " +
+        "gate plan scans ZERO parquet — the batch-survivor checkpoint " +
+        "(probed against the on-disk signature index upstream) feeds " +
+        "split, scoring, AND the tokenizer stage; the persisted " +
+        "BpeModel applies as a join-free chained-replace projection; " +
+        "classifier weights join by broadcast; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q187_curation_day2_increment")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("replace(") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q188 real-decode WAV gate: RIFF chunk walk + s16le sample scan " +
+        "are per-partition imperative code — the post-decode plan is a " +
+        "pure projection + determinism sort over the seam's ExistingRDD " +
+        "scan, no join, no cartesian, no aggregation (channel means " +
+        "come out of the decoder itself)", {
+        val p = planOf(spark, byName, sfDir, "q188_multimodal_wav_decode")
+        p.contains("Scan ExistingRDD") && !p.contains("Join") &&
+          !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q189 real-resample WAV gate: transform (floor-averaged 2x " +
+        "downsample) and decode chain as two partition-local " +
+        "mapPartitions passes — the post-decode plan is a pure " +
+        "projection + determinism sort over the seam's ExistingRDD " +
+        "scan, no join, no cartesian, no aggregation", {
+        val p = planOf(spark, byName, sfDir,
+          "q189_multimodal_wav_resample")
         p.contains("Scan ExistingRDD") && !p.contains("Join") &&
           !p.contains("CartesianProduct") && !p.contains("HashAggregate")
       }))

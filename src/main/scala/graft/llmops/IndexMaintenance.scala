@@ -285,7 +285,7 @@ object DedupIndex {
   def probe(newDocs: DataFrame, path: String): DataFrame =
     probeWithSigs(newDocs, Dedup.bandSignaturesOf(newDocs), path)
 
-  private def probeWithSigs(newDocs: DataFrame, newSigs: DataFrame,
+  private[llmops] def probeWithSigs(newDocs: DataFrame, newSigs: DataFrame,
       path: String): DataFrame = {
     val s = newDocs.sparkSession
     val idx = signatures(s, path)
@@ -621,6 +621,71 @@ object NgramIndex {
       targetBytes,
       merge = Some(df =>
         df.groupBy(col("gh")).agg(sum(col("freq")).as("freq"))))
+  }
+}
+
+/** The persisted BPE tokenizer MODEL — the trained-artifact member of
+  * the maintained family (the indexes hold derived DATA; this holds a
+  * trained TRANSFORM). A production tokenizer is trained once on a
+  * frozen corpus snapshot and then applied, fixed, to every later
+  * batch — retraining per batch would silently change every token id
+  * downstream — so the artifact is IMMUTABLE: no append path exists by
+  * design, and "maintenance" is an explicit retrain + republish (a new
+  * model version), exactly like the IVF centroids. Layout at `path`:
+  * `merges-g0/` (merge_rank, lhs, rhs, cnt) parquet + manifest +
+  * `_bpe_model_config` recording the training recipe; a load under a
+  * drifted recipe (different round count, segmentation, or tie-break)
+  * fails descriptively instead of producing a tokenizer that encodes
+  * differently than the recorded training did.
+  */
+object BpeModel {
+
+  /** The training recipe (Bpe.trainOn's contract): Sennrich-style
+    * greedy merges, [[Bpe.Rounds]] rounds, non-letter word split,
+    * count-desc/lhs/rhs tie-break.
+    */
+  val Config: String =
+    s"algo=bpe-greedy-merge;rounds=${Bpe.Rounds};wordsplit=nonletter;" +
+      "tiebreak=cnt-desc-lhs-rhs;sep=u001f;eow=underscore;v=1"
+
+  private val ManifestName = "_bpe_model_manifest"
+  private val What = "BPE tokenizer model"
+
+  /** Persist a trained merge table: merges parquet, manifest, config —
+    * config last as the publish-complete marker (the index-build
+    * discipline; a crash mid-save reads as missing-config, never as a
+    * silently short merge table).
+    */
+  def save(s: SparkSession, trained: Bpe.Trained, path: String): Unit = {
+    import s.implicits._
+    trained.merges.toDF()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName, "merges-g0")
+    IndexMaintenance.writeSidecar(s, path, "_bpe_model_config", Config)
+  }
+
+  /** Load the merge table (config- and manifest-verified, then
+    * structurally verified: exactly [[Bpe.Rounds]] merges with ranks
+    * 1..Rounds — a truncated or doubled table fails descriptively).
+    * Rounds-bounded collect; the result feeds [[Bpe.encodeWord]]'s
+    * chained-replace projection, so applying a persisted model is
+    * still zero joins and zero shuffles.
+    */
+  def load(s: SparkSession, path: String): Seq[Bpe.Merge] = {
+    IndexMaintenance.requireConfig(s, path, "_bpe_model_config",
+      Config, What)
+    val dir = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    import s.implicits._
+    val ms = s.read.parquet(dir).as[Bpe.Merge].collect()
+      .sortBy(_.merge_rank).toSeq
+    if (ms.map(_.merge_rank) != (1L to Bpe.Rounds.toLong))
+      throw new IllegalStateException(
+        s"$What at $path stores merge ranks " +
+          s"[${ms.map(_.merge_rank).mkString(",")}] but the recorded " +
+          s"config requires exactly 1..${Bpe.Rounds} — the merge table " +
+          "is truncated or doubled; republish the model.")
+    ms
   }
 }
 

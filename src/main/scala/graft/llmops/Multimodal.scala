@@ -773,5 +773,340 @@ object Multimodal {
                   * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
             FROM sums ORDER BY asset_id"""))
 
-  val all: Seq[EngineQuery] = Seq(q70, q71, q152, q153, q179, q182, q183)
+  /** REAL decoder for PCM WAV audio — the audio-shaped member of the
+    * real-codec family (image [[PpmDecoder]], video [[PpmFramesDecoder]],
+    * resize [[PpmBoxHalver]]). RIFF is a chunked container: `RIFF`
+    * <size> `WAVE`, then (id, le32 size) chunks; the parser walks the
+    * chunk list generically (skipping unknown chunks — the real-world
+    * shape, where `LIST`/`fact` chunks precede `data`), reads the
+    * `fmt ` chunk (PCM s16le only), cross-checks the derived fields
+    * (byte_rate = sr·nch·2, block_align = nch·2 — a mis-assembled
+    * header fails loudly instead of mis-striding the samples), and
+    * scans the `data` chunk as interleaved little-endian signed 16-bit
+    * frames. Emits (n_channels, sample_rate, n_samples_per_channel) in
+    * the seam's three int slots and a 4-dim feature: mean of channel 0,
+    * mean of the last channel, overall mean, and overall mean
+    * ABSOLUTE amplitude (the DC-offset + loudness readouts an audio
+    * curation pass computes), each normalized by 32768 to [-1,1].
+    */
+  object WavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val (nch, sr, ns, dataAt) = RiffWav.parse(payload)
+      var s0 = 0L; var sl = 0L; var sa = 0L; var sb = 0L
+      var j = 0
+      val total = ns * nch
+      while (j < total) {
+        val v = RiffWav.sample(payload, dataAt, j)
+        val c = j % nch
+        if (c == 0) s0 += v
+        if (c == nch - 1) sl += v
+        sa += v
+        sb += math.abs(v)
+        j += 1
+      }
+      val perCh = ns * 32768.0
+      val all = ns.toDouble * nch * 32768.0
+      (nch, sr, ns, Array((s0 / perCh).toFloat, (sl / perCh).toFloat,
+        (sa / all).toFloat, (sb / all).toFloat))
+    }
+  }
+
+  /** Shared RIFF/WAVE container parser behind [[WavDecoder]] and
+    * [[WavHalver]] — both the decode and the transform side of the
+    * audio family must agree byte-for-byte on what a valid container
+    * is, so the chunk walk and every header cross-check live once.
+    */
+  private[llmops] object RiffWav {
+
+    /** Walk the chunk list and cross-check the PCM header. Returns
+      * (n_channels, sample_rate, n_samples_per_channel, data offset).
+      */
+    def parse(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      require(payload != null && payload.length >= 12, "not a RIFF payload")
+      def tag(at: Int): String =
+        new String(payload, at, 4, "US-ASCII")
+      def le32(at: Int): Int =
+        (payload(at) & 0xff) | ((payload(at + 1) & 0xff) << 8) |
+          ((payload(at + 2) & 0xff) << 16) | ((payload(at + 3) & 0xff) << 24)
+      def le16(at: Int): Int =
+        (payload(at) & 0xff) | ((payload(at + 1) & 0xff) << 8)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"not a RIFF/WAVE payload: ${tag(0)}/${tag(8)}")
+      require(le32(4) == payload.length - 8,
+        s"RIFF size ${le32(4)} != payload ${payload.length - 8}")
+      // generic chunk walk: collect fmt and data offsets
+      var pos = 12
+      var fmtAt = -1; var dataAt = -1; var dataLen = -1
+      while (pos + 8 <= payload.length) {
+        val id = tag(pos); val len = le32(pos + 4)
+        require(len >= 0 && pos + 8 + len <= payload.length,
+          s"chunk $id overruns payload: len=$len at $pos")
+        if (id == "fmt ") { require(len >= 16, "short fmt chunk"); fmtAt = pos + 8 }
+        if (id == "data") { dataAt = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned (RIFF spec)
+      }
+      require(fmtAt >= 0, "no fmt chunk")
+      require(dataAt >= 0, "no data chunk")
+      val fmt = le16(fmtAt)
+      require(fmt == 1, s"only PCM supported, got format=$fmt")
+      val nch = le16(fmtAt + 2)
+      val sr = le32(fmtAt + 4)
+      val byteRate = le32(fmtAt + 8)
+      val blockAlign = le16(fmtAt + 12)
+      val bits = le16(fmtAt + 14)
+      require(bits == 16, s"only s16le supported, got $bits bits")
+      require(nch >= 1, s"bad channel count $nch")
+      require(blockAlign == nch * 2,
+        s"block_align $blockAlign != nch*2 ${nch * 2}")
+      require(byteRate == sr * nch * 2,
+        s"byte_rate $byteRate != sr*nch*2 ${sr * nch * 2}")
+      require(dataLen % blockAlign == 0,
+        s"data length $dataLen not a multiple of frame size $blockAlign")
+      (nch, sr, dataLen / blockAlign, dataAt)
+    }
+
+    /** Interleaved sample `j` as a sign-extended s16le value. */
+    def sample(payload: Array[Byte], dataAt: Int, j: Int): Int =
+      (payload(dataAt + 2 * j) & 0xff) |
+        (payload(dataAt + 2 * j + 1) << 8) // hi byte sign-extends
+  }
+
+  /** REAL audio resampler: 2x downsample of a PCM s16le WAV — each
+    * output frame is the FLOOR-average of two consecutive input frames
+    * per channel (exact integer arithmetic via `Math.floorDiv`, so the
+    * oracle can replay it; floor, not truncation — they differ on
+    * negative samples), re-emitted as a well-formed canonical WAV at
+    * half the sample rate. The audio analog of [[PpmBoxHalver]]:
+    * re-emission is the point, so q189 chains this transform into
+    * [[WavDecoder]] and the gate checks the re-emitted header (halved
+    * rate and frame count) and the resampled data together.
+    */
+  object WavHalver extends MediaTransform {
+    def transform(payload: Array[Byte]): Array[Byte] = {
+      val (nch, sr, ns, dataAt) = RiffWav.parse(payload)
+      require(ns % 2 == 0, s"wav halver needs an even sample count, got $ns")
+      require(sr % 2 == 0, s"wav halver needs an even sample rate, got $sr")
+      val ns2 = ns / 2; val sr2 = sr / 2
+      val dlen2 = ns2 * nch * 2
+      val out = new Array[Byte](44 + dlen2)
+      def putTag(at: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, out, at, 4)
+      def putLe16(at: Int, v: Int): Unit = {
+        out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def putLe32(at: Int, v: Int): Unit = {
+        putLe16(at, v & 0xffff); putLe16(at + 2, (v >> 16) & 0xffff)
+      }
+      putTag(0, "RIFF"); putLe32(4, 36 + dlen2); putTag(8, "WAVE")
+      putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, nch)
+      putLe32(24, sr2); putLe32(28, sr2 * nch * 2)
+      putLe16(32, nch * 2); putLe16(34, 16)
+      putTag(36, "data"); putLe32(40, dlen2)
+      var t = 0; var o = 44
+      while (t < ns2) {
+        var c = 0
+        while (c < nch) {
+          val a = RiffWav.sample(payload, dataAt, (2 * t) * nch + c)
+          val b = RiffWav.sample(payload, dataAt, (2 * t + 1) * nch + c)
+          putLe16(o, Math.floorDiv(a + b, 2) & 0xffff)
+          o += 2; c += 1
+        }
+        t += 1
+      }
+      out
+    }
+  }
+
+  /** Gate query for the REAL audio decode path: deterministic PCM WAV
+    * binaries — RIFF container, `fmt ` + `data` chunks, interleaved
+    * s16le samples `((doc_id·37 + j·101) mod 65536) - 32768`-signed —
+    * are assembled in-query from doc_id via hex (little-endian
+    * multi-byte fields built byte by byte), then driven through the
+    * SAME assets → [[decodeFeatures]] seam with [[WavDecoder]]. The
+    * gate's n_channels/sample_rate/n_samples come out of the chunk
+    * walk + header parse and the features out of the sample scan, so a
+    * mis-assembled RIFF size, a wrong chunk length, an endianness slip,
+    * or a sign-extension bug all hash-mismatch. The oracle replays the
+    * construction arithmetic (signed sums via `((v+32768) mod 65536) -
+    * 32768` — pure arithmetic, no conditionals) without building bytes.
+    *
+    * Scale shape: identical to q179 — payload construction is a pure
+    * projection, decode is a partition-local mapPartitions; no shuffle,
+    * no driver materialization.
+    */
+  val q188 = EngineQuery(
+    "q188_multimodal_wav_decode",
+    (s, dir) => {
+      // little-endian hex of an int expression, 2 or 4 bytes
+      def le16(e: String) =
+        s"concat(lpad(hex(($e) % 256), 2, '0')," +
+          s" lpad(hex(($e) div 256 % 256), 2, '0'))"
+      def le32(e: String) =
+        s"concat(lpad(hex(($e) % 256), 2, '0')," +
+          s" lpad(hex(($e) div 256 % 256), 2, '0')," +
+          s" lpad(hex(($e) div 65536 % 256), 2, '0')," +
+          s" lpad(hex(($e) div 16777216 % 256), 2, '0'))"
+      val wav = Tables(s, dir).documents
+        .withColumn("nch", expr("1 + doc_id % 2"))
+        .withColumn("ns", expr("8 + doc_id % 32"))
+        .withColumn("sr", expr("8000 + (doc_id % 3) * 4000"))
+        .withColumn("dlen", expr("ns * nch * 2"))
+        .select(col("doc_id").as("asset_id"), expr(
+          s"""unhex(concat(
+               hex(cast('RIFF' as binary)), ${le32("36 + dlen")},
+               hex(cast('WAVE' as binary)),
+               hex(cast('fmt ' as binary)), ${le32("16")},
+               ${le16("1")}, ${le16("nch")}, ${le32("sr")},
+               ${le32("sr * nch * 2")}, ${le16("nch * 2")}, ${le16("16")},
+               hex(cast('data' as binary)), ${le32("dlen")},
+               concat_ws('', transform(
+                 sequence(0, cast(ns * nch - 1 as int)),
+                 j -> ${le16("(doc_id*37 + j*101) % 65536")}))))""")
+          .as("payload"))
+      decodeFeatures(wav, WavDecoder)
+        .select(col("asset_id"), col("width").as("n_channels"),
+          col("height").as("sample_rate"),
+          col("n_frames").as("n_samples"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS asset_id,
+                1 + doc_id % 2 AS nch,
+                8 + doc_id % 32 AS ns,
+                8000 + (doc_id % 3) * 4000 AS sr
+              FROM documents
+            ), sums AS (
+              SELECT asset_id, nch, ns, sr,
+                list_sum([((asset_id*37 + j*101 + 32768) % 65536) - 32768
+                          for j in range(0, ns*nch, nch)]) AS s0,
+                list_sum([((asset_id*37 + j*101 + 32768) % 65536) - 32768
+                          for j in range(nch - 1, ns*nch, nch)]) AS sl,
+                list_sum([((asset_id*37 + j*101 + 32768) % 65536) - 32768
+                          for j in range(0, ns*nch)]) AS sa,
+                list_sum([abs(((asset_id*37 + j*101 + 32768) % 65536)
+                          - 32768) for j in range(0, ns*nch)]) AS sb,
+                CAST(ns AS DOUBLE) * 32768.0 AS np,
+                CAST(ns*nch AS DOUBLE) * 32768.0 AS na
+              FROM p
+            )
+            SELECT asset_id, CAST(nch AS INT) AS n_channels,
+              CAST(sr AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+              array_to_string([
+                CAST(CAST(FLOOR(CAST(CAST(s0 / np AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(sl / np AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(sa / na AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR),
+                CAST(CAST(FLOOR(CAST(CAST(sb / na AS FLOAT) AS DOUBLE)
+                  * 10000000.0) AS BIGINT) AS VARCHAR)], ',') AS feat_fp
+            FROM sums ORDER BY asset_id"""))
+
+  /** Gate query for the REAL audio resample path (binary→binary):
+    * even-frame-count PCM WAVs assembled in-query (the q188 builder
+    * with even geometry), 2x-downsampled by [[WavHalver]] through the
+    * partition-local transform seam, then the RE-EMITTED payload
+    * decoded by [[WavDecoder]] — so the gate checks the halved header
+    * (sr/2, ns/2 — and that the halver's derived byte_rate/block_align
+    * survive the decoder's cross-checks) AND the floor-averaged frames
+    * out of the re-emitted data chunk. A truncation-vs-floor slip on
+    * negative samples, a mis-strided channel pair, or a mis-assembled
+    * output header all hash-mismatch (the oracle replays every output
+    * frame's `floor((a+b) / 2)` — explicit floor, since DuckDB's `//`
+    * truncates toward zero on negative integers — without building
+    * bytes).
+    *
+    * Scale shape: two chained mapPartitions projections (transform,
+    * decode) over the binary column — no shuffle, no driver
+    * materialization, q183's physics on the audio family.
+    */
+  val q189 = EngineQuery(
+    "q189_multimodal_wav_resample",
+    (s, dir) => {
+      def le16(e: String) =
+        s"concat(lpad(hex(($e) % 256), 2, '0')," +
+          s" lpad(hex(($e) div 256 % 256), 2, '0'))"
+      def le32(e: String) =
+        s"concat(lpad(hex(($e) % 256), 2, '0')," +
+          s" lpad(hex(($e) div 256 % 256), 2, '0')," +
+          s" lpad(hex(($e) div 65536 % 256), 2, '0')," +
+          s" lpad(hex(($e) div 16777216 % 256), 2, '0'))"
+      val wav = Tables(s, dir).documents
+        .withColumn("nch", expr("1 + doc_id % 2"))
+        .withColumn("ns", expr("8 + 2 * (doc_id % 16)"))
+        .withColumn("sr", expr("8000 + (doc_id % 3) * 4000"))
+        .withColumn("dlen", expr("ns * nch * 2"))
+        .select(col("doc_id").as("asset_id"), expr(
+          s"""unhex(concat(
+               hex(cast('RIFF' as binary)), ${le32("36 + dlen")},
+               hex(cast('WAVE' as binary)),
+               hex(cast('fmt ' as binary)), ${le32("16")},
+               ${le16("1")}, ${le16("nch")}, ${le32("sr")},
+               ${le32("sr * nch * 2")}, ${le16("nch * 2")}, ${le16("16")},
+               hex(cast('data' as binary)), ${le32("dlen")},
+               concat_ws('', transform(
+                 sequence(0, cast(ns * nch - 1 as int)),
+                 j -> ${le16("(doc_id*37 + j*101) % 65536")}))))""")
+          .as("payload"))
+      decodeFeatures(transformPayloads(wav, WavHalver), WavDecoder)
+        .select(col("asset_id"), col("width").as("n_channels"),
+          col("height").as("sample_rate"),
+          col("n_frames").as("n_samples"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .orderBy(col("asset_id"))
+    },
+    Some {
+      // input sample j (interleaved), replayed from the construction
+      def v(j: String) =
+        s"(((asset_id*37 + ($j)*101 + 32768) % 65536) - 32768)"
+      // halved output frame t, channel c: FLOOR-average of frames
+      // 2t,2t+1 — NOT DuckDB's `//`, which truncates toward zero on
+      // negative integers; floor((a+b)/2.0) is exact in double for
+      // |a+b| <= 65534 and matches the engine's Math.floorDiv
+      def hv(t: String, c: String) =
+        s"CAST(floor((${v(s"(2*($t))*nch + ($c)")} + " +
+          s"${v(s"(2*($t)+1)*nch + ($c)")}) / 2.0) AS BIGINT)"
+      def fp(num: String, den: String) =
+        s"CAST(CAST(FLOOR(CAST(CAST($num / $den AS FLOAT) AS DOUBLE)" +
+          s" * 10000000.0) AS BIGINT) AS VARCHAR)"
+      s"""WITH p AS (
+            SELECT doc_id AS asset_id,
+              1 + doc_id % 2 AS nch,
+              8 + 2 * (doc_id % 16) AS ns,
+              8000 + (doc_id % 3) * 4000 AS sr
+            FROM documents
+          ), sums AS (
+            SELECT asset_id, nch, ns, sr,
+              list_sum([${hv("t", "0")}
+                        for t in range(0, ns // 2)]) AS s0,
+              list_sum([${hv("t", "nch - 1")}
+                        for t in range(0, ns // 2)]) AS sl,
+              list_sum(flatten([[${hv("t", "c")}
+                        for c in range(0, nch)]
+                        for t in range(0, ns // 2)])) AS sa,
+              list_sum(flatten([[abs(${hv("t", "c")})
+                        for c in range(0, nch)]
+                        for t in range(0, ns // 2)])) AS sb,
+              CAST(ns // 2 AS DOUBLE) * 32768.0 AS np,
+              CAST((ns // 2) * nch AS DOUBLE) * 32768.0 AS na
+            FROM p
+          )
+          SELECT asset_id, CAST(nch AS INT) AS n_channels,
+            CAST(sr // 2 AS INT) AS sample_rate,
+            CAST(ns // 2 AS INT) AS n_samples,
+            array_to_string([
+              ${fp("s0", "np")},
+              ${fp("sl", "np")},
+              ${fp("sa", "na")},
+              ${fp("sb", "na")}], ',') AS feat_fp
+          FROM sums ORDER BY asset_id"""
+    })
+
+  val all: Seq[EngineQuery] =
+    Seq(q70, q71, q152, q153, q179, q182, q183, q188, q189)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llmops.{Dedup, DedupIndex, IvfIndex, KMeans}
+import graft.llmops.{Bpe, BpeModel, Dedup, DedupIndex, IvfIndex, KMeans}
 
 /** Proofs for the persisted incremental index artifacts
   * (llmops/IndexMaintenance.scala) — the BucketingSpec discipline
@@ -559,5 +559,68 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
       s"search must scan only the index parquet:\n$plan")
     assert(plan.contains("assignments"))
+  }
+
+  // ---- persisted BPE tokenizer model -----------------------------------
+
+  test("BpeModel: save+load roundtrip returns the trained merges and " +
+    "encodes held-out words identically to the in-session model") {
+    val path = freshDir("bpe_model")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    val trained = Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds)
+    BpeModel.save(spark, trained, path)
+    val loaded = BpeModel.load(spark, path)
+    assert(loaded == trained.merges,
+      "loaded merge table must equal the trained one, in rank order")
+    // held-out application: the persisted model must tokenize the OTHER
+    // half of the corpus exactly as the in-session model does
+    val heldOut = docs.filter(col("doc_id") % 2 === 1)
+      .select(explode(split(lower(col("text")), Bpe.WordSplitRe))
+        .as("word"))
+      .filter(col("word") =!= "").distinct()
+    val diff = heldOut
+      .withColumn("a", Bpe.encodeWord(col("word"), trained.merges))
+      .withColumn("b", Bpe.encodeWord(col("word"), loaded))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "persisted model must encode identically")
+  }
+
+  test("BpeModel: a drifted training recipe fails descriptively") {
+    val path = freshDir("bpe_model_cfg")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
+      path)
+    graft.llmops.IndexMaintenance.writeSidecar(spark, path,
+      "_bpe_model_config", BpeModel.Config.replace(
+        s"rounds=${Bpe.Rounds}", s"rounds=${Bpe.Rounds + 4}"))
+    val e = intercept[IllegalStateException](BpeModel.load(spark, path))
+    assert(e.getMessage.contains("rebuild"),
+      s"drift error must name the remediation: ${e.getMessage}")
+  }
+
+  test("BpeModel: a short merge table fails the structural check") {
+    val path = freshDir("bpe_model_short")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    // a model trained for fewer rounds than the recorded recipe: save
+    // publishes the full-recipe config, so load's rank check must fire
+    BpeModel.save(spark,
+      Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds - 4), path)
+    val e = intercept[IllegalStateException](BpeModel.load(spark, path))
+    assert(e.getMessage.contains("truncated or doubled"),
+      s"short-table error must be structural: ${e.getMessage}")
+  }
+
+  test("BpeModel: a torn save (merges written, config not yet " +
+    "published) reads as rebuild-required, not as a silent model") {
+    val path = freshDir("bpe_model_torn")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
+      path)
+    // config is written LAST by save(); deleting it replays the state
+    // of a crash between the merges write and the publish
+    assert(new java.io.File(path, "_bpe_model_config").delete())
+    val e = intercept[IllegalStateException](BpeModel.load(spark, path))
+    assert(e.getMessage.contains("did not complete"),
+      s"torn-save error must be descriptive: ${e.getMessage}")
   }
 }

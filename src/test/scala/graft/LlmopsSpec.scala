@@ -342,6 +342,136 @@ class LlmopsSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getInt(1) == 2 && got(0).getInt(2) == 1)
   }
 
+  test("Multimodal decode seam: RIFF/WAV PCM decoder — generic chunk " +
+    "walk, header cross-checks, signed sample scan") {
+    import java.io.ByteArrayOutputStream
+    def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff) }
+    def chunk(o: ByteArrayOutputStream, id: String,
+        body: Array[Byte]): Unit = {
+      o.write(id.getBytes("US-ASCII")); le32(o, body.length)
+      o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF word alignment
+    }
+    /** Assemble a PCM s16le WAV; junk chunks around `data` prove the
+      * walk is generic, and an ODD-length junk chunk proves padding. */
+    def wav(nch: Int, sr: Int, samples: Array[Int],
+        riffSizeDelta: Int = 0, fmtCode: Int = 1,
+        byteRateDelta: Int = 0, dataLenDelta: Int = 0): Array[Byte] = {
+      val fmt = new ByteArrayOutputStream()
+      le16(fmt, fmtCode); le16(fmt, nch); le32(fmt, sr)
+      le32(fmt, sr * nch * 2 + byteRateDelta); le16(fmt, nch * 2)
+      le16(fmt, 16)
+      val data = new ByteArrayOutputStream()
+      samples.foreach(le16(data, _))
+      val body = new ByteArrayOutputStream()
+      body.write("WAVE".getBytes("US-ASCII"))
+      chunk(body, "LIST", Array.fill[Byte](7)(42)) // odd-length junk
+      chunk(body, "fmt ", fmt.toByteArray)
+      chunk(body, "fact", Array.fill[Byte](4)(0)) // junk after fmt too
+      val d = data.toByteArray
+      body.write("data".getBytes("US-ASCII"))
+      le32(body, d.length + dataLenDelta); body.write(d)
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      le32(out, body.size() + riffSizeDelta); out.write(body.toByteArray)
+      out.toByteArray
+    }
+    // stereo with negative samples: sign extension + channel striding
+    val samples = Array(1000, -1000, 32767, -32768, 0, 500) // 3 frames
+    val (nch, sr, ns, feat) =
+      Multimodal.WavDecoder.decode(wav(2, 16000, samples))
+    assert(nch == 2 && sr == 16000 && ns == 3)
+    val ch0 = Seq(1000, 32767, 0); val ch1 = Seq(-1000, -32768, 500)
+    assert(math.abs(feat(0) - ch0.sum / (3.0 * 32768)) < 1e-6, "ch0 mean")
+    assert(math.abs(feat(1) - ch1.sum / (3.0 * 32768)) < 1e-6, "chN mean")
+    assert(math.abs(feat(2) - samples.sum / (6.0 * 32768)) < 1e-6)
+    assert(math.abs(feat(3) -
+      samples.map(math.abs).sum / (6.0 * 32768)) < 1e-6, "abs amplitude")
+    // mono: first and last channel are the SAME channel
+    val m = Multimodal.WavDecoder.decode(wav(1, 8000, Array(100, -100)))
+    assert(m._1 == 1 && m._3 == 2 && m._4(0) == m._4(1))
+    // malformed payloads refuse loudly with the specific cross-check
+    def refuses(b: Array[Byte], why: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.WavDecoder.decode(b))
+      assert(e.getMessage.toLowerCase.contains(why),
+        s"expected '$why' in: ${e.getMessage}")
+    }
+    refuses(wav(2, 16000, samples, riffSizeDelta = 4), "riff size")
+    refuses(wav(2, 16000, samples, fmtCode = 3), "only pcm")
+    refuses(wav(2, 16000, samples, byteRateDelta = 2), "byte_rate")
+    refuses(wav(2, 16000, samples, dataLenDelta = 2), "overruns")
+    refuses(wav(2, 16000, samples.take(5)), "not a multiple")
+    // the seam composes: WAV bytes through decodeFeatures
+    val bytes = wav(2, 16000, samples)
+    val rows = Seq(org.apache.spark.sql.Row(9L, "audio/wav",
+      bytes, bytes.length.toLong, "n/a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val got = Multimodal.decodeFeatures(df, Multimodal.WavDecoder)
+      .collect()
+    assert(got.length == 1 && got(0).getInt(1) == 2 &&
+      got(0).getInt(2) == 16000 && got(0).getInt(3) == 3)
+  }
+
+  test("Multimodal transform seam: WAV 2x resampler — floor-averaged " +
+    "frame pairs, halved re-emitted header, decodable output") {
+    import java.io.ByteArrayOutputStream
+    def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+      le16(o, v & 0xffff); le16(o, (v >> 16) & 0xffff) }
+    /** Canonical PCM s16le WAV (the generic chunk walk is proven by the
+      * decoder test; the halver shares the same parser). */
+    def wav(nch: Int, sr: Int, samples: Array[Int]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write("RIFF".getBytes("US-ASCII"))
+      le32(o, 36 + samples.length * 2)
+      o.write("WAVEfmt ".getBytes("US-ASCII")); le32(o, 16)
+      le16(o, 1); le16(o, nch); le32(o, sr); le32(o, sr * nch * 2)
+      le16(o, nch * 2); le16(o, 16)
+      o.write("data".getBytes("US-ASCII")); le32(o, samples.length * 2)
+      samples.foreach(le16(o, _))
+      o.toByteArray
+    }
+    // stereo, 4 frames: ch0 pairs (-3,-4) and (7,8) prove FLOOR
+    // averaging (truncation would give -3, floor gives -4); ch1 pairs
+    // prove channel striding
+    val in = Array(-3, 100, -4, 200, 7, -101, 8, -100) // f0..f3, (ch0,ch1)
+    val halved = Multimodal.WavHalver.transform(wav(2, 16000, in))
+    val (nch, sr, ns, feat) = Multimodal.WavDecoder.decode(halved)
+    assert(nch == 2 && sr == 8000 && ns == 2,
+      "re-emitted header must carry halved rate and frame count")
+    // expected output frames: ch0 = [floor(-7/2), floor(15/2)] = [-4, 7]
+    //                         ch1 = [150, floor(-201/2)] = [150, -101]
+    assert(math.abs(feat(0) - (-4 + 7) / (2.0 * 32768)) < 1e-7, "ch0")
+    assert(math.abs(feat(1) - (150 - 101) / (2.0 * 32768)) < 1e-7, "ch1")
+    assert(math.abs(feat(3) -
+      (4 + 7 + 150 + 101) / (4.0 * 32768)) < 1e-7, "abs amplitude")
+    // refusals: geometry the halver cannot halve
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.WavHalver.transform(wav(1, 8000, Array(1, 2, 3))))
+    assert(e1.getMessage.contains("even sample count"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.WavHalver.transform(wav(1, 8001, Array(1, 2))))
+    assert(e2.getMessage.contains("even sample rate"), e2.getMessage)
+    // the seam composes: transformPayloads → decodeFeatures
+    val bytes = wav(2, 16000, in)
+    val rows = Seq(org.apache.spark.sql.Row(11L, "audio/wav",
+      bytes, bytes.length.toLong, "n/a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val got = Multimodal.decodeFeatures(
+      Multimodal.transformPayloads(df, Multimodal.WavHalver),
+      Multimodal.WavDecoder).collect()
+    assert(got.length == 1 && got(0).getInt(1) == 2 &&
+      got(0).getInt(2) == 8000 && got(0).getInt(3) == 2)
+  }
+
   test("q59 percentile prune: per-source thresholds bind independently") {
     val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
