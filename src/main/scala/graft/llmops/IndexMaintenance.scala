@@ -66,6 +66,18 @@ object IndexMaintenance {
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Delete a sidecar — the RETRACTION half of the publish protocol:
+    * removing the config marker takes the store detectably offline
+    * (every read path fails with the descriptive rebuild error) until
+    * a subsequent build re-publishes it.
+    */
+  private[graft] def retractSidecar(s: SparkSession, dir: String,
+      name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
   private[graft] def readSidecar(s: SparkSession, dir: String,
       name: String): Option[String] = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -665,6 +677,37 @@ object BpeModel {
     IndexMaintenance.writeSidecar(s, path, "_bpe_model_config", Config)
   }
 
+  /** MAINTENANCE — the explicit retrain + republish this immutable
+    * artifact prescribes (the IVF-centroid contract: no append path;
+    * a new model is a new VERSION). The retrained merge table is
+    * written into generation N+1 and the manifest swapped atomically
+    * (the [[IndexMaintenance.compactStore]] discipline): a loader that
+    * read before the swap saw a complete old model, one that reads
+    * after sees a complete new one, and a crash before the manifest
+    * publish leaves the OLD model live — never a mixed or partial
+    * table. The recorded training recipe must match (republish is a
+    * retrain under the SAME recipe; a recipe change is a different
+    * model and belongs at a different path).
+    */
+  def republish(s: SparkSession, trained: Bpe.Trained,
+      path: String): Unit = {
+    IndexMaintenance.requireConfig(s, path, "_bpe_model_config",
+      Config, What)
+    val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    val curSub = cur.substring(path.length + 1)
+    val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
+      .map(_.group(1).toInt).getOrElse(0)
+    val nextSub = s"merges-g${gen + 1}"
+    import s.implicits._
+    trained.merges.toDF()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$nextSub")
+    IndexMaintenance.publishManifest(s, path, ManifestName, nextSub)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+  }
+
   /** Load the merge table (config- and manifest-verified, then
     * structurally verified: exactly [[Bpe.Rounds]] merges with ranks
     * 1..Rounds — a truncated or doubled table fails descriptively).
@@ -731,6 +774,33 @@ object IvfIndex {
     IndexMaintenance.publishManifest(s, path, ManifestName,
       "assignments-g0")
     IndexMaintenance.writeSidecar(s, path, "_ivf_index_config", config(k))
+  }
+
+  /** MAINTENANCE — drift remediation (the q171-monitor → rebuild arm),
+    * IN PLACE and crash-detectably. Rebuilding a LIVE index by calling
+    * [[build]] directly is silently dangerous: the old config sidecar
+    * stays valid throughout, so a mid-rebuild crash can pair NEW
+    * centroids with OLD assignments and search returns wrong rows with
+    * no signal. republish RETRACTS the config first — from that moment
+    * every read path fails with the descriptive rebuild error — then
+    * delegates to build(), whose final config publish is the
+    * "ingest complete" marker that puts the index back online. Any
+    * crash in between leaves a config-less store: detected, never
+    * silently absorbed.
+    */
+  def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
+    val s = embeddings.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
+      config(k), What)
+    val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    IndexMaintenance.retractSidecar(s, path, "_ivf_index_config")
+    build(embeddings, path, k)
+    // the rebuilt index lives at assignments-g0 again; a post-compaction
+    // generation left behind by the old index is unreferenced garbage
+    if (!stale.endsWith("/assignments-g0")) {
+      val p = new org.apache.hadoop.fs.Path(stale)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** The recorded centroids (k-bounded collect). Config-verified FIRST:

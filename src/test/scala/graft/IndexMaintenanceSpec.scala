@@ -304,6 +304,52 @@ class IndexMaintenanceSpec extends SparkTestBase {
       s"maintained recall ($rm) must track the rebuilt index ($rr)")
   }
 
+  test("IvfIndex: republish rebuilds in place crash-detectably — the " +
+    "torn window reads as rebuild-required, the completed rebuild " +
+    "answers like a fresh build, stale generations are swept") {
+    val live = freshDir("ivf_repub")
+    val fresh = freshDir("ivf_fresh")
+    // day 0 + day 1: build on evens, append odds, compact (so the live
+    // store sits on a post-g0 generation — the realistic shape)
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), live, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), live)
+    IvfIndex.compact(spark, live)
+    val staleGen = IvfIndex.dataDir(spark, live)
+    assert(!staleGen.endsWith("/assignments-g0"))
+    // drift declared: retrain on the FULL corpus. The torn window is
+    // the state between config retraction and re-publish — replay it
+    // and prove every read path refuses descriptively
+    val recorded = graft.llmops.IndexMaintenance.readSidecar(spark, live,
+      "_ivf_index_config").get
+    graft.llmops.IndexMaintenance.retractSidecar(spark, live,
+      "_ivf_index_config")
+    val e = intercept[IllegalStateException](
+      IvfIndex.centroids(spark, live))
+    assert(e.getMessage.contains("rebuild"),
+      s"torn-rebuild reads must name the remediation: ${e.getMessage}")
+    // put the recorded config back (completing the replay), then run
+    // the real thing
+    graft.llmops.IndexMaintenance.writeSidecar(spark, live,
+      "_ivf_index_config", recorded)
+    IvfIndex.republish(embs, live, k = 4)
+    IvfIndex.build(embs, fresh, k = 4)
+    // identical recorded centroids and assignment SETS as a fresh build
+    // (same deterministic recipe over the same corpus)
+    assert(IvfIndex.centroids(spark, live)
+        .map(c => (c.cell, c.centroid.toSeq)) ==
+      IvfIndex.centroids(spark, fresh)
+        .map(c => (c.cell, c.centroid.toSeq)))
+    val a = spark.read.parquet(IvfIndex.dataDir(spark, live))
+      .select(col("member_id"), col("cell"))
+    val b = spark.read.parquet(IvfIndex.dataDir(spark, fresh))
+      .select(col("member_id"), col("cell"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "republished assignments must equal a fresh build's")
+    // the pre-rebuild generation is unreferenced garbage — swept
+    assert(!new java.io.File(staleGen).exists(),
+      s"stale generation must be deleted: $staleGen")
+  }
+
   test("IvfIndex: config sidecar guards k / recipe changes") {
     val path = freshDir("ivf_cfg")
     IvfIndex.build(embs.filter(col("vec_id") < 100), path, k = 4)
@@ -608,6 +654,35 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val e = intercept[IllegalStateException](BpeModel.load(spark, path))
     assert(e.getMessage.contains("truncated or doubled"),
       s"short-table error must be structural: ${e.getMessage}")
+  }
+
+  test("BpeModel: republish swaps generations atomically — a retrained " +
+    "model replaces the live one, a torn republish leaves it live") {
+    val path = freshDir("bpe_model_repub")
+    val trainA = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    val trainB = docs.filter(col("doc_id") % 2 === 1).select(col("text"))
+    val modelA = Bpe.trainOn(Bpe.wordFreqOf(trainA), Bpe.Rounds)
+    val modelB = Bpe.trainOn(Bpe.wordFreqOf(trainB), Bpe.Rounds)
+    assert(modelA.merges != modelB.merges,
+      "fixture halves must train distinct models for this test to bind")
+    BpeModel.save(spark, modelA, path)
+    // a torn republish: a stray next-generation directory exists but
+    // the manifest was never swapped — the OLD model must stay live
+    import spark.implicits._
+    modelB.merges.toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges-g1")
+    assert(BpeModel.load(spark, path) == modelA.merges,
+      "an unpublished generation must be invisible to load")
+    // the real republish: manifest swap, old generation deleted
+    BpeModel.republish(spark, modelB, path)
+    assert(BpeModel.load(spark, path) == modelB.merges,
+      "load must return the republished model")
+    assert(!new java.io.File(path, "merges-g0").exists(),
+      "the old generation is deleted after the swap")
+    // a second republish keeps incrementing generations
+    BpeModel.republish(spark, modelA, path)
+    assert(BpeModel.load(spark, path) == modelA.merges)
+    assert(new java.io.File(path, "merges-g2").exists())
   }
 
   test("BpeModel: a torn save (merges written, config not yet " +
