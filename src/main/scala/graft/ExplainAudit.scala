@@ -42,7 +42,7 @@ object ExplainAudit {
     "q183_multimodal_real_resize", "q184_bm25_persisted_index",
     "q185_curation_pipeline_packed", "q186_ngram_lm_persisted",
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
-    "q189_multimodal_wav_resample")
+    "q189_multimodal_wav_resample", "q190_classifier_persisted_model")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -602,6 +602,16 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q188_multimodal_wav_decode")
         p.contains("Scan ExistingRDD") && !p.contains("Join") &&
           !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q190 persisted-classifier scoring: the batch is scanned ONCE " +
+        "(the token-hash checkpoint feeds features, bias, and the " +
+        "per-source rollup); the ONLY parquet scan in the gate plan is " +
+        "the weight table itself, joined by broadcast; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q190_classifier_persisted_model")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("weights") && p.contains("BroadcastHashJoin") &&
+          p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct")
       }),
       ("q189 real-resample WAV gate: transform (floor-averaged 2x " +
         "downsample) and decode chain as two partition-local " +

@@ -659,7 +659,7 @@ object Curation {
   /** Shared oracle prefix: split buckets, train-split labels +
     * features, and all [[ClfRounds]] unrolled epochs (`w0`..`wN`).
     */
-  private def clfFeatCtes(tag: String, docsRel: String): String =
+  private[llmops] def clfFeatCtes(tag: String, docsRel: String): String =
     s""", toks$tag AS (
           SELECT doc_id, string_split(trim(text), ' ') ws FROM $docsRel
         ), th$tag AS (
@@ -683,13 +683,18 @@ object Curation {
           ) GROUP BY 1, 2
         )"""
 
-  private def clfOracleCtes: String = {
+  /** The q176 oracle prefix, with the TRAIN relation's predicate
+    * parameterizable: `extra` is appended to the split filter (empty
+    * for q176/q177's full-corpus student; ` AND doc_id % 2 = 0` for
+    * q190's day-2 student trained on the existing corpus only).
+    */
+  private[llmops] def clfOracleCtesOver(extra: String): String = {
     val bucket = PortableHash.splitDrawSql(
       PortableHash.charHashSql("source"))
     val head = s"""WITH sp AS MATERIALIZED (
           SELECT doc_id, text, $bucket AS bkt FROM documents
         ), train AS MATERIALIZED (
-          SELECT doc_id, text FROM sp WHERE bkt < 800
+          SELECT doc_id, text FROM sp WHERE bkt < 800$extra
         )""" + clfFeatCtes("", "train") + s""", tw AS MATERIALIZED (
           SELECT p AS b,
             ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS tw
@@ -746,7 +751,7 @@ object Curation {
               (SELECT CAST(COALESCE(SUM(ABS(w)), 0) AS BIGINT) FROM w$r)
                 AS w_l1"""
       }.mkString(" UNION ALL ")
-      clfOracleCtes + s" $out ORDER BY round"
+      clfOracleCtesOver("") + s" $out ORDER BY round"
     })
 
   /** Held-out classifier evaluation (q177) — the end of the ML loop
@@ -811,7 +816,7 @@ object Curation {
         .orderBy(col("split"))
     },
     Some {
-      clfOracleCtes + s""", held AS MATERIALIZED (
+      clfOracleCtesOver("") + s""", held AS MATERIALIZED (
           SELECT CASE WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
             doc_id, text
           FROM sp WHERE bkt >= 800

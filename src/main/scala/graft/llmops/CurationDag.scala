@@ -635,5 +635,95 @@ object CurationDag {
            ORDER BY p.source"""
     })
 
-  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187)
+  /** The persisted DAY-2 quality classifier: q176's batch-perceptron
+    * student trained ONCE on the EXISTING corpus's train split (even
+    * doc_ids — the q187 convention) and published as a [[ClfModel]]
+    * artifact; every later call LOADS the frozen weight table from disk
+    * (config-, manifest-, and structurally verified).
+    */
+  private def day2Student(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val app = s.sparkContext.applicationId
+    val tag = SessionScratch.dirTag(dir)
+    val path = s"${SessionScratch.base("clf_model", app)}/cm_$tag"
+    SessionScratch.once("clf_model", app, dir) {
+      val existingTrain = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 0)
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      ClfModel.save(s, Curation.trainClassifierOn(s, existingTrain).w,
+        path)
+    }
+    ClfModel.load(s, path)
+  }
+
+  /** Day-2 scoring with the PERSISTED classifier model — the inference
+    * half of the trained-artifact family's second member (the BPE model
+    * proves frozen TOKENIZATION; this proves frozen SCORING): the
+    * arriving batch (odd doc_ids) is featurized once (q168's hashed
+    * unigram+bigram+bias buckets) and scored by the on-disk weight
+    * table trained on the EXISTING corpus — truly held-out application
+    * of a fixed model, where q168/q176 score the same corpus the
+    * weights came from. A re-trained-per-run scorer would shift the
+    * keep/drop boundary silently under the pipeline; the gate's oracle
+    * retrains from scratch (all unrolled epochs over the even train
+    * split) and scores the odd batch, so the persisted table must equal
+    * the from-scratch training bit-exactly to hash-match.
+    *
+    * Scale shape: the existing corpus is touched only through the
+    * ≤(buckets+1)-row weight read (broadcast side of the score join);
+    * everything else — one featurize scan, one map-side-combined
+    * per-doc rollup, one per-source agg — sees the BATCH.
+    */
+  val q190 = EngineQuery(
+    "q190_classifier_persisted_model",
+    (s, dir) => {
+      import graft.llmops.PortableHash.{tokens, tokenHashes}
+      val w = day2Student(s, dir)
+      val batch = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      // ONE batch scan: token hashes checkpointed, features + bias
+      // derived from the checkpoint (the q177 discipline)
+      val hb = SessionScratch.transientCheckpoint(
+        batch.select(col("source"), col("doc_id"),
+          tokenHashes(tokens(col("text"))).as("ths")))
+      val fx = Curation.bucketsFromTh(hb.select(col("doc_id"), col("ths")))
+        .unionByName(hb.select(col("doc_id"),
+          lit(Curation.ClfBuckets).as("b")))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val sc = fx.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+      hb.select(col("source"), col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("score"), lit(0L)) > 0, 1L)
+            .otherwise(0L)).as("n_keep"),
+          sum(coalesce(col("score"), lit(0L))).as("score_sum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val R = Curation.ClfRounds
+      Curation.clfOracleCtesOver(" AND doc_id % 2 = 0") +
+        s""", batch AS MATERIALIZED (
+            SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 2 = 1
+          )""" + Curation.clfFeatCtes("b", "batch") + s""", bsc AS (
+            SELECT f.doc_id,
+              CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
+            FROM fxb f LEFT JOIN w$R w ON w.b = f.b
+            GROUP BY f.doc_id
+          )
+          SELECT b.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_keep,
+            CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS score_sum
+          FROM batch b LEFT JOIN bsc s ON s.doc_id = b.doc_id
+          GROUP BY b.source ORDER BY b.source"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190)
 }

@@ -732,6 +732,89 @@ object BpeModel {
   }
 }
 
+/** The persisted quality-classifier MODEL — the second trained-TRANSFORM
+  * member of the maintained family (with [[BpeModel]]): q176's
+  * distilled student is a ≤(buckets+1)-row integer weight table, and
+  * production scores every later batch with a FROZEN snapshot of it —
+  * retraining per batch would shift the keep/drop boundary under the
+  * pipeline silently. Same contract as the BPE model: IMMUTABLE, no
+  * append path; maintenance is retrain + [[republish]] (atomic
+  * generation swap). Layout at `path`: `weights-g<N>/` (b, w) parquet +
+  * manifest + `_clf_model_config` recording the training recipe;
+  * config written LAST as the publish-complete marker.
+  */
+object ClfModel {
+
+  /** The training recipe ([[Curation.trainClassifierOn]]'s contract):
+    * teacher-labeled batch perceptron, integer power-of-two step decay,
+    * hashed unigram+bigram+bias features.
+    */
+  val Config: String =
+    s"algo=batch-perceptron;rounds=${Curation.ClfRounds};" +
+      s"step=pow2-decay;teacher=hash-linear;margin=${Curation.MarginMin};" +
+      s"buckets=${Curation.ClfBuckets};features=uni+bi+bias;v=1"
+
+  private val ManifestName = "_clf_model_manifest"
+  private val What = "classifier model"
+
+  /** Persist a trained weight table (the [[BpeModel.save]] discipline:
+    * weights → manifest → config last).
+    */
+  def save(s: SparkSession, w: DataFrame, path: String): Unit = {
+    w.select(col("b"), col("w"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/weights-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName, "weights-g0")
+    IndexMaintenance.writeSidecar(s, path, "_clf_model_config", Config)
+  }
+
+  /** MAINTENANCE — retrain + republish into generation N+1 with an
+    * atomic manifest swap (the [[BpeModel.republish]] contract: a torn
+    * republish leaves the OLD model live; a loader never sees a mixed
+    * weight table).
+    */
+  def republish(s: SparkSession, w: DataFrame, path: String): Unit = {
+    IndexMaintenance.requireConfig(s, path, "_clf_model_config",
+      Config, What)
+    val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    val curSub = cur.substring(path.length + 1)
+    val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
+      .map(_.group(1).toInt).getOrElse(0)
+    val nextSub = s"weights-g${gen + 1}"
+    w.select(col("b"), col("w"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$nextSub")
+    IndexMaintenance.publishManifest(s, path, ManifestName, nextSub)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+  }
+
+  /** Load the weight table (config- and manifest-verified, then
+    * structurally verified: every bucket id within [0, buckets] — the
+    * bias bucket is `buckets` itself — and no duplicate rows per
+    * bucket; a foreign or doubled table fails descriptively). The
+    * result is the ≤(buckets+1)-row broadcast side of inference — a
+    * bounded read, exactly like the IVF centroid pull.
+    */
+  def load(s: SparkSession, path: String): DataFrame = {
+    IndexMaintenance.requireConfig(s, path, "_clf_model_config",
+      Config, What)
+    val dir = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    val w = s.read.parquet(dir).select(col("b"), col("w"))
+    val bad = w.filter(col("b") < 0 ||
+      col("b") > Curation.ClfBuckets).count()
+    val dup = w.groupBy(col("b")).count().filter(col("count") > 1).count()
+    if (bad > 0 || dup > 0)
+      throw new IllegalStateException(
+        s"$What at $path fails the structural check: $bad weight row(s) " +
+          s"outside bucket range [0, ${Curation.ClfBuckets}], $dup " +
+          "duplicated bucket(s) — the weight table is foreign or " +
+          "doubled; republish the model.")
+    w
+  }
+}
+
 /** The persisted IVF ANN index behind q54's operational form. Layout at
   * `path`: `centroids/` (cell, centroid) + `assignments-g<N>/`
   * (member_id, cell, em) parquet (current generation named by

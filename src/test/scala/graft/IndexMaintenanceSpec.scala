@@ -685,6 +685,53 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(new java.io.File(path, "merges-g2").exists())
   }
 
+  // ---- persisted classifier model ---------------------------------------
+
+  test("ClfModel: save+load roundtrip, recipe drift refused, foreign " +
+    "weight table refused, torn save detected, republish atomic") {
+    import graft.llmops.{ClfModel, Curation}
+    val path = freshDir("clf_model")
+    val trainA = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val wA = Curation.trainClassifierOn(spark, trainA).w
+    ClfModel.save(spark, wA, path)
+    // roundtrip: the loaded table equals the trained one row-for-row
+    val loaded = ClfModel.load(spark, path)
+    assert(loaded.exceptAll(wA).isEmpty && wA.exceptAll(loaded).isEmpty,
+      "loaded weights must equal the trained table")
+    // recipe drift refused
+    graft.llmops.IndexMaintenance.writeSidecar(spark, path,
+      "_clf_model_config", ClfModel.Config.replace("pow2", "const"))
+    val e1 = intercept[IllegalStateException](ClfModel.load(spark, path))
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    graft.llmops.IndexMaintenance.writeSidecar(spark, path,
+      "_clf_model_config", ClfModel.Config)
+    // a foreign weight table (bucket outside the recorded range) is
+    // structurally refused even though config and manifest verify
+    val bad = freshDir("clf_model_bad")
+    import spark.implicits._
+    ClfModel.save(spark,
+      Seq((Curation.ClfBuckets + 7, 5L)).toDF("b", "w"), bad)
+    val e2 = intercept[IllegalStateException](ClfModel.load(spark, bad))
+    assert(e2.getMessage.contains("structural check"), e2.getMessage)
+    // torn save: config never published -> rebuild-required
+    val torn = freshDir("clf_model_torn")
+    ClfModel.save(spark, wA, torn)
+    assert(new java.io.File(torn, "_clf_model_config").delete())
+    val e3 = intercept[IllegalStateException](ClfModel.load(spark, torn))
+    assert(e3.getMessage.contains("did not complete"), e3.getMessage)
+    // republish: generation swap, old generation swept, new table live
+    val trainB = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val wB = Curation.trainClassifierOn(spark, trainB).w
+    ClfModel.republish(spark, wB, path)
+    val reloaded = ClfModel.load(spark, path)
+    assert(reloaded.exceptAll(wB).isEmpty && wB.exceptAll(reloaded).isEmpty)
+    assert(!new java.io.File(path, "weights-g0").exists(),
+      "old generation must be deleted after the swap")
+    assert(new java.io.File(path, "weights-g1").exists())
+  }
+
   test("BpeModel: a torn save (merges written, config not yet " +
     "published) reads as rebuild-required, not as a silent model") {
     val path = freshDir("bpe_model_torn")
