@@ -42,7 +42,8 @@ object ExplainAudit {
     "q183_multimodal_real_resize", "q184_bm25_persisted_index",
     "q185_curation_pipeline_packed", "q186_ngram_lm_persisted",
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
-    "q189_multimodal_wav_resample", "q190_classifier_persisted_model")
+    "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
+    "q191_curation_day2_packed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -612,6 +613,18 @@ object ExplainAudit {
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
           p.contains("weights") && p.contains("BroadcastHashJoin") &&
           p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct")
+      }),
+      ("q191 complete day-2 pipeline: every corpus-sized input enters " +
+        "through a persisted artifact — the batch-survivor and " +
+        "token-hash checkpoints are the only row sources besides the " +
+        "student weight parquet (broadcast); the frozen tokenizer " +
+        "applies as a join-free chained-replace projection; the pack " +
+        "stage is one Window over per-doc rollups; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q191_curation_day2_packed")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("weights") && p.contains("BroadcastHashJoin") &&
+          p.contains("Scan ExistingRDD") && p.contains("Window") &&
+          p.contains("replace(") && !p.contains("CartesianProduct")
       }),
       ("q189 real-resample WAV gate: transform (floor-averaged 2x " +
         "downsample) and decode chain as two partition-local " +

@@ -197,40 +197,46 @@ object Bpe {
     * twice (pair counting and the next replace), so without it DuckDB's
     * CTE inlining doubles the expression tree per round.
     */
-  private[llmops] def oracleChainBody(docsRel: String): String = {
-    val header = s"""wf AS MATERIALIZED (
+  /** `tag` renames every CTE the chain defines (wf/w0../p../b..) so the
+    * block can coexist in one WITH chain with other epoch-shaped CTE
+    * families (q191 needs both this chain and the classifier's w0..wN).
+    * The default empty tag keeps every existing oracle byte-identical.
+    */
+  private[llmops] def oracleChainBody(docsRel: String,
+      tag: String = ""): String = {
+    val header = s"""wf$tag AS MATERIALIZED (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
               AS word
             FROM $docsRel
           ) WHERE word <> '' GROUP BY word
-        ), w0 AS MATERIALIZED (
+        ), w${tag}0 AS MATERIALIZED (
           SELECT word,
             chr(31) ||
               regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g')
               || '_' || chr(31) AS s,
             freq
-          FROM wf
+          FROM wf$tag
         )"""
     val rounds = (1 to Rounds).map { i =>
-      s""", p$i AS MATERIALIZED (
+      s""", p$tag$i AS MATERIALIZED (
           SELECT ts[u.g] AS l, ts[u.g + 1] AS r,
             CAST(SUM(freq) AS BIGINT) AS cnt
           FROM (SELECT string_split(trim(s, chr(31)),
                          chr(31) || chr(31)) AS ts, freq
-                FROM w${i - 1}) tok,
+                FROM w$tag${i - 1}) tok,
                UNNEST(generate_series(1, len(tok.ts) - 1)) AS u(g)
           GROUP BY 1, 2
-        ), b$i AS MATERIALIZED (
+        ), b$tag$i AS MATERIALIZED (
           SELECT CAST($i AS BIGINT) AS merge_rank, l, r, cnt
-          FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
-        ), w$i AS MATERIALIZED (
+          FROM p$tag$i ORDER BY cnt DESC, l, r LIMIT 1
+        ), w$tag$i AS MATERIALIZED (
           SELECT w.word,
             replace(w.s,
               chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
               chr(31) || b.l || b.r || chr(31)) AS s,
             w.freq
-          FROM w${i - 1} w CROSS JOIN b$i b
+          FROM w$tag${i - 1} w CROSS JOIN b$tag$i b
         )"""
     }.mkString
     header + rounds

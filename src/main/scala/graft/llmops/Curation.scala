@@ -686,16 +686,19 @@ object Curation {
   /** The q176 oracle prefix, with the TRAIN relation's predicate
     * parameterizable: `extra` is appended to the split filter (empty
     * for q176/q177's full-corpus student; ` AND doc_id % 2 = 0` for
-    * q190's day-2 student trained on the existing corpus only).
+    * q190/q191's day-2 student trained on the existing corpus only).
+    * `lead` lets the block open a WITH chain (default) or continue an
+    * existing one (", " — q191 appends it after the dedup pair CTEs).
     */
-  private[llmops] def clfOracleCtesOver(extra: String): String = {
+  private[llmops] def clfOracleCtesOver(extra: String,
+      lead: String = "WITH ", featTag: String = ""): String = {
     val bucket = PortableHash.splitDrawSql(
       PortableHash.charHashSql("source"))
-    val head = s"""WITH sp AS MATERIALIZED (
+    val head = s"""${lead}sp AS MATERIALIZED (
           SELECT doc_id, text, $bucket AS bkt FROM documents
         ), train AS MATERIALIZED (
           SELECT doc_id, text FROM sp WHERE bkt < 800$extra
-        )""" + clfFeatCtes("", "train") + s""", tw AS MATERIALIZED (
+        )""" + clfFeatCtes(featTag, "train") + s""", tw AS MATERIALIZED (
           SELECT p AS b,
             ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS tw
           FROM (SELECT UNNEST(range(0, $ClfBuckets)) p)
@@ -704,7 +707,7 @@ object Curation {
           FROM (
             SELECT f.doc_id,
               CAST(COALESCE(SUM(f.c * t.tw), 0) AS BIGINT) AS ts
-            FROM fx f LEFT JOIN tw t ON t.b = f.b
+            FROM fx$featTag f LEFT JOIN tw t ON t.b = f.b
             GROUP BY f.doc_id
           ) WHERE ABS(ts) >= $MarginMin
         ), w0 AS (
@@ -716,7 +719,7 @@ object Curation {
           SELECT l.doc_id, l.y,
             CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
           FROM lab l
-          LEFT JOIN fx f ON f.doc_id = l.doc_id
+          LEFT JOIN fx$featTag f ON f.doc_id = l.doc_id
           LEFT JOIN w${r - 1} w ON w.b = f.b
           GROUP BY 1, 2
         ), m$r AS MATERIALIZED (
@@ -725,7 +728,7 @@ object Curation {
           SELECT f.b,
             CAST(SUM(f.c * m.y) * ${1L << (ClfRounds - r)} AS BIGINT)
               AS w
-          FROM fx f JOIN m$r m ON m.doc_id = f.doc_id
+          FROM fx$featTag f JOIN m$r m ON m.doc_id = f.doc_id
           GROUP BY f.b
         ), w$r AS MATERIALIZED (
           SELECT b, CAST(SUM(w) AS BIGINT) AS w FROM (

@@ -468,11 +468,15 @@ object CurationDag {
     * per-run cost scales with `batch`, never the corpus behind the
     * index (ScaleDay2 measures exactly that claim).
     */
-  def day2Increment(batch: org.apache.spark.sql.DataFrame,
-      idxPath: String, merges: Seq[Bpe.Merge])
-      : org.apache.spark.sql.DataFrame = {
-    // STAGE 1 — dedup: hash the batch ONCE; probe the persisted
-    // index (cross-corpus), self-join the same signatures (in-batch)
+  /** Stage 1 of the day-2 runs (q187/q191): the arriving batch deduped
+    * against the persisted signature index — hashed ONCE (the
+    * checkpoint feeds both the cross-corpus probe and the in-batch
+    * self-join, q45's greedy higher-id-drops rule among arrivals).
+    * Returns the CHECKPOINTED batch-survivor boundary every downstream
+    * stage reads.
+    */
+  def day2Survivors(batch: org.apache.spark.sql.DataFrame,
+      idxPath: String): org.apache.spark.sql.DataFrame = {
     val sigs = SessionScratch.transientCheckpoint(
       Dedup.bandSignaturesOf(batch))
     val afterCross = DedupIndex.probeWithSigs(batch, sigs, idxPath)
@@ -485,8 +489,15 @@ object CurationDag {
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= DedupIndex.MatchBands)
       .select(col("doc_b").as("doc_id")).distinct()
-    val survivors = SessionScratch.transientCheckpoint(
+    SessionScratch.transientCheckpoint(
       afterCross.join(batchLosers, Seq("doc_id"), "left_anti"))
+  }
+
+  def day2Increment(batch: org.apache.spark.sql.DataFrame,
+      idxPath: String, merges: Seq[Bpe.Merge])
+      : org.apache.spark.sql.DataFrame = {
+    // STAGE 1 — dedup against the persisted index (see day2Survivors)
+    val survivors = day2Survivors(batch, idxPath)
     // STAGE 2 — split (pure projection over the boundary)
     val train = survivors
       .withColumn("split", Sampling.groupSplit(col("source")))
@@ -725,5 +736,174 @@ object CurationDag {
           GROUP BY b.source ORDER BY b.source"""
     })
 
-  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190)
+  /** The COMPLETE day-2 run, ending in the packed training-batch plan —
+    * every stage driven by a PERSISTED artifact: the arriving batch is
+    * deduped against the on-disk signature index ([[day2Survivors]]),
+    * split, kept-or-dropped by the FROZEN on-disk student classifier
+    * (q190's [[ClfModel]]), tokenized by the FROZEN on-disk
+    * [[BpeModel]], and packed into 2048-token context bins per source
+    * (q185's per-stratum running-sum rule). q185 proves the chain
+    * composes same-corpus; q187 proves the persisted dedup+tokenizer
+    * half; this gate proves the WHOLE production day-2 — a daily crawl
+    * to a training batch plan with zero corpus-sized recomputation.
+    *
+    * Scale shape: the existing corpus enters only through the index
+    * parquet probe, a Rounds-row merge read, and a ≤4097-row weight
+    * broadcast; the pack window's input is |kept batch docs| rows.
+    *
+    * The oracle replays all five stages from scratch: the pair-space
+    * dedup resolution, the split rule, EVERY unrolled perceptron epoch
+    * of the student over the even train split (the persisted weights
+    * must equal from-scratch training bit-exactly), the 12-round BPE
+    * train over the even train split + chained-replace encode of the
+    * batch's kept words per doc, and the pack window.
+    */
+  val q191 = EngineQuery(
+    "q191_curation_day2_packed",
+    (s, dir) => {
+      import graft.llmops.PortableHash.{tokens, tokenHashes}
+      val t = Tables(s, dir)
+      val merges = day2Model(s, dir)
+      val w = day2Student(s, dir)
+      val idxPath = Dedup.existingDedupIndex(s, dir)
+      val incoming = t.documents.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      // STAGE 1 — dedup against the persisted index; STAGE 2 — split
+      val survivors = day2Survivors(incoming, idxPath)
+      val train = survivors
+        .withColumn("split", Sampling.groupSplit(col("source")))
+        .filter(col("split") === "train")
+      // STAGE 3 — keep/drop by the FROZEN student (q190 featurization:
+      // one token-hash checkpoint feeds features, bias, and the kept
+      // fetch)
+      val hb = SessionScratch.transientCheckpoint(
+        train.select(col("source"), col("doc_id"), col("text"),
+          tokenHashes(tokens(col("text"))).as("ths")))
+      val fx = Curation.bucketsFromTh(hb.select(col("doc_id"), col("ths")))
+        .unionByName(hb.select(col("doc_id"),
+          lit(Curation.ClfBuckets).as("b")))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val keptIds = fx.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+        .filter(col("score") > 0)
+        .select(col("doc_id"))
+      val kept = hb.select(col("doc_id"), col("source"), col("text"))
+        .join(keptIds, Seq("doc_id"), "left_semi")
+      // STAGE 4 — tokenize with the FROZEN persisted merges, per doc
+      val words = kept
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val perDoc = words
+        .withColumn("es", Bpe.encodeWord(col("word"), merges))
+        .withColumn("n_toks", expr(
+          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+            "''))) div 2 + 1"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n") * col("n_toks")).as("n_tok"))
+      // STAGE 5 — pack into 2048-token bins per source (q185's rule)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDoc
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(win) - col("n_tok")) / lit(2048.0)))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some {
+      val R = Curation.ClfRounds
+      val bucket = PortableHash.splitDrawSql(
+        PortableHash.charHashSql("source"))
+      val encChain = (1 to Bpe.Rounds).map { i =>
+        s""", e$i AS MATERIALIZED (
+            SELECT doc_id, source, word, n,
+              replace(s,
+                chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                chr(31) || b.l || b.r || chr(31)) AS s
+            FROM e${i - 1} CROSS JOIN bt$i b
+          )"""
+      }.mkString
+      Dedup.minhashPairsCtes + s"""
+         , cross_dupes AS (
+             SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a
+                                  ELSE doc_b END AS doc_id
+             FROM pairs
+             WHERE n_bands >= 4 AND (doc_a % 2) != (doc_b % 2)
+           ), batch_dupes AS (
+             SELECT DISTINCT doc_b AS doc_id FROM pairs
+             WHERE n_bands >= 4 AND doc_a % 2 = 1 AND doc_b % 2 = 1
+           ), surv AS MATERIALIZED (
+             SELECT d.doc_id, d.source, d.text
+             FROM documents d
+             ANTI JOIN cross_dupes x ON d.doc_id = x.doc_id
+             ANTI JOIN batch_dupes y ON d.doc_id = y.doc_id
+             WHERE d.doc_id % 2 = 1
+           ), spl AS (
+             SELECT doc_id, source,
+               CASE WHEN bkt < 800 THEN 'train'
+                    WHEN bkt < 900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, source, $bucket AS bkt FROM surv)
+           ), tdocs AS MATERIALIZED (
+             SELECT s.doc_id, s.source, s.text
+             FROM surv s JOIN spl p ON s.doc_id = p.doc_id
+             WHERE p.split = 'train'
+           )""" +
+        Curation.clfOracleCtesOver(" AND doc_id % 2 = 0", ", ", "c") +
+        Curation.clfFeatCtes("k", "tdocs") + s""", ksc AS (
+             SELECT f.doc_id,
+               CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
+             FROM fxk f LEFT JOIN w$R w ON w.b = f.b
+             GROUP BY f.doc_id
+           ), kept AS MATERIALIZED (
+             SELECT t.doc_id, t.source, t.text
+             FROM tdocs t JOIN ksc s ON s.doc_id = t.doc_id
+             WHERE s.score > 0
+           ), edocs AS MATERIALIZED (
+             SELECT source, text FROM (
+               SELECT source, text, $bucket AS bkt FROM documents
+               WHERE doc_id % 2 = 0
+             ) WHERE bkt < 800
+           ), ${Bpe.oracleChainBody("edocs", "t")}, dwd AS (
+             SELECT doc_id, source, word, COUNT(*) AS n FROM (
+               SELECT doc_id, source,
+                 unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+'))
+                   AS word
+               FROM kept
+             ) WHERE word <> '' GROUP BY 1, 2, 3
+           ), e0 AS (
+             SELECT doc_id, source, word, n,
+               chr(31) ||
+                 regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g')
+                 || '_' || chr(31) AS s
+             FROM dwd
+           )$encChain, enc AS (
+             SELECT doc_id, source, n,
+               (length(s) - length(replace(s, chr(31) || chr(31), ''))) // 2
+                 + 1 AS n_toks
+             FROM e${Bpe.Rounds}
+           ), dtok AS (
+             SELECT doc_id, source,
+               CAST(SUM(n * n_toks) AS BIGINT) AS n_tok
+             FROM enc GROUP BY 1, 2
+           ), binned AS (
+             SELECT source, doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin
+             FROM dtok
+           )
+           SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+           FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190, q191)
 }

@@ -472,6 +472,93 @@ class LlmopsSpec extends SparkTestBase {
       got(0).getInt(2) == 8000 && got(0).getInt(3) == 2)
   }
 
+  test("codec roundtrip property (scalacheck): assemble -> halve -> " +
+    "decode agrees with a direct reference on random WAV geometry") {
+    import java.io.ByteArrayOutputStream
+    def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+      le16(o, v & 0xffff); le16(o, (v >> 16) & 0xffff) }
+    def wav(nch: Int, sr: Int, samples: Array[Int]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write("RIFF".getBytes("US-ASCII")); le32(o, 36 + samples.length * 2)
+      o.write("WAVEfmt ".getBytes("US-ASCII")); le32(o, 16)
+      le16(o, 1); le16(o, nch); le32(o, sr); le32(o, sr * nch * 2)
+      le16(o, nch * 2); le16(o, 16)
+      o.write("data".getBytes("US-ASCII")); le32(o, samples.length * 2)
+      samples.foreach(le16(o, _))
+      o.toByteArray
+    }
+    val gen = for {
+      nch <- Gen.choose(1, 4)
+      ns2 <- Gen.choose(1, 32) // frames AFTER halving; input has 2x
+      sr <- Gen.choose(4000, 24000).map(_ * 2)
+      samples <- Gen.listOfN(2 * ns2 * nch, Gen.choose(-32768, 32767))
+    } yield (nch, sr, ns2, samples.toArray)
+    val prop = Prop.forAll(gen) { case (nch, sr, ns2, samples) =>
+      // reference: halved frame (t, c) = floor-average of input frames
+      // 2t and 2t+1 on channel c
+      val halved = Array.tabulate(ns2, nch) { (t, c) =>
+        Math.floorDiv(samples((2 * t) * nch + c) +
+          samples((2 * t + 1) * nch + c), 2)
+      }.flatten
+      val (n, s, f, feat) =
+        Multimodal.WavDecoder.decode(
+          Multimodal.WavHalver.transform(wav(nch, sr, samples)))
+      val ch0 = halved.zipWithIndex.collect {
+        case (v, i) if i % nch == 0 => v.toLong }.sum
+      val chN = halved.zipWithIndex.collect {
+        case (v, i) if i % nch == nch - 1 => v.toLong }.sum
+      val all = halved.map(_.toLong).sum
+      val ab = halved.map(v => math.abs(v.toLong)).sum
+      val perCh = ns2 * 32768.0
+      val na = ns2.toDouble * nch * 32768.0
+      n == nch && s == sr / 2 && f == ns2 &&
+        feat(0) == (ch0 / perCh).toFloat &&
+        feat(1) == (chN / perCh).toFloat &&
+        feat(2) == (all / na).toFloat &&
+        feat(3) == (ab / na).toFloat
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("codec roundtrip property (scalacheck): PPM box halver agrees " +
+    "with per-block floor-average reference on random geometry") {
+    def ppm(w: Int, h: Int, raster: Array[Int]): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ raster.map(_.toByte)
+    }
+    val gen = for {
+      w2 <- Gen.choose(1, 8)
+      h2 <- Gen.choose(1, 8)
+      raster <- Gen.listOfN(4 * w2 * h2 * 3, Gen.choose(0, 255))
+    } yield (2 * w2, 2 * h2, raster.toArray)
+    val prop = Prop.forAll(gen) { case (w, h, raster) =>
+      val (gw, gh, gf, feat) = Multimodal.PpmDecoder.decode(
+        Multimodal.PpmBoxHalver.transform(ppm(w, h, raster)))
+      val w2 = w / 2; val h2 = h / 2
+      var r = 0L; var g = 0L; var b = 0L
+      for (by <- 0 until h2; bx <- 0 until w2; c <- 0 until 3) {
+        val v = (raster(((2 * by) * w + 2 * bx) * 3 + c) +
+          raster(((2 * by) * w + 2 * bx + 1) * 3 + c) +
+          raster(((2 * by + 1) * w + 2 * bx) * 3 + c) +
+          raster(((2 * by + 1) * w + 2 * bx + 1) * 3 + c)) / 4
+        if (c == 0) r += v else if (c == 1) g += v else b += v
+      }
+      val n = (w2.toDouble * h2) * 255
+      gw == w2 && gh == h2 && gf == 1 &&
+        feat(0) == (r / n).toFloat &&
+        feat(1) == (g / n).toFloat &&
+        feat(2) == (b / n).toFloat &&
+        feat(3) == (0.299 * r / n + 0.587 * g / n + 0.114 * b / n).toFloat
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("q59 percentile prune: per-source thresholds bind independently") {
     val out = graft.llmops.Curation.q59.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
