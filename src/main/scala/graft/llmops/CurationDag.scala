@@ -758,64 +758,74 @@ object CurationDag {
     * train over the even train split + chained-replace encode of the
     * batch's kept words per doc, and the pack window.
     */
+  /** The complete day-2 pipeline body shared by the q191 gate and the
+    * `graft.ScaleDay2` harness: stages 1-2 via [[day2Survivors]], then
+    * frozen-student keep/drop, frozen-tokenizer per-doc encode, and the
+    * q185 pack window — all over the batch, with the corpus entering
+    * only through `idxPath`, `merges`, and the weight table `w`.
+    */
+  def day2Packed(batch: org.apache.spark.sql.DataFrame, idxPath: String,
+      merges: Seq[Bpe.Merge], w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.llmops.PortableHash.{tokens, tokenHashes}
+    // STAGE 1 — dedup against the persisted index; STAGE 2 — split
+    val survivors = day2Survivors(batch, idxPath)
+    val train = survivors
+      .withColumn("split", Sampling.groupSplit(col("source")))
+      .filter(col("split") === "train")
+    // STAGE 3 — keep/drop by the FROZEN student (q190 featurization:
+    // one token-hash checkpoint feeds features, bias, and the kept
+    // fetch)
+    val hb = SessionScratch.transientCheckpoint(
+      train.select(col("source"), col("doc_id"), col("text"),
+        tokenHashes(tokens(col("text"))).as("ths")))
+    val fx = Curation.bucketsFromTh(hb.select(col("doc_id"), col("ths")))
+      .unionByName(hb.select(col("doc_id"),
+        lit(Curation.ClfBuckets).as("b")))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val keptIds = fx.join(broadcast(w), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+      .filter(col("score") > 0)
+      .select(col("doc_id"))
+    val kept = hb.select(col("doc_id"), col("source"), col("text"))
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    // STAGE 4 — tokenize with the FROZEN persisted merges, per doc
+    val words = kept
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = words
+      .withColumn("es", Bpe.encodeWord(col("word"), merges))
+      .withColumn("n_toks", expr(
+        "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+          "''))) div 2 + 1"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n") * col("n_toks")).as("n_tok"))
+    // STAGE 5 — pack into 2048-token bins per source (q185's rule)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDoc
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(win) - col("n_tok")) / lit(2048.0)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val q191 = EngineQuery(
     "q191_curation_day2_packed",
     (s, dir) => {
-      import graft.llmops.PortableHash.{tokens, tokenHashes}
-      val t = Tables(s, dir)
-      val merges = day2Model(s, dir)
-      val w = day2Student(s, dir)
-      val idxPath = Dedup.existingDedupIndex(s, dir)
-      val incoming = t.documents.filter(col("doc_id") % 2 === 1)
+      val incoming = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("source"), col("text"))
-      // STAGE 1 — dedup against the persisted index; STAGE 2 — split
-      val survivors = day2Survivors(incoming, idxPath)
-      val train = survivors
-        .withColumn("split", Sampling.groupSplit(col("source")))
-        .filter(col("split") === "train")
-      // STAGE 3 — keep/drop by the FROZEN student (q190 featurization:
-      // one token-hash checkpoint feeds features, bias, and the kept
-      // fetch)
-      val hb = SessionScratch.transientCheckpoint(
-        train.select(col("source"), col("doc_id"), col("text"),
-          tokenHashes(tokens(col("text"))).as("ths")))
-      val fx = Curation.bucketsFromTh(hb.select(col("doc_id"), col("ths")))
-        .unionByName(hb.select(col("doc_id"),
-          lit(Curation.ClfBuckets).as("b")))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      val keptIds = fx.join(broadcast(w), Seq("b"), "left")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
-        .filter(col("score") > 0)
-        .select(col("doc_id"))
-      val kept = hb.select(col("doc_id"), col("source"), col("text"))
-        .join(keptIds, Seq("doc_id"), "left_semi")
-      // STAGE 4 — tokenize with the FROZEN persisted merges, per doc
-      val words = kept
-        .select(col("doc_id"), col("source"),
-          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("doc_id"), col("source"), col("word"))
-        .agg(count(lit(1)).as("n"))
-      val perDoc = words
-        .withColumn("es", Bpe.encodeWord(col("word"), merges))
-        .withColumn("n_toks", expr(
-          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
-            "''))) div 2 + 1"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("n") * col("n_toks")).as("n_tok"))
-      // STAGE 5 — pack into 2048-token bins per source (q185's rule)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      perDoc
-        .withColumn("bin",
-          floor((sum(col("n_tok")).over(win) - col("n_tok")) / lit(2048.0)))
-        .groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
-        .orderBy(col("source"), col("bin"))
+      day2Packed(incoming, Dedup.existingDedupIndex(s, dir),
+        day2Model(s, dir), day2Student(s, dir))
     },
     Some {
       val R = Curation.ClfRounds
