@@ -164,6 +164,24 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // The driver captures only the last ~2000 chars of stdout and the
+    // full line above (~16 KB at 190 queries) overflows that window —
+    // its HEAD is truncated away and BENCH_r{07..10}.json all recorded
+    // parsed:null. Emit a compact summary as the LAST stdout line so a
+    // tail-window scan finds one complete parseable JSON object: the
+    // headline totals + sentinel verdict inline, the top-cost queries
+    // (the ones a per-round grade reads first), and a pointer to the
+    // persisted full map.
+    val topK = good.sortBy(i => -times(i).min).take(10)
+      .map(i => s""""${names(i)}":${math.round(times(i).min * 1000) / 1000.0}""")
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
+        s""""sentinel_spread":$spread,"contention_suspect":$suspect,""" +
+        s""""failed":$failed,"n_queries":${good.size},""" +
+        s""""queries_truncated":true,"top_queries":$topK,""" +
+        s""""queries_file":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

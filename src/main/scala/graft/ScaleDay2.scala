@@ -50,10 +50,16 @@ object ScaleDay2 {
 
   /** Min-of-2 (the Bench discipline) — single-shot readings on this
     * host drift up to 2x between ambient-noise windows, which is
-    * larger than the effects being measured.
+    * larger than the effects being measured. Checkpoint eviction runs
+    * BETWEEN and AFTER the timed runs, never inside them: attributing
+    * eviction overhead to a strategy would inflate exactly the
+    * incremental numbers this harness exists to show are flat.
     */
-  private def timedMin2(f: => Unit): Double =
-    math.min(timed(f), timed(f))
+  private def timedMin2(f: => Unit): Double = {
+    val a = timed(f); ops.SessionScratch.evictTransients()
+    val b = timed(f); ops.SessionScratch.evictTransients()
+    math.min(a, b)
+  }
 
   private def fresh(tag: String): String = java.nio.file.Files
     .createTempDirectory(s"graft_scaleday2_$tag").toString
@@ -174,16 +180,13 @@ object ScaleDay2 {
       ops.SessionScratch.evictTransients()
       val incSec = timedMin2 {
         CurationDag.day2Increment(batch, s"$root/dedup", merges).count()
-        ops.SessionScratch.evictTransients()
       }
       val packSec = timedMin2 {
         CurationDag.day2Packed(batch, s"$root/dedup", merges, clfW)
           .count()
-        ops.SessionScratch.evictTransients()
       }
       val naiveSec = timedMin2 {
         naiveFull(base, batch)
-        ops.SessionScratch.evictTransients()
       }
       println(f"""{"dag":"day2_increment","corpus_scale":$f,""" +
         f""""n_base":$nBase,"n_batch":$nBatch,""" +

@@ -839,7 +839,11 @@ object Multimodal {
       var fmtAt = -1; var dataAt = -1; var dataLen = -1
       while (pos + 8 <= payload.length) {
         val id = tag(pos); val len = le32(pos + 4)
-        require(len >= 0 && pos + 8 + len <= payload.length,
+        // bound computed in Long: a malformed len near Int.MaxValue
+        // overflows the Int sum to negative and slips past the check,
+        // turning the designed descriptive refusal into an
+        // ArrayIndexOutOfBoundsException later in the walk
+        require(len >= 0 && pos.toLong + 8L + len <= payload.length,
           s"chunk $id overruns payload: len=$len at $pos")
         if (id == "fmt ") { require(len >= 16, "short fmt chunk"); fmtAt = pos + 8 }
         if (id == "data") { dataAt = pos + 8; dataLen = len }
@@ -862,6 +866,10 @@ object Multimodal {
         s"byte_rate $byteRate != sr*nch*2 ${sr * nch * 2}")
       require(dataLen % blockAlign == 0,
         s"data length $dataLen not a multiple of frame size $blockAlign")
+      // an empty data chunk passes every cross-check above but makes
+      // every downstream per-sample mean a 0/0 — refuse it here so the
+      // failure is a descriptive parse error, not silent NaN features
+      require(dataLen > 0, "empty data chunk (zero samples)")
       (nch, sr, dataLen / blockAlign, dataAt)
     }
 
