@@ -75,7 +75,15 @@ object IndexMaintenance {
       name: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, name)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(p, false)
+    // the retraction must be VERIFIED: if the delete silently fails and
+    // the old config stays live, a subsequent rebuild recreates exactly
+    // the undetected torn-rebuild window (new data readable under the
+    // old config) that retract-then-rebuild exists to close
+    val deleted = fs.delete(p, false)
+    require(deleted || !fs.exists(p),
+      s"could not retract sidecar $p: delete failed and the file " +
+        "still exists — aborting before the rebuild can pair new data " +
+        "with the stale config")
   }
 
   private[graft] def readSidecar(s: SparkSession, dir: String,
@@ -234,6 +242,83 @@ object IndexMaintenance {
     fs.delete(new org.apache.hadoop.fs.Path(cur), true)
     (before, listDataFiles(s, s"$path/$nextSub").size)
   }
+
+  /** What [[vacuumStore]] removed: uncommitted data files inside the
+    * live generation (a torn append's leftovers), superseded generation
+    * directories (a compaction/republish whose best-effort delete was
+    * lost to a crash), and orphaned sidecar temp files (a
+    * [[writeSidecar]] killed between create and rename).
+    */
+  final case class VacuumReport(uncommittedRemoved: Int,
+      staleGenerationsRemoved: Int, tempsRemoved: Int)
+
+  /** Crash-RECOVERY for a manifested store — the remediation half of
+    * [[verifiedDir]]'s detection: the manifest defines exactly which
+    * files ARE the store, so everything else under `path` is provably
+    * garbage and removing it restores the committed state without a
+    * rebuild. Turns "torn append detected → rebuild required" into
+    * "torn append detected → vacuum → retry the append".
+    *
+    * Refuses (descriptively) when committed files are MISSING or
+    * resized — that is data loss, not garbage, and only a rebuild can
+    * recover it. Single-writer discipline assumed (as everywhere in
+    * this family): vacuuming while an append/compaction is in flight
+    * would delete its in-progress files.
+    */
+  private[llmops] def vacuumStore(s: SparkSession, path: String,
+      name: String, what: String): VacuumReport = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val m = readSidecar(s, path, name).getOrElse(
+      throw new IllegalStateException(
+        s"$what at $path has no $name manifest — nothing defines the " +
+          "committed file set, so vacuum cannot distinguish data from " +
+          "garbage; rebuild the index."))
+    val lines = m.trim.split("\n").toSeq
+    val subdir = lines.head.stripPrefix("dir=")
+    val recorded = lines.tail.filter(_.nonEmpty).map { ln =>
+      val i = ln.lastIndexOf(':')
+      (ln.substring(0, i), ln.substring(i + 1).toLong)
+    }.toSet
+    val live = new org.apache.hadoop.fs.Path(s"$path/$subdir")
+    val fs = live.getFileSystem(conf)
+    val actual = listDataFiles(s, s"$path/$subdir")
+    val missing = (recorded -- actual).map(_._1).toSeq.sorted
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$what at $path cannot be vacuumed: ${missing.size} committed " +
+          s"file(s) missing or resized (e.g. ${missing.take(3).mkString(", ")})" +
+          " — that is data loss, not leftover garbage; rebuild the index.")
+    // 1. uncommitted data files inside the live generation
+    val extras = (actual -- recorded).map(_._1).toSeq.sorted
+    extras.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(live, n)
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"vacuum could not remove uncommitted file $p")
+    }
+    // 2. superseded generation directories: siblings named
+    //    <base>-g<N> for the live subdir's base, other than the live one
+    val base = "-g(\\d+)$".r.replaceAllIn(subdir, "")
+    val genRe = s"^${java.util.regex.Pattern.quote(base)}-g\\d+$$".r
+    val root = new org.apache.hadoop.fs.Path(path)
+    val stale = fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName != subdir &&
+        genRe.findFirstIn(st.getPath.getName).isDefined
+    }
+    stale.foreach { st =>
+      require(fs.delete(st.getPath, true) || !fs.exists(st.getPath),
+        s"vacuum could not remove stale generation ${st.getPath}")
+    }
+    // 3. orphaned sidecar temps directly under the store root
+    val temps = fs.listStatus(root).toSeq.filter { st =>
+      st.isFile && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.contains(".tmp.")
+    }
+    temps.foreach { st =>
+      require(fs.delete(st.getPath, false) || !fs.exists(st.getPath),
+        s"vacuum could not remove orphaned temp ${st.getPath}")
+    }
+    VacuumReport(extras.size, stale.size, temps.size)
+  }
 }
 
 /** The persisted MinHash-LSH signature index behind incremental dedup
@@ -257,6 +342,14 @@ object DedupIndex {
   val MatchBands = 4
 
   private val ManifestName = "_dedup_index_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val What = "Dedup signature index"
 
   /** The manifest-verified current data directory (spec/harness use). */
@@ -393,6 +486,14 @@ object TextIndex {
     "tok=whitespace-trim-split;score=bm25-rational;k1tf=2.2;b=0.75;v=1"
 
   private val ManifestName = "_text_index_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val StatsName = "_text_index_stats"
   private val What = "Full-text BM25 index"
 
@@ -550,6 +651,14 @@ object NgramIndex {
       "span=positional-2gram;v=1"
 
   private val ManifestName = "_ngram_index_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val What = "Bigram LM index"
 
   /** The manifest-verified current counts directory. */
@@ -661,6 +770,14 @@ object BpeModel {
       "tiebreak=cnt-desc-lhs-rhs;sep=u001f;eow=underscore;v=1"
 
   private val ManifestName = "_bpe_model_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val What = "BPE tokenizer model"
 
   /** Persist a trained merge table: merges parquet, manifest, config —
@@ -755,6 +872,14 @@ object ClfModel {
       s"buckets=${Curation.ClfBuckets};features=uni+bi+bias;v=1"
 
   private val ManifestName = "_clf_model_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val What = "classifier model"
 
   /** Persist a trained weight table (the [[BpeModel.save]] discipline:
@@ -831,6 +956,14 @@ object IvfIndex {
 
   private def centDir(path: String) = s"$path/centroids"
   private val ManifestName = "_ivf_index_manifest"
+
+  /** Crash recovery: remove provably-uncommitted garbage (torn-append
+    * leftovers, superseded generations, orphaned sidecar temps) so the
+    * committed store verifies and reads again — see
+    * [[IndexMaintenance.vacuumStore]].
+    */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
   private val What = "IVF index"
 
   /** The manifest-verified current assignment directory. */

@@ -745,4 +745,117 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not complete"),
       s"torn-save error must be descriptive: ${e.getMessage}")
   }
+
+  // ---- vacuum: crash RECOVERY (the remediation half of detection) -------
+
+  test("vacuum: a torn append's uncommitted files are swept, the probe " +
+    "answers the committed state again, and the RETRIED append equals " +
+    "a full rebuild") {
+    val path = freshDir("dedup_vac")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val wave = docs.filter(col("doc_id") % 2 === 1)
+    val pre = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+    // a killed append: data files present that the manifest never
+    // committed
+    val dir = DedupIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    intercept[IllegalStateException] {
+      DedupIndex.probe(wave, path).collect()
+    }
+    // vacuum removes exactly the garbage; the committed store reads again
+    val rep = DedupIndex.vacuum(spark, path)
+    assert(rep.uncommittedRemoved == 1 && rep.staleGenerationsRemoved == 0,
+      rep.toString)
+    val post = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(post.sameElements(pre),
+      "after vacuum the probe must answer the committed state")
+    graft.ops.SessionScratch.evictTransients()
+    // the recovery story completes: retry the append that was torn, and
+    // the maintained index equals a from-scratch rebuild
+    val s1 = DedupIndex.append(wave, path)
+    val ids = s1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rebuilt = freshDir("dedup_vac_r")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0).unionByName(
+      wave.filter(col("doc_id").isin(ids.toSeq: _*))), rebuilt)
+    val a = DedupIndex.signatures(spark, path)
+    val b = DedupIndex.signatures(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "vacuum + retried append must equal a full rebuild")
+    graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("vacuum: stale generation dirs and orphaned sidecar temps are " +
+    "swept; the live generation and its probe are untouched") {
+    val path = freshDir("dedup_vac2")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val wave = docs.filter(col("doc_id") % 2 === 1)
+    val pre = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+    // a compaction that published its swap but crashed before deleting
+    // the superseded generation — plus a writeSidecar temp orphaned by
+    // a kill between create and rename
+    val stale = new java.io.File(path, "signatures-g9")
+    assert(stale.mkdir())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/signatures-g9/part-junk.parquet"),
+      "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        s"$path/._dedup_index_manifest.tmp.deadbeef"), "junk")
+    val rep = DedupIndex.vacuum(spark, path)
+    assert(rep.staleGenerationsRemoved == 1 && rep.tempsRemoved == 1 &&
+      rep.uncommittedRemoved == 0, rep.toString)
+    assert(!stale.exists(), "stale generation must be gone")
+    val post = DedupIndex.probe(wave, path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(post.sameElements(pre))
+    graft.ops.SessionScratch.evictTransients()
+  }
+
+  test("vacuum: refuses descriptively when committed files are LOST — " +
+    "data loss is not garbage") {
+    val path = freshDir("dedup_vac3")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val dir = DedupIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.delete(part.toPath)
+    val e = intercept[IllegalStateException] {
+      DedupIndex.vacuum(spark, path)
+    }
+    assert(e.getMessage.contains("data loss") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
+  test("vacuum on IvfIndex: assignment-store garbage swept, centroids " +
+    "and search untouched") {
+    val path = freshDir("ivf_vac")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    val q = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val pre = IvfIndex.search(q, path).collect().map(_.toString).sorted
+    val centBefore = dataFiles(s"$path/centroids")
+    val dir = IvfIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    val stale = new java.io.File(path, "assignments-g9")
+    assert(stale.mkdir())
+    val rep = IvfIndex.vacuum(spark, path)
+    assert(rep.uncommittedRemoved == 1 && rep.staleGenerationsRemoved == 1,
+      rep.toString)
+    assert(dataFiles(s"$path/centroids") == centBefore,
+      "vacuum must never touch centroids")
+    val post = IvfIndex.search(q, path).collect().map(_.toString).sorted
+    assert(post.sameElements(pre))
+  }
 }
