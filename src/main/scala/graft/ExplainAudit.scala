@@ -43,7 +43,7 @@ object ExplainAudit {
     "q185_curation_pipeline_packed", "q186_ngram_lm_persisted",
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
-    "q191_curation_day2_packed")
+    "q191_curation_day2_packed", "q192_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -635,6 +635,19 @@ object ExplainAudit {
           "q189_multimodal_wav_resample")
         p.contains("Scan ExistingRDD") && !p.contains("Join") &&
           !p.contains("CartesianProduct") && !p.contains("HashAggregate")
+      }),
+      ("q192 IVFPQ composes both scale levers in-plan: candidates come " +
+        "from an equi-join on the cell key (never corpus x queries); " +
+        "codebook, per-query ADC tables, and the refine shortlist are " +
+        "all broadcast; the ONLY nested-loop is the k-row broadcast " +
+        "centroid cross join of the probe stage; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q192_knn_ivfpq")
+        // count plan NODES via the FormattedMode detail headers — the
+        // tree section prints every node name a second time
+        "keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined &&
+          "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+          "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llmops.Chunking.all ++ graft.llmops.Curation.all ++
       graft.llmops.CurationDag.all ++
       graft.llmops.Bpe.all ++
+      graft.llmops.WordPiece.all ++
       graft.llmops.UnigramLm.all ++
       graft.llmops.Multimodal.all ++
       graft.streaming.StreamingTwins.all ++

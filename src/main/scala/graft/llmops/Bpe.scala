@@ -159,7 +159,7 @@ object Bpe {
   /** A word as its initial ␟-delimited symbol sequence:
     * chars + end-of-word marker, each symbol wrapped in [[Sep]].
     */
-  private def initSymbols(word: Column): Column =
+  private[llmops] def initSymbols(word: Column): Column =
     concat(lit(Sep),
       regexp_replace(word, "(.)", "$1" + Sep2),
       lit(Eow), lit(Sep))
@@ -168,7 +168,7 @@ object Bpe {
     * non-overlapping, continue-after-replacement `replace` both engines
     * share.
     */
-  private def applyMerge(s: Column, l: String, r: String): Column =
+  private[llmops] def applyMerge(s: Column, l: String, r: String): Column =
     replace(s, lit(Sep + l + Sep2 + r + Sep), lit(Sep + l + r + Sep))
 
   /** ENCODE an arbitrary word column with a trained merge table: the

@@ -881,6 +881,166 @@ object Similarity {
               FROM ref) WHERE rn <= 8
             ORDER BY qid, rn"""))
 
+  /** IVF-PQ composed ANN — the production FAISS index shape (IndexIVFPQ,
+    * Jégou et al. 2011): the two scale levers already proven separately
+    * composed into one search path. IVF cells (q53's verified k-means
+    * training) prune WHICH vectors are scored — only the top-`nprobe`
+    * cells per query are touched; PQ codes (q56's m=4 one-byte codes,
+    * 64× compression) shrink WHAT is read to score them — the ADC stage
+    * reads candidate CODES, never raw vectors; the refine stage rescores
+    * only the 32-row shortlist with exact fixed-point dots.
+    *
+    * 100 TB shape: centroids and the per-query (m·k)-row ADC tables are
+    * broadcast; the candidate join shuffles on cell id, so per-query
+    * work is |cell|·nprobe code lookups, and raw embeddings are touched
+    * for 32 rows per query regardless of corpus size. Every ranking
+    * quantity — the cell-probe dot, the squared-L2 encode argmin, the
+    * ADC sum, the refine dot — is exact int64 fixed-point, so the
+    * oracle replays training, encoding, and both search stages
+    * bit-exactly. Recall vs the exact q50 top-k is asserted in
+    * LlmopsSpec (cell pruning composes with code quantization, so the
+    * floor sits between q54's and q56's).
+    */
+  val q192 = EngineQuery(
+    "q192_knn_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      // IVF half: trained cells + full-corpus assignment (q54's shape)
+      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+      val assigned = KMeans.assign(t.embeddings, cents)
+        .select(col("vec_id").as("member_id"), col("cell"))
+      val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+        .toDF("ccell", "ec")
+      // PQ half: seeded codebook + per-subspace codes (q56's shape)
+      val ex = t.embeddings.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("vec_id"),
+          (col("pos0") / 16).cast("int").as("s"),
+          (col("pos0") % 16).as("pi"),
+          fixedPoint(col("v")).as("fv"))
+      val cb = ex.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cw"), col("s").as("cs"),
+          col("pi").as("cpi"), col("fv").as("fc"))
+      val dist = ex.join(broadcast(cb),
+          col("s") === col("cs") && col("pi") === col("cpi"))
+        .groupBy(col("vec_id"), col("s"), col("cw"))
+        .agg(sum((col("fv") - col("fc")) * (col("fv") - col("fc"))).as("d"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d"), col("cw"))
+      val codes = dist.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cw"))
+      // probe: top-2 cells per query by exact int64 query·centroid dot
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("ccell"))
+      val probes = queries.crossJoin(broadcast(centDf))
+        .select(col("qid"), col("ccell"),
+          graft.functions.VectorDot.fixedDotSum(
+            col("eq").cast("array<double>"), col("ec")).as("cdot"))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("ccell").as("cell"))
+      // per-query ADC table: dot(query subvector, codeword) — m·k rows
+      // per query, broadcast into the candidate-code probe
+      val qd = ex.filter(col("vec_id") < 10)
+        .join(broadcast(cb),
+          col("s") === col("cs") && col("pi") === col("cpi"))
+        .groupBy(col("vec_id").as("aqid"), col("s").as("qs"),
+          col("cw").as("qcw"))
+        .agg(sum(col("fv") * col("fc")).as("qdot"))
+      // candidates = members of the probed cells, ADC-scored off codes
+      val cand = probes.join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("member_id"))
+        .select(col("qid"), col("member_id").as("cid"))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("f").desc, col("cid"))
+      val shortlist = cand
+        .join(codes, col("cid") === codes("vec_id"))
+        .join(broadcast(qd),
+          col("qid") === col("aqid") && col("s") === col("qs") &&
+            col("cw") === col("qcw"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("qdot")).as("f"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 32)
+        .select(col("qid"), col("cid"))
+      // refine: exact fixed-point rescore of the bounded shortlist only
+      val qe = t.embeddings
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val ce = t.embeddings
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      val wFine = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      broadcast(shortlist)
+        .join(qe, Seq("qid")).join(ce, Seq("cid"))
+        .select(col("qid"), col("cid"),
+          exactDot(col("eq"), col("ec")).as("sim"))
+        .withColumn("rn", row_number().over(wFine))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(kmeansTrainCtes(4) +
+      """, sub AS (
+           SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
+             CAST(FLOOR(v*10000000.0) AS BIGINT) fv
+           FROM ex
+         ), cbq AS (
+           SELECT vec_id AS cw, s, pi, fv AS fc FROM sub WHERE vec_id < 16
+         ), pqd AS (
+           SELECT v.vec_id, v.s, c.cw,
+             SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
+           FROM sub v JOIN cbq c ON v.s = c.s AND v.pi = c.pi
+           GROUP BY 1, 2, 3
+         ), pcodes AS (
+           SELECT vec_id, s, cw FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cw) rn
+             FROM pqd) x
+           WHERE rn = 1
+         ), qdt AS (
+           SELECT q.vec_id AS qid, c.s, c.cw, SUM(q.fv*c.fc) AS qdot
+           FROM sub q JOIN cbq c ON q.s = c.s AND q.pi = c.pi
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2, 3
+         ), probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS cid FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), adc AS (
+           SELECT c.qid, c.cid, SUM(q.qdot) AS f
+           FROM cand c
+           JOIN pcodes k ON k.vec_id = c.cid
+           JOIN qdt q ON q.qid = c.qid AND q.s = k.s AND q.cw = k.cw
+           GROUP BY 1, 2
+         ), short AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (
+               PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+           WHERE rn <= 32
+         ), fine AS (
+           SELECT s.qid, s.cid,
+             CAST(SUM(CAST(FLOOR(a.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(b.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM short s
+           JOIN ex a ON a.vec_id = s.qid
+           JOIN ex b ON b.vec_id = s.cid AND b.pos = a.pos
+           GROUP BY 1, 2
+         )
+         SELECT qid, cid, sim, rn FROM (
+           SELECT qid, cid, sim, row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, cid) rn FROM fine) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192)
 }

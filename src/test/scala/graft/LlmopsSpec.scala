@@ -624,6 +624,26 @@ class LlmopsSpec extends SparkTestBase {
     assert(mean >= 0.45, f"PQ recall degraded: $mean%.3f")
   }
 
+  test("IVFPQ (cells + codes + refine) ANN recall vs the exact top-k") {
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val ivfpq = graft.llmops.Similarity.q192.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(ivfpq.keySet == exact.keySet,
+      "every query must return a non-empty top-k")
+    val recalls = exact.map { case (q, ex) =>
+      (ivfpq(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVFPQ mean recall@8 = $mean%.3f")
+    // cell pruning (reads ~2/4 of the corpus) composes with 64x code
+    // compression, so the floor sits below q56's PQ-only 0.45; random
+    // unit vectors remain the worst case for any quantized index —
+    // measured 0.50 on the fixture, floor at 0.3
+    assert(mean >= 0.3, f"IVFPQ recall degraded: $mean%.3f")
+  }
+
   test("semdedup: no surviving same-cell pair within threshold; deterministic") {
     import graft.llmops.PortableHash.exactDot
     val surv = graft.llmops.Similarity.q156.run(spark, sfDir)
