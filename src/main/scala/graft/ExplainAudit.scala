@@ -43,7 +43,8 @@ object ExplainAudit {
     "q185_curation_pipeline_packed", "q186_ngram_lm_persisted",
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
-    "q191_curation_day2_packed", "q192_knn_ivfpq")
+    "q191_curation_day2_packed", "q192_knn_ivfpq",
+    "q194_knn_ivfpq_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -646,6 +647,26 @@ object ExplainAudit {
         // tree section prints every node name a second time
         "keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined &&
           "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+          "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q194 persisted IVF-PQ search is CODES-ONLY in-plan: the only " +
+        "index-side parquet scans are the codes store and the " +
+        "broadcast-tier codebook; the corpus embeddings appear ONLY as " +
+        "the vec_id<10 query fetch (once per search stage — probe and " +
+        "ADC — both with the filter PUSHED to the scan), so no raw " +
+        "corpus vector is read at query time; candidates come from the " +
+        "cell-key equi-join against the codes scan, the ADC table " +
+        "joins by broadcast, and the only nested loop is the k-row " +
+        "centroid cross join", {
+        val p = planOf(spark, byName, sfDir, "q194_knn_ivfpq_persisted")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 4 &&
+          p.contains("codes-g") && p.contains("/codebook") &&
+          // both query fetches carry the pushed range filter (the ADC
+          // side's pushed list also carries IsNotNull(embedding), so
+          // match the filter itself, not the whole bracket)
+          "LessThan\\(vec_id,10\\)".r.findAllIn(p).size == 2 &&
+          "keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined &&
           "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
           !p.contains("CartesianProduct")
       }))

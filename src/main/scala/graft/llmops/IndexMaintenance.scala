@@ -1096,3 +1096,234 @@ object IvfIndex {
       centDf, nprobe, topk)
   }
 }
+
+/** The persisted IVF-PQ index — q192's composed ANN as a MAINTAINED
+  * on-disk artifact, and the point where the index family's storage
+  * claim becomes literal: [[IvfIndex]] persists raw vectors in its
+  * assignment rows (search refines against them), while this store
+  * persists only CELL + CODES per vector (m one-byte codewords — the
+  * 64× compression), so search never touches a raw corpus vector at
+  * all. That is the production FAISS IndexIVFPQ contract: queries
+  * carry their own vector, build an ADC table against the recorded
+  * codebook, and candidates in the probed cells are ranked by code
+  * lookups alone.
+  *
+  * Layout at `path`: `centroids/` (cell, centroid — the IVF half) +
+  * `codebook/` (cw, s, pi, fc — the PQ half, fixed-point int64
+  * components) + `codes-g<N>/` (vec_id, cell, s, cw) manifested rows +
+  * `_ivfpq_index_config` (written LAST — the ingest-complete marker) +
+  * `_ivfpq_index_manifest`.
+  *
+  * Maintenance contract (the FAISS train-then-add discipline, both
+  * halves): centroids AND codebook are trained/seeded at build and
+  * byte-untouched thereafter; append assigns + encodes ONLY the delta
+  * under the recorded artifacts; drift remediation is [[republish]].
+  * Determinism: cell probes, encode argmins, and ADC sums are all
+  * exact int64, so the gate oracle replays training, encoding, and the
+  * search bit-exactly.
+  */
+object IvfPqIndex {
+
+  /** IVF cells / Lloyd iterations (the q52/q54 recipe). */
+  val Iters = 2
+
+  /** PQ shape (the q56/q192 recipe): m subspaces of subDim dims, cb
+    * codewords per subspace, codebook seeded from the build corpus's
+    * cb smallest vec_ids.
+    */
+  val M = 4
+  val Cb = 16
+  val SubDim = 16
+
+  private def config(k: Int): String =
+    s"kind=ivfpq;k=$k;iters=$Iters;m=$M;cb=$Cb;sub=$SubDim;" +
+      "fixed_point=1e7;seed-cells=first-k-by-id;" +
+      "seed-codebook=first-cb-by-id;v=1"
+
+  private def centDir(path: String) = s"$path/centroids"
+  private def cbDir(path: String) = s"$path/codebook"
+  private val ManifestName = "_ivfpq_index_manifest"
+  private val What = "IVF-PQ index"
+
+  /** Crash recovery — see [[IndexMaintenance.vacuumStore]]. */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** The manifest-verified current codes directory. */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+
+  /** (vec_id, s, pi, fv) — fixed-point subspace decomposition. */
+  private def subOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"),
+        (col("pos0") / SubDim).cast("int").as("s"),
+        (col("pos0") % SubDim).as("pi"),
+        PortableHash.fixedPoint(col("v")).as("fv"))
+
+  /** Encode under RECORDED artifacts: cell via centroid argmax, codes
+    * via per-subspace squared-L2 argmin against the broadcast codebook
+    * — all exact int64, deterministic ties. Returns
+    * (vec_id, cell, s, cw).
+    */
+  private def encodeUnder(vecs: DataFrame, cents: Seq[KMeans.Centroid],
+      cb: DataFrame): DataFrame = {
+    val cells = KMeans.assign(vecs, cents)
+      .select(col("vec_id"), col("cell"))
+    val dist = subOf(vecs).join(broadcast(cb),
+        col("s") === col("cs") && col("pi") === col("cpi"))
+      .groupBy(col("vec_id"), col("s"), col("cw"))
+      .agg(sum((col("fv") - col("fc")) * (col("fv") - col("fc"))).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cw"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cw"))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("s"), col("cw"))
+  }
+
+  /** The recorded codebook (cw, cs, cpi, fc) — m·cb·subDim rows,
+    * broadcast-tier by construction.
+    */
+  private def codebook(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(cbDir(path))
+      .select(col("cw"), col("cs"), col("cpi"), col("fc"))
+
+  /** Initial build: train IVF centroids on the corpus, seed the PQ
+    * codebook from its cb smallest vec_ids, encode every vector, and
+    * publish — config LAST as the ingest-complete marker.
+    */
+  def build(embeddings: DataFrame, path: String, k: Int): Unit = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
+    cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centDir(path))
+    val cb = subOf(embeddings.orderBy(col("vec_id")).limit(Cb))
+      .select(col("vec_id").as("cw"), col("s").as("cs"),
+        col("pi").as("cpi"), col("fv").as("fc"))
+    cb.coalesce(1).write.mode("overwrite").parquet(cbDir(path))
+    encodeUnder(embeddings, cents, codebook(s, path))
+      .write.mode("overwrite").parquet(s"$path/codes-g0")
+    IndexMaintenance.publishManifest(s, path, ManifestName, "codes-g0")
+    IndexMaintenance.writeSidecar(s, path, "_ivfpq_index_config",
+      config(k))
+  }
+
+  /** The recorded centroids — config-verified k-bounded read (the
+    * [[IvfIndex.centroids]] discipline).
+    */
+  def centroids(s: SparkSession, path: String): Seq[KMeans.Centroid] = {
+    import s.implicits._
+    val k = IndexMaintenance.readSidecar(s, path, "_ivfpq_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
+      .getOrElse(0)
+    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
+      config(k), What)
+    val cents = s.read.parquet(centDir(path))
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Seq[Double])]
+      .collect()
+      .map { case (cell, v) => KMeans.Centroid(cell, v.toArray) }
+      .toSeq
+    if (cents.size != k)
+      throw new IllegalStateException(
+        s"IVF-PQ index at $path records k=$k in its sidecar but stores " +
+          s"${cents.size} centroids — the centroid table is truncated " +
+          "or foreign; rebuild the index.")
+    cents.sortBy(_.cell)
+  }
+
+  /** MAINTENANCE: assign + encode ONLY the delta under the recorded
+    * centroids and codebook (neither is retrained — a delta-sized
+    * argmax + argmin projection and a delta-sized append).
+    */
+  def append(newVecs: DataFrame, path: String): Unit = {
+    val s = newVecs.sparkSession
+    val cents = centroids(s, path)
+    val cur = dataDir(s, path)
+    encodeUnder(newVecs, cents, codebook(s, path))
+      .write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
+  }
+
+  /** Compact the accumulated code appends (config preserved, centroids
+    * and codebook untouched, atomic manifest swap).
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    val k = IndexMaintenance.readSidecar(s, path, "_ivfpq_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
+      .getOrElse(0)
+    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
+      config(k), What)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes)
+  }
+
+  /** Drift remediation — in-place rebuild, crash-detectable via config
+    * retraction (the [[IvfIndex.republish]] contract).
+    */
+  def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
+    val s = embeddings.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
+      config(k), What)
+    val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    IndexMaintenance.retractSidecar(s, path, "_ivfpq_index_config")
+    build(embeddings, path, k)
+    if (!stale.endsWith("/codes-g0")) {
+      val p = new org.apache.hadoop.fs.Path(stale)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** Search the MAINTAINED index by codes alone: top-`nprobe` cells per
+    * query (exact centroid dots against the k-bounded recorded
+    * centroids), candidates = the probed cells' rows in the CODES
+    * store, ranked by the exact int64 ADC sum (m broadcast table
+    * lookups per candidate). No raw corpus vector is read anywhere —
+    * the query's own vector builds the ADC table. Returns
+    * (qid, cid, f, rn).
+    */
+  def search(queries: DataFrame, path: String, nprobe: Int = 2,
+      topk: Int = 8): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val centDf = centroids(s, path)
+      .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdot").desc, col("ccell"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("eq"), col("ccell"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("eq").cast("array<double>"), col("ec")).as("cdot"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("ccell").as("cell"))
+    val qd = subOf(queries.select(col("qid").as("vec_id"),
+        col("eq").as("embedding")))
+      .join(broadcast(codebook(s, path)),
+        col("s") === col("cs") && col("pi") === col("cpi"))
+      .groupBy(col("vec_id").as("aqid"), col("s").as("qs"),
+        col("cw").as("qcw"))
+      .agg(sum(col("fv") * col("fc")).as("qdot"))
+    val codes = s.read.parquet(dataDir(s, path))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("f").desc, col("cid"))
+    probes.join(codes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(qd),
+        col("qid") === col("aqid") && col("s") === col("qs") &&
+          col("cw") === col("qcw"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("qdot")).as("f"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("cid"), col("f"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+}

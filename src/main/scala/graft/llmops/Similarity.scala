@@ -1041,6 +1041,99 @@ object Similarity {
              PARTITION BY qid ORDER BY sim DESC, cid) rn FROM fine) x
          WHERE rn <= 8 ORDER BY qid, rn"""))
 
+  /** The PERSISTED IVF-PQ index built+maintained once per (session,
+    * dir) — q192's ingest half under the `existingIvfIndex` pattern:
+    * centroids trained and codebook seeded on the even-id half (the
+    * "existing corpus"), the odd-id half appended as the arriving
+    * delta (assigned + encoded under the RECORDED artifacts, no
+    * retrain).
+    */
+  private[llmops] def existingIvfPqIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivfpq_index", app)}/ivfpq_$tag"
+    graft.ops.SessionScratch.once("ivfpq_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfPqIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfPqIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+    }
+    path
+  }
+
+  /** IVF-PQ ANN over the PERSISTED, MAINTAINED index — the codes-only
+    * search contract made literal: where q180's [[IvfIndex]] store
+    * keeps raw vectors in its assignment rows (and refines against
+    * them), this store keeps CELL + m one-byte CODES per vector (64×
+    * smaller) and the search ranks candidates by the exact int64 ADC
+    * sum alone — no raw corpus vector is read at query time, the
+    * production FAISS IndexIVFPQ read path. Centroids trained and
+    * codebook seeded on the even half only; odd half appended under
+    * the recorded artifacts. The oracle replays training restricted to
+    * the even half, seeds the codebook from the even half's first 16
+    * ids, encodes EVERY vector under those artifacts (build-encode ∪
+    * append-encode ≡ one encode pass, because append retrains nothing),
+    * and probes with the q192 ADC arithmetic — a drifted append
+    * (retrained centroids, re-seeded codebook, missed or double-coded
+    * vectors) hash-mismatches.
+    */
+  val q194 = EngineQuery(
+    "q194_knn_ivfpq_persisted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingIvfPqIndex(s, dir)
+      IvfPqIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, sub AS (
+           SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
+             CAST(FLOOR(v*10000000.0) AS BIGINT) fv
+           FROM ex
+         ), cbq AS (
+           SELECT vec_id AS cw, s, pi, fv AS fc FROM sub
+           WHERE vec_id IN (SELECT vec_id FROM embeddings
+                            WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16)
+         ), pqd AS (
+           SELECT v.vec_id, v.s, c.cw,
+             SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
+           FROM sub v JOIN cbq c ON v.s = c.s AND v.pi = c.pi
+           GROUP BY 1, 2, 3
+         ), pcodes AS (
+           SELECT vec_id, s, cw FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cw) rn
+             FROM pqd) x
+           WHERE rn = 1
+         ), qdt AS (
+           SELECT q.vec_id AS qid, c.s, c.cw, SUM(q.fv*c.fc) AS qdot
+           FROM sub q JOIN cbq c ON q.s = c.s AND q.pi = c.pi
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2, 3
+         ), probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS cid FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), adc AS (
+           SELECT c.qid, c.cid, CAST(SUM(q.qdot) AS BIGINT) AS f
+           FROM cand c
+           JOIN pcodes k ON k.vec_id = c.cid
+           JOIN qdt q ON q.qid = c.qid AND q.s = k.s AND q.cw = k.cw
+           GROUP BY 1, 2
+         )
+         SELECT qid, cid, f, rn FROM (
+           SELECT qid, cid, f, row_number() OVER (
+             PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194)
 }

@@ -746,6 +746,72 @@ class IndexMaintenanceSpec extends SparkTestBase {
       s"torn-save error must be descriptive: ${e.getMessage}")
   }
 
+  // ---- IVF-PQ: the codes-only persisted index ---------------------------
+
+  test("IvfPqIndex: append encodes ONLY the delta under the recorded " +
+    "artifacts — centroids AND codebook byte-untouched, every vector " +
+    "coded exactly once, search identical to a one-pass encode") {
+    import graft.llmops.IvfPqIndex
+    val path = freshDir("ivfpq")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    IvfPqIndex.build(even, path, k = 4)
+    val centBefore = dataFiles(s"$path/centroids")
+    val cbBefore = dataFiles(s"$path/codebook")
+    val baseFiles = dataFiles(IvfPqIndex.dataDir(spark, path))
+    IvfPqIndex.append(odd, path)
+    assert(dataFiles(s"$path/centroids") == centBefore,
+      "append must never touch centroids")
+    assert(dataFiles(s"$path/codebook") == cbBefore,
+      "append must never touch the codebook")
+    assert(baseFiles.subsetOf(dataFiles(IvfPqIndex.dataDir(spark, path))),
+      "append must never rewrite base code files")
+    // every vector coded exactly once, m rows each
+    val codes = spark.read.parquet(IvfPqIndex.dataDir(spark, path))
+    val n = embs.count()
+    assert(codes.count() == n * IvfPqIndex.M)
+    assert(codes.select(col("vec_id")).distinct().count() == n)
+    // search returns a full top-k per query off codes alone
+    val q = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val rows = IvfPqIndex.search(q, path).collect()
+    assert(rows.length == 6 * 8)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      rows.length)
+    // compaction: fewer files, search row-identical, both trained
+    // artifacts untouched
+    val pre = rows.map(_.toString).sorted
+    val (before, after) = IvfPqIndex.compact(spark, path)
+    assert(after < before)
+    val post = IvfPqIndex.search(q, path).collect().map(_.toString).sorted
+    assert(post.sameElements(pre))
+    assert(dataFiles(s"$path/centroids") == centBefore &&
+      dataFiles(s"$path/codebook") == cbBefore)
+  }
+
+  test("IvfPqIndex: codes-only ADC search recall vs the exact top-k") {
+    import graft.llmops.IvfPqIndex
+    val path = freshDir("ivfpq_rec")
+    IvfPqIndex.build(embs, path, k = 4)
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val got = IvfPqIndex.search(q, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, ps) => k2 -> ps.map(_._2).toSet }
+    val recalls = exact.map { case (k2, ex) =>
+      (got.getOrElse(k2, Set.empty[Long]) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"persisted IVFPQ (ADC-only) mean recall@8 = $mean%.3f")
+    // no refine stage by design (raw vectors are not in the store) —
+    // the floor sits below q192's refined 0.50; random unit vectors
+    // are the worst case for any quantized index. Measured 0.30 on
+    // the fixture (matching q56's raw-ADC reading), floor at 0.15
+    assert(mean >= 0.15, f"ADC-only recall degraded: $mean%.3f")
+  }
+
   // ---- vacuum: crash RECOVERY (the remediation half of detection) -------
 
   test("vacuum: a torn append's uncommitted files are swept, the probe " +
