@@ -66,7 +66,7 @@ class WordPieceSpec extends SparkTestBase {
     val words = Map("aaab" -> 100L, "xy" -> 5L, "abxy" -> 7L,
       "banana" -> 3L, "bandana" -> 2L)
     val got = WordPiece.trainOn(corpusDf(words), 6)
-      .map(m => (m.lhs, m.rhs, m.cnt, m.score_fp))
+      .merges.map(m => (m.lhs, m.rhs, m.cnt, m.score_fp))
     val want = replay(words, 6)
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
@@ -76,11 +76,33 @@ class WordPieceSpec extends SparkTestBase {
     // (unit count 307), so its likelihood ratio is ~40x smaller than
     // (x,y), whose occurrences are exclusive to each other
     val words = Map("aaab" -> 100L, "xy" -> 5L, "abxy" -> 7L)
-    val wp = WordPiece.trainOn(corpusDf(words), 1).head
+    val wp = WordPiece.trainOn(corpusDf(words), 1).merges.head
     val bpe = Bpe.trainOn(corpusDf(words), 1).merges.head
     assert((bpe.lhs, bpe.rhs) == ("a", "a"), s"BPE picked ${bpe.lhs}+${bpe.rhs}")
     assert((wp.lhs, wp.rhs) == ("x", "y"),
       s"WordPiece picked ${wp.lhs}+${wp.rhs}")
+  }
+
+  test("q195: held-out fertility covers only non-train sources and " +
+    "never drops unseen words from the denominator") {
+    import graft.llmops.{Sampling, WordPiece}
+    val rows = WordPiece.q195.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every reported source must be a non-train source under q172's rule
+    val sources = rows.map(_.getString(1))
+    val splits = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), Sampling.groupSplit(col("source")).as("sp"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    sources.foreach(src => assert(splits(src) != "train", src))
+    rows.foreach { r =>
+      val (nWords, nTokens, nUnseen) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      // unseen words ENCODE (tokens >= words always; a vocab join
+      // would have dropped them and broken this inequality)
+      assert(nTokens >= nWords && nUnseen >= 0 && nUnseen <= nWords)
+      assert(r.getDouble(5) >= 1.0)
+    }
   }
 
   test("q193 over the fixture: full rank sequence, positive scores, " +
