@@ -91,6 +91,12 @@ object ScaleIndex {
         s"$w/ngram")
       llmops.NgramIndex.append(dDelta, s"$w/ngram")
       llmops.NgramIndex.score(dDelta, s"$w/ngram").count()
+      llmops.IvfPqIndex.build(embs.filter(col("vec_id") % 10 =!= 0),
+        s"$w/ivfpq", k = 16)
+      llmops.IvfPqIndex.append(vDelta, s"$w/ivfpq")
+      llmops.IvfPqIndex.search(vDelta.limit(10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        s"$w/ivfpq").count()
       ops.SessionScratch.evictTransients()
     }
 
@@ -197,6 +203,30 @@ object ScaleIndex {
         f""""compact_sec":$vCompactSec%.2f,""" +
         f""""files_before":${vFiles._1},"files_after":${vFiles._2},""" +
         f""""search_pre_sec":$vProbePre%.2f,"search_post_sec":$vProbePost%.2f}""")
+
+      // IVF-PQ: the codes-only store — append must additionally pay the
+      // delta's PQ encode (argmin vs the recorded codebook), and search
+      // reads codes instead of raw vectors, so its pre/post numbers are
+      // the family's cheapest IO
+      val pPath = s"$root/ivfpq"
+      val pBuild = timed(llmops.IvfPqIndex.build(vBase, pPath, k = 16))
+      val pAppend = timed(llmops.IvfPqIndex.append(vDelta, pPath))
+      val pRebuild = timed(llmops.IvfPqIndex.build(
+        vBase.unionByName(vDelta), s"$root/ivfpq_rb", k = 16))
+      val pSearchPre = timed(llmops.IvfPqIndex.search(vq, pPath).count())
+      var pFiles = (0, 0)
+      val pCompactSec = timed {
+        pFiles = llmops.IvfPqIndex.compact(spark, pPath)
+      }
+      val pSearchPost = timed(llmops.IvfPqIndex.search(vq, pPath).count())
+      println(f"""{"index":"ivfpq_codes","corpus_scale":$f,""" +
+        f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
+        f""""build_sec":$pBuild%.2f,"append_delta_sec":$pAppend%.2f,""" +
+        f""""rebuild_full_sec":$pRebuild%.2f,""" +
+        f""""append_vs_rebuild":${pAppend / pRebuild}%.2f,""" +
+        f""""compact_sec":$pCompactSec%.2f,""" +
+        f""""files_before":${pFiles._1},"files_after":${pFiles._2},""" +
+        f""""search_pre_sec":$pSearchPre%.2f,"search_post_sec":$pSearchPost%.2f}""")
     }
     spark.stop()
   }

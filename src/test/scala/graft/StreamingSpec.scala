@@ -658,6 +658,55 @@ class StreamingSpec extends SparkTestBase {
     assert(a.count() == embs.count(), "every vector indexed exactly once")
   }
 
+  test("streaming IVF-PQ maintenance via foreachBatch == sequential " +
+    "batch appends (cells + codes under the recorded artifacts)") {
+    // the codes-only store streamed: each micro-batch is assigned AND
+    // PQ-encoded under the recorded centroids/codebook — neither is
+    // retrained, so the code table after N micro-batches must equal
+    // the batch-mode appends row-for-row
+    import graft.llmops.IvfPqIndex
+    val embs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 3 === 0)
+    val wave1 = embs.filter(col("vec_id") % 3 === 1)
+    val wave2 = embs.filter(col("vec_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("ivfpqx_batch").toString
+    IvfPqIndex.build(base, batchIdx, k = 4)
+    IvfPqIndex.append(wave1, batchIdx)
+    IvfPqIndex.append(wave2, batchIdx)
+
+    val streamIdx = Files.createTempDirectory("ivfpqx_stream").toString
+    IvfPqIndex.build(base, streamIdx, k = 4)
+    val inDir = Files.createTempDirectory("ivfpqx_in")
+    val ckpt = Files.createTempDirectory("ivfpqx_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(embs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfPqIndex.append(batch, streamIdx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = spark.read.parquet(IvfPqIndex.dataDir(spark, streamIdx))
+      .selectExpr("vec_id", "cell", "s", "cw")
+    val b = spark.read.parquet(IvfPqIndex.dataDir(spark, batchIdx))
+      .selectExpr("vec_id", "cell", "s", "cw")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed IVF-PQ codes must equal the batch-appended codes")
+    assert(a.count() == embs.count() * IvfPqIndex.M,
+      "every vector coded exactly once, M rows each")
+  }
+
   test("streaming text-index maintenance via foreachBatch == batch " +
     "appends (postings + exact-integer stats)") {
     import graft.llmops.TextIndex
