@@ -418,6 +418,78 @@ object Dedup {
            WHERE d.doc_id % 2 = 1
            ORDER BY d.doc_id"""))
 
+  /** The MULTI-DAY index: built on day-0's corpus (doc_id % 3 == 0),
+    * then day-2's batch (% 3 == 1) APPENDED — probed against the index
+    * and only the survivors' signatures admitted ([[DedupIndex.append]]).
+    * Built once per (session, dir); q196 then probes day-3's batch
+    * against the GROWN index.
+    */
+  private[llmops] def existingDay3Index(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("dedup_index_day3", app)}/d3_$tag"
+    graft.ops.SessionScratch.once("dedup_index_day3", app, dir) {
+      val docs = Tables(s, dir).documents
+      DedupIndex.build(docs.filter(col("doc_id") % 3 === 0), path)
+      DedupIndex.append(docs.filter(col("doc_id") % 3 === 1), path)
+        .count()
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** DAY-3 incremental dedup over the MAINTAINED index — the
+    * operational loop q46 starts, closed across days and hash-checked
+    * end-to-end: day-2's batch was probed and its SURVIVORS' signatures
+    * appended (the [[DedupIndex.append]] contract), so day-3's probe
+    * must drop a doc that collides with EITHER the original corpus OR
+    * a day-2 survivor — and must NOT drop one that collides only with
+    * a day-2 REJECT (rejected docs never entered the corpus, so their
+    * signatures must not be in the index). The oracle replays both
+    * waves of cross-corpus pair resolution from the raw pair table:
+    * survivors-of-wave-2 computed first, then wave-3 dropped against
+    * base ∪ survivors — an append that admitted a reject's signatures,
+    * missed a survivor's, or let in-batch pairs leak into the probe
+    * hash-mismatches.
+    */
+  val q196 = EngineQuery(
+    "q196_dedup_day3_increment",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingDay3Index(s, dir)
+      DedupIndex.probe(t.documents.filter(col("doc_id") % 3 === 2), path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashPairsCtes +
+      """
+         , surv2 AS (
+             SELECT d.doc_id FROM documents d
+             WHERE d.doc_id % 3 = 1 AND NOT EXISTS (
+               SELECT 1 FROM pairs p WHERE p.n_bands >= 4 AND (
+                 (p.doc_a = d.doc_id AND p.doc_b % 3 = 0) OR
+                 (p.doc_b = d.doc_id AND p.doc_a % 3 = 0)))
+           ), idx AS (
+             SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+             UNION ALL
+             SELECT doc_id FROM surv2
+           ), drop3 AS (
+             SELECT DISTINCT CASE WHEN p.doc_a % 3 = 2 THEN p.doc_a
+                                  ELSE p.doc_b END AS doc_id
+             FROM pairs p
+             WHERE p.n_bands >= 4 AND (
+               (p.doc_a % 3 = 2
+                  AND p.doc_b IN (SELECT doc_id FROM idx)) OR
+               (p.doc_b % 3 = 2
+                  AND p.doc_a IN (SELECT doc_id FROM idx)))
+           )
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d ANTI JOIN drop3 x ON d.doc_id = x.doc_id
+           WHERE d.doc_id % 3 = 2
+           ORDER BY d.doc_id"""))
+
   /** Span-level duplicate detection: fixed-length token-span
     * fingerprints locate REGIONS of duplicated text inside otherwise
     * distinct documents (boilerplate headers, quoted passages) — the
@@ -700,5 +772,5 @@ object Dedup {
             FROM regions GROUP BY doc_id ORDER BY doc_id"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165, q196)
 }
