@@ -319,6 +319,78 @@ object IndexMaintenance {
     }
     VacuumReport(extras.size, stale.size, temps.size)
   }
+
+  /** Non-throwing health report for one manifested store — the
+    * OBSERVATION third of the crash-safety triad: [[verifiedDir]]
+    * refuses a damaged store at read time, [[vacuumStore]] repairs it,
+    * and fsck only reports, so an operator can audit a whole catalog of
+    * stores (including ones every read path would throw on) in one
+    * sweep and pick the remediation per store. The three garbage
+    * categories are exactly vacuum's; `missingFiles` is the data-loss
+    * case vacuum refuses on; `configMatches` is [[requireConfig]]'s
+    * drift check, reported instead of thrown (None when the store has
+    * no config sidecar or the expected string is unknown).
+    */
+  final case class FsckReport(
+      what: String, path: String,
+      configPresent: Boolean, configMatches: Option[Boolean],
+      manifestPresent: Boolean, generation: Int,
+      committedFiles: Int, committedBytes: Long,
+      uncommittedFiles: Int, missingFiles: Int,
+      staleGenerations: Int, orphanedTemps: Int) {
+    /** Every read path would succeed and nothing needs sweeping. */
+    def healthy: Boolean = configPresent && configMatches.forall(identity) &&
+      manifestPresent && uncommittedFiles == 0 && missingFiles == 0 &&
+      staleGenerations == 0 && orphanedTemps == 0
+    /** [[vacuumStore]] would restore `healthy` (garbage present, no
+      * data loss, no config drift — those need a rebuild instead). */
+    def vacuumRepairs: Boolean = configPresent &&
+      configMatches.forall(identity) && manifestPresent &&
+      missingFiles == 0 && (uncommittedFiles > 0 ||
+        staleGenerations > 0 || orphanedTemps > 0)
+  }
+
+  private[llmops] def fsckStore(s: SparkSession, path: String,
+      manifestName: String, configName: String,
+      expectedConfig: Option[String], what: String): FsckReport = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val config = readSidecar(s, path, configName)
+    val matches = expectedConfig.flatMap(e => config.map(_.trim == e))
+    val rootEntries =
+      if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
+    val temps = rootEntries.count { st =>
+      st.isFile && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.contains(".tmp.")
+    }
+    readSidecar(s, path, manifestName) match {
+      case None =>
+        FsckReport(what, path, config.isDefined, matches,
+          manifestPresent = false, generation = -1, 0, 0L, 0, 0, 0, temps)
+      case Some(m) =>
+        val lines = m.trim.split("\n").toSeq
+        val subdir = lines.head.stripPrefix("dir=")
+        val recorded = lines.tail.filter(_.nonEmpty).map { ln =>
+          val i = ln.lastIndexOf(':')
+          (ln.substring(0, i), ln.substring(i + 1).toLong)
+        }.toSet
+        val actual = listDataFiles(s, s"$path/$subdir")
+        val gen = "-g(\\d+)$".r.findFirstMatchIn(subdir)
+          .map(_.group(1).toInt).getOrElse(0)
+        val base = "-g(\\d+)$".r.replaceAllIn(subdir, "")
+        val genRe = s"^${java.util.regex.Pattern.quote(base)}-g\\d+$$".r
+        val stale = rootEntries.count { st =>
+          st.isDirectory && st.getPath.getName != subdir &&
+            genRe.findFirstIn(st.getPath.getName).isDefined
+        }
+        FsckReport(what, path, config.isDefined, matches,
+          manifestPresent = true, gen,
+          recorded.size, recorded.map(_._2).sum,
+          (actual -- recorded).size, (recorded -- actual).size,
+          stale, temps)
+    }
+  }
 }
 
 /** The persisted MinHash-LSH signature index behind incremental dedup
@@ -350,6 +422,11 @@ object DedupIndex {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_dedup_index_config", Some(Config), What)
   private val What = "Dedup signature index"
 
   /** The manifest-verified current data directory (spec/harness use). */
@@ -494,6 +571,11 @@ object TextIndex {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_text_index_config", Some(Config), What)
   private val StatsName = "_text_index_stats"
   private val What = "Full-text BM25 index"
 
@@ -659,6 +741,11 @@ object NgramIndex {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_ngram_index_config", Some(Config), What)
   private val What = "Bigram LM index"
 
   /** The manifest-verified current counts directory. */
@@ -778,6 +865,11 @@ object BpeModel {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_bpe_model_config", Some(Config), What)
   private val What = "BPE tokenizer model"
 
   /** Persist a trained merge table: merges parquet, manifest, config —
@@ -880,6 +972,11 @@ object ClfModel {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_clf_model_config", Some(Config), What)
   private val What = "classifier model"
 
   /** Persist a trained weight table (the [[BpeModel.save]] discipline:
@@ -964,6 +1061,20 @@ object IvfIndex {
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. The
+    * recipe is parametric in k, so the expected config is re-derived
+    * from the RECORDED k (drift in any other recipe field still
+    * reports configMatches=false; an unparseable sidecar reports None).
+    */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport = {
+    val expected = IndexMaintenance
+      .readSidecar(s, path, "_ivf_index_config")
+      .flatMap(r => "k=(\\d+)".r.findFirstMatchIn(r)
+        .map(m => config(m.group(1).toInt)))
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_ivf_index_config", expected, What)
+  }
   private val What = "IVF index"
 
   /** The manifest-verified current assignment directory. */
@@ -1149,6 +1260,18 @@ object IvfPqIndex {
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
 
+  /** Non-throwing audit — expected config re-derived from the recorded
+    * k (the [[IvfIndex.fsck]] pattern).
+    */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport = {
+    val expected = IndexMaintenance
+      .readSidecar(s, path, "_ivfpq_index_config")
+      .flatMap(r => "k=(\\d+)".r.findFirstMatchIn(r)
+        .map(m => config(m.group(1).toInt)))
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      "_ivfpq_index_config", expected, What)
+  }
+
   /** The manifest-verified current codes directory. */
   private[graft] def dataDir(s: SparkSession, path: String): String =
     IndexMaintenance.verifiedDir(s, path, ManifestName, What)
@@ -1325,5 +1448,51 @@ object IvfPqIndex {
       .filter(col("rn") <= topk)
       .select(col("qid"), col("cid"), col("f"), col("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+}
+
+/** One-sweep catalog audit over every persisted artifact store — the
+  * operational `fsck` rolled up as a DataFrame (one row per store), so
+  * an operator can health-check a whole warehouse of index/model
+  * artifacts in one query instead of touching seven read paths that
+  * would THROW on the first damaged store. Built on the non-throwing
+  * per-store [[IndexMaintenance.FsckReport]]s; driver-side work is one
+  * bounded sidecar/listing pass per store (catalog metadata, not data).
+  */
+object StoreAudit {
+
+  /** Store kinds accepted by [[audit]], mapped to their fsck. */
+  private val Kinds: Map[String,
+      (SparkSession, String) => IndexMaintenance.FsckReport] = Map(
+    "dedup" -> (DedupIndex.fsck _),
+    "bm25" -> (TextIndex.fsck _),
+    "ngram" -> (NgramIndex.fsck _),
+    "bpe" -> (BpeModel.fsck _),
+    "clf" -> (ClfModel.fsck _),
+    "ivf" -> (IvfIndex.fsck _),
+    "ivfpq" -> (IvfPqIndex.fsck _))
+
+  /** Audit `(kind, path)` entries; unknown kinds fail fast (an audit
+    * that silently skipped a store would read as "all healthy").
+    */
+  def audit(s: SparkSession,
+      stores: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val bad = stores.map(_._1).filterNot(Kinds.contains).distinct
+    require(bad.isEmpty,
+      s"unknown store kind(s) ${bad.mkString(", ")} — expected one of " +
+        Kinds.keys.toSeq.sorted.mkString(", "))
+    stores.map { case (kind, path) =>
+      val r = Kinds(kind)(s, path)
+      (kind, r.what, r.path, r.healthy, r.vacuumRepairs,
+        r.configPresent, r.configMatches, r.manifestPresent,
+        r.generation, r.committedFiles, r.committedBytes,
+        r.uncommittedFiles, r.missingFiles, r.staleGenerations,
+        r.orphanedTemps)
+    }.toDF("kind", "store", "path", "healthy", "vacuum_repairs",
+      "config_present", "config_matches", "manifest_present",
+      "generation", "committed_files", "committed_bytes",
+      "uncommitted_files", "missing_files", "stale_generations",
+      "orphaned_temps")
   }
 }

@@ -49,7 +49,9 @@ class DeterminismSpec extends SparkTestBase {
     "q186_ngram_lm_persisted",         // LSM partial-count merge + int64 sums
     "q181_curation_pipeline_tokenized", // composed DAG + chained-replace encode
     "q185_curation_pipeline_packed",   // full pipeline + per-source pack window
-    "q182_multimodal_frames_decode")   // per-partition container decode, f32 means
+    "q182_multimodal_frames_decode",   // per-partition container decode, f32 means
+    "q192_knn_ivfpq",                  // composed IVF route + PQ ADC int sums
+    "q196_dedup_day3_increment")       // multi-day probe vs the grown index
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 
@@ -120,5 +122,17 @@ class DeterminismSpec extends SparkTestBase {
     val ugBase = ugVocab(spark)
     assert(ugBase.nonEmpty && ugVocab(sibling) == ugBase,
       "unigram-LM vocabulary differs at shuffle.partitions=7")
+
+    // WordPiece training probed through trainOn for the same reason as
+    // BPE. The objective differs (score = pair count scaled against
+    // unigram counts), but the partition-sensitive surface is the
+    // same: each round's 1-row argmax with a deterministic tie-break.
+    def wpMerges(s: SparkSession): Seq[String] =
+      graft.llmops.WordPiece
+        .trainOn(graft.llmops.Bpe.wordFreq(s, sfDir), 6)
+        .merges.map(_.toString)
+    val wpBase = wpMerges(spark)
+    assert(wpBase.nonEmpty && wpMerges(sibling) == wpBase,
+      "WordPiece merge table differs at shuffle.partitions=7")
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llmops.{Bpe, BpeModel, Dedup, DedupIndex, IvfIndex, KMeans}
+import graft.llmops.{Bpe, BpeModel, Dedup, DedupIndex, IndexMaintenance,
+  IvfIndex, KMeans, StoreAudit}
 
 /** Proofs for the persisted incremental index artifacts
   * (llmops/IndexMaintenance.scala) — the BucketingSpec discipline
@@ -923,5 +924,108 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "vacuum must never touch centroids")
     val post = IvfIndex.search(q, path).collect().map(_.toString).sorted
     assert(post.sameElements(pre))
+  }
+
+  // ---- fsck / catalog audit --------------------------------------------
+
+  test("fsck OBSERVES every failure mode the read paths throw on: " +
+    "healthy store, torn append (vacuum repairs it), committed-file " +
+    "loss, config drift, absent store") {
+    val path = freshDir("dedup_fsck")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    val dir = DedupIndex.dataDir(spark, path)
+
+    val healthy = DedupIndex.fsck(spark, path)
+    assert(healthy.healthy && !healthy.vacuumRepairs)
+    assert(healthy.configPresent && healthy.configMatches.contains(true))
+    assert(healthy.manifestPresent && healthy.generation == 0)
+    assert(healthy.committedFiles == dataFiles(dir).size &&
+      healthy.committedBytes == dataFiles(dir).map(_._2).sum)
+
+    // torn append: fsck reports what probe() throws on, then points at
+    // vacuum as the remediation — and vacuum restores healthy
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    val torn = DedupIndex.fsck(spark, path)
+    assert(!torn.healthy && torn.uncommittedFiles == 1 &&
+      torn.vacuumRepairs)
+    DedupIndex.vacuum(spark, path)
+    assert(DedupIndex.fsck(spark, path).healthy)
+
+    // committed-file loss: not vacuum-repairable (rebuild territory)
+    val stash = java.nio.file.Files.createTempFile("fsck_stash", ".pq")
+    java.nio.file.Files.copy(part.toPath, stash,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.delete(part.toPath)
+    val lost = DedupIndex.fsck(spark, path)
+    assert(!lost.healthy && lost.missingFiles == 1 && !lost.vacuumRepairs)
+    java.nio.file.Files.copy(stash, part.toPath)
+    java.nio.file.Files.delete(stash)
+    assert(DedupIndex.fsck(spark, path).healthy)
+
+    // config drift: reported (not thrown), and NOT vacuum-repairable
+    IndexMaintenance.writeSidecar(spark, path, "_dedup_index_config",
+      "minhash=32;bands=16;v=999")
+    val drifted = DedupIndex.fsck(spark, path)
+    assert(!drifted.healthy && drifted.configMatches.contains(false) &&
+      !drifted.vacuumRepairs)
+    IndexMaintenance.writeSidecar(spark, path, "_dedup_index_config",
+      DedupIndex.Config)
+    assert(DedupIndex.fsck(spark, path).healthy)
+
+    // absent store: fsck still answers instead of throwing
+    val absent = DedupIndex.fsck(spark, freshDir("dedup_fsck_absent"))
+    assert(!absent.healthy && !absent.manifestPresent &&
+      !absent.configPresent && absent.generation == -1 &&
+      absent.configMatches.isEmpty)
+  }
+
+  test("StoreAudit.audit: one catalog sweep over mixed store kinds " +
+    "reports damaged stores in the same frame as healthy ones") {
+    import graft.llmops.{NgramIndex, TextIndex}
+    val dedupPath = freshDir("audit_dedup")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), dedupPath)
+    val ivfPath = freshDir("audit_ivf")
+    IvfIndex.build(embs.filter(col("vec_id") < 100), ivfPath, k = 4)
+    val bm25Path = freshDir("audit_bm25")
+    TextIndex.build(docs.filter(col("doc_id") % 4 === 0), bm25Path)
+    val lmPath = freshDir("audit_ngram")
+    NgramIndex.build(docs.filter(col("doc_id") % 4 === 0), lmPath)
+    // damage the BM25 store with a torn append; leave the LM path empty
+    val bmDir = TextIndex.dataDir(spark, bm25Path)
+    val bmPart = new java.io.File(bmDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(bmPart.toPath,
+      java.nio.file.Paths.get(s"$bmDir/part-torn-${bmPart.getName}"))
+    val emptyPath = freshDir("audit_empty")
+
+    val rows = StoreAudit.audit(spark, Seq(
+        "dedup" -> dedupPath, "ivf" -> ivfPath, "bm25" -> bm25Path,
+        "ngram" -> lmPath, "ngram" -> emptyPath))
+      .orderBy(col("path")).collect()
+    assert(rows.length == 5)
+    val byPath = rows.map(r => r.getAs[String]("path") ->
+      (r.getAs[Boolean]("healthy"), r.getAs[Boolean]("vacuum_repairs"),
+        r.getAs[Int]("uncommitted_files"))).toMap
+    assert(byPath(dedupPath) == ((true, false, 0)))
+    assert(byPath(ivfPath) == ((true, false, 0)))
+    assert(byPath(lmPath) == ((true, false, 0)))
+    assert(byPath(bm25Path) == ((false, true, 1)))
+    assert(byPath(emptyPath) == ((false, false, 0)))
+    // the ivf row's config check bound: parametric k was re-derived
+    val ivfRow = rows.find(_.getAs[String]("path") == ivfPath).get
+    assert(ivfRow.getAs[Boolean]("config_matches"))
+    // unknown kinds refuse instead of silently skipping
+    val e = intercept[IllegalArgumentException] {
+      StoreAudit.audit(spark, Seq("nope" -> dedupPath))
+    }
+    assert(e.getMessage.contains("unknown store kind"))
+    // repair the damaged store and re-audit: the sweep converges
+    TextIndex.vacuum(spark, bm25Path)
+    val again = StoreAudit.audit(spark,
+      Seq("bm25" -> bm25Path)).collect()
+    assert(again.head.getAs[Boolean]("healthy"))
   }
 }
