@@ -44,7 +44,7 @@ object ExplainAudit {
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
     "q191_curation_day2_packed", "q192_knn_ivfpq",
-    "q194_knn_ivfpq_persisted")
+    "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -573,6 +573,19 @@ object ExplainAudit {
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
           p.contains("assignments") &&
           p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q197 incremental SemDeDup touches the index by ONE cell " +
+        "equi-join and never re-reads the day-0/day-2 corpus: the " +
+        "plan's two parquet scans are the day-3 batch fetch and the " +
+        "index assignment store (recorded centroids are a k-bounded " +
+        "driver read, not a plan node); candidate scoring is a hash " +
+        "equi-join on the cell key — no cartesian, no corpus x corpus " +
+        "pair stage", {
+        val p = planOf(spark, byName, sfDir,
+          "q197_semdedup_day3_increment")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
+          p.contains("assignments") &&
           !p.contains("CartesianProduct")
       }),
       ("q179 real-decode PPM gate: the decode seam is per-partition " +

@@ -1206,6 +1206,87 @@ object IvfIndex {
     Similarity.ivfSearchOver(queries, s.read.parquet(dataDir(s, path)),
       centDf, nprobe, topk)
   }
+
+  /** SEMANTIC dedup probe against the maintained index — SemDeDup
+    * (Abbas et al. 2023, the q156 semantics) at INGEST time: a new
+    * vector is dropped when some INDEXED vector inside its top-`nprobe`
+    * probed cells sits at exact fixed-point cosine >= `tau`. Returns
+    * the surviving rows as (vec_id, cell, n_cand): `cell` is the
+    * top-probed (argmax) cell — where [[dedupIngest]] would file the
+    * vector — and `n_cand` is the number of index members the probe
+    * compared against, so the output hash covers the CANDIDATE SET,
+    * not just the drop decisions (an index that leaked a rejected
+    * vector shifts a survivor's n_cand even when it flips no drop).
+    *
+    * Cost shape mirrors [[DedupIndex.probe]]: only the delta is scored
+    * against the centroids (|delta|·k broadcast dots), the index is
+    * touched by ONE cell equi-join bounded by cell occupancy — never
+    * corpus × corpus — and in-batch pairs are structurally excluded
+    * (new×new never meets the join). Scoring runs the q156 two-phase
+    * discipline: a double-dot prefilter at a dims-scaled margin, the
+    * exact int64 dot only on survivors of it.
+    */
+  def semanticProbe(newVecs: DataFrame, path: String, tau: Double = 0.35,
+      nprobe: Int = 2): DataFrame =
+    probeJoined(newVecs, path, tau, nprobe)
+      .groupBy(col("vec_id"))
+      .agg(count(col("member_id")).as("n_cand"),
+        max(col("hit")).as("dup"),
+        min(when(col("crn") === 1, col("cell"))).as("cell"))
+      .filter(col("dup") === 0)
+      .select(col("vec_id"), col("cell"), col("n_cand"))
+
+  /** One row per (new vector, probed cell, index member) with the
+    * near-dup verdict computed; members NULL when a probed cell is
+    * empty (LEFT join keeps the vector observable with n_cand = 0).
+    */
+  private def probeJoined(newVecs: DataFrame, path: String,
+      tau: Double, nprobe: Int): DataFrame = {
+    val s = newVecs.sparkSession
+    import s.implicits._
+    val centDf = centroids(s, path)
+      .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("ccell"))
+    val probes = newVecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      // rank on the exact int64 fdot (the oracle's BIGINT ORDER BY)
+      .select(col("vec_id"), col("embedding"), col("ccell"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("embedding").cast("array<double>"), col("ec")).as("cdot"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id"), col("embedding"),
+        col("ccell").as("cell"), col("crn"))
+    val idx = s.read.parquet(dataDir(s, path))
+      .select(col("cell"), col("member_id"), col("em"))
+    probes.join(idx, Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("crn"), col("member_id"),
+        when(col("member_id").isNotNull &&
+            PortableHash.fastDot(col("embedding"), col("em")) >=
+              lit(tau) - PortableHash.dotEps(col("embedding")) &&
+            PortableHash.exactDot(col("embedding"), col("em")) >= tau,
+          1).otherwise(0).as("hit"))
+  }
+
+  /** MAINTENANCE: semantic-probe `newVecs` and APPEND the survivors
+    * under the recorded centroids ([[DedupIndex.append]]'s contract,
+    * semantic flavor) — dropped vectors never enter the corpus, so
+    * their assignment rows must never enter the index. Returns the
+    * surviving (vec_id, cell, n_cand) rows. The survivor set is
+    * checkpointed BEFORE the append: a lazily re-evaluated probe would
+    * otherwise re-run against the GROWN index and self-match every
+    * survivor (dot(v, v) = 1 >= tau).
+    */
+  def dedupIngest(newVecs: DataFrame, path: String, tau: Double = 0.35,
+      nprobe: Int = 2): DataFrame = {
+    val survivors = SessionScratch.transientCheckpoint(
+      semanticProbe(newVecs, path, tau, nprobe))
+    append(newVecs.join(survivors.select(col("vec_id")),
+      Seq("vec_id"), "left_semi"), path)
+    survivors
+  }
 }
 
 /** The persisted IVF-PQ index — q192's composed ANN as a MAINTAINED

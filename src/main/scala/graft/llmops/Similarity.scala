@@ -1134,6 +1134,116 @@ object Similarity {
              PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
          WHERE rn <= 8 ORDER BY qid, rn"""))
 
+  /** The MULTI-DAY semantic-dedup index ([[existingDay3Index]]'s shape,
+    * embedding flavor): IVF trained on day-0's vectors (vec_id % 3 ==
+    * 0), day-2's batch (% 3 == 1) INGESTED — semantic-probed against
+    * the index and only the survivors' assignment rows admitted
+    * ([[IvfIndex.dedupIngest]]). Built once per (session, dir); q197
+    * then probes day-3's batch against the GROWN index.
+    */
+  private[llmops] def existingSemdedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("semdedup_index", app)}/sd_$tag"
+    graft.ops.SessionScratch.once("semdedup_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 3 === 0), path, k = 4)
+      IvfIndex.dedupIngest(em.filter(col("vec_id") % 3 === 1), path)
+        .count()
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** INCREMENTAL SemDeDup over the persisted IVF index — q156's
+    * semantic prune turned into q196's multi-day operational loop:
+    * instead of re-clustering the whole corpus per batch (q156's
+    * shape), arriving vectors are probed against the MAINTAINED index
+    * (top-2 cells under the RECORDED day-0 centroids, exact fixed-point
+    * dot >= 0.35 against indexed members only) and survivors' assignment
+    * rows are appended ([[IvfIndex.dedupIngest]]). Day-3's probe must
+    * therefore drop a vector that collides with EITHER the day-0 corpus
+    * OR a day-2 survivor — and must NOT drop one colliding only with a
+    * day-2 REJECT. The output carries `n_cand` (index members compared),
+    * so the gate hashes the CANDIDATE SET, not just drop decisions: an
+    * ingest that admitted a reject's rows inflates a day-3 survivor's
+    * n_cand and hash-mismatches even when it flips no drop. In-batch
+    * pairs are structurally excluded (probe joins only the index).
+    *
+    * 100 TB shape: per batch, centroid scoring is |delta|·k broadcast
+    * dots; the index is touched by ONE cell equi-join bounded by cell
+    * occupancy (k scales with the corpus in production — SemDeDup runs
+    * 11k clusters on LAION); the corpus is never re-read or re-assigned.
+    * Determinism: probes rank the exact int64 centroid dot, pair drops
+    * compare the exact fixed-point cosine — the oracle replays day-0
+    * training, both waves of admission, and the candidate counts.
+    */
+  val q197 = EngineQuery(
+    "q197_semdedup_day3_increment",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingSemdedupIndex(s, dir)
+      IvfIndex.semanticProbe(
+          t.embeddings.filter(col("vec_id") % 3 === 2), path)
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 3 = 0") +
+      """
+         , pr AS (
+             SELECT vec_id, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id % 3 <> 0
+           ), probes AS (
+             SELECT vec_id, cell FROM pr WHERE crn <= 2
+           ), cand2 AS (
+             SELECT p.vec_id nid, a.vec_id mid
+             FROM probes p JOIN a3 a ON a.cell = p.cell
+             WHERE p.vec_id % 3 = 1 AND a.vec_id % 3 = 0
+           ), pd2 AS (
+             SELECT c.nid,
+               CAST(SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS dot
+             FROM cand2 c
+             JOIN ex ea ON ea.vec_id = c.nid
+             JOIN ex eb ON eb.vec_id = c.mid AND eb.pos = ea.pos
+             GROUP BY c.nid, c.mid
+           ), surv2 AS (
+             SELECT vec_id FROM embeddings
+             WHERE vec_id % 3 = 1 AND vec_id NOT IN (
+               SELECT nid FROM pd2 WHERE dot >= 0.35)
+           ), cand3 AS (
+             SELECT p.vec_id nid, a.vec_id mid
+             FROM probes p JOIN a3 a ON a.cell = p.cell
+             WHERE p.vec_id % 3 = 2 AND (a.vec_id % 3 = 0 OR
+               a.vec_id IN (SELECT vec_id FROM surv2))
+           ), pd3 AS (
+             SELECT c.nid,
+               CAST(SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS dot
+             FROM cand3 c
+             JOIN ex ea ON ea.vec_id = c.nid
+             JOIN ex eb ON eb.vec_id = c.mid AND eb.pos = ea.pos
+             GROUP BY c.nid, c.mid
+           ), nc AS (
+             SELECT e.vec_id, COALESCE(cnt.n, 0) AS n_cand
+             FROM embeddings e LEFT JOIN (
+               SELECT nid, COUNT(*) n FROM cand3 GROUP BY nid) cnt
+               ON cnt.nid = e.vec_id
+             WHERE e.vec_id % 3 = 2
+           )
+           SELECT e.vec_id, p.cell, nc.n_cand
+           FROM embeddings e
+           JOIN pr p ON p.vec_id = e.vec_id AND p.crn = 1
+           JOIN nc ON nc.vec_id = e.vec_id
+           WHERE e.vec_id % 3 = 2 AND e.vec_id NOT IN (
+             SELECT nid FROM pd3 WHERE dot >= 0.35)
+           ORDER BY e.vec_id"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
+      q197)
 }

@@ -926,6 +926,103 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(post.sameElements(pre))
   }
 
+  // ---- semantic dedup over the IVF index ---------------------------------
+
+  test("IvfIndex.semanticProbe: matches a brute-force recompute of the " +
+    "SemDeDup-at-ingest semantics (top-2 recorded cells, exact dot >= tau)") {
+    import graft.llmops.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val path = freshDir("sem_probe")
+    val day0 = embs.filter(col("vec_id") % 3 === 0)
+    val wave = embs.filter(col("vec_id") % 3 === 1)
+    IvfIndex.build(day0, path, k = 4)
+    val got = IvfIndex.semanticProbe(wave, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+
+    // independent recompute, structurally different dataflow: retrain
+    // the centroids from scratch, then BRUTE-FORCE every wave x day0
+    // pair (no cell equi-join, no LEFT-join single-pass agg) and apply
+    // the membership rule afterwards
+    val cents = KMeans.fit(spark, day0, k = 4, iters = 2)
+    val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+      .toDF("ccell", "ec")
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("ccell"))
+    val probes = wave.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("ccell"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("embedding").cast("array<double>"), col("ec")).as("cdot"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val topCells = probes.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val argmaxCell = probes.filter(_._3 == 1)
+      .map(p => p._1 -> p._2).toMap
+    val members = KMeans.assign(day0, cents)
+      .select(col("vec_id").as("mid"), col("embedding").as("em"),
+        col("cell"))
+    val pairDots = wave
+      .select(col("vec_id").as("nid"), col("embedding").as("en"))
+      .crossJoin(members)
+      .select(col("nid"), col("mid"), col("cell"),
+        PortableHash.exactDot(col("en"), col("em")).as("dot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = wave.select(col("vec_id")).collect().map(_.getLong(0))
+      .flatMap { nid =>
+        val cells = topCells(nid)
+        val cand = pairDots.filter(p => p._1 == nid && cells(p._3))
+        if (cand.exists(_._4 >= 0.35)) None
+        else Some((nid, argmaxCell(nid), cand.length.toLong))
+      }.sorted
+    assert(got.nonEmpty, "fixture must admit at least one survivor")
+    assert(got.sameElements(want))
+    assert(got.length < wave.count(), "fixture must drop at least one")
+  }
+
+  test("IvfIndex.dedupIngest: only survivors' rows admitted exactly " +
+    "once, rejects never enter, centroids + base files untouched, " +
+    "re-probing an ingested survivor self-matches") {
+    val path = freshDir("sem_ingest")
+    val day0 = embs.filter(col("vec_id") % 3 === 0)
+    val w2 = embs.filter(col("vec_id") % 3 === 1)
+    IvfIndex.build(day0, path, k = 4)
+    val centFiles = dataFiles(s"$path/centroids")
+    val baseFiles = dataFiles(IvfIndex.dataDir(spark, path))
+
+    val surv2 = IvfIndex.dedupIngest(w2, path)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val w2Ids = w2.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(surv2.nonEmpty && surv2 != w2Ids,
+      "fixture must both admit and reject at least one wave-2 vector")
+
+    // FAISS train-then-add: centroid files byte-untouched; base
+    // assignment files never rewritten
+    assert(dataFiles(s"$path/centroids") == centFiles)
+    assert(baseFiles.subsetOf(dataFiles(IvfIndex.dataDir(spark, path))))
+
+    // the grown index holds exactly day0 ∪ survivors, each once — a
+    // leaked reject or a double-admitted survivor fails here
+    val byId = spark.read.parquet(IvfIndex.dataDir(spark, path))
+      .groupBy(col("member_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(byId.forall(_._2 == 1L), "every member indexed exactly once")
+    val day0Ids = day0.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(byId.map(_._1).toSet == day0Ids ++ surv2)
+
+    // an ingested survivor re-probed self-matches (dot(v,v)=1 >= tau):
+    // the probe sees the GROWN index, so all survivors are now dups
+    val again = IvfIndex.semanticProbe(
+      w2.filter(col("vec_id").isin(surv2.toSeq: _*)), path)
+    assert(again.count() == 0L,
+      "re-probing ingested survivors must drop every one")
+  }
+
   // ---- fsck / catalog audit --------------------------------------------
 
   test("fsck OBSERVES every failure mode the read paths throw on: " +
