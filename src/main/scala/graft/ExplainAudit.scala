@@ -44,7 +44,8 @@ object ExplainAudit {
     "q187_curation_day2_increment", "q188_multimodal_wav_decode",
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
     "q191_curation_day2_packed", "q192_knn_ivfpq",
-    "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment")
+    "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment",
+    "q198_knn_graph_beam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -73,6 +74,15 @@ object ExplainAudit {
       org.apache.spark.sql.execution.FormattedMode)
     ops.SessionScratch.evictTransients()
 
+    // q198's GATE plan checkpoints the graph (the two expansion rounds
+    // must not re-derive the corpus-sized build) — probe the
+    // un-checkpointed build frame for the cell-blocking claim.
+    System.err.println("[ExplainAudit] building q198 graph-build probe")
+    val graphBuildPlan = llmops.Similarity
+      .graphBuildPlanProbe(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    ops.SessionScratch.evictTransients()
+
     val sections = audited.map { name =>
       System.err.println(s"[ExplainAudit] dumping $name")
       val df = byName(name).run(spark, sfDir)
@@ -84,7 +94,9 @@ object ExplainAudit {
       "## q176_classifier_training (epoch score rollup)\n\n```\n" +
         s"$epochScoresPlan\n```\n",
       "## q176_classifier_training (epoch miss-join delta)\n\n```\n" +
-        s"$epochDeltaPlan\n```\n")
+        s"$epochDeltaPlan\n```\n",
+      "## q198_knn_graph_beam (graph build, un-checkpointed)\n\n```\n" +
+        s"$graphBuildPlan\n```\n")
 
     val checks = Seq(
       ("q02 pushes predicates to the parquet scan",
@@ -586,6 +598,24 @@ object ExplainAudit {
           "q197_semdedup_day3_increment")
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
           p.contains("assignments") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q198 graph-ANN build: the k-NN graph's pair space blocks on " +
+        "the cell key — a hash equi-join whose quadratic term is " +
+        "bounded by cell occupancy, never corpus x corpus, and no " +
+        "cartesian", {
+        graphBuildPlan.contains("cell") &&
+          graphBuildPlan.contains("Join") &&
+          !graphBuildPlan.contains("CartesianProduct") &&
+          !graphBuildPlan.contains("BroadcastNestedLoopJoin")
+      }),
+      ("q198 graph-ANN search: the gate plan walks the CHECKPOINTED " +
+        "edge rows (the corpus-sized build runs once, not once per " +
+        "expansion round) through equi-joins on the edge source key; " +
+        "the only nested loop is the k-row broadcast entry fan — no " +
+        "cartesian", {
+        val p = planOf(spark, byName, sfDir, "q198_knn_graph_beam")
+        p.contains("Scan ExistingRDD") &&
           !p.contains("CartesianProduct")
       }),
       ("q179 real-decode PPM gate: the decode seam is per-partition " +

@@ -1243,7 +1243,228 @@ object Similarity {
              SELECT nid FROM pd3 WHERE dot >= 0.35)
            ORDER BY e.vec_id"""))
 
+  /** Graph-based ANN — the fourth index family next to IVF (q52/q54),
+    * PQ (q56/q192), and binary codes (q169): a k-NN GRAPH (each vector
+    * keeps directed edges to its 4 nearest same-cell neighbors) walked
+    * by an unrolled best-first beam search (the HNSW / DiskANN-Vamana
+    * search recipe, fixed to 2 expansion rounds so every step is
+    * oracle-replayable). Entry points are the per-cell medoids (the
+    * member with the highest exact dot to its trained centroid).
+    *
+    * Search: round 0 scores the k entry points; round 1 expands their
+    * graph neighbors and keeps a beam of 4; round 2 expands the beam's
+    * neighbors; the final top-8 ranks EVERY visited candidate. All
+    * ranking quantities are exact int64 fixed-point dots (ties → smaller
+    * id), so graph construction, beam selection, and the final ranking
+    * replay bit-exactly in SQL.
+    *
+    * 100 TB shape: the one corpus-sized stage is the graph build — a
+    * cell-blocked pair space (the q44/q156 bound: cell occupancy, not
+    * corpus size, bounds the quadratic term; in production k scales
+    * with the corpus). The graph itself is |corpus|·4 int64 edge rows
+    * (GraphIndex persists it — built once, searched forever). Search
+    * touches |queries|·(entries + beam·degree) rows per round through
+    * equi-joins on the edge key — never |corpus| — and the beam state
+    * per query is a handful of rows, exactly the property that makes
+    * graph ANN the low-latency production choice.
+    */
+  val q198 = EngineQuery(
+    "q198_knn_graph_beam",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+      // the graph build is the one corpus-sized stage — checkpoint it
+      // so the two expansion rounds (whose lineage would otherwise
+      // re-derive the whole cell-blocked pair space per round) reuse
+      // the materialized |corpus|·degree edge rows (GraphIndex persists
+      // exactly these rows for the build-once production shape)
+      val graph = graft.ops.SessionScratch.transientCheckpoint(
+        knnGraphOf(t.embeddings, cents, degree = 4))
+      val entries = entryPointsOf(t.embeddings, cents)
+      beamSearch(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        t.embeddings, graph, entries, beam = 4, topk = 8)
+    },
+    Some(kmeansTrainCtes(4) + knnGraphCtes +
+      """
+         , q AS (
+             SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10
+           ), v1 AS (
+             SELECT DISTINCT qid, cid FROM (
+               SELECT q.qid, e.vec_id AS cid FROM q CROSS JOIN entries e
+               UNION ALL
+               SELECT q.qid, g.dst AS cid
+               FROM q CROSS JOIN entries e JOIN graph g ON g.src = e.vec_id
+             ) WHERE qid <> cid
+           ), s1 AS (
+             SELECT v.qid, v.cid,
+               CAST(SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS sim
+             FROM v1 v
+             JOIN ex ea ON ea.vec_id = v.qid
+             JOIN ex eb ON eb.vec_id = v.cid AND eb.pos = ea.pos
+             GROUP BY v.qid, v.cid
+           ), b1 AS (
+             SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (
+                 PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s1) x
+             WHERE rn <= 4
+           ), v2 AS (
+             SELECT DISTINCT qid, cid FROM (
+               SELECT qid, cid FROM v1
+               UNION ALL
+               SELECT b.qid, g.dst AS cid
+               FROM b1 b JOIN graph g ON g.src = b.cid
+             ) WHERE qid <> cid
+           ), s2 AS (
+             SELECT v.qid, v.cid,
+               CAST(SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS sim
+             FROM v2 v
+             JOIN ex ea ON ea.vec_id = v.qid
+             JOIN ex eb ON eb.vec_id = v.cid AND eb.pos = ea.pos
+             GROUP BY v.qid, v.cid
+           )
+           SELECT qid, cid, sim, rn FROM (
+             SELECT qid, cid, sim, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2) x
+           WHERE rn <= 8
+           ORDER BY qid, rn"""))
+
+  /** Plan-audit probe (ExplainAudit): the UN-checkpointed graph-build
+    * frame — the gate checkpoints it, so the cell-blocked pair join
+    * that carries q198's scale claim is invisible in the gate plan.
+    */
+  def graphBuildPlanProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
+    knnGraphOf(t.embeddings, cents, degree = 4)
+  }
+
+  /** Directed k-NN graph: each vector's `degree` nearest SAME-CELL
+    * neighbors by exact fixed-point dot (ties → smaller id). Cell
+    * blocking bounds the pair space by cell occupancy (the q44/q156
+    * discipline); returns (src, dst) edge rows.
+    */
+  private[llmops] def knnGraphOf(emb: org.apache.spark.sql.DataFrame,
+      cents: Seq[KMeans.Centroid], degree: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val assigned = KMeans.assign(emb, cents)
+    val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val wG = Window.partitionBy(col("ia"))
+      .orderBy(col("fdot").desc, col("ib"))
+    a.join(b, Seq("cell")).filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("ea").cast("array<double>"),
+          col("eb").cast("array<double>")).as("fdot"))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= degree)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+  }
+
+  /** Per-cell medoid entry points: the member with the highest exact
+    * fixed-point dot to its trained centroid (ties → smaller id).
+    * Returns k rows of (cid).
+    */
+  private[llmops] def entryPointsOf(emb: org.apache.spark.sql.DataFrame,
+      cents: Seq[KMeans.Centroid]): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
+      .toDF("cell", "cvec")
+    val wE = Window.partitionBy(col("cell"))
+      .orderBy(col("cdot").desc, col("vec_id"))
+    KMeans.assign(emb, cents)
+      .join(broadcast(centDf), "cell")
+      .select(col("cell"), col("vec_id"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("embedding").cast("array<double>"), col("cvec")).as("cdot"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"))
+  }
+
+  /** Unrolled 2-round best-first beam search over a (src, dst) k-NN
+    * graph from fixed entry points; every visited candidate competes
+    * in the final top-k. The per-round candidate sets are bounded by
+    * |queries|·(entries + beam·degree) — the graph is touched only
+    * through equi-joins on src.
+    */
+  private[llmops] def beamSearch(queries: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      graph: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame,
+      beam: Int, topk: Int): org.apache.spark.sql.DataFrame = {
+    val cand = emb.select(col("vec_id").as("cid"),
+      col("embedding").as("ec"))
+    def score(v: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      v.join(cand, Seq("cid"))
+        .select(col("qid"), col("eq"), col("cid"),
+          exactDot(col("eq"), col("ec")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val c0 = queries.crossJoin(broadcast(entries))
+    val n1 = c0.join(graph, col("cid") === col("src"))
+      .select(col("qid"), col("eq"), col("dst").as("cid"))
+    // each round's visited set is checkpointed: round 2's lineage
+    // would otherwise re-derive round 1 (and the graph) from scratch —
+    // the frames are |queries|·(entries + beam·degree) rows, driver-
+    // bounded, and consumed within this query
+    val v1 = graft.ops.SessionScratch.transientCheckpoint(
+      c0.select(col("qid"), col("eq"), col("cid")).union(n1)
+        .filter(col("qid") =!= col("cid")).distinct())
+    val b1 = score(v1).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= beam)
+    val n2 = b1.join(graph, col("cid") === col("src"))
+      .select(col("qid"), col("eq"), col("dst").as("cid"))
+    val v2 = v1.union(n2)
+      .filter(col("qid") =!= col("cid")).distinct()
+    score(v2).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle CTE fragment building the same graph + entries over the
+    * trained cells (d3/a3 from [[kmeansTrainCtes]]) — ends with
+    * `graph(src, dst)` and `entries(vec_id)` CTEs.
+    */
+  private def knnGraphCtes: String =
+    """
+       , pairg AS (
+           SELECT ea.vec_id ia, eb.vec_id ib,
+             SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+               * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS fdot
+           FROM ex ea
+           JOIN a3 sa ON sa.vec_id = ea.vec_id
+           JOIN a3 sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
+           JOIN ex eb ON eb.vec_id = sb.vec_id AND eb.pos = ea.pos
+           GROUP BY 1, 2
+         ), graph AS (
+           SELECT ia AS src, ib AS dst FROM (
+             SELECT ia, ib, row_number() OVER (
+               PARTITION BY ia ORDER BY fdot DESC, ib) rn FROM pairg) x
+           WHERE rn <= 4
+         ), entries AS (
+           SELECT vec_id FROM (
+             SELECT a.vec_id, a.cell, row_number() OVER (
+               PARTITION BY a.cell ORDER BY d.fdot DESC, a.vec_id) rn
+             FROM a3 a JOIN d3 d
+               ON d.vec_id = a.vec_id AND d.cell = a.cell) x
+           WHERE rn = 1
+         )"""
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197)
+      q197, q198)
 }
