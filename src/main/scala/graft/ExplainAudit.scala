@@ -45,7 +45,7 @@ object ExplainAudit {
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
     "q191_curation_day2_packed", "q192_knn_ivfpq",
     "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment",
-    "q198_knn_graph_beam")
+    "q198_knn_graph_beam", "q199_knn_graph_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -616,6 +616,17 @@ object ExplainAudit {
         "cartesian", {
         val p = planOf(spark, byName, sfDir, "q198_knn_graph_beam")
         p.contains("Scan ExistingRDD") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q199 persisted-graph search reads members and edges off the ONE " +
+        "manifested store with the kind discriminator PUSHED to the " +
+        "parquet scans (member/edge rows land in separate files, so " +
+        "the filter prunes at file granularity); round 1's visited set " +
+        "is the checkpointed frame (the corpus embeddings never rescan " +
+        "in the final walk); no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q199_knn_graph_persisted")
+        p.contains("EqualTo(kind,m)") && p.contains("EqualTo(kind,e)") &&
+          p.contains("Scan ExistingRDD") &&
           !p.contains("CartesianProduct")
       }),
       ("q179 real-decode PPM gate: the decode seam is per-partition " +

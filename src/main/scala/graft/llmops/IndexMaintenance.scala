@@ -1289,6 +1289,224 @@ object IvfIndex {
   }
 }
 
+/** The persisted k-NN GRAPH index — q198's graph ANN as a MAINTAINED
+  * on-disk artifact (the HNSW / DiskANN-Vamana production shape: build
+  * the graph once over the corpus, search forever, INSERT new vectors
+  * with forward + reverse edges instead of rebuilding).
+  *
+  * Layout at `path`: `centroids/` (cell, centroid — routes appends) +
+  * `entries/` (the per-cell medoid entry points, recorded at build) +
+  * `graph-g<N>/` ONE manifested row store holding BOTH member rows
+  * (kind='m': member_id, cell, em) and edge rows (kind='e': src, dst).
+  * A single manifest means a single atomic commit point per append —
+  * members and edges can never be committed separately, so the
+  * members-without-edges torn state (appended vectors silently
+  * unreachable forever) is structurally impossible: a crash between
+  * the parquet writes and the publish leaves uncommitted extras that
+  * every read REFUSES descriptively and vacuum sweeps. Member and edge
+  * rows land in separate FILES (two writes), so the kind filter prunes
+  * at file granularity via parquet min/max.
+  *
+  * Maintenance contract: centroids + entry points are trained/recorded
+  * at build and byte-untouched thereafter. [[append]] assigns the
+  * delta under the recorded centroids, computes each new vector's
+  * `Degree` nearest same-cell neighbors over (existing members ∪ the
+  * batch), and appends those FORWARD edges plus their REVERSES (the
+  * HNSW bidirectional-insert rule — without reverse edges an appended
+  * vector is unreachable from the entry points and can never be a
+  * search result). The maintained graph is NOT identical to a full
+  * rebuild's (old members' own top-4 lists are never rewritten — the
+  * standard insert-only graph contract); the spec floor-asserts
+  * maintained recall against the rebuild and [[republish]] is the
+  * drift-remediation rebuild arm, crash-detectable via config
+  * retraction like [[IvfIndex.republish]].
+  */
+object GraphIndex {
+
+  /** Lloyd iterations / out-degree / Lloyd k default (q198's recipe). */
+  val Iters = 2
+  val Degree = 4
+
+  private def config(k: Int): String =
+    s"kind=knn-graph;k=$k;iters=$Iters;degree=$Degree;" +
+      "fixed_point=1e7;seed=first-k-by-id;entries=cell-medoid;v=1"
+
+  private def centDir(path: String) = s"$path/centroids"
+  private def entDir(path: String) = s"$path/entries"
+  private val ManifestName = "_graph_index_manifest"
+  private val ConfigName = "_graph_index_config"
+  private val What = "kNN-graph index"
+
+  /** Crash recovery — see [[IndexMaintenance.vacuumStore]]. */
+  def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
+    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+
+  /** Non-throwing audit — parametric k re-derived like [[IvfIndex.fsck]]. */
+  def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport = {
+    val expected = IndexMaintenance.readSidecar(s, path, ConfigName)
+      .flatMap(r => "k=(\\d+)".r.findFirstMatchIn(r)
+        .map(m => config(m.group(1).toInt)))
+    IndexMaintenance.fsckStore(s, path, ManifestName,
+      ConfigName, expected, What)
+  }
+
+  /** The manifest-verified current row-store directory. */
+  private[graft] def dataDir(s: SparkSession, path: String): String =
+    IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+
+  private def recordedK(s: SparkSession, path: String): Int =
+    IndexMaintenance.readSidecar(s, path, ConfigName)
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
+        .map(_.group(1).toInt))
+      .getOrElse(0)
+
+  private def requireLive(s: SparkSession, path: String): Unit =
+    IndexMaintenance.requireConfig(s, path, ConfigName,
+      config(recordedK(s, path)), What)
+
+  private def memberShape(rows: DataFrame): DataFrame =
+    rows.select(col("member_id"), col("cell"), col("em"),
+      lit(null).cast("long").as("src"), lit(null).cast("long").as("dst"),
+      lit("m").as("kind"))
+
+  private def edgeShape(rows: DataFrame): DataFrame =
+    rows.select(lit(null).cast("long").as("member_id"),
+      lit(null).cast("long").as("cell"),
+      lit(null).cast("array<float>").as("em"),
+      col("src"), col("dst"), lit("e").as("kind"))
+
+  /** Initial build: train centroids, record per-cell medoid entry
+    * points, write member + edge rows into one manifested store,
+    * publish the config LAST (the ingest-complete marker).
+    */
+  def build(embeddings: DataFrame, path: String, k: Int): Unit = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
+    cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centDir(path))
+    Similarity.entryPointsOf(embeddings, cents)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(entDir(path))
+    val dir = s"$path/graph-g0"
+    memberShape(KMeans.assign(embeddings, cents)
+        .select(col("vec_id").as("member_id"), col("cell"),
+          col("embedding").as("em")))
+      .write.mode("overwrite").parquet(dir)
+    edgeShape(Similarity.knnGraphOf(embeddings, cents, degree = Degree))
+      .write.mode("append").parquet(dir)
+    IndexMaintenance.publishManifest(s, path, ManifestName, "graph-g0")
+    IndexMaintenance.writeSidecar(s, path, ConfigName, config(k))
+  }
+
+  /** The recorded centroids (k-bounded collect), config-verified
+    * first — [[IvfIndex.centroids]]'s discipline.
+    */
+  def centroids(s: SparkSession, path: String): Seq[KMeans.Centroid] = {
+    import s.implicits._
+    val k = recordedK(s, path)
+    requireLive(s, path)
+    val cents = s.read.parquet(centDir(path))
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Seq[Double])]
+      .collect()
+      .map { case (cell, v) => KMeans.Centroid(cell, v.toArray) }
+      .toSeq
+    if (cents.size != k)
+      throw new IllegalStateException(
+        s"kNN-graph index at $path records k=$k in its sidecar but " +
+          s"stores ${cents.size} centroids — the centroid table is " +
+          "truncated or foreign; rebuild the index.")
+    cents.sortBy(_.cell)
+  }
+
+  /** MAINTENANCE — the HNSW insert rule, batched: assign the delta
+    * under the RECORDED centroids, give each new vector its `Degree`
+    * nearest same-cell neighbors over (existing members ∪ the batch),
+    * and append member rows + forward edges + REVERSE edges in ONE
+    * manifested commit. Cost shape: the delta is scored against cell
+    * occupancy (delta × cell members), never corpus × corpus; existing
+    * member/edge files are never read-modified or rewritten.
+    */
+  def append(newVecs: DataFrame, path: String): Unit = {
+    val s = newVecs.sparkSession
+    val cents = centroids(s, path)
+    val cur = dataDir(s, path)
+    // the batch is assigned once; the edge set is checkpointed BEFORE
+    // any write so its lineage can never observe the half-appended dir
+    val newM = SessionScratch.transientCheckpoint(
+      KMeans.assign(newVecs, cents)
+        .select(col("vec_id").as("member_id"), col("cell"),
+          col("embedding").as("em")))
+    val members = s.read.parquet(cur).filter(col("kind") === "m")
+      .select(col("member_id"), col("cell"), col("em"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia")).orderBy(col("fdot").desc, col("ib"))
+    val fwd = newM
+      .select(col("cell"), col("member_id").as("ia"), col("em").as("ea"))
+      .join(members.union(newM)
+        .select(col("cell"), col("member_id").as("ib"),
+          col("em").as("eb")), Seq("cell"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.VectorDot.fixedDotSum(
+          col("ea").cast("array<double>"),
+          col("eb").cast("array<double>")).as("fdot"))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= Degree)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val edges = SessionScratch.transientCheckpoint(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    memberShape(newM).write.mode("append").parquet(cur)
+    edgeShape(edges).write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
+  }
+
+  /** Search the MAINTAINED graph: q198's unrolled beam walk with
+    * members, edges, and entry points read off the verified store.
+    */
+  def search(queries: DataFrame, path: String, beam: Int = 4,
+      topk: Int = 8): DataFrame = {
+    val s = queries.sparkSession
+    requireLive(s, path)
+    val data = s.read.parquet(dataDir(s, path))
+    Similarity.beamSearch(queries,
+      data.filter(col("kind") === "m")
+        .select(col("member_id").as("vec_id"), col("em").as("embedding")),
+      data.filter(col("kind") === "e").select(col("src"), col("dst")),
+      s.read.parquet(entDir(path)),
+      beam, topk)
+  }
+
+  /** Compact the accumulated append files (config + centroids +
+    * entries untouched, atomic manifest swap).
+    */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    requireLive(s, path)
+    IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes)
+  }
+
+  /** Drift remediation — rebuild IN PLACE, crash-detectably
+    * ([[IvfIndex.republish]]'s retract-then-build discipline).
+    */
+  def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
+    val s = embeddings.sparkSession
+    IndexMaintenance.requireConfig(s, path, ConfigName, config(k), What)
+    val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
+    IndexMaintenance.retractSidecar(s, path, ConfigName)
+    build(embeddings, path, k)
+    if (!stale.endsWith("/graph-g0")) {
+      val p = new org.apache.hadoop.fs.Path(stale)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
+
 /** The persisted IVF-PQ index — q192's composed ANN as a MAINTAINED
   * on-disk artifact, and the point where the index family's storage
   * claim becomes literal: [[IvfIndex]] persists raw vectors in its
@@ -1535,7 +1753,7 @@ object IvfPqIndex {
 /** One-sweep catalog audit over every persisted artifact store — the
   * operational `fsck` rolled up as a DataFrame (one row per store), so
   * an operator can health-check a whole warehouse of index/model
-  * artifacts in one query instead of touching seven read paths that
+  * artifacts in one query instead of touching eight read paths that
   * would THROW on the first damaged store. Built on the non-throwing
   * per-store [[IndexMaintenance.FsckReport]]s; driver-side work is one
   * bounded sidecar/listing pass per store (catalog metadata, not data).
@@ -1551,7 +1769,8 @@ object StoreAudit {
     "bpe" -> (BpeModel.fsck _),
     "clf" -> (ClfModel.fsck _),
     "ivf" -> (IvfIndex.fsck _),
-    "ivfpq" -> (IvfPqIndex.fsck _))
+    "ivfpq" -> (IvfPqIndex.fsck _),
+    "graph" -> (GraphIndex.fsck _))
 
   /** Audit `(kind, path)` entries; unknown kinds fail fast (an audit
     * that silently skipped a store would read as "all healthy").

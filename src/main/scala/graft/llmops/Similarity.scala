@@ -1287,8 +1287,14 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         t.embeddings, graph, entries, beam = 4, topk = 8)
     },
-    Some(kmeansTrainCtes(4) + knnGraphCtes +
-      """
+    Some(kmeansTrainCtes(4) + knnGraphCtes + beamTailSql))
+
+  /** Oracle tail shared by q198/q199: the unrolled 2-round beam walk
+    * over `graph(src, dst)` + `entries(vec_id)` CTEs (however they
+    * were built), scored against `ex`.
+    */
+  private def beamTailSql: String =
+    """
          , q AS (
              SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10
            ), v1 AS (
@@ -1333,7 +1339,7 @@ object Similarity {
              SELECT qid, cid, sim, row_number() OVER (
                PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2) x
            WHERE rn <= 8
-           ORDER BY qid, rn"""))
+           ORDER BY qid, rn"""
 
   /** Plan-audit probe (ExplainAudit): the UN-checkpointed graph-build
     * frame — the gate checkpoints it, so the cell-blocked pair join
@@ -1464,7 +1470,89 @@ object Similarity {
            WHERE rn = 1
          )"""
 
+  /** The PERSISTED graph index built+maintained once per (session,
+    * dir) — q180's ingest shape for the graph family: build on the
+    * even-id half, append the odd half as the arriving delta (forward
+    * + reverse edges under the recorded centroids, no retrain).
+    */
+  private[llmops] def existingGraphIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("graph_index", app)}/gr_$tag"
+    graft.ops.SessionScratch.once("graph_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      GraphIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** Graph ANN over the PERSISTED, MAINTAINED index — q198's walk with
+    * every artifact read off the store, and the INSERT-ONLY graph
+    * maintenance contract hash-checked end-to-end: centroids + entry
+    * points recorded on the even half and byte-untouched; the odd half
+    * appended with its Degree nearest same-cell neighbors over
+    * (existing ∪ batch) as FORWARD edges plus their REVERSES (the HNSW
+    * bidirectional-insert rule — without reverses, appended vectors
+    * are unreachable and can never be search results). The oracle
+    * replays training restricted to the even half, build edges
+    * (even→even), append edges (odd→all ∪ reverses), the even-half
+    * medoid entries, and the full 2-round walk — so a drifted append
+    * (retrained centroids, shifted entries, missing reverse edges,
+    * edges ranked on anything but the exact int64 dot) hash-mismatches.
+    */
+  val q199 = EngineQuery(
+    "q199_knn_graph_persisted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingGraphIndex(s, dir)
+      GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """
+         , pairg AS (
+             SELECT ea.vec_id ia, eb.vec_id ib,
+               SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                 * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS fdot
+             FROM ex ea
+             JOIN a3 sa ON sa.vec_id = ea.vec_id
+             JOIN a3 sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
+             JOIN ex eb ON eb.vec_id = sb.vec_id AND eb.pos = ea.pos
+             GROUP BY 1, 2
+           ), bedges AS (
+             SELECT ia AS src, ib AS dst FROM (
+               SELECT ia, ib, row_number() OVER (
+                 PARTITION BY ia ORDER BY fdot DESC, ib) rn
+               FROM pairg WHERE ia % 2 = 0 AND ib % 2 = 0) x
+             WHERE rn <= 4
+           ), fedges AS (
+             SELECT ia AS src, ib AS dst FROM (
+               SELECT ia, ib, row_number() OVER (
+                 PARTITION BY ia ORDER BY fdot DESC, ib) rn
+               FROM pairg WHERE ia % 2 = 1) x
+             WHERE rn <= 4
+           ), graph AS (
+             SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM bedges
+               UNION ALL SELECT src, dst FROM fedges
+               UNION ALL SELECT dst AS src, src AS dst FROM fedges)
+           ), entries AS (
+             SELECT vec_id FROM (
+               SELECT a.vec_id, a.cell, row_number() OVER (
+                 PARTITION BY a.cell ORDER BY d.fdot DESC, a.vec_id) rn
+               FROM a3 a JOIN d3 d
+                 ON d.vec_id = a.vec_id AND d.cell = a.cell
+               WHERE a.vec_id % 2 = 0) x
+             WHERE rn = 1
+           )""" + beamTailSql))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198)
+      q197, q198, q199)
 }

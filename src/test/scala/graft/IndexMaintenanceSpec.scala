@@ -1023,6 +1023,107 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "re-probing ingested survivors must drop every one")
   }
 
+  // ---- persisted kNN-graph index -----------------------------------------
+
+  test("GraphIndex: append inserts forward + reverse edges under the " +
+    "recorded artifacts (centroids, entries, base files untouched); " +
+    "appended members are reachable search results; torn append " +
+    "refused then vacuumed") {
+    import graft.llmops.GraphIndex
+    val path = freshDir("graph")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    GraphIndex.build(even, path, k = 4)
+    val centFiles = dataFiles(s"$path/centroids")
+    val entFiles = dataFiles(s"$path/entries")
+    val baseFiles = dataFiles(GraphIndex.dataDir(spark, path))
+
+    GraphIndex.append(odd, path)
+
+    // recorded artifacts byte-untouched; base store append-only
+    assert(dataFiles(s"$path/centroids") == centFiles)
+    assert(dataFiles(s"$path/entries") == entFiles)
+    assert(baseFiles.subsetOf(dataFiles(GraphIndex.dataDir(spark, path))))
+
+    val data = spark.read.parquet(GraphIndex.dataDir(spark, path))
+    // every vector a member exactly once
+    val members = data.filter(col("kind") === "m")
+      .groupBy(col("member_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(members.forall(_._2 == 1L))
+    assert(members.map(_._1).toSet ==
+      embs.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    // every appended member has out-edges, and every forward edge
+    // from a new member has its REVERSE (the HNSW insert rule — the
+    // reachability guarantee)
+    val edges = data.filter(col("kind") === "e")
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oddIds = odd.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(oddIds.forall(id => edges.exists(_._1 == id)),
+      "every appended member must have forward edges")
+    val fwdFromNew = edges.filter(e => oddIds(e._1))
+    assert(fwdFromNew.forall(e => edges((e._2, e._1))),
+      "every forward edge from an appended member needs its reverse")
+
+    // appended members actually surface as results (reachability)
+    val hits = GraphIndex.search(
+        embs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(hits.exists(oddIds), "no appended member ever surfaced — " +
+      "reverse-edge insertion is broken")
+
+    // maintained-graph recall tracks a full rebuild (insert-only
+    // degradation is bounded, the republish arm exists for drift)
+    val rebuilt = freshDir("graph_rebuild")
+    GraphIndex.build(embs, rebuilt, k = 4)
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    def top(p: String) = GraphIndex.search(q, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    // two approximate walks legitimately disagree with EACH OTHER on
+    // worst-case random vectors — the invariant is that each tracks
+    // the EXACT top-8 at a comparable rate (insert-only degradation
+    // bounded; the republish arm exists for real drift)
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (k2, ex) => (m(k2) & ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val mRec = recall(top(path)); val rRec = recall(top(rebuilt))
+    info(f"maintained recall@8 = $mRec%.3f vs rebuilt $rRec%.3f")
+    assert(mRec >= 0.15, f"maintained graph recall collapsed: $mRec%.3f")
+    assert(mRec >= rRec - 0.2,
+      f"maintained recall $mRec%.3f trails rebuild $rRec%.3f by > 0.2")
+
+    // torn append: the shared manifest discipline holds for the graph
+    // store — uncommitted extras refuse, fsck points at vacuum, vacuum
+    // restores, search answers identically
+    val before = GraphIndex.search(q, path).collect().map(_.toString)
+    val dir = GraphIndex.dataDir(spark, path)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/part-torn-${part.getName}"))
+    val e = intercept[IllegalStateException] {
+      GraphIndex.search(q, path).collect()
+    }
+    assert(e.getMessage.contains("torn append") ||
+      e.getMessage.toLowerCase.contains("manifest"))
+    val report = StoreAudit.audit(spark, Seq("graph" -> path)).collect()
+    assert(!report.head.getAs[Boolean]("healthy") &&
+      report.head.getAs[Boolean]("vacuum_repairs"))
+    GraphIndex.vacuum(spark, path)
+    assert(GraphIndex.search(q, path).collect().map(_.toString)
+      .sameElements(before))
+  }
+
   // ---- fsck / catalog audit --------------------------------------------
 
   test("fsck OBSERVES every failure mode the read paths throw on: " +
