@@ -45,7 +45,8 @@ object ExplainAudit {
     "q189_multimodal_wav_resample", "q190_classifier_persisted_model",
     "q191_curation_day2_packed", "q192_knn_ivfpq",
     "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment",
-    "q198_knn_graph_beam", "q199_knn_graph_persisted")
+    "q198_knn_graph_beam", "q199_knn_graph_persisted",
+    "q200_curation_provenance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -553,6 +554,14 @@ object ExplainAudit {
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("replace(") && p.contains("Window") &&
           p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q200 provenance manifest: the attribution readout adds ONE " +
+        "more Window over |kept docs| rows to q185's chain — the gate " +
+        "plan still scans ZERO parquet (the survivor checkpoint feeds " +
+        "every stage), no extra corpus pass, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q200_curation_provenance")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("Window") && !p.contains("CartesianProduct")
       }),
       ("q186 persisted bigram-LM scoring: exactly two parquet scans — " +
         "the scored docs (bigram derive, a pure map stage) and the " +

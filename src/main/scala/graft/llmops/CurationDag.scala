@@ -286,50 +286,70 @@ object CurationDag {
     * over the doc-level token counts (strata parallelize; the window
     * input is |kept docs| rows, never tokens).
     */
+  /** Shared stage chain for q185/q200: dedup → split → score-FILTER →
+    * tokenize → per-doc token counts with the per-source running sum
+    * and 2048-token bin id. Returns (doc_id, source, n_tok, cum, bin).
+    */
+  private def packedBinned(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val merges = dagTrain(s, dir).merges
+    val losers = Dedup.minhashPairs(s, dir)
+      .filter(col("n_bands") >= 4)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val survivors = SessionScratch.transientCheckpoint(
+      t.documents.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("text")))
+    val train = survivors
+      .withColumn("split", Sampling.groupSplit(col("source")))
+      .filter(col("split") === "train")
+    val kept = train.join(
+      Curation.classifierScores(survivors).filter(col("keep")),
+      Seq("doc_id"), "left_semi")
+    val words = kept
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = words
+      .withColumn("es", Bpe.encodeWord(col("word"), merges))
+      .withColumn("n_toks", expr(
+        "(length(es) - length(replace(es, concat(char(31), char(31)), " +
+          "''))) div 2 + 1"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n") * col("n_toks")).as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDoc
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")) / lit(2048.0)))
+  }
+
   val q185 = EngineQuery(
     "q185_curation_pipeline_packed",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val merges = dagTrain(s, dir).merges
-      val losers = Dedup.minhashPairs(s, dir)
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
-      val survivors = SessionScratch.transientCheckpoint(
-        t.documents.join(losers, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source"), col("text")))
-      val train = survivors
-        .withColumn("split", Sampling.groupSplit(col("source")))
-        .filter(col("split") === "train")
-      val kept = train.join(
-        Curation.classifierScores(survivors).filter(col("keep")),
-        Seq("doc_id"), "left_semi")
-      val words = kept
-        .select(col("doc_id"), col("source"),
-          explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("doc_id"), col("source"), col("word"))
-        .agg(count(lit(1)).as("n"))
-      val perDoc = words
-        .withColumn("es", Bpe.encodeWord(col("word"), merges))
-        .withColumn("n_toks", expr(
-          "(length(es) - length(replace(es, concat(char(31), char(31)), " +
-            "''))) div 2 + 1"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("n") * col("n_toks")).as("n_tok"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      perDoc
-        .withColumn("bin",
-          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2048.0)))
+    (s, dir) =>
+      packedBinned(s, dir)
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
-        .orderBy(col("source"), col("bin"))
-    },
-    Some {
+        .orderBy(col("source"), col("bin")),
+    Some(packedOracleCtes +
+      """
+           SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+           FROM binned GROUP BY 1, 2
+           ORDER BY source, bin"""))
+
+  /** Oracle CTEs shared by q185/q200 — the full dedup → split →
+    * score-filter → tokenize → pack replay, ending with
+    * `binned(source, doc_id, n_tok, cum, bin)`.
+    */
+  private def packedOracleCtes: String = {
       val B = Curation.ClfBuckets
       val bucket = PortableHash.splitDrawSql(
         PortableHash.charHashSql("source"))
@@ -395,17 +415,52 @@ object CurationDag {
              FROM dwd d JOIN enc e ON d.word = e.word
              GROUP BY 1, 2
            ), binned AS (
-             SELECT source, doc_id, n_tok,
-               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
-                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-                 CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin
-             FROM dtok
-           )
-           SELECT source, bin, COUNT(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-           FROM binned GROUP BY 1, 2
-           ORDER BY source, bin"""
-    })
+             SELECT source, doc_id, n_tok, cum,
+               CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin
+             FROM (
+               SELECT source, doc_id, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) AS cum
+               FROM dtok)
+           )"""
+  }
+
+  /** Training-sequence PROVENANCE manifest — the governance readout of
+    * the packed pipeline: for every 2048-token context bin q185 plans,
+    * the ordered list of contributing documents with their token
+    * offsets inside the sequence (seq_pos, off_start, n_tok). This is
+    * the attribution record a compliance audit needs ("which documents
+    * are in training sequence X, at which offsets") and it falls out
+    * of the SAME per-source running sum that assigns bins — no extra
+    * corpus pass, one more window over |kept docs| rows. The gate hash
+    * covers the exact document ORDER and OFFSETS of every sequence, so
+    * any drift anywhere in the chain (dedup admission, split draw,
+    * filter decision, tokenizer fertility, pack arithmetic) moves an
+    * offset and mismatches.
+    */
+  val q200 = EngineQuery(
+    "q200_curation_provenance",
+    (s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("bin")).orderBy(col("doc_id"))
+      packedBinned(s, dir)
+        .withColumn("seq_pos", row_number().over(wSeq))
+        .select(col("source"), col("bin"), col("seq_pos"), col("doc_id"),
+          (col("cum") - col("n_tok") - col("bin") * 2048).as("off_start"),
+          col("n_tok"))
+        .orderBy(col("source"), col("bin"), col("seq_pos"))
+    },
+    Some(packedOracleCtes +
+      """
+           SELECT source, bin,
+             row_number() OVER (PARTITION BY source, bin
+               ORDER BY doc_id) AS seq_pos,
+             doc_id,
+             cum - n_tok - bin * 2048 AS off_start,
+             n_tok
+           FROM binned
+           ORDER BY source, bin, seq_pos"""))
 
   /** The persisted DAY-2 tokenizer: trained ONCE on the EXISTING
     * corpus's train split (even doc_ids — the q46 existing/incoming
@@ -915,5 +970,5 @@ object CurationDag {
            FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
-  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190, q191)
+  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190, q191, q200)
 }
