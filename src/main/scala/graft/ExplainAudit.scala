@@ -46,7 +46,8 @@ object ExplainAudit {
     "q191_curation_day2_packed", "q192_knn_ivfpq",
     "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment",
     "q198_knn_graph_beam", "q199_knn_graph_persisted",
-    "q200_curation_provenance")
+    "q200_curation_provenance", "q201_knn_ivf_filtered",
+    "q202_knn_ivfpq_refined")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -562,6 +563,25 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q200_curation_provenance")
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("Window") && !p.contains("CartesianProduct")
+      }),
+      ("q201 filtered ANN: the predicate applies BEFORE ranking — the " +
+        "metadata join keys on member_id over the probe-bounded " +
+        "candidate set (never |corpus|), the index enters through the " +
+        "cell equi-join against the assignment store, the query fetch " +
+        "pushes vec_id<10 to its scan, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q201_knn_ivf_filtered")
+        p.contains("assignments") && p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q202 cross-store refine: the ADC stage reads only the CODES " +
+        "store; raw vectors enter through ONE shortlist-bounded " +
+        "equi-join against the IVF assignment store (|queries|*32 " +
+        "rows, never corpus-sized); both query fetches push vec_id<10; " +
+        "no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q202_knn_ivfpq_refined")
+        p.contains("codes") && p.contains("assignments") &&
+          p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
       }),
       ("q186 persisted bigram-LM scoring: exactly two parquet scans — " +
         "the scored docs (bigram derive, a pure map stage) and the " +

@@ -97,6 +97,13 @@ object ScaleIndex {
       llmops.IvfPqIndex.search(vDelta.limit(10)
         .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         s"$w/ivfpq").count()
+      llmops.IvfIndex.semanticProbe(vDelta, s"$w/ivf").count()
+      llmops.GraphIndex.build(embs.filter(col("vec_id") % 10 =!= 0),
+        s"$w/graph", k = 16)
+      llmops.GraphIndex.append(vDelta, s"$w/graph")
+      llmops.GraphIndex.search(vDelta.limit(10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        s"$w/graph").count()
       ops.SessionScratch.evictTransients()
     }
 
@@ -195,6 +202,14 @@ object ScaleIndex {
         vFiles = llmops.IvfIndex.compact(spark, vPath)
       }
       val vProbePost = timed(llmops.IvfIndex.search(vq, vPath).count())
+      // semantic-dedup probe over the same store: cost = delta × cell
+      // occupancy, which grows with the corpus at FIXED k — the
+      // documented caveat (production scales k with the corpus, so
+      // occupancy — the real bound — stays constant)
+      val semProbe = timed {
+        llmops.IvfIndex.semanticProbe(vDelta, vPath).count()
+        ops.SessionScratch.evictTransients()
+      }
       println(f"""{"index":"ivf_ann","corpus_scale":$f,""" +
         f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
         f""""build_sec":$vBuild%.2f,"append_delta_sec":$vAppend%.2f,""" +
@@ -202,7 +217,9 @@ object ScaleIndex {
         f""""append_vs_rebuild":${vAppend / vRebuild}%.2f,""" +
         f""""compact_sec":$vCompactSec%.2f,""" +
         f""""files_before":${vFiles._1},"files_after":${vFiles._2},""" +
-        f""""search_pre_sec":$vProbePre%.2f,"search_post_sec":$vProbePost%.2f}""")
+        f""""search_pre_sec":$vProbePre%.2f,""" +
+        f""""search_post_sec":$vProbePost%.2f,""" +
+        f""""semprobe_delta_sec":$semProbe%.2f}""")
 
       // IVF-PQ: the codes-only store — append must additionally pay the
       // delta's PQ encode (argmin vs the recorded codebook), and search
@@ -227,6 +244,39 @@ object ScaleIndex {
         f""""compact_sec":$pCompactSec%.2f,""" +
         f""""files_before":${pFiles._1},"files_after":${pFiles._2},""" +
         f""""search_pre_sec":$pSearchPre%.2f,"search_post_sec":$pSearchPost%.2f}""")
+
+      // kNN graph: build pays the cell-blocked pair space; append pays
+      // delta × cell occupancy (grows with corpus at FIXED k — same
+      // caveat as the semantic probe); search is |queries|-bounded
+      // walks, the family's flattest read curve
+      val gPath = s"$root/graph"
+      val gBuild = timed(llmops.GraphIndex.build(vBase, gPath, k = 16))
+      val gAppend = timed {
+        llmops.GraphIndex.append(vDelta, gPath)
+        ops.SessionScratch.evictTransients()
+      }
+      val gRebuild = timed(llmops.GraphIndex.build(
+        vBase.unionByName(vDelta), s"$root/graph_rb", k = 16))
+      val gSearchPre = timed {
+        llmops.GraphIndex.search(vq, gPath).count()
+        ops.SessionScratch.evictTransients()
+      }
+      var gFiles = (0, 0)
+      val gCompactSec = timed {
+        gFiles = llmops.GraphIndex.compact(spark, gPath)
+      }
+      val gSearchPost = timed {
+        llmops.GraphIndex.search(vq, gPath).count()
+        ops.SessionScratch.evictTransients()
+      }
+      println(f"""{"index":"knn_graph","corpus_scale":$f,""" +
+        f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
+        f""""build_sec":$gBuild%.2f,"append_delta_sec":$gAppend%.2f,""" +
+        f""""rebuild_full_sec":$gRebuild%.2f,""" +
+        f""""append_vs_rebuild":${gAppend / gRebuild}%.2f,""" +
+        f""""compact_sec":$gCompactSec%.2f,""" +
+        f""""files_before":${gFiles._1},"files_after":${gFiles._2},""" +
+        f""""search_pre_sec":$gSearchPre%.2f,"search_post_sec":$gSearchPost%.2f}""")
     }
     spark.stop()
   }

@@ -1088,8 +1088,19 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         path)
     },
-    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
-      """, sub AS (
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes +
+      """
+         SELECT qid, cid, f, rn FROM (
+           SELECT qid, cid, f, row_number() OVER (
+             PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
+
+  /** Oracle CTEs shared by q194/q202: even-half codebook seeding, PQ
+    * encode of every vector, the probe set, and the ADC candidate
+    * scores — ends with `adc(qid, cid, f)`.
+    */
+  private def ivfPqAdcCtes: String =
+    """, sub AS (
            SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
              CAST(FLOOR(v*10000000.0) AS BIGINT) fv
            FROM ex
@@ -1128,11 +1139,7 @@ object Similarity {
            JOIN pcodes k ON k.vec_id = c.cid
            JOIN qdt q ON q.qid = c.qid AND q.s = k.s AND q.cw = k.cw
            GROUP BY 1, 2
-         )
-         SELECT qid, cid, f, rn FROM (
-           SELECT qid, cid, f, row_number() OVER (
-             PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
-         WHERE rn <= 8 ORDER BY qid, rn"""))
+         )"""
 
   /** The MULTI-DAY semantic-dedup index ([[existingDay3Index]]'s shape,
     * embedding flavor): IVF trained on day-0's vectors (vec_id % 3 ==
@@ -1552,7 +1559,153 @@ object Similarity {
              WHERE rn = 1
            )""" + beamTailSql))
 
+  /** FILTERED ANN over the persisted IVF index — the production
+    * predicate+vector search (FAISS IDSelector / filtered retrieval):
+    * each query's top-8 is taken among candidates sharing the QUERY'S
+    * label, with the predicate applied BEFORE ranking (post-filtering
+    * a fixed top-k is the classic recall bug — a k-deep unfiltered
+    * list can contain fewer than k same-label rows while the probed
+    * cells hold plenty). Reads the SAME session-once store as q180:
+    * the index stays generic (member_id, cell, em); metadata joins in
+    * at query time on member_id, the catalog-join shape — a new
+    * predicate never requires a re-index.
+    *
+    * 100 TB shape: the candidate set is |queries|·occupancy·nprobe
+    * BEFORE the metadata join, so the join input is probe-bounded,
+    * never |corpus|; the label table prunes to (vec_id, label) at the
+    * scan. Determinism: the predicate is an equality on stored values;
+    * ranking stays on the exact fixed-point dot.
+    */
+  val q201 = EngineQuery(
+    "q201_knn_ivf_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      val centDf = IvfIndex.centroids(s, path)
+        .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("ccell"))
+      val probes = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+          col("label").as("qlabel"))
+        .crossJoin(broadcast(centDf))
+        .select(col("qid"), col("eq"), col("qlabel"), col("ccell"),
+          graft.functions.VectorDot.fixedDotSum(
+            col("eq").cast("array<double>"), col("ec")).as("cdot"))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("eq"), col("qlabel"),
+          col("ccell").as("cell"))
+      val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
+      val labels = t.embeddings
+        .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("member_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("member_id"))
+        .join(labels, Seq("member_id"))
+        .filter(col("mlabel") === col("qlabel"))
+        .select(col("qid"), col("member_id"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("member_id").as("cid"), col("sim"),
+          col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), fcand AS (
+           SELECT c.qid, c.member_id FROM cand c
+           JOIN embeddings qm ON qm.vec_id = c.qid
+           JOIN embeddings mm ON mm.vec_id = c.member_id
+           WHERE mm.label = qm.label
+         ), dots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM fcand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         )
+         SELECT qid, member_id AS cid, sim, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, member_id) rn FROM dots) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
+
+  /** CROSS-STORE REFINE (ADC+R over persisted artifacts) — the DiskANN
+    * / FAISS IndexRefineFlat memory-hierarchy split composed from two
+    * MAINTAINED stores: the IVF-PQ codes store (16 bytes/vector — the
+    * "in-memory" tier) produces a 32-deep ADC shortlist, and only
+    * those |queries|·32 rows touch raw vectors, read from the IVF
+    * store's assignment rows (the "on-disk" tier). q194 is ADC-only by
+    * design (raw vectors are not in the codes store); this is the
+    * production answer to its recall ceiling — LlmopsSpec measures the
+    * refine lift. Both stores are the session-once even-build/odd-append
+    * artifacts (q180/q194), so the refine also cross-checks that two
+    * independently maintained indexes agree on the corpus.
+    *
+    * 100 TB shape: the ADC stage never reads a raw vector; the refine
+    * fetch is a |queries|·32-row equi-join against the assignment
+    * store — shortlist-bounded IO, never corpus-sized.
+    */
+  val q202 = EngineQuery(
+    "q202_knn_ivfpq_refined",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pqPath = existingIvfPqIndex(s, dir)
+      val rawPath = existingIvfIndex(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val shortlist = IvfPqIndex.search(queries, pqPath, topk = 32)
+        .select(col("qid"), col("cid"))
+      val raw = s.read.parquet(IvfIndex.dataDir(s, rawPath))
+        .select(col("member_id").as("cid"), col("em"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      shortlist.join(raw, Seq("cid"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("cid"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes +
+      """
+         , short AS (
+             SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (
+                 PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+             WHERE rn <= 32
+           ), fine AS (
+             SELECT sl.qid, sl.cid,
+               CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS sim
+             FROM short sl
+             JOIN ex q ON q.vec_id = sl.qid
+             JOIN ex m ON m.vec_id = sl.cid AND m.pos = q.pos
+             GROUP BY 1, 2
+           )
+           SELECT qid, cid, sim, rn FROM (
+             SELECT qid, cid, sim, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM fine) x
+           WHERE rn <= 8 ORDER BY qid, rn"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199)
+      q197, q198, q199, q201, q202)
 }

@@ -55,7 +55,9 @@ class DeterminismSpec extends SparkTestBase {
     "q197_semdedup_day3_increment",    // semantic probe vs the grown index
     "q198_knn_graph_beam",             // graph walk: beam ties at int64 dots
     "q199_knn_graph_persisted",        // maintained graph: insert-only edges
-    "q200_curation_provenance")        // pack offsets: per-source run sums
+    "q200_curation_provenance",        // pack offsets: per-source run sums
+    "q201_knn_ivf_filtered",           // predicate before exact-dot rank
+    "q202_knn_ivfpq_refined")          // ADC shortlist + exact refine
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 

@@ -173,6 +173,54 @@ class LlmopsSpec extends SparkTestBase {
     assert(mean >= 0.2, f"graph-ANN recall degraded: $mean%.3f")
   }
 
+  test("filtered ANN (q201): every result satisfies the predicate, and " +
+    "pre-filtering beats post-filtering a fixed top-k") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.llmops.Similarity.q201.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // the predicate holds on every emitted row
+    assert(rows.forall { case (q, c) => labels(q) == labels(c) })
+    // pre-filter recall: post-filtering the UNFILTERED top-8 (q180 on
+    // the same store) keeps only its same-label rows — strictly less
+    // useful than ranking among filtered candidates
+    val post = graft.llmops.Similarity.q180.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, c) => labels(q) == labels(c) }
+    val preCount = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val postCount = post.groupBy(_._1).view.mapValues(_.size).toMap
+      .withDefaultValue(0)
+    assert(preCount.forall { case (q, n) => n >= postCount(q) },
+      "pre-filtered search returned fewer predicate rows than " +
+        "post-filtering the unfiltered top-8")
+    assert(preCount.values.sum > postCount.values.sum,
+      "pre-filtering showed no advantage on the fixture")
+  }
+
+  test("cross-store refine (q202) lifts recall over ADC-only (q194)") {
+    val exact = graft.llmops.Similarity.q50.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    def recallOf(q: graft.ops.EngineQuery): Double = {
+      val m = q.run(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+      val rs = exact.map { case (k, ex) => (m(k) & ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val adc = recallOf(graft.llmops.Similarity.q194)
+    val refined = recallOf(graft.llmops.Similarity.q202)
+    info(f"ADC-only recall@8 = $adc%.3f, refined = $refined%.3f")
+    // the refine rescores a 32-deep shortlist with exact dots — it can
+    // only reorder candidates the ADC stage surfaced, so the lift is
+    // bounded by shortlist quality; assert it never hurts and clears
+    // the measured floor
+    assert(refined >= adc, f"refine reduced recall: $refined%.3f < $adc%.3f")
+    assert(refined >= 0.4, f"refined recall below floor: $refined%.3f")
+  }
+
   test("Multimodal decode plumbing: partition-local batch produces typed features") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
