@@ -47,7 +47,8 @@ object ExplainAudit {
     "q194_knn_ivfpq_persisted", "q197_semdedup_day3_increment",
     "q198_knn_graph_beam", "q199_knn_graph_persisted",
     "q200_curation_provenance", "q201_knn_ivf_filtered",
-    "q202_knn_ivfpq_refined")
+    "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
+    "q204_knn_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -582,6 +583,25 @@ object ExplainAudit {
         p.contains("codes") && p.contains("assignments") &&
           p.contains("LessThan(vec_id,10)") &&
           !p.contains("CartesianProduct")
+      }),
+      ("q203 dataset sharding has NO GLOBAL SORT: shard assignment is " +
+        "a pure hash projection over ONE scan, the within-shard " +
+        "position window partitions BY SHARD (parallel slices), and " +
+        "the only Sort below the final ORDER BY is the per-shard " +
+        "window sort — a single-partition global window would " +
+        "serialize the corpus at 100 TB", {
+        val p = planOf(spark, byName, sfDir, "q203_dataset_shard_plan")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("SinglePartition")
+      }),
+      ("q204 label propagation classifies the WHOLE unlabeled side " +
+        "through the index: candidates come from the cell equi-join " +
+        "against the assignment store (probe-bounded, never corpus x " +
+        "corpus), the labeled-side restriction and label join key on " +
+        "member_id, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q204_knn_label_propagation")
+        p.contains("assignments") && !p.contains("CartesianProduct")
       }),
       ("q186 persisted bigram-LM scoring: exactly two parquet scans — " +
         "the scored docs (bigram derive, a pure map stage) and the " +

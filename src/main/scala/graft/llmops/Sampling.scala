@@ -462,6 +462,61 @@ object Sampling {
             FROM sp GROUP BY split ORDER BY split"""
     })
 
+  /** Deterministic dataset SHARDING — the export step of the training
+    * pipeline: a seeded hash permutation assigns every document to one
+    * of 16 shards and fixes a fully-shuffled read order WITHIN each
+    * shard, with NO GLOBAL SORT anywhere (the naive "rank the corpus,
+    * slice into shards" plan is a single global window — the exact
+    * operation that cannot exist at 100 TB). shard = permutation hash
+    * mod 16 is pure projection; within-shard position is a window
+    * PARTITIONED BY shard (parallel across shards, each a 1/16 slice).
+    * Balance falls out of hash uniformity instead of coordination.
+    *
+    * The gate emits per-shard (n_docs, sum_tokens, n_sources) plus an
+    * ORDER-pinning checksum: sum(position · (doc_id mod 1000003)),
+    * exact int64 — any reordering, dropped doc, or shard-assignment
+    * drift moves the checksum. Token counts are whitespace-token
+    * counts (the q62 rule), so the shard plan is the real batch-size
+    * input a loader consumes.
+    */
+  val q203 = EngineQuery(
+    "q203_dataset_shard_plan",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val key = ((col("doc_id") + 1L) * lit(2654435761L)) % lit(P)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+        .orderBy(col("key"), col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tok"),
+          key.as("key"))
+        .withColumn("shard", col("key") % 16)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          count_distinct(col("source")).as("n_sources"),
+          sum(col("pos") * (col("doc_id") % 1000003L)).as("order_sum"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH keyed AS (
+              SELECT doc_id, source,
+                CAST(length(string_split(trim(text), ' ')) AS BIGINT)
+                  AS n_tok,
+                ((doc_id + 1) * 2654435761) % 1000000007 AS key
+              FROM documents
+            ), sharded AS (
+              SELECT doc_id, source, n_tok, key % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY key % 16
+                  ORDER BY key, doc_id) AS BIGINT) AS pos
+              FROM keyed
+            )
+            SELECT shard, COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+              COUNT(DISTINCT source) AS n_sources,
+              CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_sum
+            FROM sharded GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172)
+    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172, q203)
 }

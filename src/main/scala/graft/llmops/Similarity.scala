@@ -1705,7 +1705,100 @@ object Similarity {
                PARTITION BY qid ORDER BY sim DESC, cid) rn FROM fine) x
            WHERE rn <= 8 ORDER BY qid, rn"""))
 
+  /** kNN LABEL PROPAGATION over the persisted IVF index —
+    * classification-by-retrieval (the auto-labeling / weak-supervision
+    * workhorse): every UNLABELED vector (odd ids) takes the majority
+    * label of its 8 nearest LABELED neighbors (even ids — the side the
+    * index was trained on), searched through the maintained store with
+    * the labeled-side restriction applied BEFORE ranking (q201's
+    * pre-filter discipline — a top-8 over both sides post-filtered to
+    * the labeled half is the recall bug again). Ties break to the
+    * smaller label; the vote count rides along so the gate hashes the
+    * full vote, not just the argmax.
+    *
+    * 100 TB shape: identical to q201 — |queries|·occupancy·nprobe
+    * candidates before the label join, exact-dot ranking, then a
+    * |queries|·8-row vote agg. The whole unlabeled side is the query
+    * set (not a 10-row probe), so this is also the family's bulk-read
+    * stress gate.
+    */
+  val q204 = EngineQuery(
+    "q204_knn_label_propagation",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      val centDf = IvfIndex.centroids(s, path)
+        .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("ccell"))
+      val probes = t.embeddings.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+        .crossJoin(broadcast(centDf))
+        .select(col("qid"), col("eq"), col("ccell"),
+          graft.functions.VectorDot.fixedDotSum(
+            col("eq").cast("array<double>"), col("ec")).as("cdot"))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("eq"), col("ccell").as("cell"))
+      val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
+        .filter(col("member_id") % 2 === 0)
+      val labels = t.embeddings.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("member_id"))
+      val nn = probes.join(assigned, Seq("cell"))
+        .select(col("qid"), col("member_id"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 8)
+        .join(labels, Seq("member_id"))
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("mlabel"))
+      nn.groupBy(col("qid"), col("mlabel"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("qid").as("vec_id"), col("mlabel").as("pred_label"),
+          col("n_votes"))
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id % 2 = 1) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell
+           WHERE a.vec_id % 2 = 0
+         ), dots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM cand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), nn AS (
+           SELECT qid, member_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM dots) x
+           WHERE rn <= 8
+         ), votes AS (
+           SELECT n.qid, e.label AS mlabel, COUNT(*) AS n_votes
+           FROM nn n JOIN embeddings e ON e.vec_id = n.member_id
+           GROUP BY 1, 2
+         )
+         SELECT qid AS vec_id, mlabel AS pred_label, n_votes FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY n_votes DESC, mlabel) vr FROM votes) x
+         WHERE vr = 1 ORDER BY vec_id"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202)
+      q197, q198, q199, q201, q202, q204)
 }

@@ -57,7 +57,9 @@ class DeterminismSpec extends SparkTestBase {
     "q199_knn_graph_persisted",        // maintained graph: insert-only edges
     "q200_curation_provenance",        // pack offsets: per-source run sums
     "q201_knn_ivf_filtered",           // predicate before exact-dot rank
-    "q202_knn_ivfpq_refined")          // ADC shortlist + exact refine
+    "q202_knn_ivfpq_refined",          // ADC shortlist + exact refine
+    "q203_dataset_shard_plan",         // hash shards + per-shard windows
+    "q204_knn_label_propagation")      // majority vote over exact ranks
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 

@@ -707,6 +707,123 @@ class StreamingSpec extends SparkTestBase {
       "every vector coded exactly once, M rows each")
   }
 
+  test("streaming kNN-graph maintenance via foreachBatch == sequential " +
+    "batch appends (forward + reverse edges under the recorded " +
+    "artifacts)") {
+    // the graph-index twin: each micro-batch is assigned under the
+    // RECORDED centroids, edged against (existing ∪ batch) same-cell
+    // members, and appended with reverses — so the on-disk member AND
+    // edge row sets after N micro-batches must equal the batch-mode
+    // appends of the same waves
+    import graft.llmops.GraphIndex
+    val embs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 3 === 0)
+    val wave1 = embs.filter(col("vec_id") % 3 === 1)
+    val wave2 = embs.filter(col("vec_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("grx_batch").toString
+    GraphIndex.build(base, batchIdx, k = 4)
+    GraphIndex.append(wave1, batchIdx)
+    GraphIndex.append(wave2, batchIdx)
+
+    val streamIdx = Files.createTempDirectory("grx_stream").toString
+    GraphIndex.build(base, streamIdx, k = 4)
+    val inDir = Files.createTempDirectory("grx_in")
+    val ckpt = Files.createTempDirectory("grx_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(embs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          GraphIndex.append(batch, streamIdx)
+          graft.ops.SessionScratch.evictTransients()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = spark.read.parquet(GraphIndex.dataDir(spark, streamIdx))
+      .selectExpr("kind", "member_id", "cell", "src", "dst")
+    val b = spark.read.parquet(GraphIndex.dataDir(spark, batchIdx))
+      .selectExpr("kind", "member_id", "cell", "src", "dst")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed graph store must equal the batch-appended store")
+    // identical search answers off both
+    val q10 = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val hs = GraphIndex.search(q10, streamIdx).collect().map(_.toString)
+    val hb = GraphIndex.search(q10, batchIdx).collect().map(_.toString)
+    assert(hs.sameElements(hb))
+  }
+
+  test("streaming semantic-dedup ingest via foreachBatch == sequential " +
+    "batch ingests (IvfIndex.dedupIngest as the stream's state)") {
+    // the embedding flavor of the dedup-index stream: each micro-batch
+    // is semantic-probed against the on-disk IVF index and only the
+    // survivors' rows admitted — wave-2 vectors must dedup against
+    // wave-1 SURVIVORS, never wave-1 rejects, across a stream restart
+    import graft.llmops.IvfIndex
+    val embs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 3 === 0)
+    val wave1 = embs.filter(col("vec_id") % 3 === 1)
+    val wave2 = embs.filter(col("vec_id") % 3 === 2)
+
+    val batchIdx = Files.createTempDirectory("sdx_batch").toString
+    IvfIndex.build(base, batchIdx, k = 4)
+    val sB1 = IvfIndex.dedupIngest(wave1, batchIdx)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+    val sB2 = IvfIndex.dedupIngest(wave2, batchIdx)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    graft.ops.SessionScratch.evictTransients()
+
+    val streamIdx = Files.createTempDirectory("sdx_stream").toString
+    IvfIndex.build(base, streamIdx, k = 4)
+    val inDir = Files.createTempDirectory("sdx_in")
+    val survOut = Files.createTempDirectory("sdx_surv").toString
+    val ckpt = Files.createTempDirectory("sdx_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(embs.schema).parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.dedupIngest(batch, streamIdx)
+            .select(col("vec_id"))
+            .write.mode("append").parquet(survOut)
+          graft.ops.SessionScratch.evictTransients()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "w1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "w2.parquet")
+    runOnce()
+
+    val a = spark.read.parquet(IvfIndex.dataDir(spark, streamIdx))
+      .selectExpr("member_id", "cell")
+    val b = spark.read.parquet(IvfIndex.dataDir(spark, batchIdx))
+      .selectExpr("member_id", "cell")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed semantic-dedup index must equal the batch twin")
+    val got = spark.read.parquet(survOut).select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    assert(got.filter(_ % 3 == 1).sorted.sameElements(sB1))
+    assert(got.filter(_ % 3 == 2).sorted.sameElements(sB2))
+    assert(got.length < wave1.count() + wave2.count(),
+      "the stream must drop at least one semantic near-dup")
+  }
+
   test("streaming text-index maintenance via foreachBatch == batch " +
     "appends (postings + exact-integer stats)") {
     import graft.llmops.TextIndex
