@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured recall/latency curves for the ANN family's two
+  * tuning knobs — IVF `nprobe` (how many cells a query inspects) and
+  * the graph walk's `beam` width. The registry gates pin ONE operating
+  * point each (nprobe=2, beam=4) bit-exactly against the oracle; this
+  * harness measures the TRADEOFF AROUND those points, because at 100 TB
+  * the knob settings are the lever an operator actually turns: nprobe
+  * trades candidate-scan IO (|cell|·nprobe rows) for recall, beam
+  * trades walk fan-out (|queries|·beam·degree rows per round) for
+  * recall. Ground truth is the exact brute-force top-8 over the same
+  * 10-query probe set the gates use.
+  *
+  * Usage: runMain graft.ScaleAnn [sfDir]
+  * Output: one JSON line per (index, knob, value).
+  */
+object ScaleAnn {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def fresh(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_scaleann_$tag").toString
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+
+  private def recall(got: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, ex) =>
+      (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }
+    rs.sum / rs.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = embs.count()
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+
+    // ground truth: the q50 exact top-8 over the full corpus
+    val exact = topSets(llmops.Similarity.q50.run(spark, sfDir))
+
+    // IVF: one build (k=16, the production-shaped cell count), then
+    // nprobe swept over the same store — the knob changes only the
+    // probe, never the artifact
+    val ivfPath = fresh("ivf")
+    llmops.IvfIndex.build(embs, ivfPath, k = 16)
+    // untimed warm-up so JIT/codegen is not attributed to nprobe=1
+    llmops.IvfIndex.search(queries, ivfPath, nprobe = 2).count()
+    ops.SessionScratch.evictTransients()
+    Seq(1, 2, 4, 8).foreach { np =>
+      val (rows, sec) = timed {
+        val r = llmops.IvfIndex.search(queries, ivfPath, nprobe = np)
+          .select(col("qid"), col("cid")).collect()
+        ops.SessionScratch.evictTransients()
+        r
+      }
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      println(f"""{"index":"ivf","knob":"nprobe","value":$np,""" +
+        f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
+        f""""search_sec":$sec%.2f}""")
+    }
+
+    // graph: one build (k=16 cells, degree 4), beam swept over the
+    // same store — wider beams expand more round-2 neighbors
+    val gPath = fresh("graph")
+    llmops.GraphIndex.build(embs, gPath, k = 16)
+    llmops.GraphIndex.search(queries, gPath, beam = 4).count()
+    ops.SessionScratch.evictTransients()
+    Seq(2, 4, 8, 16).foreach { b =>
+      val (rows, sec) = timed {
+        val r = llmops.GraphIndex.search(queries, gPath, beam = b)
+          .select(col("qid"), col("cid")).collect()
+        ops.SessionScratch.evictTransients()
+        r
+      }
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      println(f"""{"index":"knn_graph","knob":"beam","value":$b,""" +
+        f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
+        f""""search_sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -1124,6 +1124,75 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .sameElements(before))
   }
 
+  test("GraphIndex.compact preserves search answers over the kind-MIXED " +
+    "store (member and edge rows share one manifested dir), reduces " +
+    "files, leaves centroids/entries/config untouched") {
+    import graft.llmops.GraphIndex
+    val path = freshDir("graph_compact")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    GraphIndex.build(even, path, k = 4)
+    // several appends fragment the store (each adds member+edge files)
+    Seq(1L, 3L, 5L).foreach { r =>
+      GraphIndex.append(embs.filter(col("vec_id") % 6 === r), path)
+    }
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val before = GraphIndex.search(q, path).collect().map(_.toString)
+    val centFiles = dataFiles(s"$path/centroids")
+    val entFiles = dataFiles(s"$path/entries")
+    val rowsBefore = spark.read.parquet(GraphIndex.dataDir(spark, path))
+      .count()
+
+    val (nBefore, nAfter) = GraphIndex.compact(spark, path)
+    assert(nAfter < nBefore,
+      s"compaction must reduce files ($nBefore -> $nAfter)")
+    assert(dataFiles(s"$path/centroids") == centFiles)
+    assert(dataFiles(s"$path/entries") == entFiles)
+    val after = spark.read.parquet(GraphIndex.dataDir(spark, path))
+    assert(after.count() == rowsBefore, "compaction must preserve rows")
+    assert(GraphIndex.search(q, path).collect().map(_.toString)
+      .sameElements(before), "search must answer identically")
+    // the compacted store audits healthy (the new generation is the
+    // manifest's, the old one was swept by the swap)
+    assert(GraphIndex.fsck(spark, path).healthy)
+  }
+
+  test("GraphIndex: republish rebuilds in place crash-detectably and " +
+    "answers like a fresh build (the insert-only degradation's " +
+    "remediation arm)") {
+    import graft.llmops.GraphIndex
+    val live = freshDir("graph_repub")
+    val fresh = freshDir("graph_fresh")
+    GraphIndex.build(embs.filter(col("vec_id") % 2 === 0), live, k = 4)
+    GraphIndex.append(embs.filter(col("vec_id") % 2 === 1), live)
+    GraphIndex.compact(spark, live)
+    val staleGen = GraphIndex.dataDir(spark, live)
+    assert(!staleGen.endsWith("/graph-g0"))
+    // the torn window: config retracted -> every read refuses
+    val recorded = graft.llmops.IndexMaintenance.readSidecar(spark, live,
+      "_graph_index_config").get
+    graft.llmops.IndexMaintenance.retractSidecar(spark, live,
+      "_graph_index_config")
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val e = intercept[IllegalStateException](
+      GraphIndex.search(q, live).collect())
+    assert(e.getMessage.contains("rebuild"),
+      s"torn-rebuild reads must name the remediation: ${e.getMessage}")
+    graft.llmops.IndexMaintenance.writeSidecar(spark, live,
+      "_graph_index_config", recorded)
+    GraphIndex.republish(embs, live, k = 4)
+    GraphIndex.build(embs, fresh, k = 4)
+    // the rebuilt graph answers exactly like a fresh build (same
+    // deterministic recipe over the same corpus)
+    assert(GraphIndex.search(q, live).collect().map(_.toString)
+      .sameElements(GraphIndex.search(q, fresh).collect()
+        .map(_.toString)))
+    assert(!new java.io.File(staleGen).exists(),
+      s"stale generation must be deleted: $staleGen")
+    assert(GraphIndex.fsck(spark, live).healthy)
+  }
+
   // ---- fsck / catalog audit --------------------------------------------
 
   test("fsck OBSERVES every failure mode the read paths throw on: " +
