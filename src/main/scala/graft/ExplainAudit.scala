@@ -48,7 +48,7 @@ object ExplainAudit {
     "q198_knn_graph_beam", "q199_knn_graph_persisted",
     "q200_curation_provenance", "q201_knn_ivf_filtered",
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
-    "q204_knn_label_propagation")
+    "q204_knn_label_propagation", "q205_media_perceptual_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -602,6 +602,15 @@ object ExplainAudit {
         "member_id, no cartesian", {
         val p = planOf(spark, byName, sfDir, "q204_knn_label_propagation")
         p.contains("assignments") && !p.contains("CartesianProduct")
+      }),
+      ("q205 perceptual media dedup: decode is the partition-local " +
+        "real-parser seam (ExistingRDD scan), the grouping is ONE " +
+        "hash-agg on the content fingerprint — the shuffle carries " +
+        "|assets| short fingerprint rows, never pixels; no join, no " +
+        "cartesian", {
+        val p = planOf(spark, byName, sfDir, "q205_media_perceptual_dedup")
+        p.contains("Scan ExistingRDD") && p.contains("HashAggregate") &&
+          !p.contains("Join") && !p.contains("CartesianProduct")
       }),
       ("q186 persisted bigram-LM scoring: exactly two parquet scans — " +
         "the scored docs (bigram derive, a pure map stage) and the " +

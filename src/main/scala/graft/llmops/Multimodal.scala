@@ -1115,6 +1115,87 @@ object Multimodal {
           FROM sums ORDER BY asset_id"""
     })
 
+  /** PERCEPTUAL near-dup detection over REAL-decoded media — image
+    * dedup for multimodal pretraining corpora, where byte-level
+    * dedup (q40) misses re-encoded copies: assets group by a CONTENT
+    * fingerprint computed from decoded pixels (per-channel fixed-point
+    * means + dimensions), not payload bytes. The decode is the q179
+    * REAL parser (RIFF-style refusing PPM walk), so a header-only
+    * lookalike with different pixels lands in a different group. The
+    * fixture plants duplicate classes by construction (pixel seed =
+    * doc_id mod 5, dims mod 7/4 — assets equal mod 140 are
+    * byte-identical copies), and the oracle replays the pixel
+    * arithmetic per asset, so a decoder drift, fingerprint change, or
+    * wrong group membership hash-mismatches.
+    *
+    * Scale shape: decode is one partition-local pass (the q179 seam),
+    * the grouping is ONE hash-agg on the fingerprint — the image-dedup
+    * analog of q40's exact dedup, with the fingerprint computed from
+    * content instead of bytes. At 100 TB the decode dominates and
+    * parallelizes embarrassingly; the shuffle carries |assets| short
+    * fingerprint rows, never pixels.
+    */
+  val q205 = EngineQuery(
+    "q205_media_perceptual_dedup",
+    (s, dir) => {
+      val ppm = Tables(s, dir).documents
+        .withColumn("w", expr("4 + doc_id % 7"))
+        .withColumn("h", expr("3 + doc_id % 4"))
+        .withColumn("seed", expr("doc_id % 5"))
+        .select(col("doc_id").as("asset_id"), expr(
+          """unhex(concat(
+               hex(cast(concat('P6\n', cast(w as string), ' ',
+                 cast(h as string), '\n255\n') as binary)),
+               concat_ws('', transform(
+                 sequence(0, cast(w*h*3 - 1 as int)),
+                 i -> lpad(hex((seed*31 + i) % 256), 2, '0')))))""")
+          .as("payload"))
+      decodeFeatures(ppm, PpmDecoder)
+        .select(col("asset_id"), col("width"), col("height"),
+          concat_ws(",", transform(col("feature"),
+            x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+              .cast("string"))).as("feat_fp"))
+        .groupBy(col("feat_fp"), col("width"), col("height"))
+        .agg(count(lit(1)).as("n_assets"),
+          min(col("asset_id")).as("keep_id"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS asset_id,
+                4 + doc_id % 7 AS w, 3 + doc_id % 4 AS h,
+                doc_id % 5 AS seed
+              FROM documents
+            ), sums AS (
+              SELECT asset_id, w, h,
+                list_sum([(seed*31 + i) % 256
+                          for i in range(0, w*h*3, 3)]) AS r,
+                list_sum([(seed*31 + i) % 256
+                          for i in range(1, w*h*3, 3)]) AS g,
+                list_sum([(seed*31 + i) % 256
+                          for i in range(2, w*h*3, 3)]) AS b,
+                CAST(w*h AS DOUBLE) * 255.0 AS n
+              FROM p
+            ), fp AS (
+              SELECT asset_id, CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height,
+                array_to_string([
+                  CAST(CAST(FLOOR(CAST(CAST(r / n AS FLOAT) AS DOUBLE)
+                    * 10000000.0) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(FLOOR(CAST(CAST(g / n AS FLOAT) AS DOUBLE)
+                    * 10000000.0) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(FLOOR(CAST(CAST(b / n AS FLOAT) AS DOUBLE)
+                    * 10000000.0) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(FLOOR(CAST(CAST(
+                    0.299*r/n + 0.587*g/n + 0.114*b/n AS FLOAT) AS DOUBLE)
+                    * 10000000.0) AS BIGINT) AS VARCHAR)], ',')
+                  AS feat_fp
+              FROM sums
+            )
+            SELECT feat_fp, width, height, COUNT(*) AS n_assets,
+              MIN(asset_id) AS keep_id
+            FROM fp GROUP BY 1, 2, 3
+            ORDER BY keep_id"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q70, q71, q152, q153, q179, q182, q183, q188, q189)
+    Seq(q70, q71, q152, q153, q179, q182, q183, q188, q189, q205)
 }
