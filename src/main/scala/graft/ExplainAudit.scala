@@ -48,7 +48,8 @@ object ExplainAudit {
     "q198_knn_graph_beam", "q199_knn_graph_persisted",
     "q200_curation_provenance", "q201_knn_ivf_filtered",
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
-    "q204_knn_label_propagation", "q205_media_perceptual_dedup")
+    "q204_knn_label_propagation", "q205_media_perceptual_dedup",
+    "q206_corpus_datasheet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -602,6 +603,14 @@ object ExplainAudit {
         "member_id, no cartesian", {
         val p = planOf(spark, byName, sfDir, "q204_knn_label_propagation")
         p.contains("assignments") && !p.contains("CartesianProduct")
+      }),
+      ("q206 corpus datasheet composes three verified plans into ONE " +
+        "per-source hash-agg: the LSH-bucketed dup pair space, the " +
+        "broadcast-weights scoring pass, and two doc-keyed LEFT joins " +
+        "- no new corpus-sized stage, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q206_corpus_datasheet")
+        p.contains("BroadcastHashJoin") && p.contains("HashAggregate") &&
+          !p.contains("CartesianProduct")
       }),
       ("q205 perceptual media dedup: decode is the partition-local " +
         "real-parser seam (ExistingRDD scan), the grouping is ONE " +

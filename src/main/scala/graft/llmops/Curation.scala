@@ -1082,6 +1082,90 @@ object Curation {
             GROUP BY d.label
             ORDER BY dist2 DESC, d.label"""))
 
+  /** CORPUS DATASHEET — the per-source governance report card
+    * ("Datasheets for Datasets", Gebru et al. 2021) composing three
+    * verified families into the one-page summary a data audit starts
+    * from: volume (docs, distinct languages, whitespace-token mass),
+    * duplication (q45's greedy-loser rule over the q41 MinHash pair
+    * space), and quality (q168's classifier — how many docs are
+    * featurizable at all, how many the teacher keeps). One row per
+    * source; every column is exact-integer so the whole sheet
+    * hash-gates.
+    *
+    * Scale shape: each family contributes its own proven plan (the
+    * LSH-bucketed pair space, the broadcast-weights scoring pass) and
+    * the sheet itself is two |dups|- and |docs|-sized LEFT joins into
+    * ONE per-source hash-agg — no new corpus-sized stage beyond the
+    * families' own. At 100 TB this is the daily report every corpus
+    * owner runs; its cost is the cost of the checks themselves.
+    */
+  val q206 = EngineQuery(
+    "q206_corpus_datasheet",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val losers = Dedup.minhashPairs(s, dir)
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      val scored = classifierScores(t.documents)
+        .select(col("doc_id"), col("keep"))
+      t.documents
+        .join(losers, Seq("doc_id"), "left")
+        .join(scored, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(size(PortableHash.tokens(col("text"))).cast("long"))
+            .as("sum_tokens"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"),
+          count(col("keep")).as("n_scoreable"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .orderBy(col("source"))
+    },
+    Some(Dedup.minhashPairsCtes + s"""
+         , losers AS (
+             SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
+           ), w AS (
+             SELECT p AS b,
+               ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS wt
+             FROM (SELECT UNNEST(range(0, $ClfBuckets)) p)
+           ), ctoks AS (
+             SELECT doc_id, string_split(trim(text), ' ') ws
+             FROM documents
+           ), cth AS (
+             SELECT doc_id,
+               [coalesce(list_sum([(ascii(w[i])
+                   * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                   % 1000000007
+                   for i in range(1, length(w)+1)]) % 1000000007, 0)
+                for w in ws] AS ths
+             FROM ctoks WHERE len(ws) >= 2
+           ), cfeats AS (
+             SELECT doc_id, UNNEST(list_concat(
+               [t % $ClfBuckets for t in ths],
+               [(${PortableHash.spanHashSql("ths", 2)}) % $ClfBuckets
+                for i in range(1, len(ths))])) AS b
+             FROM cth
+           ), cscored AS (
+             SELECT f.doc_id, CAST(SUM(w.wt) AS BIGINT) AS w_sum
+             FROM cfeats f JOIN w ON f.b = w.b
+             GROUP BY f.doc_id
+           )
+           SELECT d.source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT d.lang) AS n_langs,
+             CAST(SUM(length(string_split(trim(d.text), ' ')))
+               AS BIGINT) AS sum_tokens,
+             CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dups,
+             COUNT(sc.doc_id) AS n_scoreable,
+             CAST(SUM(CASE WHEN sc.w_sum >= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep
+           FROM documents d
+           LEFT JOIN losers l ON l.doc_id = d.doc_id
+           LEFT JOIN cscored sc ON sc.doc_id = d.doc_id
+           GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q59, q64, q157, q158, q168, q170, q171, q176, q177)
+    Seq(q59, q64, q157, q158, q168, q170, q171, q176, q177, q206)
 }
