@@ -59,47 +59,36 @@ object ScaleAnn {
     // ground truth: the q50 exact top-8 over the full corpus
     val exact = topSets(llmops.Similarity.q50.run(spark, sfDir))
 
-    // IVF: one build (k=16, the production-shaped cell count), then
-    // nprobe swept over the same store — the knob changes only the
-    // probe, never the artifact
-    val ivfPath = fresh("ivf")
-    llmops.IvfIndex.build(embs, ivfPath, k = 16)
-    // untimed warm-up so JIT/codegen is not attributed to nprobe=1
-    llmops.IvfIndex.search(queries, ivfPath, nprobe = 2).count()
-    ops.SessionScratch.evictTransients()
-    Seq(1, 2, 4, 8).foreach { np =>
-      val (rows, sec) = timed {
-        val r = llmops.IvfIndex.search(queries, ivfPath, nprobe = np)
-          .select(col("qid"), col("cid")).collect()
-        ops.SessionScratch.evictTransients()
-        r
+    // each index is built ONCE (k=16, the production-shaped cell
+    // count); the knob is swept over the same store — it changes only
+    // the search, never the artifact. An untimed warm-up search runs
+    // first so JIT/codegen is not attributed to the first knob value.
+    def sweep(index: String, knob: String, values: Seq[Int],
+        warm: () => Unit, search: Int => DataFrame): Unit = {
+      warm(); ops.SessionScratch.evictTransients()
+      values.foreach { v =>
+        val (got, sec) = timed {
+          val r = topSets(search(v))
+          ops.SessionScratch.evictTransients()
+          r
+        }
+        println(f"""{"index":"$index%s","knob":"$knob%s","value":$v,""" +
+          f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
+          f""""search_sec":$sec%.2f}""")
       }
-      val got = rows.map(r => r.getLong(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
-      println(f"""{"index":"ivf","knob":"nprobe","value":$np,""" +
-        f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
-        f""""search_sec":$sec%.2f}""")
     }
 
-    // graph: one build (k=16 cells, degree 4), beam swept over the
-    // same store — wider beams expand more round-2 neighbors
+    val ivfPath = fresh("ivf")
+    llmops.IvfIndex.build(embs, ivfPath, k = 16)
+    sweep("ivf", "nprobe", Seq(1, 2, 4, 8),
+      () => { llmops.IvfIndex.search(queries, ivfPath).count(); () },
+      np => llmops.IvfIndex.search(queries, ivfPath, nprobe = np))
+
     val gPath = fresh("graph")
     llmops.GraphIndex.build(embs, gPath, k = 16)
-    llmops.GraphIndex.search(queries, gPath, beam = 4).count()
-    ops.SessionScratch.evictTransients()
-    Seq(2, 4, 8, 16).foreach { b =>
-      val (rows, sec) = timed {
-        val r = llmops.GraphIndex.search(queries, gPath, beam = b)
-          .select(col("qid"), col("cid")).collect()
-        ops.SessionScratch.evictTransients()
-        r
-      }
-      val got = rows.map(r => r.getLong(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
-      println(f"""{"index":"knn_graph","knob":"beam","value":$b,""" +
-        f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
-        f""""search_sec":$sec%.2f}""")
-    }
+    sweep("knn_graph", "beam", Seq(2, 4, 8, 16),
+      () => { llmops.GraphIndex.search(queries, gPath).count(); () },
+      b => llmops.GraphIndex.search(queries, gPath, beam = b))
     spark.stop()
   }
 }

@@ -191,6 +191,13 @@ object ScaleIndex {
       val nVBase = vBase.count()
       val vPath = s"$root/ivf"
       val vBuild = timed(llmops.IvfIndex.build(vBase, vPath, k = 16))
+      // semantic-dedup probe BEFORE the delta is appended — the
+      // dedupIngest flow's real state (probing an already-appended
+      // delta self-matches every vector and measures nothing)
+      val semProbe = timed {
+        llmops.IvfIndex.semanticProbe(vDelta, vPath).count()
+        ops.SessionScratch.evictTransients()
+      }
       val vAppend = timed(llmops.IvfIndex.append(vDelta, vPath))
       val vRebuild = timed(llmops.IvfIndex.build(
         vBase.unionByName(vDelta), s"$root/ivf_rb", k = 16))
@@ -202,14 +209,6 @@ object ScaleIndex {
         vFiles = llmops.IvfIndex.compact(spark, vPath)
       }
       val vProbePost = timed(llmops.IvfIndex.search(vq, vPath).count())
-      // semantic-dedup probe over the same store: cost = delta × cell
-      // occupancy, which grows with the corpus at FIXED k — the
-      // documented caveat (production scales k with the corpus, so
-      // occupancy — the real bound — stays constant)
-      val semProbe = timed {
-        llmops.IvfIndex.semanticProbe(vDelta, vPath).count()
-        ops.SessionScratch.evictTransients()
-      }
       println(f"""{"index":"ivf_ann","corpus_scale":$f,""" +
         f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
         f""""build_sec":$vBuild%.2f,"append_delta_sec":$vAppend%.2f,""" +

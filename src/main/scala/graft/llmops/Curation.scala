@@ -1103,10 +1103,7 @@ object Curation {
     "q206_corpus_datasheet",
     (s, dir) => {
       val t = Tables(s, dir)
-      val losers = Dedup.minhashPairs(s, dir)
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
+      val losers = Dedup.minhashLosers(s, dir)
         .withColumn("is_dup", lit(1L))
       val scored = classifierScores(t.documents)
         .select(col("doc_id"), col("keep"))

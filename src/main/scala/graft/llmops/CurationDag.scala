@@ -31,10 +31,7 @@ object CurationDag {
       // STAGE 1 — dedup (q45's greedy resolution: for every strong
       // candidate pair the higher doc_id drops). The surviving corpus
       // is the stage boundary: materialized once, never recomputed.
-      val losers = Dedup.minhashPairs(s, dir)
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
+      val losers = Dedup.minhashLosers(s, dir)
       val survivors = SessionScratch.transientCheckpoint(
         t.documents.join(losers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("text")))
@@ -115,10 +112,7 @@ object CurationDag {
       dir: String): Bpe.Trained =
     SessionScratch.memo("bpe_train_dag", s.sparkContext.applicationId,
       dir) {
-      val losers = Dedup.minhashPairs(s, dir)
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
+      val losers = Dedup.minhashLosers(s, dir)
       val trainDocs = Tables(s, dir).documents
         .join(losers, Seq("doc_id"), "left_anti")
         .filter(Sampling.groupSplit(col("source")) === "train")
@@ -150,10 +144,7 @@ object CurationDag {
       val t = Tables(s, dir)
       val merges = dagTrain(s, dir).merges
       // STAGE 1 — dedup survivors, the single materialized boundary
-      val losers = Dedup.minhashPairs(s, dir)
-        .filter(col("n_bands") >= 4)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
+      val losers = Dedup.minhashLosers(s, dir)
       val survivors = SessionScratch.transientCheckpoint(
         t.documents.join(losers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("text")))
@@ -294,10 +285,7 @@ object CurationDag {
       dir: String): org.apache.spark.sql.DataFrame = {
     val t = Tables(s, dir)
     val merges = dagTrain(s, dir).merges
-    val losers = Dedup.minhashPairs(s, dir)
-      .filter(col("n_bands") >= 4)
-      .select(col("doc_b").as("doc_id"))
-      .distinct()
+    val losers = Dedup.minhashLosers(s, dir)
     val survivors = SessionScratch.transientCheckpoint(
       t.documents.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("text")))

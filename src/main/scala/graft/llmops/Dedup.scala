@@ -92,6 +92,19 @@ object Dedup {
         .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** q45's greedy dedup resolution, single-sourced: the doc_ids
+    * dropped as the HIGHER id of every strong (>= 4 shared bands)
+    * candidate pair — THE admission rule every composed pipeline
+    * (q178/q181/q185/q200/q206) shares; changing the band threshold or
+    * the loser side here changes them all together.
+    */
+  private[llmops] def minhashLosers(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairs(s, dir)
+      .filter(col("n_bands") >= 4)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+
   /** Oracle CTE block computing the same candidate pairs (ends with a
     * `pairs` CTE); RECURSIVE so q112 can append a recursive closure.
     */

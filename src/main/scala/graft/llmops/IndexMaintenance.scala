@@ -364,17 +364,28 @@ object IndexMaintenance {
       st.isFile && st.getPath.getName.startsWith(".") &&
         st.getPath.getName.contains(".tmp.")
     }
-    readSidecar(s, path, manifestName) match {
-      case None =>
-        FsckReport(what, path, config.isDefined, matches,
-          manifestPresent = false, generation = -1, 0, 0L, 0, 0, 0, temps)
-      case Some(m) =>
+    // a manifest that exists but does not PARSE is reported as absent
+    // (manifestPresent=false): the store needs a rebuild either way,
+    // and the audit must never throw — one corrupted store would
+    // otherwise abort a whole StoreAudit sweep
+    val parsed = readSidecar(s, path, manifestName).flatMap { m =>
+      scala.util.Try {
         val lines = m.trim.split("\n").toSeq
+        require(lines.head.startsWith("dir="), "missing dir= header")
         val subdir = lines.head.stripPrefix("dir=")
         val recorded = lines.tail.filter(_.nonEmpty).map { ln =>
           val i = ln.lastIndexOf(':')
+          require(i > 0, s"malformed manifest line: $ln")
           (ln.substring(0, i), ln.substring(i + 1).toLong)
         }.toSet
+        (subdir, recorded)
+      }.toOption
+    }
+    parsed match {
+      case None =>
+        FsckReport(what, path, config.isDefined, matches,
+          manifestPresent = false, generation = -1, 0, 0L, 0, 0, 0, temps)
+      case Some((subdir, recorded)) =>
         val actual = listDataFiles(s, s"$path/$subdir")
         val gen = "-g(\\d+)$".r.findFirstMatchIn(subdir)
           .map(_.group(1).toInt).getOrElse(0)
@@ -1246,19 +1257,9 @@ object IvfIndex {
     import s.implicits._
     val centDf = centroids(s, path)
       .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("ccell"))
-    val probes = newVecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centDf))
-      // rank on the exact int64 fdot (the oracle's BIGINT ORDER BY)
-      .select(col("vec_id"), col("embedding"), col("ccell"),
-        graft.functions.VectorDot.fixedDotSum(
-          col("embedding").cast("array<double>"), col("ec")).as("cdot"))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id"), col("embedding"),
-        col("ccell").as("cell"), col("crn"))
+    val probes = Similarity.probeCells(
+      newVecs.select(col("vec_id"), col("embedding")), centDf, nprobe,
+      idCol = "vec_id", vecCol = "embedding", keepRank = true)
     val idx = s.read.parquet(dataDir(s, path))
       .select(col("cell"), col("member_id"), col("em"))
     probes.join(idx, Seq("cell"), "left")
@@ -1428,6 +1429,14 @@ object GraphIndex {
     * manifested commit. Cost shape: the delta is scored against cell
     * occupancy (delta × cell members), never corpus × corpus; existing
     * member/edge files are never read-modified or rewritten.
+    *
+    * Reachability guarantee: a new vector whose assigned cell has no
+    * other member (the cell was empty at build — possible under skew —
+    * so it has no entry point either) would get ZERO same-cell edges
+    * and be silently unsearchable forever. Such strays instead edge to
+    * the recorded ENTRY POINTS (+ reverses) — the HNSW
+    * connect-to-entry fallback — so every appended member is reachable
+    * by construction.
     */
   def append(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
@@ -1456,8 +1465,19 @@ object GraphIndex {
       .withColumn("rn", row_number().over(wG))
       .filter(col("rn") <= Degree)
       .select(col("ia").as("src"), col("ib").as("dst"))
+    // strays: batch vectors with no same-cell peer at all — connect
+    // them to the entry points instead (entries is a <=k-row table)
+    val entries = s.read.parquet(entDir(path))
+    val stray = newM.select(col("member_id").as("ia"))
+      .join(fwd.select(col("src").as("ia")).distinct(),
+        Seq("ia"), "left_anti")
+      .crossJoin(broadcast(entries))
+      .filter(col("ia") =!= col("cid"))
+      .select(col("ia").as("src"), col("cid").as("dst"))
+    val allFwd = fwd.union(stray)
     val edges = SessionScratch.transientCheckpoint(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      allFwd.union(allFwd
+          .select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     memberShape(newM).write.mode("append").parquet(cur)
     edgeShape(edges).write.mode("append").parquet(cur)
@@ -1717,15 +1737,8 @@ object IvfPqIndex {
     import s.implicits._
     val centDf = centroids(s, path)
       .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cdot").desc, col("ccell"))
-    val probes = queries.crossJoin(broadcast(centDf))
-      .select(col("qid"), col("eq"), col("ccell"),
-        graft.functions.VectorDot.fixedDotSum(
-          col("eq").cast("array<double>"), col("ec")).as("cdot"))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("ccell").as("cell"))
+    val probes = Similarity.probeCells(queries, centDf, nprobe)
+      .select(col("qid"), col("cell"))
     val qd = subOf(queries.select(col("qid").as("vec_id"),
         col("eq").as("embedding")))
       .join(broadcast(codebook(s, path)),

@@ -203,22 +203,39 @@ object Similarity {
     * the PERSISTED index ([[IvfIndex]]), whose assignment table comes
     * off parquet instead of a fresh training run.
     */
+  /** Top-`nprobe` cells per query by exact int64 centroid dot (ranking
+    * on the fixed-point fdot like the oracle's BIGINT ORDER BY — the
+    * double form collapses distinct dots at dims ≳ 91; ties → smaller
+    * cell). THE probe stage shared by every IVF-routed read path
+    * (plain/filtered/PQ search, semantic probe, label propagation), so
+    * a ranking change lands everywhere at once. `queries` must carry
+    * `idCol` + `vecCol`; every other column passes through; the output
+    * adds `cell` (and the probe rank `crn` when `keepRank`). `centDf`
+    * is the (ccell, ec) centroid table.
+    */
+  private[graft] def probeCells(queries: org.apache.spark.sql.DataFrame,
+      centDf: org.apache.spark.sql.DataFrame, nprobe: Int,
+      idCol: String = "qid", vecCol: String = "eq",
+      keepRank: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val wp = Window.partitionBy(col(idCol))
+      .orderBy(col("__cdot").desc, col("ccell"))
+    val ranked = queries
+      .crossJoin(broadcast(centDf))
+      .withColumn("__cdot", graft.functions.VectorDot.fixedDotSum(
+        col(vecCol).cast("array<double>"), col("ec")))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .withColumnRenamed("ccell", "cell")
+      .drop("ec", "__cdot")
+    if (keepRank) ranked else ranked.drop("crn")
+  }
+
   private[llmops] def ivfSearchOver(queries: org.apache.spark.sql.DataFrame,
       assigned: org.apache.spark.sql.DataFrame,
       centDf: org.apache.spark.sql.DataFrame,
       nprobe: Int = 2, topk: Int = 8): org.apache.spark.sql.DataFrame = {
-    val wp = Window.partitionBy(col("qid"))
-      .orderBy(col("cdot").desc, col("ccell"))
-    val probes = queries
-      .crossJoin(broadcast(centDf))
-      // rank on the exact int64 fdot (like the oracle's BIGINT ORDER
-      // BY) — the double form collapses distinct dots at dims >~ 91
-      .select(col("qid"), col("eq"), col("ccell"),
-        graft.functions.VectorDot.fixedDotSum(
-          col("eq").cast("array<double>"), col("ec")).as("cdot"))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("eq"), col("ccell").as("cell"))
+    val probes = probeCells(queries, centDf, nprobe)
+      .select(col("qid"), col("eq"), col("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("member_id"))
     probes.join(assigned, Seq("cell"))
@@ -1584,19 +1601,11 @@ object Similarity {
       val path = existingIvfIndex(s, dir)
       val centDf = IvfIndex.centroids(s, path)
         .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("cdot").desc, col("ccell"))
-      val probes = t.embeddings.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("eq"),
-          col("label").as("qlabel"))
-        .crossJoin(broadcast(centDf))
-        .select(col("qid"), col("eq"), col("qlabel"), col("ccell"),
-          graft.functions.VectorDot.fixedDotSum(
-            col("eq").cast("array<double>"), col("ec")).as("cdot"))
-        .withColumn("crn", row_number().over(wp))
-        .filter(col("crn") <= 2)
-        .select(col("qid"), col("eq"), col("qlabel"),
-          col("ccell").as("cell"))
+      val probes = probeCells(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+            col("label").as("qlabel")),
+        centDf, nprobe = 2)
       val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
       val labels = t.embeddings
         .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
@@ -1730,17 +1739,10 @@ object Similarity {
       val path = existingIvfIndex(s, dir)
       val centDf = IvfIndex.centroids(s, path)
         .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("cdot").desc, col("ccell"))
-      val probes = t.embeddings.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-        .crossJoin(broadcast(centDf))
-        .select(col("qid"), col("eq"), col("ccell"),
-          graft.functions.VectorDot.fixedDotSum(
-            col("eq").cast("array<double>"), col("ec")).as("cdot"))
-        .withColumn("crn", row_number().over(wp))
-        .filter(col("crn") <= 2)
-        .select(col("qid"), col("eq"), col("ccell").as("cell"))
+      val probes = probeCells(
+        t.embeddings.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        centDf, nprobe = 2)
       val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
         .filter(col("member_id") % 2 === 0)
       val labels = t.embeddings.filter(col("vec_id") % 2 === 0)

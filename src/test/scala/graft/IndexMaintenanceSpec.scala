@@ -1157,6 +1157,75 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(GraphIndex.fsck(spark, path).healthy)
   }
 
+  test("GraphIndex: a stray append (lands in a build-empty cell) is " +
+    "edged to the entry points and stays reachable — without the " +
+    "fallback it would be silently unsearchable forever") {
+    import graft.llmops.GraphIndex
+    import spark.implicits._
+    // non-unit magnitudes make the small seeds defect to the big ones
+    // at every Lloyd iteration, so cells 1 and 3 are EMPTY at build
+    // with their stale (small) seed centroids recorded. An appended
+    // vector in the negative orthant argmaxes the least-negative dot —
+    // the smallest stale centroid (cell 3) — and has no same-cell peer.
+    val base = Seq(
+      (0L, Array(4f, 0f)), (1L, Array(0.5f, 0f)),
+      (2L, Array(0f, 4f)), (3L, Array(0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val path = freshDir("graph_stray")
+    GraphIndex.build(base, path, k = 4)
+    // precondition: cells 1 and 3 really are empty at build (members
+    // only in 0 and 2) — otherwise this test isn't testing the arm
+    val builtCells = spark.read.parquet(GraphIndex.dataDir(spark, path))
+      .filter(col("kind") === "m")
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    assert(builtCells == Set(0L, 2L),
+      s"fixture must leave cells 1/3 empty at build, got $builtCells")
+
+    GraphIndex.append(
+      Seq((10L, Array(-1f, -0.1f))).toDF("vec_id", "embedding"), path)
+
+    val data = spark.read.parquet(GraphIndex.dataDir(spark, path))
+    val strayCell = data.filter(col("kind") === "m" &&
+        col("member_id") === 10L)
+      .select(col("cell")).head().getLong(0)
+    assert(strayCell == 3L, s"stray expected in empty cell 3, got " +
+      s"$strayCell")
+    // the fallback edged it to the entry points, with reverses
+    val edges = data.filter(col("kind") === "e")
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges((10L, 0L)) && edges((10L, 2L)),
+      s"stray must edge to the entry points, got $edges")
+    assert(edges((0L, 10L)) && edges((2L, 10L)),
+      "stray entry edges need reverses")
+    // and it actually SURFACES from a search near it
+    val hits = GraphIndex.search(
+        Seq((99L, Array(-1f, -0.2f))).toDF("qid", "eq"), path)
+      .select(col("cid")).collect().map(_.getLong(0))
+    assert(hits.contains(10L),
+      s"stray member must be a reachable search result, got " +
+        hits.mkString(","))
+  }
+
+  test("fsck reports a manifest that exists but does not PARSE as " +
+    "absent instead of throwing (one corrupted store must not abort " +
+    "a catalog sweep)") {
+    val path = freshDir("fsck_badmanifest")
+    DedupIndex.build(docs.filter(col("doc_id") % 4 === 0), path)
+    IndexMaintenance.writeSidecar(spark, path, "_dedup_index_manifest",
+      "dir=signatures-g0\nthis line has no colon")
+    val r = DedupIndex.fsck(spark, path)
+    assert(!r.healthy && !r.manifestPresent && !r.vacuumRepairs &&
+      r.generation == -1)
+    // the sweep containing it completes and flags only that store
+    val good = freshDir("fsck_goodtwin")
+    DedupIndex.build(docs.filter(col("doc_id") % 4 === 1), good)
+    val frame = StoreAudit.audit(spark,
+      Seq("dedup" -> path, "dedup" -> good)).collect()
+    assert(frame.length == 2)
+    assert(frame.count(_.getAs[Boolean]("healthy")) == 1)
+  }
+
   test("GraphIndex: republish rebuilds in place crash-detectably and " +
     "answers like a fresh build (the insert-only degradation's " +
     "remediation arm)") {
