@@ -49,7 +49,7 @@ object ExplainAudit {
     "q200_curation_provenance", "q201_knn_ivf_filtered",
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
     "q204_knn_label_propagation", "q205_media_perceptual_dedup",
-    "q206_corpus_datasheet")
+    "q206_corpus_datasheet", "q207_curation_day2_datasheet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -610,6 +610,17 @@ object ExplainAudit {
         "- no new corpus-sized stage, no cartesian", {
         val p = planOf(spark, byName, sfDir, "q206_corpus_datasheet")
         p.contains("BroadcastHashJoin") && p.contains("HashAggregate") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q207 day-2 batch datasheet: the report is batch-sized over " +
+        "PERSISTED artifacts — the existing corpus enters only through " +
+        "the signature-index parquet probe, a Rounds-row merge read, " +
+        "and the broadcast weight table; the batch token-hash " +
+        "checkpoint feeds split, scoring, and encode; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q207_curation_day2_datasheet")
+        p.contains("Scan ExistingRDD") &&
+          p.contains("BroadcastHashJoin") &&
           !p.contains("CartesianProduct")
       }),
       ("q205 perceptual media dedup: decode is the partition-local " +

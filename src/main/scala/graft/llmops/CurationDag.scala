@@ -807,9 +807,17 @@ object CurationDag {
     * q185 pack window — all over the batch, with the corpus entering
     * only through `idxPath`, `merges`, and the weight table `w`.
     */
-  def day2Packed(batch: org.apache.spark.sql.DataFrame, idxPath: String,
-      merges: Seq[Bpe.Merge], w: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** The shared day-2 stage chain over PERSISTED artifacts (q191/q207):
+    * probe-index dedup → split → FROZEN-student keep/drop →
+    * FROZEN-tokenizer per-doc token counts. Returns (survivors, train,
+    * kept, perDoc) so the pack rollup (q191) and the batch datasheet
+    * (q207) read the same lineage.
+    */
+  private def day2Stages(batch: org.apache.spark.sql.DataFrame,
+      idxPath: String, merges: Seq[Bpe.Merge],
+      w: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.llmops.PortableHash.{tokens, tokenHashes}
     // STAGE 1 — dedup against the persisted index; STAGE 2 — split
     val survivors = day2Survivors(batch, idxPath)
@@ -847,6 +855,13 @@ object CurationDag {
           "''))) div 2 + 1"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n") * col("n_toks")).as("n_tok"))
+    (survivors, hb.select(col("doc_id"), col("source")), kept, perDoc)
+  }
+
+  def day2Packed(batch: org.apache.spark.sql.DataFrame, idxPath: String,
+      merges: Seq[Bpe.Merge], w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, _, _, perDoc) = day2Stages(batch, idxPath, merges, w)
     // STAGE 5 — pack into 2048-token bins per source (q185's rule)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
@@ -861,6 +876,36 @@ object CurationDag {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** The day-2 BATCH DATASHEET (q206's report card for an ARRIVING
+    * batch, computed against yesterday's persisted artifacts): per
+    * source, batch volume, docs dropped by probe-index + in-batch
+    * dedup, train-split survivors, frozen-student keeps, and the
+    * frozen-tokenizer token mass of the kept docs.
+    */
+  def day2Datasheet(batch: org.apache.spark.sql.DataFrame,
+      idxPath: String, merges: Seq[Bpe.Merge],
+      w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (survivors, train, kept, perDoc) =
+      day2Stages(batch, idxPath, merges, w)
+    batch.select(col("doc_id"), col("source"))
+      .join(survivors.select(col("doc_id"))
+        .withColumn("sv", lit(1L)), Seq("doc_id"), "left")
+      .join(train.select(col("doc_id"))
+        .withColumn("tr", lit(1L)), Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"))
+        .withColumn("kp", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sv").isNull, 1L).otherwise(0L)).as("n_dups"),
+        sum(coalesce(col("tr"), lit(0L))).as("n_train"),
+        sum(coalesce(col("kp"), lit(0L))).as("n_keep"))
+      .join(perDoc.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sum_tokens")), Seq("source"), "left")
+      .na.fill(0L, Seq("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   val q191 = EngineQuery(
     "q191_curation_day2_packed",
     (s, dir) => {
@@ -870,7 +915,25 @@ object CurationDag {
       day2Packed(incoming, Dedup.existingDedupIndex(s, dir),
         day2Model(s, dir), day2Student(s, dir))
     },
-    Some {
+    Some(day2OracleCtes + """
+         , binned AS (
+             SELECT source, doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin
+             FROM dtok
+           )
+           SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+           FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Oracle CTEs shared by q191/q207 — the full from-scratch replay of
+    * the day-2 chain (cross/in-batch pair resolution, split, every
+    * unrolled perceptron epoch, 12-round BPE train on the even train
+    * split, per-doc chained-replace encode), ending with `surv`,
+    * `tdocs`, `kept`, and `dtok(doc_id, source, n_tok)`.
+    */
+  private def day2OracleCtes: String = {
       val R = Curation.ClfRounds
       val bucket = PortableHash.splitDrawSql(
         PortableHash.charHashSql("source"))
@@ -946,17 +1009,51 @@ object CurationDag {
              SELECT doc_id, source,
                CAST(SUM(n * n_toks) AS BIGINT) AS n_tok
              FROM enc GROUP BY 1, 2
-           ), binned AS (
-             SELECT source, doc_id, n_tok,
-               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
-                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-                 CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin
-             FROM dtok
-           )
-           SELECT source, bin, COUNT(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-           FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""
-    })
+           )"""
+  }
 
-  val all: Seq[EngineQuery] = Seq(q178, q181, q185, q187, q190, q191, q200)
+  /** The day-2 BATCH DATASHEET over persisted artifacts (gate) —
+    * q206's per-source report card for an ARRIVING batch, the
+    * operational form: duplication counted against the ON-DISK
+    * signature index (plus in-batch pairs), keeps decided by the
+    * FROZEN student, token mass by the FROZEN tokenizer — so the
+    * daily report a corpus owner actually reads costs one batch-sized
+    * pass, never a corpus re-scan. The oracle replays the whole chain
+    * from scratch (pair resolution, split, every perceptron epoch,
+    * BPE train + encode), so a persisted artifact diverging from
+    * from-scratch computation shifts a count and hash-mismatches.
+    */
+  val q207 = EngineQuery(
+    "q207_curation_day2_datasheet",
+    (s, dir) => {
+      val incoming = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      day2Datasheet(incoming, Dedup.existingDedupIndex(s, dir),
+        day2Model(s, dir), day2Student(s, dir))
+    },
+    Some(day2OracleCtes + """
+         , batch AS (
+             SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1
+           ), tksrc AS (
+             SELECT source, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+             FROM dtok GROUP BY source
+           )
+           SELECT b.source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dups,
+             CAST(SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             COALESCE(MAX(tk.sum_tokens), 0) AS sum_tokens
+           FROM batch b
+           LEFT JOIN surv s ON s.doc_id = b.doc_id
+           LEFT JOIN tdocs t ON t.doc_id = b.doc_id
+           LEFT JOIN kept k ON k.doc_id = b.doc_id
+           LEFT JOIN tksrc tk ON tk.source = b.source
+           GROUP BY b.source ORDER BY b.source"""))
+
+  val all: Seq[EngineQuery] =
+    Seq(q178, q181, q185, q187, q190, q191, q200, q207)
 }

@@ -61,7 +61,8 @@ class DeterminismSpec extends SparkTestBase {
     "q203_dataset_shard_plan",         // hash shards + per-shard windows
     "q204_knn_label_propagation",      // majority vote over exact ranks
     "q205_media_perceptual_dedup",     // decode-seam fingerprint groups
-    "q206_corpus_datasheet")           // three-family per-source rollup
+    "q206_corpus_datasheet",           // three-family per-source rollup
+    "q207_curation_day2_datasheet")    // batch datasheet vs artifacts
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 
