@@ -680,10 +680,14 @@ object ExplainAudit {
       }),
       ("q198 graph-ANN build: the k-NN graph's pair space blocks on " +
         "the cell key — a hash equi-join whose quadratic term is " +
-        "bounded by cell occupancy, never corpus x corpus, and no " +
-        "cartesian", {
+        "bounded by cell occupancy, never corpus x corpus, no " +
+        "cartesian — and the per-src top-degree rank is the " +
+        "bounded-state TopK aggregator with a PARTIAL stage before " +
+        "the exchange (the shuffle carries degree rows per src, not " +
+        "the occupancy-sized pair space a window rank would move)", {
         graphBuildPlan.contains("cell") &&
           graphBuildPlan.contains("Join") &&
+          graphBuildPlan.contains("partial_topklongaggregator") &&
           !graphBuildPlan.contains("CartesianProduct") &&
           !graphBuildPlan.contains("BroadcastNestedLoopJoin")
       }),

@@ -33,10 +33,45 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** [[ScoredId]] with an EXACT int64 score — for rankings on fixed-point
+  * dot products, where a Double score would collapse distinct int64
+  * values above 2^53 (reachable at embedding dims ≳ 91) and could rank
+  * differently from the oracle's BIGINT ORDER BY.
+  */
+final case class ScoredIdL(score: Long, id: Long)
+
+class TopKLongAggregator(k: Int)
+    extends Aggregator[ScoredIdL, List[ScoredIdL], Seq[ScoredIdL]] {
+
+  private def prune(xs: List[ScoredIdL]): List[ScoredIdL] =
+    xs.sortBy(x => (-x.score, x.id)).take(k)
+
+  override def zero: List[ScoredIdL] = Nil
+  override def reduce(buf: List[ScoredIdL], a: ScoredIdL): List[ScoredIdL] =
+    prune(a :: buf)
+  override def merge(b1: List[ScoredIdL],
+      b2: List[ScoredIdL]): List[ScoredIdL] =
+    prune(b1 ++ b2)
+  override def finish(buf: List[ScoredIdL]): Seq[ScoredIdL] = prune(buf)
+  override def bufferEncoder: Encoder[List[ScoredIdL]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredIdL]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object TopK {
   /** top_k(score, id): Column aggregate usable in `.agg(...)`. */
   def topK(k: Int)(score: Column, id: Column): Column = {
     implicit val inEnc: Encoder[ScoredId] = Encoders.product[ScoredId]
     udaf(new TopKAggregator(k)).apply(score, id)
+  }
+
+  /** top_k over EXACT int64 scores (ties → smaller id) — bit-identical
+    * to a `row_number() OVER (ORDER BY score DESC, id)` rank at any
+    * score magnitude, with the UDAF's bounded-state map-side pruning.
+    */
+  def topKLong(k: Int)(score: Column, id: Column): Column = {
+    implicit val inEnc: Encoder[ScoredIdL] = Encoders.product[ScoredIdL]
+    udaf(new TopKLongAggregator(k)).apply(score, id)
   }
 }

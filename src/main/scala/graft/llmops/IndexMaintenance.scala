@@ -1450,8 +1450,9 @@ object GraphIndex {
           col("embedding").as("em")))
     val members = s.read.parquet(cur).filter(col("kind") === "m")
       .select(col("member_id"), col("cell"), col("em"))
-    val wG = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ia")).orderBy(col("fdot").desc, col("ib"))
+    // per-src top-Degree via the exact-int64 TopK aggregator — the
+    // knnGraphOf shuffle-reduction (map-side prune to Degree rows per
+    // src instead of shuffling the delta × occupancy pair space)
     val fwd = newM
       .select(col("cell"), col("member_id").as("ia"), col("em").as("ea"))
       .join(members.union(newM)
@@ -1462,9 +1463,10 @@ object GraphIndex {
         graft.functions.VectorDot.fixedDotSum(
           col("ea").cast("array<double>"),
           col("eb").cast("array<double>")).as("fdot"))
-      .withColumn("rn", row_number().over(wG))
-      .filter(col("rn") <= Degree)
-      .select(col("ia").as("src"), col("ib").as("dst"))
+      .groupBy(col("ia"))
+      .agg(graft.functions.TopK.topKLong(Degree)(
+        col("fdot"), col("ib")).as("top"))
+      .select(col("ia").as("src"), explode(col("top.id")).as("dst"))
     // strays: batch vectors with no same-cell peer at all — connect
     // them to the entry points instead (entries is a <=k-row table)
     val entries = s.read.parquet(entDir(path))

@@ -1389,16 +1389,23 @@ object Similarity {
       col("embedding").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("ib"),
       col("embedding").as("eb"))
-    val wG = Window.partitionBy(col("ia"))
-      .orderBy(col("fdot").desc, col("ib"))
+    // per-src top-`degree` via the bounded-state TopK aggregator (the
+    // q87 UDAF, exact-int64 variant): map-side partials prune the
+    // occupancy-sized pair space to `degree` rows per src BEFORE the
+    // exchange — a row_number window would shuffle and sort EVERY pair
+    // row (|corpus|·occupancy, the stage that dominated q198's bench
+    // time); ranking is bit-identical (score DESC, id ASC on the exact
+    // fdot)
     a.join(b, Seq("cell")).filter(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"),
         graft.functions.VectorDot.fixedDotSum(
           col("ea").cast("array<double>"),
           col("eb").cast("array<double>")).as("fdot"))
-      .withColumn("rn", row_number().over(wG))
-      .filter(col("rn") <= degree)
-      .select(col("ia").as("src"), col("ib").as("dst"))
+      .groupBy(col("ia"))
+      .agg(graft.functions.TopK.topKLong(degree)(
+        col("fdot"), col("ib")).as("top"))
+      .select(col("ia").as("src"),
+        explode(col("top.id")).as("dst"))
   }
 
   /** Per-cell medoid entry points: the member with the highest exact
