@@ -43,8 +43,15 @@ final case class ScoredIdL(score: Long, id: Long)
 class TopKLongAggregator(k: Int)
     extends Aggregator[ScoredIdL, List[ScoredIdL], Seq[ScoredIdL]] {
 
+  // explicit comparator, NOT sortBy(-score): negating Long.MinValue
+  // overflows to itself and would rank the worst score first
+  private val ord: Ordering[ScoredIdL] = (a: ScoredIdL, b: ScoredIdL) => {
+    val c = java.lang.Long.compare(b.score, a.score)
+    if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+  }
+
   private def prune(xs: List[ScoredIdL]): List[ScoredIdL] =
-    xs.sortBy(x => (-x.score, x.id)).take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: List[ScoredIdL] = Nil
   override def reduce(buf: List[ScoredIdL], a: ScoredIdL): List[ScoredIdL] =

@@ -1467,12 +1467,19 @@ object GraphIndex {
       .agg(graft.functions.TopK.topKLong(Degree)(
         col("fdot"), col("ib")).as("top"))
       .select(col("ia").as("src"), explode(col("top.id")).as("dst"))
-    // strays: batch vectors with no same-cell peer at all — connect
-    // them to the entry points instead (entries is a <=k-row table)
+    // strays: EVERY batch vector whose cell has no PRE-EXISTING member
+    // additionally edges to the entry points. Membership of the CELL is
+    // the right test — "produced no forward edge" would miss groups
+    // (two strays in the same empty cell edge to each other and form an
+    // island unreachable from the entries), and deriving it from the
+    // cheap distinct-cells anti-join keeps the expensive scored pair
+    // join out of the stray lineage entirely.
     val entries = s.read.parquet(entDir(path))
-    val stray = newM.select(col("member_id").as("ia"))
-      .join(fwd.select(col("src").as("ia")).distinct(),
-        Seq("ia"), "left_anti")
+    val strayCells = newM.select(col("cell")).distinct()
+      .join(members.select(col("cell")).distinct(), Seq("cell"),
+        "left_anti")
+    val stray = newM.join(broadcast(strayCells), Seq("cell"), "left_semi")
+      .select(col("member_id").as("ia"))
       .crossJoin(broadcast(entries))
       .filter(col("ia") =!= col("cid"))
       .select(col("ia").as("src"), col("cid").as("dst"))

@@ -1181,29 +1181,40 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(builtCells == Set(0L, 2L),
       s"fixture must leave cells 1/3 empty at build, got $builtCells")
 
+    // TWO strays land in the same empty cell — the island case: they
+    // edge to each other as same-cell peers, so stray detection must
+    // key on CELL membership, not "produced no forward edge" (that
+    // test would see both as non-strays and leave the pair
+    // disconnected from every entry point, silently unsearchable)
     GraphIndex.append(
-      Seq((10L, Array(-1f, -0.1f))).toDF("vec_id", "embedding"), path)
+      Seq((10L, Array(-1f, -0.1f)), (11L, Array(-1f, -0.15f)))
+        .toDF("vec_id", "embedding"), path)
 
     val data = spark.read.parquet(GraphIndex.dataDir(spark, path))
-    val strayCell = data.filter(col("kind") === "m" &&
-        col("member_id") === 10L)
-      .select(col("cell")).head().getLong(0)
-    assert(strayCell == 3L, s"stray expected in empty cell 3, got " +
-      s"$strayCell")
-    // the fallback edged it to the entry points, with reverses
+    val strayCells = data.filter(col("kind") === "m" &&
+        col("member_id") >= 10L)
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    assert(strayCells == Set(3L),
+      s"strays expected in empty cell 3, got $strayCells")
+    // the fallback edged BOTH to the entry points, with reverses —
+    // on top of their same-cell edges to each other
     val edges = data.filter(col("kind") === "e")
       .select(col("src"), col("dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(edges((10L, 0L)) && edges((10L, 2L)),
-      s"stray must edge to the entry points, got $edges")
-    assert(edges((0L, 10L)) && edges((2L, 10L)),
-      "stray entry edges need reverses")
-    // and it actually SURFACES from a search near it
+    Seq(10L, 11L).foreach { id =>
+      assert(edges((id, 0L)) && edges((id, 2L)),
+        s"stray $id must edge to the entry points, got $edges")
+      assert(edges((0L, id)) && edges((2L, id)),
+        s"stray $id's entry edges need reverses")
+    }
+    assert(edges((10L, 11L)) && edges((11L, 10L)),
+      "same-cell strays still edge to each other")
+    // and both actually SURFACE from a search near them
     val hits = GraphIndex.search(
         Seq((99L, Array(-1f, -0.2f))).toDF("qid", "eq"), path)
-      .select(col("cid")).collect().map(_.getLong(0))
-    assert(hits.contains(10L),
-      s"stray member must be a reachable search result, got " +
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(hits.contains(10L) && hits.contains(11L),
+      s"stray members must be reachable search results, got " +
         hits.mkString(","))
   }
 
