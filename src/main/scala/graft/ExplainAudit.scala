@@ -49,7 +49,8 @@ object ExplainAudit {
     "q200_curation_provenance", "q201_knn_ivf_filtered",
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
     "q204_knn_label_propagation", "q205_media_perceptual_dedup",
-    "q206_corpus_datasheet", "q207_curation_day2_datasheet")
+    "q206_corpus_datasheet", "q207_curation_day2_datasheet",
+    "q208_knn_ivf_deleted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -662,6 +663,19 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q180_knn_ivf_persisted")
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
           p.contains("assignments") &&
+          p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q208 deleted-members search pays exactly ONE extra plan stage " +
+        "over q180: a deletes-sized LEFT ANTI join masking the " +
+        "tombstoned ids off the assignment scan — three parquet scans " +
+        "total (query fetch with the vec_id<10 filter pushed, the " +
+        "assignment store, the tombstone store), no corpus re-read, " +
+        "no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q208_knn_ivf_deleted")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 3 &&
+          p.contains("assignments") && p.contains("tombs") &&
+          p.toLowerCase.contains("leftanti") &&
           p.contains("LessThan(vec_id,10)") &&
           !p.contains("CartesianProduct")
       }),

@@ -18,8 +18,18 @@ final case class ScoredId(score: Double, id: Long)
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
 
+  // explicit comparator mirroring TopKLongAggregator: Double.compare is
+  // a total order (NaN sorts above +Inf, so a NaN score can never shadow
+  // a real one silently — it ranks deterministically), whereas
+  // sortBy(-score) flips -0.0/0.0 and leaves NaN placement to the
+  // implicit tuple ordering
+  private val ord: Ordering[ScoredId] = (a: ScoredId, b: ScoredId) => {
+    val c = java.lang.Double.compare(b.score, a.score)
+    if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+  }
+
   private def prune(xs: List[ScoredId]): List[ScoredId] =
-    xs.sortBy(x => (-x.score, x.id)).take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: List[ScoredId] = Nil
   override def reduce(buf: List[ScoredId], a: ScoredId): List[ScoredId] =

@@ -243,6 +243,92 @@ object IndexMaintenance {
     (before, listDataFiles(s, s"$path/$nextSub").size)
   }
 
+  // ---- tombstoned deletes (lazy delete; compaction drops) -----------------
+  //
+  // Production corpora DELETE as well as append (takedowns, opt-outs,
+  // licence expiry). Rewriting a 100 TB index per takedown is not an
+  // option, so deletes are TOMBSTONES: a second manifested store under
+  // the same root records the deleted ids, every read path masks them
+  // (one anti-join against a deletes-sized table), and the next
+  // compaction physically drops the masked rows and clears the
+  // tombstones — the standard LSM / FAISS remove_ids / DiskANN
+  // lazy-delete discipline. The tombstone store inherits the full
+  // manifest crash contract: a torn delete-append is detected at read,
+  // vacuumable, and never silently absorbed.
+
+  private def tombManifest(manifestName: String): String =
+    manifestName + "_tombs"
+
+  /** Record `ids` (a one-column frame of int64 ids) as DELETED.
+    * Appends to the manifested `tombs-g<N>` store (created on first
+    * delete) and publishes its manifest — the same commit discipline
+    * as a data append. Duplicate ids across calls are harmless (reads
+    * mask via anti-join).
+    */
+  private[llmops] def addTombstones(s: SparkSession, path: String,
+      manifestName: String, what: String, ids: DataFrame): Unit = {
+    val tn = tombManifest(manifestName)
+    val cur = readSidecar(s, path, tn) match {
+      case Some(_) => verifiedDir(s, path, tn, s"$what tombstones")
+      case None => s"$path/tombs-g0"
+    }
+    ids.toDF("id").select(col("id").cast("long"))
+      .distinct()
+      .write.mode("append").parquet(cur)
+    publishManifest(s, path, tn, cur.substring(path.length + 1))
+  }
+
+  /** The committed tombstone set as a one-column frame (`id`), or
+    * None when no delete was ever recorded (the common case — reads
+    * then skip the anti-join entirely).
+    */
+  private[llmops] def tombstones(s: SparkSession, path: String,
+      manifestName: String, what: String): Option[DataFrame] = {
+    val tn = tombManifest(manifestName)
+    readSidecar(s, path, tn).map { _ =>
+      s.read.parquet(verifiedDir(s, path, tn, s"$what tombstones"))
+        .select(col("id"))
+    }
+  }
+
+  /** `rows` minus tombstoned ids on `idCol` — the read-path mask. A
+    * NULL `idCol` row always survives (left-anti keeps unmatched
+    * rows), which is exactly right for mixed-shape stores where some
+    * row kinds carry no member id.
+    */
+  private[llmops] def minusTombstones(s: SparkSession, path: String,
+      manifestName: String, what: String, rows: DataFrame,
+      idCol: String): DataFrame =
+    tombstones(s, path, manifestName, what) match {
+      case None => rows
+      case Some(t) =>
+        val tt = t.select(col("id").as("__tomb_id"))
+        rows.join(tt, rows(idCol) === tt("__tomb_id"), "left_anti")
+    }
+
+  /** Clear the tombstone store after its rows were PHYSICALLY dropped
+    * (a compaction swap or a republish). Order matters for the crash
+    * window: the manifest is retracted FIRST, so a crash mid-clear
+    * leaves an unreferenced tombs directory (garbage a tombstone-store
+    * vacuum can sweep), never a manifest pointing at deleted files.
+    * Re-applying a tombstone whose rows are already gone is a no-op,
+    * so clearing strictly after the data swap is idempotent-safe.
+    */
+  private[llmops] def clearTombstones(s: SparkSession, path: String,
+      manifestName: String): Unit = {
+    val tn = tombManifest(manifestName)
+    if (readSidecar(s, path, tn).isDefined) {
+      retractSidecar(s, path, tn)
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.matches("^tombs-g\\d+$"))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
   /** What [[vacuumStore]] removed: uncommitted data files inside the
     * live generation (a torn append's leftovers), superseded generation
     * directories (a compaction/republish whose best-effort delete was
@@ -459,12 +545,28 @@ object DedupIndex {
   }
 
   /** The stored signature table (config- AND manifest-verified: a torn
-    * append fails descriptively here instead of being read).
+    * append fails descriptively here instead of being read), with
+    * tombstoned docs MASKED — a deleted doc stops suppressing future
+    * near-duplicates immediately, before any physical rewrite.
     */
   def signatures(s: SparkSession, path: String): DataFrame = {
     IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
       Config, What)
-    s.read.parquet(dataDir(s, path))
+    IndexMaintenance.minusTombstones(s, path, ManifestName, What,
+      s.read.parquet(dataDir(s, path)), "doc_id")
+  }
+
+  /** DELETE docs from the index (takedown/opt-out): records
+    * tombstones — every probe from this point treats the docs as
+    * absent ([[signatures]] masks them) — and the next [[compact]]
+    * drops their signature rows physically and clears the tombstones.
+    * One manifested append, no data file touched.
+    */
+  def delete(docIds: DataFrame, path: String): Unit = {
+    val s = docIds.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
+      Config, What)
+    IndexMaintenance.addTombstones(s, path, ManifestName, What, docIds)
   }
 
   /** READ-ONLY probe: the rows of `newDocs` that survive dedup against
@@ -527,17 +629,26 @@ object DedupIndex {
   /** Compact the accumulated append files under the RECORDED config
     * (daily appends otherwise grow the file count forever): rewrite
     * into ~targetBytes files in the next generation directory, swap
-    * atomically via the manifest, delete the old generation. The probe
-    * answers identically before and after (row set unchanged;
-    * IndexMaintenanceSpec proves it), and the config sidecar — the
-    * signature recipe — is untouched.
+    * atomically via the manifest, delete the old generation. Pending
+    * tombstones ([[delete]]) are DROPPED physically during the rewrite
+    * and then cleared — the probe answers identically before and after
+    * (masked == dropped; IndexMaintenanceSpec proves both invariants),
+    * and the config sidecar — the signature recipe — is untouched.
     */
   def compact(s: SparkSession, path: String,
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
     IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
       Config, What)
-    IndexMaintenance.compactStore(s, path, ManifestName, What,
-      targetBytes)
+    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
+      .map { t =>
+        val tt = t.select(col("id").as("__tomb_id"))
+        (df: DataFrame) =>
+          df.join(tt, df("doc_id") === tt("__tomb_id"), "left_anti")
+      }
+    val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes, merge = drop)
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
+    r
   }
 }
 
@@ -1092,6 +1203,36 @@ object IvfIndex {
   private[graft] def dataDir(s: SparkSession, path: String): String =
     IndexMaintenance.verifiedDir(s, path, ManifestName, What)
 
+  /** The indexed member rows (member_id, cell, em) with tombstoned
+    * members MASKED — THE read surface for every consumer (search,
+    * semantic probe, cross-store refine, label propagation): a deleted
+    * member neither appears in results nor suppresses new arrivals,
+    * before any physical rewrite. Reading `dataDir` parquet directly
+    * bypasses deletes and is reserved for specs/harnesses.
+    */
+  def members(s: SparkSession, path: String): DataFrame =
+    IndexMaintenance.minusTombstones(s, path, ManifestName, What,
+      s.read.parquet(dataDir(s, path)), "member_id")
+
+  /** DELETE vectors from the index (the FAISS remove_ids contract,
+    * tombstone form): one manifested tombstone append; [[members]]
+    * masks the rows immediately and the next [[compact]] drops them
+    * physically. Centroids are untouched — deletes never retrain (the
+    * remediation for drift remains [[republish]]).
+    */
+  def delete(vecIds: DataFrame, path: String): Unit = {
+    val s = vecIds.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
+      config(recordedKOf(s, path)), What)
+    IndexMaintenance.addTombstones(s, path, ManifestName, What, vecIds)
+  }
+
+  private def recordedKOf(s: SparkSession, path: String): Int =
+    IndexMaintenance.readSidecar(s, path, "_ivf_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
+        .map(_.group(1).toInt))
+      .getOrElse(0)
+
   /** Initial build: train k centroids on the corpus (the expensive,
     * corpus-sized step), persist centroids AND the corpus assignment
     * table (manifested, so torn appends are detectable), record the
@@ -1132,6 +1273,9 @@ object IvfIndex {
       config(k), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivf_index_config")
+    // a rebuild indexes exactly the corpus it is handed — pending
+    // tombstones are moot once the old rows are gone
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
     build(embeddings, path, k)
     // the rebuilt index lives at assignments-g0 again; a post-compaction
     // generation left behind by the old index is unreferenced garbage
@@ -1194,13 +1338,18 @@ object IvfIndex {
     */
   def compact(s: SparkSession, path: String,
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
-    val k = IndexMaintenance.readSidecar(s, path, "_ivf_index_config")
-      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
-      .getOrElse(0)
     IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
-      config(k), What)
-    IndexMaintenance.compactStore(s, path, ManifestName, What,
-      targetBytes)
+      config(recordedKOf(s, path)), What)
+    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
+      .map { t =>
+        val tt = t.select(col("id").as("__tomb_id"))
+        (df: DataFrame) =>
+          df.join(tt, df("member_id") === tt("__tomb_id"), "left_anti")
+      }
+    val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes, merge = drop)
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
+    r
   }
 
   /** Search the MAINTAINED index: the q54 probe shape (top-`nprobe`
@@ -1214,7 +1363,7 @@ object IvfIndex {
     import s.implicits._
     val centDf = centroids(s, path)
       .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
-    Similarity.ivfSearchOver(queries, s.read.parquet(dataDir(s, path)),
+    Similarity.ivfSearchOver(queries, members(s, path),
       centDf, nprobe, topk)
   }
 
@@ -1260,7 +1409,7 @@ object IvfIndex {
     val probes = Similarity.probeCells(
       newVecs.select(col("vec_id"), col("embedding")), centDf, nprobe,
       idCol = "vec_id", vecCol = "embedding", keepRank = true)
-    val idx = s.read.parquet(dataDir(s, path))
+    val idx = members(s, path)
       .select(col("cell"), col("member_id"), col("em"))
     probes.join(idx, Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("crn"), col("member_id"),
@@ -1507,11 +1656,31 @@ object GraphIndex {
         .select(col("member_id").as("vec_id"), col("em").as("embedding")),
       data.filter(col("kind") === "e").select(col("src"), col("dst")),
       s.read.parquet(entDir(path)),
-      beam, topk)
+      beam, topk,
+      excludeFromResults =
+        IndexMaintenance.tombstones(s, path, ManifestName, What))
+  }
+
+  /** DELETE members from the graph — the DiskANN LAZY-delete contract,
+    * deliberately weaker than [[IvfIndex.delete]]'s: a tombstoned
+    * member never occupies a RESULT rank, but it keeps ROUTING (its
+    * edges are still walked, it can hold beam slots) because dropping
+    * a waypoint without re-wiring its neighborhood would disconnect
+    * the graph and silently sink recall. Physical removal therefore
+    * requires the re-wiring rebuild — [[republish]] (DiskANN's
+    * consolidate_deletes) — and [[compact]] intentionally does NOT
+    * drop or clear graph tombstones.
+    */
+  def delete(vecIds: DataFrame, path: String): Unit = {
+    val s = vecIds.sparkSession
+    requireLive(s, path)
+    IndexMaintenance.addTombstones(s, path, ManifestName, What, vecIds)
   }
 
   /** Compact the accumulated append files (config + centroids +
-    * entries untouched, atomic manifest swap).
+    * entries untouched, atomic manifest swap). Row set preserved —
+    * including tombstoned members' rows, which keep routing until
+    * [[republish]] re-wires (see [[delete]]).
     */
   def compact(s: SparkSession, path: String,
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
@@ -1528,6 +1697,10 @@ object GraphIndex {
     IndexMaintenance.requireConfig(s, path, ConfigName, config(k), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, ConfigName)
+    // the re-wiring rebuild IS the physical-delete arm (DiskANN
+    // consolidate_deletes): the graph is rebuilt over the corpus it is
+    // handed, so pending lazy-delete tombstones are consumed here
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
     build(embeddings, path, k)
     if (!stale.endsWith("/graph-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
@@ -1566,9 +1739,10 @@ object IvfPqIndex {
   /** IVF cells / Lloyd iterations (the q52/q54 recipe). */
   val Iters = 2
 
-  /** PQ shape (the q56/q192 recipe): m subspaces of subDim dims, cb
-    * codewords per subspace, codebook seeded from the build corpus's
-    * cb smallest vec_ids.
+  /** PQ shape (the q192 recipe): m subspaces of subDim dims, cb
+    * codewords per subspace, codebooks TRAINED per subspace
+    * ([[PqCodebook.fit]], Lloyd iterations seeded from the build
+    * corpus's cb smallest vec_ids).
     */
   val M = 4
   val Cb = 16
@@ -1577,7 +1751,7 @@ object IvfPqIndex {
   private def config(k: Int): String =
     s"kind=ivfpq;k=$k;iters=$Iters;m=$M;cb=$Cb;sub=$SubDim;" +
       "fixed_point=1e7;seed-cells=first-k-by-id;" +
-      "seed-codebook=first-cb-by-id;v=1"
+      s"codebook=kmeans-${Iters}iter-seed-first-cb-by-id;v=2"
 
   private def centDir(path: String) = s"$path/centroids"
   private def cbDir(path: String) = s"$path/codebook"
@@ -1614,26 +1788,20 @@ object IvfPqIndex {
         PortableHash.fixedPoint(col("v")).as("fv"))
 
   /** Encode under RECORDED artifacts: cell via centroid argmax, codes
-    * via per-subspace squared-L2 argmin against the broadcast codebook
-    * — all exact int64, deterministic ties. Returns
-    * (vec_id, cell, s, cw).
+    * via per-subspace squared-L2 argmin against the codebook literal —
+    * all exact int64, deterministic ties, and a PURE PROJECTION (no
+    * join, no window: the former join+window encode sorted n·m·cb rows
+    * per pass; [[PqCodebook.codesOf]] computes the same argmin per
+    * row). Returns (vec_id, cell, s, cw).
     */
   private def encodeUnder(vecs: DataFrame, cents: Seq[KMeans.Centroid],
-      cb: DataFrame): DataFrame = {
-    val cells = KMeans.assign(vecs, cents)
-      .select(col("vec_id"), col("cell"))
-    val dist = subOf(vecs).join(broadcast(cb),
-        col("s") === col("cs") && col("pi") === col("cpi"))
-      .groupBy(col("vec_id"), col("s"), col("cw"))
-      .agg(sum((col("fv") - col("fc")) * (col("fv") - col("fc"))).as("d"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cw"))
-    dist.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cw"))
-      .join(cells, Seq("vec_id"))
+      cbRows: Seq[PqCodebook.Codeword]): DataFrame =
+    KMeans.assign(vecs, cents)
+      .select(col("vec_id"), col("cell"),
+        posexplode(PqCodebook.codesOf(
+          col("embedding").cast("array<double>"), cbRows, M, SubDim))
+          .as(Seq("s", "cw")))
       .select(col("vec_id"), col("cell"), col("s"), col("cw"))
-  }
 
   /** The recorded codebook (cw, cs, cpi, fc) — m·cb·subDim rows,
     * broadcast-tier by construction.
@@ -1642,9 +1810,21 @@ object IvfPqIndex {
     s.read.parquet(cbDir(path))
       .select(col("cw"), col("cs"), col("cpi"), col("fc"))
 
-  /** Initial build: train IVF centroids on the corpus, seed the PQ
-    * codebook from its cb smallest vec_ids, encode every vector, and
-    * publish — config LAST as the ingest-complete marker.
+  /** The recorded codebook as driver rows (m·cb·subDim — bounded by
+    * the config shape, never by the corpus) for the projection encode.
+    */
+  private def codebookRows(s: SparkSession,
+      path: String): Seq[PqCodebook.Codeword] = {
+    import s.implicits._
+    s.read.parquet(cbDir(path))
+      .select(col("cw"), col("cs"), col("cpi"), col("fc"))
+      .as[PqCodebook.Codeword].collect().toSeq
+  }
+
+  /** Initial build: train IVF centroids AND the per-subspace PQ
+    * codebooks on the corpus ([[PqCodebook.fit]] — the FAISS
+    * train-then-add contract covers both halves), encode every vector,
+    * and publish — config LAST as the ingest-complete marker.
     */
   def build(embeddings: DataFrame, path: String, k: Int): Unit = {
     val s = embeddings.sparkSession
@@ -1653,11 +1833,11 @@ object IvfPqIndex {
     cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centDir(path))
-    val cb = subOf(embeddings.orderBy(col("vec_id")).limit(Cb))
-      .select(col("vec_id").as("cw"), col("s").as("cs"),
-        col("pi").as("cpi"), col("fv").as("fc"))
-    cb.coalesce(1).write.mode("overwrite").parquet(cbDir(path))
-    encodeUnder(embeddings, cents, codebook(s, path))
+    val cbRows = PqCodebook.fit(s, embeddings,
+      m = M, cb = Cb, subDim = SubDim, iters = Iters)
+    PqCodebook.toDf(s, cbRows)
+      .coalesce(1).write.mode("overwrite").parquet(cbDir(path))
+    encodeUnder(embeddings, cents, cbRows)
       .write.mode("overwrite").parquet(s"$path/codes-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName, "codes-g0")
     IndexMaintenance.writeSidecar(s, path, "_ivfpq_index_config",
@@ -1696,14 +1876,29 @@ object IvfPqIndex {
     val s = newVecs.sparkSession
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
-    encodeUnder(newVecs, cents, codebook(s, path))
+    encodeUnder(newVecs, cents, codebookRows(s, path))
       .write.mode("append").parquet(cur)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
   }
 
+  /** DELETE vectors from the index ([[IvfIndex.delete]]'s contract,
+    * codes flavor): tombstone append; [[search]] masks immediately,
+    * the next [[compact]] drops the code rows physically.
+    */
+  def delete(vecIds: DataFrame, path: String): Unit = {
+    val s = vecIds.sparkSession
+    val k = IndexMaintenance.readSidecar(s, path, "_ivfpq_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c).map(_.group(1).toInt))
+      .getOrElse(0)
+    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
+      config(k), What)
+    IndexMaintenance.addTombstones(s, path, ManifestName, What, vecIds)
+  }
+
   /** Compact the accumulated code appends (config preserved, centroids
-    * and codebook untouched, atomic manifest swap).
+    * and codebook untouched, atomic manifest swap); pending tombstones
+    * are dropped physically and cleared.
     */
   def compact(s: SparkSession, path: String,
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
@@ -1712,8 +1907,16 @@ object IvfPqIndex {
       .getOrElse(0)
     IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
       config(k), What)
-    IndexMaintenance.compactStore(s, path, ManifestName, What,
-      targetBytes)
+    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
+      .map { t =>
+        val tt = t.select(col("id").as("__tomb_id"))
+        (df: DataFrame) =>
+          df.join(tt, df("vec_id") === tt("__tomb_id"), "left_anti")
+      }
+    val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes, merge = drop)
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
+    r
   }
 
   /** Drift remediation — in-place rebuild, crash-detectable via config
@@ -1725,6 +1928,7 @@ object IvfPqIndex {
       config(k), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivfpq_index_config")
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
     build(embeddings, path, k)
     if (!stale.endsWith("/codes-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
@@ -1755,7 +1959,8 @@ object IvfPqIndex {
       .groupBy(col("vec_id").as("aqid"), col("s").as("qs"),
         col("cw").as("qcw"))
       .agg(sum(col("fv") * col("fc")).as("qdot"))
-    val codes = s.read.parquet(dataDir(s, path))
+    val codes = IndexMaintenance.minusTombstones(s, path, ManifestName,
+      What, s.read.parquet(dataDir(s, path)), "vec_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("f").desc, col("cid"))
     probes.join(codes, Seq("cell"))

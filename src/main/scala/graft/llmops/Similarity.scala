@@ -249,11 +249,12 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** Oracle tail shared by q52/q54: probe + search over the trained
-    * cells (d3/a3 from [[kmeansTrainCtes]]).
+  /** Oracle tail shared by q52/q54/q180/q208: probe + search over the
+    * trained cells (d3/a3 from [[kmeansTrainCtes]]). `candPred`
+    * restricts the CANDIDATE members (q208's deleted-members mask).
     */
-  private val ivfProbeTailSql: String =
-    """, probes AS (
+  private def ivfProbeTail(candPred: String = "TRUE"): String =
+    s""", probes AS (
          SELECT qid, cell FROM (
            SELECT vec_id AS qid, cell, row_number() OVER (
              PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
@@ -262,6 +263,7 @@ object Similarity {
        ), cand AS (
          SELECT p.qid, a.vec_id AS member_id FROM probes p
          JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         WHERE $candPred
        ), dots AS (
          SELECT c.qid, c.member_id,
            CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
@@ -286,7 +288,7 @@ object Similarity {
   val q52 = EngineQuery(
     "q52_knn_ivf",
     (s, dir) => ivfTrained(s, dir, k = 16),
-    Some(kmeansTrainCtes(16) + ivfProbeTailSql))
+    Some(kmeansTrainCtes(16) + ivfProbeTail()))
 
   /** Shared oracle prefix for q52/q53/q54/q180: replays KMeans.fit(k,
     * iters=2) in unrolled SQL — seed = first k vectors; per iteration:
@@ -392,6 +394,70 @@ object Similarity {
          WHERE rn = 1
        )"""
 
+  /** Oracle replay of [[PqCodebook.fit]] (cb=16 codewords, m=4
+    * subspaces of 16 dims, 2 Lloyd iterations) in unrolled SQL —
+    * assumes a `sub(vec_id, s, pi, fv)` CTE exists; produces the final
+    * trained codebook as `cbq(cw, s, pi, fc)` (the name every
+    * downstream ADC/encode CTE already consumes). Per iteration:
+    * exact int64 squared-L2 argmin (tie → smaller cw), update mean
+    * floor(double(Σfv)/n), empty codewords keep their components.
+    * `trainPred` restricts TRAINING to a vec_id subset (the persisted
+    * q194/q202 even-half build); encode CTEs downstream always cover
+    * every vector.
+    */
+  private def pqTrainCtes(trainPred: String = "TRUE"): String =
+    s""", tseed AS (
+           SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) cw
+           FROM (SELECT vec_id FROM embeddings WHERE $trainPred
+                 ORDER BY vec_id LIMIT 16)
+         ), tcb0 AS (
+           SELECT t.cw, b.s, b.pi, b.fv AS fc
+           FROM tseed t JOIN sub b ON b.vec_id = t.vec_id
+         ), td1 AS (
+           SELECT v.vec_id, v.s, c.cw,
+             SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
+           FROM sub v JOIN tcb0 c ON v.s = c.s AND v.pi = c.pi
+           WHERE $trainPred
+           GROUP BY 1, 2, 3
+         ), ta1 AS (
+           SELECT vec_id, s, cw FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cw) rn FROM td1) x
+           WHERE rn = 1
+         ), tm1 AS (
+           SELECT a.s, a.cw, v.pi,
+             CAST(FLOOR(CAST(SUM(v.fv) AS DOUBLE)/COUNT(*)) AS BIGINT)
+               AS fc
+           FROM ta1 a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s
+           GROUP BY 1, 2, 3
+         ), tcb1 AS (
+           SELECT c0.cw, c0.s, c0.pi, COALESCE(m.fc, c0.fc) AS fc
+           FROM tcb0 c0 LEFT JOIN tm1 m
+             ON m.s = c0.s AND m.cw = c0.cw AND m.pi = c0.pi
+         ), td2 AS (
+           SELECT v.vec_id, v.s, c.cw,
+             SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
+           FROM sub v JOIN tcb1 c ON v.s = c.s AND v.pi = c.pi
+           WHERE $trainPred
+           GROUP BY 1, 2, 3
+         ), ta2 AS (
+           SELECT vec_id, s, cw FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cw) rn FROM td2) x
+           WHERE rn = 1
+         ), tm2 AS (
+           SELECT a.s, a.cw, v.pi,
+             CAST(FLOOR(CAST(SUM(v.fv) AS DOUBLE)/COUNT(*)) AS BIGINT)
+               AS fc
+           FROM ta2 a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s
+           GROUP BY 1, 2, 3
+         ), cbq AS (
+           SELECT c1.cw, c1.s, c1.pi, COALESCE(m.fc, c1.fc) AS fc
+           FROM tcb1 c1 LEFT JOIN tm2 m
+             ON m.s = c1.s AND m.cw = c1.cw AND m.pi = c1.pi
+         )"""
+
   /** KMeans-trained cell assignment under the oracle (the gate row the
     * round-2 verdict asked for): fit spherical k-means (k=4, 2 Lloyd
     * iterations) on the corpus, assign every vector to its trained
@@ -418,7 +484,7 @@ object Similarity {
   val q54 = EngineQuery(
     "q54_knn_ivf_trained",
     (s, dir) => ivfTrained(s, dir, k = 4),
-    Some(kmeansTrainCtes(4) + ivfProbeTailSql))
+    Some(kmeansTrainCtes(4) + ivfProbeTail()))
 
   /** The PERSISTED index built+maintained once per (session, dir) —
     * q180's ingest half, the `existingDedupIndex` pattern
@@ -463,7 +529,61 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         path)
     },
-    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfProbeTailSql))
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfProbeTail()))
+
+  /** A SEPARATE persisted IVF store for the delete gate (deleting from
+    * [[existingIvfIndex]] would corrupt q180/q201/q202/q204's shared
+    * view): same even-build + odd-append ingest, then every vec_id
+    * divisible by 10 is DELETED ([[IvfIndex.delete]] — tombstoned, not
+    * rewritten).
+    */
+  private[llmops] def existingDeletedIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivf_del_index", app)}/ivfd_$tag"
+    graft.ops.SessionScratch.once("ivf_del_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IvfIndex.delete(
+        em.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+    }
+    path
+  }
+
+  /** IVF ANN after DELETES — the takedown/opt-out operational gate:
+    * 10% of the indexed members (vec_id % 10 == 0) are tombstoned
+    * ([[IvfIndex.delete]], the FAISS remove_ids contract in its
+    * lazy-delete form) and the search result must be exactly the q180
+    * ranking computed WITHOUT those members: never a deleted id in any
+    * rank, and the ranks RE-CLOSE over the survivors (a post-filtered
+    * top-8 would leave holes — the mask applies before ranking). The
+    * oracle replays training + assignment and excludes the deleted ids
+    * from the candidate set only — a mask that leaked into training or
+    * into the probe-cell ranking would hash-mismatch. Deleted vectors
+    * still act as QUERIES (a removed doc's owner can still search):
+    * only their index rows are gone.
+    *
+    * 100 TB shape: the delete is one manifested tombstone append
+    * (deletes-sized); the search pays one extra anti-join against the
+    * deletes-sized tombstone table; the next compact drops the rows
+    * physically and clears the mask (IndexMaintenanceSpec proves
+    * masked == dropped == rebuilt-without-deleted row-for-row).
+    */
+  val q208 = EngineQuery(
+    "q208_knn_ivf_deleted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingDeletedIvfIndex(s, dir)
+      IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      ivfProbeTail("a.vec_id % 10 <> 0")))
 
   /** Int8-quantized ANN — the memory-side scale lever: symmetric
     * per-vector quantization (scale = 127/max|v|, code = floor(v·scale))
@@ -536,10 +656,10 @@ object Similarity {
     * and every candidate scores as 4 table lookups + 3 adds.
     *
     * Codebooks here are SEEDED (subvectors of the first k=16 vectors) —
-    * a documented stand-in for per-subspace k-means (random-sample
-    * codebooks are the standard cheap PQ variant; q53/q54 already prove
-    * trained-under-the-oracle clustering, and the training loop would
-    * compose here unchanged). All distances/scores are exact fixed-point
+    * the standard cheap random-sample PQ variant, kept as this gate's
+    * contract; the TRAINED form (per-subspace Lloyd k-means,
+    * [[PqCodebook.fit]] — the FAISS ProductQuantizer::train contract)
+    * is gated by q192/q194. All distances/scores are exact fixed-point
     * int64, so encoding and ADC ranking replay cell-exactly in SQL.
     *
     * Scale shape: the codebook is m·k·(dim/m) floats — broadcast
@@ -902,21 +1022,24 @@ object Similarity {
     * Jégou et al. 2011): the two scale levers already proven separately
     * composed into one search path. IVF cells (q53's verified k-means
     * training) prune WHICH vectors are scored — only the top-`nprobe`
-    * cells per query are touched; PQ codes (q56's m=4 one-byte codes,
-    * 64× compression) shrink WHAT is read to score them — the ADC stage
-    * reads candidate CODES, never raw vectors; the refine stage rescores
-    * only the 32-row shortlist with exact fixed-point dots.
+    * cells per query are touched; PQ codes (m=4 one-byte codes, 64×
+    * compression, codebooks TRAINED per subspace by [[PqCodebook.fit]]
+    * — the ProductQuantizer::train half of the FAISS contract, not
+    * q56's random-sample seed) shrink WHAT is read to score them — the
+    * ADC stage reads candidate CODES, never raw vectors; the refine
+    * stage rescores only the 32-row shortlist with exact fixed-point
+    * dots.
     *
     * 100 TB shape: centroids and the per-query (m·k)-row ADC tables are
-    * broadcast; the candidate join shuffles on cell id, so per-query
-    * work is |cell|·nprobe code lookups, and raw embeddings are touched
-    * for 32 rows per query regardless of corpus size. Every ranking
-    * quantity — the cell-probe dot, the squared-L2 encode argmin, the
-    * ADC sum, the refine dot — is exact int64 fixed-point, so the
-    * oracle replays training, encoding, and both search stages
-    * bit-exactly. Recall vs the exact q50 top-k is asserted in
-    * LlmopsSpec (cell pruning composes with code quantization, so the
-    * floor sits between q54's and q56's).
+    * broadcast; encoding is a zero-shuffle projection
+    * ([[PqCodebook.codesOf]]); the candidate join shuffles on cell id,
+    * so per-query work is |cell|·nprobe code lookups, and raw
+    * embeddings are touched for 32 rows per query regardless of corpus
+    * size. Every ranking quantity — the cell-probe dot, the codebook
+    * train/encode argmin, the ADC sum, the refine dot — is exact int64
+    * fixed-point, so the oracle replays BOTH trainings, encoding, and
+    * both search stages bit-exactly. Recall vs the exact q50 top-k is
+    * asserted in LlmopsSpec.
     */
   val q192 = EngineQuery(
     "q192_knn_ivfpq",
@@ -929,25 +1052,22 @@ object Similarity {
         .select(col("vec_id").as("member_id"), col("cell"))
       val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
         .toDF("ccell", "ec")
-      // PQ half: seeded codebook + per-subspace codes (q56's shape)
+      // PQ half: TRAINED codebook (per-subspace Lloyd k-means, the
+      // FAISS ProductQuantizer::train contract) + per-subspace codes
+      // assigned as a zero-shuffle projection
       val ex = t.embeddings.select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("pos0", "v")))
         .select(col("vec_id"),
           (col("pos0") / 16).cast("int").as("s"),
           (col("pos0") % 16).as("pi"),
           fixedPoint(col("v")).as("fv"))
-      val cb = ex.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cw"), col("s").as("cs"),
-          col("pi").as("cpi"), col("fv").as("fc"))
-      val dist = ex.join(broadcast(cb),
-          col("s") === col("cs") && col("pi") === col("cpi"))
-        .groupBy(col("vec_id"), col("s"), col("cw"))
-        .agg(sum((col("fv") - col("fc")) * (col("fv") - col("fc"))).as("d"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d"), col("cw"))
-      val codes = dist.withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("cw"))
+      val cbRows = PqCodebook.fit(s, t.embeddings,
+        m = 4, cb = 16, subDim = 16, iters = 2)
+      val cb = PqCodebook.toDf(s, cbRows)
+      val codes = t.embeddings
+        .select(col("vec_id"), posexplode(PqCodebook.codesOf(
+            col("embedding").cast("array<double>"), cbRows, m = 4,
+            subDim = 16)).as(Seq("s", "cw")))
       // probe: top-2 cells per query by exact int64 query·centroid dot
       val queries = t.embeddings.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
@@ -1005,9 +1125,8 @@ object Similarity {
            SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
              CAST(FLOOR(v*10000000.0) AS BIGINT) fv
            FROM ex
-         ), cbq AS (
-           SELECT vec_id AS cw, s, pi, fv AS fc FROM sub WHERE vec_id < 16
-         ), pqd AS (
+         )""" + pqTrainCtes() +
+      """, pqd AS (
            SELECT v.vec_id, v.s, c.cw,
              SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
            FROM sub v JOIN cbq c ON v.s = c.s AND v.pi = c.pi
@@ -1060,10 +1179,10 @@ object Similarity {
 
   /** The PERSISTED IVF-PQ index built+maintained once per (session,
     * dir) — q192's ingest half under the `existingIvfIndex` pattern:
-    * centroids trained and codebook seeded on the even-id half (the
-    * "existing corpus"), the odd-id half appended as the arriving
-    * delta (assigned + encoded under the RECORDED artifacts, no
-    * retrain).
+    * centroids AND per-subspace PQ codebooks trained on the even-id
+    * half (the "existing corpus"), the odd-id half appended as the
+    * arriving delta (assigned + encoded under the RECORDED artifacts,
+    * no retrain).
     */
   private[llmops] def existingIvfPqIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -1085,15 +1204,15 @@ object Similarity {
     * them), this store keeps CELL + m one-byte CODES per vector (64×
     * smaller) and the search ranks candidates by the exact int64 ADC
     * sum alone — no raw corpus vector is read at query time, the
-    * production FAISS IndexIVFPQ read path. Centroids trained and
-    * codebook seeded on the even half only; odd half appended under
-    * the recorded artifacts. The oracle replays training restricted to
-    * the even half, seeds the codebook from the even half's first 16
-    * ids, encodes EVERY vector under those artifacts (build-encode ∪
-    * append-encode ≡ one encode pass, because append retrains nothing),
-    * and probes with the q192 ADC arithmetic — a drifted append
-    * (retrained centroids, re-seeded codebook, missed or double-coded
-    * vectors) hash-mismatches.
+    * production FAISS IndexIVFPQ read path. Centroids AND per-subspace
+    * PQ codebooks ([[PqCodebook.fit]]) trained on the even half only;
+    * odd half appended under the recorded artifacts. The oracle
+    * replays BOTH trainings restricted to the even half (kmeans cells
+    * + unrolled per-subspace Lloyd codebooks), encodes EVERY vector
+    * under those artifacts (build-encode ∪ append-encode ≡ one encode
+    * pass, because append retrains nothing), and probes with the q192
+    * ADC arithmetic — a drifted append (retrained centroids, retrained
+    * codebook, missed or double-coded vectors) hash-mismatches.
     */
   val q194 = EngineQuery(
     "q194_knn_ivfpq_persisted",
@@ -1112,7 +1231,7 @@ object Similarity {
              PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
          WHERE rn <= 8 ORDER BY qid, rn"""))
 
-  /** Oracle CTEs shared by q194/q202: even-half codebook seeding, PQ
+  /** Oracle CTEs shared by q194/q202: even-half codebook TRAINING, PQ
     * encode of every vector, the probe set, and the ADC candidate
     * scores — ends with `adc(qid, cid, f)`.
     */
@@ -1121,11 +1240,8 @@ object Similarity {
            SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
              CAST(FLOOR(v*10000000.0) AS BIGINT) fv
            FROM ex
-         ), cbq AS (
-           SELECT vec_id AS cw, s, pi, fv AS fc FROM sub
-           WHERE vec_id IN (SELECT vec_id FROM embeddings
-                            WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16)
-         ), pqd AS (
+         )""" + pqTrainCtes("vec_id % 2 = 0") +
+    """, pqd AS (
            SELECT v.vec_id, v.s, c.cw,
              SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
            FROM sub v JOIN cbq c ON v.s = c.s AND v.pi = c.pi
@@ -1440,7 +1556,9 @@ object Similarity {
       emb: org.apache.spark.sql.DataFrame,
       graph: org.apache.spark.sql.DataFrame,
       entries: org.apache.spark.sql.DataFrame,
-      beam: Int, topk: Int): org.apache.spark.sql.DataFrame = {
+      beam: Int, topk: Int,
+      excludeFromResults: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val cand = emb.select(col("vec_id").as("cid"),
       col("embedding").as("ec"))
     def score(v: org.apache.spark.sql.DataFrame)
@@ -1466,7 +1584,16 @@ object Similarity {
       .select(col("qid"), col("eq"), col("dst").as("cid"))
     val v2 = v1.union(n2)
       .filter(col("qid") =!= col("cid")).distinct()
-    score(v2).withColumn("rn", row_number().over(w))
+    // lazy-delete masking (DiskANN semantics): excluded ids still ROUTE
+    // — they enter the visited set, can occupy beam slots, and their
+    // edges are expanded — but never occupy a RESULT rank
+    val scored = excludeFromResults match {
+      case None => score(v2)
+      case Some(x) =>
+        val xx = x.select(col("id").as("__tomb_id"))
+        score(v2).join(xx, col("cid") === col("__tomb_id"), "left_anti")
+    }
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topk)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
@@ -1613,7 +1740,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq"),
             col("label").as("qlabel")),
         centDf, nprobe = 2)
-      val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
+      val assigned = IvfIndex.members(s, path)
       val labels = t.embeddings
         .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
       val w = Window.partitionBy(col("qid"))
@@ -1686,7 +1813,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("eq"))
       val shortlist = IvfPqIndex.search(queries, pqPath, topk = 32)
         .select(col("qid"), col("cid"))
-      val raw = s.read.parquet(IvfIndex.dataDir(s, rawPath))
+      val raw = IvfIndex.members(s, rawPath)
         .select(col("member_id").as("cid"), col("em"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("cid"))
@@ -1750,7 +1877,7 @@ object Similarity {
         t.embeddings.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         centDf, nprobe = 2)
-      val assigned = s.read.parquet(IvfIndex.dataDir(s, path))
+      val assigned = IvfIndex.members(s, path)
         .filter(col("member_id") % 2 === 0)
       val labels = t.embeddings.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
@@ -1809,5 +1936,5 @@ object Similarity {
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202, q204)
+      q197, q198, q199, q201, q202, q204, q208)
 }

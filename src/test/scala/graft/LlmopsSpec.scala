@@ -709,10 +709,10 @@ class LlmopsSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     info(f"IVFPQ mean recall@8 = $mean%.3f")
     // cell pruning (reads ~2/4 of the corpus) composes with 64x code
-    // compression, so the floor sits below q56's PQ-only 0.45; random
-    // unit vectors remain the worst case for any quantized index —
-    // measured 0.50 on the fixture, floor at 0.3
-    assert(mean >= 0.3, f"IVFPQ recall degraded: $mean%.3f")
+    // compression; random unit vectors remain the worst case for any
+    // quantized index — measured 0.525 with TRAINED codebooks
+    // (PqCodebook.fit) vs 0.50 with the seeded stand-in, floor at 0.4
+    assert(mean >= 0.4, f"IVFPQ recall degraded: $mean%.3f")
   }
 
   test("semdedup: no surviving same-cell pair within threshold; deterministic") {
