@@ -483,7 +483,12 @@ object Sampling {
     "q203_dataset_shard_plan",
     (s, dir) => {
       val t = Tables(s, dir)
-      val key = ((col("doc_id") + 1L) * lit(2654435761L)) % lit(P)
+      // reduce mod P BEFORE the Knuth multiply (the PortableHash
+      // discipline): an unreduced doc_id * 2654435761 wraps int64 at
+      // doc_id ≳ 3.47e9 — Spark would go negative while DuckDB raises
+      // BIGINT overflow, diverging exactly at corpus scale
+      val key = (((col("doc_id") % lit(P)) + 1L) * lit(2654435761L)) %
+        lit(P)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
         .orderBy(col("key"), col("doc_id"))
       t.documents
@@ -503,7 +508,8 @@ object Sampling {
               SELECT doc_id, source,
                 CAST(length(string_split(trim(text), ' ')) AS BIGINT)
                   AS n_tok,
-                ((doc_id + 1) * 2654435761) % 1000000007 AS key
+                (((doc_id % 1000000007) + 1) * 2654435761)
+                  % 1000000007 AS key
               FROM documents
             ), sharded AS (
               SELECT doc_id, source, n_tok, key % 16 AS shard,

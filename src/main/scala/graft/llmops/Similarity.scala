@@ -1695,11 +1695,6 @@ object Similarity {
                  PARTITION BY ia ORDER BY fdot DESC, ib) rn
                FROM pairg WHERE ia % 2 = 1) x
              WHERE rn <= 4
-           ), graph AS (
-             SELECT DISTINCT src, dst FROM (
-               SELECT src, dst FROM bedges
-               UNION ALL SELECT src, dst FROM fedges
-               UNION ALL SELECT dst AS src, src AS dst FROM fedges)
            ), entries AS (
              SELECT vec_id FROM (
                SELECT a.vec_id, a.cell, row_number() OVER (
@@ -1708,6 +1703,23 @@ object Similarity {
                  ON d.vec_id = a.vec_id AND d.cell = a.cell
                WHERE a.vec_id % 2 = 0) x
              WHERE rn = 1
+           ), sedges AS (
+             -- GraphIndex.append's stray arm: an appended vector whose
+             -- cell has NO build-side member edges to the entry points
+             -- (same-cell fedges alone would leave a build-empty cell's
+             -- group as an unreachable island)
+             SELECT a.vec_id AS src, e.vec_id AS dst
+             FROM a3 a CROSS JOIN entries e
+             WHERE a.vec_id % 2 = 1 AND a.vec_id <> e.vec_id
+               AND a.cell NOT IN (
+                 SELECT cell FROM a3 WHERE vec_id % 2 = 0)
+           ), graph AS (
+             SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM bedges
+               UNION ALL SELECT src, dst FROM fedges
+               UNION ALL SELECT dst AS src, src AS dst FROM fedges
+               UNION ALL SELECT src, dst FROM sedges
+               UNION ALL SELECT dst AS src, src AS dst FROM sedges)
            )""" + beamTailSql))
 
   /** FILTERED ANN over the persisted IVF index — the production

@@ -416,4 +416,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(spark.table("dml_target").count() == 5)
     spark.sql("DROP TABLE dml_target")
   }
+
+  test("TopK aggregators rank correctly at the int64/double boundary " +
+    "values (no negation overflow, total order, id tie-breaks)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // Long boundary: Long.MinValue negates to itself — a sortBy(-score)
+    // implementation ranks it FIRST; the explicit comparator must rank
+    // it last. Ties break to the smaller id.
+    val longRows = Seq(
+      (1L, Long.MinValue, 10L), (1L, Long.MaxValue, 11L),
+      (1L, 0L, 12L), (1L, Long.MaxValue, 9L), (1L, -1L, 13L))
+      .toDF("g", "score", "id")
+    val got = longRows.groupBy(col("g"))
+      .agg(graft.functions.TopK.topKLong(3)(col("score"), col("id"))
+        .as("top"))
+      .select(col("top")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((Long.MaxValue, 9L), (Long.MaxValue, 11L),
+      (0L, 12L)), s"boundary ranking wrong: $got")
+    // Double: -0.0/0.0 and infinities rank by Double.compare's total
+    // order (0.0 above -0.0, +Inf above everything finite)
+    val dblRows = Seq(
+      (1L, Double.NegativeInfinity, 1L), (1L, -0.0, 2L), (1L, 0.0, 3L),
+      (1L, Double.PositiveInfinity, 4L), (1L, Double.MinValue, 5L))
+      .toDF("g", "score", "id")
+    val gotD = dblRows.groupBy(col("g"))
+      .agg(graft.functions.TopK.topK(4)(col("score"), col("id"))
+        .as("top"))
+      .select(col("top")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(gotD.map(_._2) == Seq(4L, 3L, 2L, 5L),
+      s"double total-order ranking wrong: $gotD")
+  }
 }
