@@ -89,6 +89,38 @@ object ScaleAnn {
     sweep("knn_graph", "beam", Seq(2, 4, 8, 16),
       () => { llmops.GraphIndex.search(queries, gPath).count(); () },
       b => llmops.GraphIndex.search(queries, gPath, beam = b))
+    // the SECOND graph knob: expansion rounds at the gate's beam=4 —
+    // the beam sweep saturates once every beam-reachable 1-hop
+    // neighborhood is visited; more ROUNDS extend the walk's horizon
+    // instead of its width (the HNSW ef-vs-depth distinction)
+    sweep("knn_graph", "rounds", Seq(1, 2, 3, 4),
+      () => { llmops.GraphIndex.search(queries, gPath).count(); () },
+      r => llmops.GraphIndex.search(queries, gPath, rounds = r))
+    // one composed point: wider AND deeper
+    sweep("knn_graph", "beam8_rounds", Seq(2, 3),
+      () => { llmops.GraphIndex.search(queries, gPath).count(); () },
+      r => llmops.GraphIndex.search(queries, gPath, beam = 8, rounds = r))
+    // the knob that actually moves the ceiling: build-time OUT-DEGREE
+    // (the DiskANN/Vamana R parameter). beam and rounds only widen or
+    // deepen the walk INSIDE the reachable component; degree grows the
+    // component itself. One store per degree (it is a build artifact —
+    // the config records it and appends extend at the recorded R).
+    Seq(4, 8, 16).foreach { d =>
+      val p = fresh(s"graph_d$d")
+      val (_, buildSec) = timed {
+        llmops.GraphIndex.build(embs, p, k = 16, degree = d)
+      }
+      llmops.GraphIndex.search(queries, p).count() // warm-up
+      ops.SessionScratch.evictTransients()
+      val (got, sec) = timed {
+        val r = topSets(llmops.GraphIndex.search(queries, p))
+        ops.SessionScratch.evictTransients()
+        r
+      }
+      println(f"""{"index":"knn_graph","knob":"degree","value":$d,""" +
+        f""""n":$n,"recall_at_8":${recall(got, exact)}%.3f,""" +
+        f""""build_sec":$buildSec%.2f,"search_sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -1473,12 +1473,17 @@ object IvfIndex {
   */
 object GraphIndex {
 
-  /** Lloyd iterations / out-degree / Lloyd k default (q198's recipe). */
+  /** Lloyd iterations / default out-degree (q198's recipe). The
+    * out-degree is the DiskANN/Vamana R parameter — the graph's
+    * CONNECTIVITY budget, recorded in the config at build because it
+    * is the knob that actually moves the recall ceiling (ScaleAnn:
+    * beam and rounds both saturate at fixed degree; see SCALING.md).
+    */
   val Iters = 2
   val Degree = 4
 
-  private def config(k: Int): String =
-    s"kind=knn-graph;k=$k;iters=$Iters;degree=$Degree;" +
+  private def config(k: Int, degree: Int = Degree): String =
+    s"kind=knn-graph;k=$k;iters=$Iters;degree=$degree;" +
       "fixed_point=1e7;seed=first-k-by-id;entries=cell-medoid;v=1"
 
   private def centDir(path: String) = s"$path/centroids"
@@ -1491,11 +1496,18 @@ object GraphIndex {
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
     IndexMaintenance.vacuumStore(s, path, ManifestName, What)
 
-  /** Non-throwing audit — parametric k re-derived like [[IvfIndex.fsck]]. */
+  /** Non-throwing audit — parametric k AND degree re-derived like
+    * [[IvfIndex.fsck]].
+    */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport = {
     val expected = IndexMaintenance.readSidecar(s, path, ConfigName)
-      .flatMap(r => "k=(\\d+)".r.findFirstMatchIn(r)
-        .map(m => config(m.group(1).toInt)))
+      .flatMap { r =>
+        for {
+          k <- ";k=(\\d+);".r.findFirstMatchIn(r).map(_.group(1).toInt)
+          d <- ";degree=(\\d+);".r.findFirstMatchIn(r)
+            .map(_.group(1).toInt)
+        } yield config(k, d)
+      }
     IndexMaintenance.fsckStore(s, path, ManifestName,
       ConfigName, expected, What)
   }
@@ -1510,9 +1522,18 @@ object GraphIndex {
         .map(_.group(1).toInt))
       .getOrElse(0)
 
+  /** The out-degree the graph was BUILT with — appends must extend the
+    * graph at the recorded R, not the compile-time default.
+    */
+  private def recordedDegree(s: SparkSession, path: String): Int =
+    IndexMaintenance.readSidecar(s, path, ConfigName)
+      .flatMap(c => ";degree=(\\d+);".r.findFirstMatchIn(c)
+        .map(_.group(1).toInt))
+      .getOrElse(Degree)
+
   private def requireLive(s: SparkSession, path: String): Unit =
     IndexMaintenance.requireConfig(s, path, ConfigName,
-      config(recordedK(s, path)), What)
+      config(recordedK(s, path), recordedDegree(s, path)), What)
 
   private def memberShape(rows: DataFrame): DataFrame =
     rows.select(col("member_id"), col("cell"), col("em"),
@@ -1529,7 +1550,8 @@ object GraphIndex {
     * points, write member + edge rows into one manifested store,
     * publish the config LAST (the ingest-complete marker).
     */
-  def build(embeddings: DataFrame, path: String, k: Int): Unit = {
+  def build(embeddings: DataFrame, path: String, k: Int,
+      degree: Int = Degree): Unit = {
     val s = embeddings.sparkSession
     import s.implicits._
     val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
@@ -1544,10 +1566,11 @@ object GraphIndex {
         .select(col("vec_id").as("member_id"), col("cell"),
           col("embedding").as("em")))
       .write.mode("overwrite").parquet(dir)
-    edgeShape(Similarity.knnGraphOf(embeddings, cents, degree = Degree))
+    edgeShape(Similarity.knnGraphOf(embeddings, cents, degree = degree))
       .write.mode("append").parquet(dir)
     IndexMaintenance.publishManifest(s, path, ManifestName, "graph-g0")
-    IndexMaintenance.writeSidecar(s, path, ConfigName, config(k))
+    IndexMaintenance.writeSidecar(s, path, ConfigName,
+      config(k, degree))
   }
 
   /** The recorded centroids (k-bounded collect), config-verified
@@ -1613,7 +1636,7 @@ object GraphIndex {
           col("ea").cast("array<double>"),
           col("eb").cast("array<double>")).as("fdot"))
       .groupBy(col("ia"))
-      .agg(graft.functions.TopK.topKLong(Degree)(
+      .agg(graft.functions.TopK.topKLong(recordedDegree(s, path))(
         col("fdot"), col("ib")).as("top"))
       .select(col("ia").as("src"), explode(col("top.id")).as("dst"))
     // strays: EVERY batch vector whose cell has no PRE-EXISTING member
@@ -1647,7 +1670,7 @@ object GraphIndex {
     * members, edges, and entry points read off the verified store.
     */
   def search(queries: DataFrame, path: String, beam: Int = 4,
-      topk: Int = 8): DataFrame = {
+      topk: Int = 8, rounds: Int = 2): DataFrame = {
     val s = queries.sparkSession
     requireLive(s, path)
     val data = s.read.parquet(dataDir(s, path))
@@ -1658,7 +1681,8 @@ object GraphIndex {
       s.read.parquet(entDir(path)),
       beam, topk,
       excludeFromResults =
-        IndexMaintenance.tombstones(s, path, ManifestName, What))
+        IndexMaintenance.tombstones(s, path, ManifestName, What),
+      rounds = rounds)
   }
 
   /** DELETE members from the graph — the DiskANN LAZY-delete contract,
@@ -1692,16 +1716,18 @@ object GraphIndex {
   /** Drift remediation — rebuild IN PLACE, crash-detectably
     * ([[IvfIndex.republish]]'s retract-then-build discipline).
     */
-  def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
+  def republish(embeddings: DataFrame, path: String, k: Int,
+      degree: Int = Degree): Unit = {
     val s = embeddings.sparkSession
-    IndexMaintenance.requireConfig(s, path, ConfigName, config(k), What)
+    IndexMaintenance.requireConfig(s, path, ConfigName,
+      config(k, recordedDegree(s, path)), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, ConfigName)
     // the re-wiring rebuild IS the physical-delete arm (DiskANN
     // consolidate_deletes): the graph is rebuilt over the corpus it is
     // handed, so pending lazy-delete tombstones are consumed here
     IndexMaintenance.clearTombstones(s, path, ManifestName)
-    build(embeddings, path, k)
+    build(embeddings, path, k, degree)
     if (!stale.endsWith("/graph-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

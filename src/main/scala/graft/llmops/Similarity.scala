@@ -1546,19 +1546,23 @@ object Similarity {
       .select(col("vec_id").as("cid"))
   }
 
-  /** Unrolled 2-round best-first beam search over a (src, dst) k-NN
-    * graph from fixed entry points; every visited candidate competes
-    * in the final top-k. The per-round candidate sets are bounded by
-    * |queries|·(entries + beam·degree) — the graph is touched only
-    * through equi-joins on src.
+  /** Unrolled best-first beam search over a (src, dst) k-NN graph
+    * from fixed entry points (`rounds` expansion rounds, default 2 —
+    * the gate-pinned operating point; ScaleAnn measures the
+    * recall/latency curve over both `beam` and `rounds`); every
+    * visited candidate competes in the final top-k. The per-round
+    * candidate sets are bounded by |queries|·(entries + Σ beam·degree)
+    * — the graph is touched only through equi-joins on src.
     */
   private[llmops] def beamSearch(queries: org.apache.spark.sql.DataFrame,
       emb: org.apache.spark.sql.DataFrame,
       graph: org.apache.spark.sql.DataFrame,
       entries: org.apache.spark.sql.DataFrame,
       beam: Int, topk: Int,
-      excludeFromResults: Option[org.apache.spark.sql.DataFrame] = None)
+      excludeFromResults: Option[org.apache.spark.sql.DataFrame] = None,
+      rounds: Int = 2)
       : org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"beamSearch needs >= 1 expansion round")
     val cand = emb.select(col("vec_id").as("cid"),
       col("embedding").as("ec"))
     def score(v: org.apache.spark.sql.DataFrame)
@@ -1571,19 +1575,27 @@ object Similarity {
     val c0 = queries.crossJoin(broadcast(entries))
     val n1 = c0.join(graph, col("cid") === col("src"))
       .select(col("qid"), col("eq"), col("dst").as("cid"))
-    // each round's visited set is checkpointed: round 2's lineage
-    // would otherwise re-derive round 1 (and the graph) from scratch —
-    // the frames are |queries|·(entries + beam·degree) rows, driver-
-    // bounded, and consumed within this query
-    val v1 = graft.ops.SessionScratch.transientCheckpoint(
+    // each intermediate round's visited set is checkpointed: a later
+    // round's lineage would otherwise re-derive every earlier round
+    // (and the graph) from scratch — the frames are
+    // |queries|·(entries + Σ beam·degree) rows, driver-bounded, and
+    // consumed within this query. Round 1 expands the entry points;
+    // each further round expands the current beam (best-first).
+    var visited = graft.ops.SessionScratch.transientCheckpoint(
       c0.select(col("qid"), col("eq"), col("cid")).union(n1)
         .filter(col("qid") =!= col("cid")).distinct())
-    val b1 = score(v1).withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= beam)
-    val n2 = b1.join(graph, col("cid") === col("src"))
-      .select(col("qid"), col("eq"), col("dst").as("cid"))
-    val v2 = v1.union(n2)
-      .filter(col("qid") =!= col("cid")).distinct()
+    for (r <- 2 to rounds) {
+      val b = score(visited).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+      val n = b.join(graph, col("cid") === col("src"))
+        .select(col("qid"), col("eq"), col("dst").as("cid"))
+      val v = visited.union(n)
+        .filter(col("qid") =!= col("cid")).distinct()
+      visited =
+        if (r < rounds) graft.ops.SessionScratch.transientCheckpoint(v)
+        else v
+    }
+    val v2 = visited
     // lazy-delete masking (DiskANN semantics): excluded ids still ROUTE
     // — they enter the visited set, can occupy beam slots, and their
     // edges are expanded — but never occupy a RESULT rank

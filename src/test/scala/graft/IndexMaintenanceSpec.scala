@@ -1380,6 +1380,27 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(again.head.getAs[Boolean]("healthy"))
   }
 
+  test("GraphIndex: append extends the graph at the RECORDED degree, " +
+    "not the compile-time default") {
+    import graft.llmops.GraphIndex
+    val path = freshDir("graph_deg8")
+    GraphIndex.build(embs.filter(col("vec_id") % 2 === 0), path,
+      k = 4, degree = 8)
+    GraphIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    val edges = spark.read.parquet(GraphIndex.dataDir(spark, path))
+      .filter(col("kind") === "e")
+    // forward out-degree of appended (odd) members: exactly the
+    // recorded R=8 wherever the cell has >= 8 other members
+    val outDeg = edges.filter(col("src") % 2 === 1)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(outDeg >= 8,
+      s"append used the default degree, not the recorded 8 (max=$outDeg)")
+    // and the config records it, so requireLive round-trips
+    val fr = GraphIndex.fsck(spark, path)
+    assert(fr.configMatches.contains(true))
+  }
+
   // ---- tombstoned deletes -------------------------------------------------
 
   test("DedupIndex.delete: masked == dropped == rebuilt-without-deleted") {
