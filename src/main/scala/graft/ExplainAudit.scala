@@ -50,7 +50,7 @@ object ExplainAudit {
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
     "q204_knn_label_propagation", "q205_media_perceptual_dedup",
     "q206_corpus_datasheet", "q207_curation_day2_datasheet",
-    "q208_knn_ivf_deleted")
+    "q208_knn_ivf_deleted", "q209_knn_graph_day3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -672,7 +672,7 @@ object ExplainAudit {
         "total (query fetch with the vec_id<10 filter pushed, the " +
         "assignment store, the tombstone store), no corpus re-read, " +
         "no cartesian", {
-        val p = planOf(spark, byName, sfDir, "q208_knn_ivf_deleted")
+        val p = planOf(spark, byName, sfDir, "q208_knn_ivf_deleted", "q209_knn_graph_day3")
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 3 &&
           p.contains("assignments") && p.contains("tombs") &&
           p.toLowerCase.contains("leftanti") &&

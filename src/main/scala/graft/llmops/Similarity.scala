@@ -1660,6 +1660,32 @@ object Similarity {
     path
   }
 
+  /** The MULTI-DAY graph index ([[existingSemdedupIndex]]'s cadence,
+    * graph flavor): day-0 build (vec_id % 3 == 0), then TWO append
+    * waves — day-2 (% 3 == 1) and day-3 (% 3 == 2). Each wave's edge
+    * candidates are exactly the members that EXISTED at its append
+    * time plus its own batch (wave order is observable in the edges:
+    * a day-2 vector can never edge to a day-3 vector, while day-3
+    * vectors rank over everything) — the q209 oracle replays both
+    * waves with that restriction, so a replayed/out-of-order append
+    * hash-mismatches.
+    */
+  private[llmops] def existingDay3GraphIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("graph3_index", app)}/gr3_$tag"
+    graft.ops.SessionScratch.once("graph3_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      GraphIndex.build(em.filter(col("vec_id") % 3 === 0), path, k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 3 === 1), path)
+      GraphIndex.append(em.filter(col("vec_id") % 3 === 2), path)
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
   /** Graph ANN over the PERSISTED, MAINTAINED index — q198's walk with
     * every artifact read off the store, and the INSERT-ONLY graph
     * maintenance contract hash-checked end-to-end: centroids + entry
@@ -1732,6 +1758,96 @@ object Similarity {
                UNION ALL SELECT dst AS src, src AS dst FROM fedges
                UNION ALL SELECT src, dst FROM sedges
                UNION ALL SELECT dst AS src, src AS dst FROM sedges)
+           )""" + beamTailSql))
+
+  /** Graph ANN after TWO append waves — the q196/q197 multi-day
+    * admission cadence applied to the graph family: day-0 build, day-2
+    * and day-3 appends, then the walk over the twice-grown store. The
+    * oracle replays EACH wave's edge rule against exactly the members
+    * that existed at its append time (day-2 edges can never point to
+    * day-3 — `ib % 3 <> 2` — while day-3 ranks over everything, both
+    * waves with their own stray/entry-fallback arm against the day-0
+    * stray baseline), so a replayed, merged, or out-of-order append
+    * hash-mismatches even when the final member set is right. Day-2
+    * and day-3 members must surface as RESULTS through edges alone —
+    * entry points stay day-0 by the train-then-add contract.
+    *
+    * 100 TB shape: identical to q199 per wave — each append's pair
+    * space is delta × cell occupancy, never corpus × corpus; the
+    * store grows by exactly the batch's member+edge rows per day.
+    */
+  val q209 = EngineQuery(
+    "q209_knn_graph_day3",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingDay3GraphIndex(s, dir)
+      GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 3 = 0") +
+      """
+         , pairg AS (
+             SELECT ea.vec_id ia, eb.vec_id ib,
+               SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
+                 * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS fdot
+             FROM ex ea
+             JOIN a3 sa ON sa.vec_id = ea.vec_id
+             JOIN a3 sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
+             JOIN ex eb ON eb.vec_id = sb.vec_id AND eb.pos = ea.pos
+             GROUP BY 1, 2
+           ), bedges AS (
+             SELECT ia AS src, ib AS dst FROM (
+               SELECT ia, ib, row_number() OVER (
+                 PARTITION BY ia ORDER BY fdot DESC, ib) rn
+               FROM pairg WHERE ia % 3 = 0 AND ib % 3 = 0) x
+             WHERE rn <= 4
+           ), fedges2 AS (
+             -- day-2 wave: candidates are day-0 ∪ the day-2 batch ONLY
+             SELECT ia AS src, ib AS dst FROM (
+               SELECT ia, ib, row_number() OVER (
+                 PARTITION BY ia ORDER BY fdot DESC, ib) rn
+               FROM pairg WHERE ia % 3 = 1 AND ib % 3 <> 2) x
+             WHERE rn <= 4
+           ), fedges3 AS (
+             -- day-3 wave: candidates are everything existing ∪ batch
+             SELECT ia AS src, ib AS dst FROM (
+               SELECT ia, ib, row_number() OVER (
+                 PARTITION BY ia ORDER BY fdot DESC, ib) rn
+               FROM pairg WHERE ia % 3 = 2) x
+             WHERE rn <= 4
+           ), entries AS (
+             SELECT vec_id FROM (
+               SELECT a.vec_id, a.cell, row_number() OVER (
+                 PARTITION BY a.cell ORDER BY d.fdot DESC, a.vec_id) rn
+               FROM a3 a JOIN d3 d
+                 ON d.vec_id = a.vec_id AND d.cell = a.cell
+               WHERE a.vec_id % 3 = 0) x
+             WHERE rn = 1
+           ), sedges2 AS (
+             SELECT a.vec_id AS src, e.vec_id AS dst
+             FROM a3 a CROSS JOIN entries e
+             WHERE a.vec_id % 3 = 1 AND a.vec_id <> e.vec_id
+               AND a.cell NOT IN (
+                 SELECT cell FROM a3 WHERE vec_id % 3 = 0)
+           ), sedges3 AS (
+             SELECT a.vec_id AS src, e.vec_id AS dst
+             FROM a3 a CROSS JOIN entries e
+             WHERE a.vec_id % 3 = 2 AND a.vec_id <> e.vec_id
+               AND a.cell NOT IN (
+                 SELECT cell FROM a3 WHERE vec_id % 3 <> 2)
+           ), graph AS (
+             SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM bedges
+               UNION ALL SELECT src, dst FROM fedges2
+               UNION ALL SELECT dst AS src, src AS dst FROM fedges2
+               UNION ALL SELECT src, dst FROM sedges2
+               UNION ALL SELECT dst AS src, src AS dst FROM sedges2
+               UNION ALL SELECT src, dst FROM fedges3
+               UNION ALL SELECT dst AS src, src AS dst FROM fedges3
+               UNION ALL SELECT src, dst FROM sedges3
+               UNION ALL SELECT dst AS src, src AS dst FROM sedges3)
            )""" + beamTailSql))
 
   /** FILTERED ANN over the persisted IVF index — the production
@@ -1960,5 +2076,5 @@ object Similarity {
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202, q204, q208)
+      q197, q198, q199, q201, q202, q204, q208, q209)
 }
