@@ -87,6 +87,18 @@ object Bench {
       .filter(_ >= 1).getOrElse(2)
 
     val names = timed.map(_.name)
+    // SPARK_GRAFT_BENCH_SINK=noop executes the FULL plan through the
+    // noop DSv2 sink instead of count() — count() lets Catalyst prune
+    // operators that feed only unused output columns, so
+    // projection-shaped queries bench the pruned plan (the BASELINE.md
+    // round-10 caveat). Default stays count() for cross-round
+    // per-query diffability; the noop mode is the pre-registered
+    // switch (expect a one-time uniform upward step in
+    // projection-shaped entries when flipping it).
+    val noopSink = sys.env.get("SPARK_GRAFT_BENCH_SINK").contains("noop")
+    def execute(df: org.apache.spark.sql.DataFrame): Unit =
+      if (noopSink) df.write.mode("overwrite").format("noop").save()
+      else { df.count(); () }
     val times = Array.fill(timed.size, reps)(Double.NaN)
     val ok = Array.fill(timed.size)(true)
     val sentinels = new Array[Double](reps + 1)
@@ -98,7 +110,7 @@ object Bench {
         // checkpoint across evictions fails here with a descriptive
         // contract-violation error instead of a bare block-not-found
         try ops.SessionScratch.withEvictionDiagnostics(
-          q.run(spark, sfDir).count())
+          execute(q.run(spark, sfDir)))
         catch { case e: Throwable =>
           ok(i) = false
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -146,8 +158,10 @@ object Bench {
         val sp = post.max / math.max(post.min, 1e-9)
         (sp.toString, (sp > 2.0).toString)
       }
+    val sinkMode = if (noopSink) "noop" else "count"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""sink":"$sinkMode",""" +
         s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
         s""""pass_totals":$passTotals,"sentinel_sec":$sentinelJson,""" +
         s""""sentinel_spread":$spread,"contention_suspect":$suspect,""" +

@@ -672,7 +672,7 @@ object ExplainAudit {
         "total (query fetch with the vec_id<10 filter pushed, the " +
         "assignment store, the tombstone store), no corpus re-read, " +
         "no cartesian", {
-        val p = planOf(spark, byName, sfDir, "q208_knn_ivf_deleted", "q209_knn_graph_day3")
+        val p = planOf(spark, byName, sfDir, "q208_knn_ivf_deleted")
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 3 &&
           p.contains("assignments") && p.contains("tombs") &&
           p.toLowerCase.contains("leftanti") &&

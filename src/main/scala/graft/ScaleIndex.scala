@@ -277,6 +277,54 @@ object ScaleIndex {
         f""""files_before":${gFiles._1},"files_after":${gFiles._2},""" +
         f""""search_pre_sec":$gSearchPre%.2f,"search_post_sec":$gSearchPost%.2f}""")
     }
+
+    // OCCUPANCY-CONSTANT protocol: the loop above holds k FIXED while
+    // the corpus grows 8x, so cell occupancy grows 8x and the
+    // occupancy-bounded costs (the graph build's cell-blocked pair
+    // space, the semantic probe's delta x occupancy candidate set)
+    // grow super-linearly — the documented caveat. Production scales k
+    // WITH the corpus (HNSW's hierarchy, SemDeDup's 11k cells on
+    // LAION) so occupancy stays constant; this block measures exactly
+    // that remediation: the same 8x corpus at k=16 (occupancy 8x) vs
+    // k=128 (occupancy ~1x).
+    Seq((1, 16), (8, 16), (8, 128)).foreach { case (f, k) =>
+      val root = fresh(s"occ_${f}x_k$k")
+      val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", f, s"$root/base")
+      val nVBase = vBase.count()
+      val gPath = s"$root/graph"
+      val gBuild = timed {
+        llmops.GraphIndex.build(vBase, gPath, k = k)
+        ops.SessionScratch.evictTransients()
+      }
+      val sPath = s"$root/ivf"
+      llmops.IvfIndex.build(vBase, sPath, k = k)
+      val semProbe = timed {
+        llmops.IvfIndex.semanticProbe(vDelta, sPath).count()
+        ops.SessionScratch.evictTransients()
+      }
+      val gAppend = timed {
+        llmops.GraphIndex.append(vDelta, gPath)
+        ops.SessionScratch.evictTransients()
+      }
+      // the occupancy claim as a ROW-COUNT fact (fixture timings mix
+      // in the n·k training term): Σ_cell occ·(occ-1) = the build's
+      // same-cell pair space, and max occupancy = the quadratic bound
+      val occ = spark.read.parquet(
+          llmops.GraphIndex.dataDir(spark, gPath))
+        .filter(col("kind") === "m")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1)).as("pairs"),
+          max(col("n")).as("occ_max"))
+        .head()
+      println(f"""{"protocol":"occupancy_constant","corpus_scale":$f,""" +
+        f""""k":$k,"n_base":$nVBase,"n_delta":$nVecDelta,""" +
+        f""""pair_space":${occ.getLong(0)},""" +
+        f""""occ_max":${occ.getLong(1)},""" +
+        f""""graph_build_sec":$gBuild%.2f,""" +
+        f""""graph_append_sec":$gAppend%.2f,""" +
+        f""""sem_probe_sec":$semProbe%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -306,6 +306,25 @@ object IndexMaintenance {
         rows.join(tt, rows(idCol) === tt("__tomb_id"), "left_anti")
     }
 
+  /** Vacuum BOTH stores under one root: the data store and, when one
+    * exists, its tombstone store — a torn delete-append leaves
+    * uncommitted files under `tombs-g<N>` that the data-store vacuum's
+    * generation regex deliberately does not touch. Counts are summed.
+    */
+  private[llmops] def vacuumWithTombstones(s: SparkSession, path: String,
+      manifestName: String, what: String): VacuumReport = {
+    val main = vacuumStore(s, path, manifestName, what)
+    val tn = tombManifest(manifestName)
+    if (readSidecar(s, path, tn).isEmpty) main
+    else {
+      val t = vacuumStore(s, path, tn, s"$what tombstones")
+      VacuumReport(
+        main.uncommittedRemoved + t.uncommittedRemoved,
+        main.staleGenerationsRemoved + t.staleGenerationsRemoved,
+        main.tempsRemoved + t.tempsRemoved)
+    }
+  }
+
   /** Clear the tombstone store after its rows were PHYSICALLY dropped
     * (a compaction swap or a republish). Order matters for the crash
     * window: the manifest is retracted FIRST, so a crash mid-clear
@@ -518,7 +537,7 @@ object DedupIndex {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
@@ -692,7 +711,7 @@ object TextIndex {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
@@ -862,7 +881,7 @@ object NgramIndex {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
@@ -986,7 +1005,7 @@ object BpeModel {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
@@ -1093,7 +1112,7 @@ object ClfModel {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. */
   def fsck(s: SparkSession, path: String): IndexMaintenance.FsckReport =
@@ -1182,7 +1201,7 @@ object IvfIndex {
     * [[IndexMaintenance.vacuumStore]].
     */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — see [[IndexMaintenance.fsckStore]]. The
     * recipe is parametric in k, so the expected config is re-derived
@@ -1494,7 +1513,7 @@ object GraphIndex {
 
   /** Crash recovery — see [[IndexMaintenance.vacuumStore]]. */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — parametric k AND degree re-derived like
     * [[IvfIndex.fsck]].
@@ -1786,7 +1805,7 @@ object IvfPqIndex {
 
   /** Crash recovery — see [[IndexMaintenance.vacuumStore]]. */
   def vacuum(s: SparkSession, path: String): IndexMaintenance.VacuumReport =
-    IndexMaintenance.vacuumStore(s, path, ManifestName, What)
+    IndexMaintenance.vacuumWithTombstones(s, path, ManifestName, What)
 
   /** Non-throwing audit — expected config re-derived from the recorded
     * k (the [[IvfIndex.fsck]] pattern).

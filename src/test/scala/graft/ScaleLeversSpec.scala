@@ -55,6 +55,62 @@ class ScaleLeversSpec extends SparkTestBase {
     }
   }
 
+  test("same-text flood (hot LSH band): the exact stage removes copies " +
+    "LINEARLY before the quadratic pair stage; the residual bucket " +
+    "stays variant-bounded") {
+    import spark.implicits._
+    // 800 exact copies of one boilerplate page (the crawler re-crawl /
+    // license-page flood — the worst hot-bucket input for LSH: every
+    // copy shares all 8 band signatures), 20 near-dup VARIANTS of it,
+    // and 100 unique docs
+    val boiler = "this is the same boilerplate license page text " +
+      "that appears on every mirror of the site word for word " +
+      "with enough distinct words to shingle into stable minhash bands"
+    val flood = spark.range(800L)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val variants = spark.range(800L, 820L)
+      .select(col("id").as("doc_id"),
+        concat(lit(boiler + " variant tail number "), col("id"))
+          .as("text"))
+    // genuinely distinct texts: 24 per-doc pseudo-random words each —
+    // shared boilerplate words would themselves collide in the bands
+    val uniques = spark.range(900L, 1000L)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(24)),
+          i => concat(lit("w"),
+            pmod(col("id") * 31L + i.cast("long") * 7919L, lit(99991L)))))
+          .as("text"))
+    val docs = flood.unionByName(variants).unionByName(uniques)
+
+    // stage 1 — EXACT dedup (q40's groupBy-text semantics): linear,
+    // join-free; the 800-copy flood collapses to ONE representative
+    val exactKept = docs
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id", "text"), "left_semi")
+    val keptCount = exactKept.count()
+    assert(keptCount == 1 + 20 + 100,
+      s"exact stage should keep one per distinct text, got $keptCount")
+
+    // stage 2 — the LSH band stage runs on the exact-deduped corpus:
+    // its quadratic term is max bucket occupancy, which is now bounded
+    // by the VARIANT count, never the flood size
+    val rawMax = graft.llmops.Dedup.bandSignaturesOf(docs)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    val dedupedMax = graft.llmops.Dedup.bandSignaturesOf(exactKept)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(rawMax >= 800,
+      s"flood should form a hot bucket without the exact stage ($rawMax)")
+    assert(dedupedMax <= 21,
+      s"post-exact max bucket must be variant-bounded, got $dedupedMax")
+    // pair-space arithmetic the ordering buys: 800² ≈ 640k pairs per
+    // band avoided, ≤ 21² ≈ 441 remaining — the flood never reaches
+    // the quadratic stage
+    info(s"hot bucket: raw max occupancy $rawMax -> " +
+      s"post-exact $dedupedMax")
+  }
+
   test("CBO reorders a star join so the selective dim joins first") {
     // fact(100k) ⋈ wide(10k) ⋈ tiny(10): written worst-order-first —
     // fact⋈wide would carry every fact row through the first join.

@@ -658,6 +658,69 @@ class StreamingSpec extends SparkTestBase {
     assert(a.count() == embs.count(), "every vector indexed exactly once")
   }
 
+  test("streaming takedown feed via foreachBatch == one batch delete " +
+    "(tombstones accumulate across micro-batches)") {
+    // deletes arrive operationally as a stream too (DSR/opt-out
+    // queues); IvfIndex.delete per micro-batch is the tombstone
+    // counterpart of the append twin — after N micro-batch deletes the
+    // masked member set and the search results must equal one batch
+    // delete of the union
+    import graft.llmops.IvfIndex
+    val embs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def freshIdx(tag: String): String = {
+      val p = Files.createTempDirectory(tag).toString
+      IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, k = 4)
+      IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), p)
+      p
+    }
+    val delAll = embs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"))
+    val wave1 = delAll.filter(col("vec_id") % 20 === 0)
+    val wave2 = delAll.filter(col("vec_id") % 20 =!= 0)
+
+    val batchIdx = freshIdx("ivfdel_batch")
+    IvfIndex.delete(delAll, batchIdx)
+
+    val streamIdx = freshIdx("ivfdel_stream")
+    val inDir = Files.createTempDirectory("ivfdel_in")
+    val ckpt = Files.createTempDirectory("ivfdel_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(delAll.schema)
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.delete(batch, streamIdx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, wave1, "d1.parquet")
+    runOnce()
+    stageInto(inDir, wave2, "d2.parquet")
+    runOnce()
+
+    val a = IvfIndex.members(spark, streamIdx)
+      .selectExpr("member_id", "cell")
+    val b = IvfIndex.members(spark, batchIdx)
+      .selectExpr("member_id", "cell")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed deletes must mask the same member set as one batch " +
+        "delete")
+    assert(a.filter(col("member_id") % 10 === 0).count() == 0)
+    val q10 = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val ra = IvfIndex.search(q10, streamIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val rb = IvfIndex.search(q10, batchIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(ra.sameElements(rb),
+      "search after streamed deletes must equal the batch-delete twin")
+  }
+
   test("streaming IVF-PQ maintenance via foreachBatch == sequential " +
     "batch appends (cells + codes under the recorded artifacts)") {
     // the codes-only store streamed: each micro-batch is assigned AND
