@@ -50,7 +50,8 @@ object ExplainAudit {
     "q202_knn_ivfpq_refined", "q203_dataset_shard_plan",
     "q204_knn_label_propagation", "q205_media_perceptual_dedup",
     "q206_corpus_datasheet", "q207_curation_day2_datasheet",
-    "q208_knn_ivf_deleted", "q209_knn_graph_day3")
+    "q208_knn_ivf_deleted", "q209_knn_graph_day3",
+    "q210_bm25_after_takedown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -256,8 +256,21 @@ object IndexMaintenance {
   // manifest crash contract: a torn delete-append is detected at read,
   // vacuumable, and never silently absorbed.
 
-  private def tombManifest(manifestName: String): String =
+  private[llmops] def tombManifest(manifestName: String): String =
     manifestName + "_tombs"
+
+  /** Stable fingerprint of the current tombstone manifest (None when
+    * no deletes were ever recorded) — consumers whose DERIVED sidecar
+    * state must stay in lockstep with the tombstone set (TextIndex's
+    * BM25 stats) record this and verify it at read, so a crash between
+    * the tombstone publish and the derived-state write is DETECTED.
+    */
+  private[llmops] def tombFingerprint(s: SparkSession, path: String,
+      manifestName: String): Option[String] =
+    readSidecar(s, path, tombManifest(manifestName)).map { m =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(m.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
 
   /** Record `ids` (a one-column frame of int64 ids) as DELETED.
     * Appends to the manifested `tombs-g<N>` store (created on first
@@ -746,20 +759,88 @@ object TextIndex {
   }
 
   private def writeStats(s: SparkSession, path: String,
-      nDocs: Long, sumDl: Long): Unit =
+      nDocs: Long, sumDl: Long, tombs: Option[String] = None): Unit =
     IndexMaintenance.writeSidecar(s, path, StatsName,
-      s"n_docs=$nDocs;sum_dl=$sumDl")
+      s"n_docs=$nDocs;sum_dl=$sumDl" +
+        tombs.map(t => s";tombs=$t").getOrElse(""))
 
-  /** The recorded corpus stats (n_docs, sum_dl). */
+  /** The recorded corpus stats (n_docs, sum_dl), VERIFIED against the
+    * tombstone set: [[delete]] adjusts these stats in lockstep with
+    * its tombstone publish and stamps the tombstone fingerprint into
+    * the sidecar — a crash between the two writes leaves a live
+    * tombstone manifest the stats never saw, which this read reports
+    * descriptively (remediation: [[repairStats]]) instead of silently
+    * scoring BM25 with a wrong N/avgdl. A fingerprint WITHOUT a
+    * tombstone manifest is the benign post-compact crash window
+    * (rows already dropped, stats already correct) and is accepted.
+    */
   def stats(s: SparkSession, path: String): (Long, Long) = {
     val raw = IndexMaintenance.readSidecar(s, path, StatsName)
       .getOrElse(throw new IllegalStateException(
         s"$What at $path has no $StatsName sidecar — initial ingest " +
           "did not complete; rebuild the index."))
     val m = raw.trim.split(";").map { kv =>
-      val Array(k, v) = kv.split("=", 2); k -> v.toLong
+      val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
-    (m("n_docs"), m("sum_dl"))
+    val current = IndexMaintenance.tombFingerprint(s, path, ManifestName)
+    if (current.isDefined && !m.get("tombs").contains(current.get))
+      throw new IllegalStateException(
+        s"$What at $path has tombstones its stats sidecar never saw " +
+          "(a delete crashed between the tombstone publish and the " +
+          "stats adjustment) — BM25 would score with a wrong N/avgdl; " +
+          "run TextIndex.repairStats to recompute them from the " +
+          "masked postings.")
+    (m("n_docs").toLong, m("sum_dl").toLong)
+  }
+
+  /** Crash remediation for a torn [[delete]]: recompute (n_docs,
+    * sum_dl) from the MASKED postings and re-stamp the current
+    * tombstone fingerprint. Caveat (documented, not silent): postings
+    * carry only docs with >= 1 token, so empty-text docs drop out of
+    * the recomputed n_docs — they can never match a term, but idf's N
+    * shifts by the empty-doc count relative to a build-time stats
+    * write.
+    */
+  def repairStats(s: SparkSession, path: String): (Long, Long) = {
+    IndexMaintenance.requireConfig(s, path, "_text_index_config",
+      Config, What)
+    val perDoc = postings(s, path)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val r = perDoc.agg(count(lit(1)), sum(col("dl"))).head()
+    val (n, dl) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    writeStats(s, path, n, dl,
+      IndexMaintenance.tombFingerprint(s, path, ManifestName))
+    (n, dl)
+  }
+
+  /** DELETE docs from the index (takedown/opt-out): tombstones mask
+    * the postings immediately ([[postings]] anti-joins them, so df and
+    * tf never count deleted docs), the BM25 corpus stats are adjusted
+    * in the same operation (stamped with the tombstone fingerprint —
+    * see [[stats]] for the crash contract), and the next [[compact]]
+    * drops the posting rows physically. Ids not present in the index
+    * (or already deleted) are ignored — stats are adjusted only by
+    * what actually left the corpus.
+    */
+  def delete(docIds: DataFrame, path: String): Unit = {
+    val s = docIds.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_text_index_config",
+      Config, What)
+    val ids = docIds.toDF("id").select(col("id").cast("long"))
+    // effective set: present in the (already-masked) postings
+    val eff = postings(s, path)
+      .join(ids, col("doc_id") === col("id"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val r = eff.agg(count(lit(1)), sum(col("dl"))).head()
+    val (nDel, dlDel) =
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    if (nDel > 0) {
+      val (n0, dl0) = stats(s, path)
+      IndexMaintenance.addTombstones(s, path, ManifestName, What,
+        eff.select(col("doc_id")))
+      writeStats(s, path, n0 - nDel, dl0 - dlDel,
+        IndexMaintenance.tombFingerprint(s, path, ManifestName))
+    }
   }
 
   /** Initial build: postings, stats, manifest, config — config last as
@@ -774,11 +855,15 @@ object TextIndex {
     IndexMaintenance.writeSidecar(s, path, "_text_index_config", Config)
   }
 
-  /** The stored postings (config- and manifest-verified). */
+  /** The stored postings (config- and manifest-verified), with
+    * tombstoned docs MASKED — so search's tf rows AND its df aggregate
+    * never count a deleted doc.
+    */
   def postings(s: SparkSession, path: String): DataFrame = {
     IndexMaintenance.requireConfig(s, path, "_text_index_config",
       Config, What)
-    s.read.parquet(dataDir(s, path))
+    IndexMaintenance.minusTombstones(s, path, ManifestName, What,
+      s.read.parquet(dataDir(s, path)), "doc_id")
   }
 
   /** MAINTENANCE: tokenize ONLY the new docs, append their postings,
@@ -836,15 +921,28 @@ object TextIndex {
       .limit(topk)
   }
 
-  /** Compact the accumulated posting appends (config + stats preserved,
-    * atomic manifest swap — see [[DedupIndex.compact]]).
+  /** Compact the accumulated posting appends (config preserved, atomic
+    * manifest swap — see [[DedupIndex.compact]]). Pending tombstones
+    * are dropped physically and cleared; the stats NUMBERS are already
+    * correct (adjusted at delete time), so only the fingerprint stamp
+    * is stripped.
     */
   def compact(s: SparkSession, path: String,
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
     IndexMaintenance.requireConfig(s, path, "_text_index_config",
       Config, What)
-    IndexMaintenance.compactStore(s, path, ManifestName, What,
-      targetBytes)
+    val (n0, dl0) = stats(s, path)
+    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
+      .map { t =>
+        val tt = t.select(col("id").as("__tomb_id"))
+        (df: DataFrame) =>
+          df.join(tt, df("doc_id") === tt("__tomb_id"), "left_anti")
+      }
+    val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
+      targetBytes, merge = drop)
+    IndexMaintenance.clearTombstones(s, path, ManifestName)
+    writeStats(s, path, n0, dl0)
+    r
   }
 }
 
@@ -926,13 +1024,39 @@ object NgramIndex {
   }
 
   /** The MERGED model: partials aggregated to one (gh, freq) per gh —
-    * the read-side LSM merge (config- and manifest-verified).
+    * the read-side LSM merge (config- and manifest-verified). Keys
+    * whose partials annihilate to zero (fully [[delete]]d bigrams) are
+    * dropped here, exactly as a rebuild without those docs would never
+    * produce them — a zero-count row left in would still match the
+    * score join and skew n_bigrams.
     */
   def lm(s: SparkSession, path: String): DataFrame = {
     IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
       Config, What)
     s.read.parquet(dataDir(s, path))
       .groupBy(col("gh")).agg(sum(col("freq")).as("freq"))
+      .filter(col("freq") > 0)
+  }
+
+  /** DELETE docs from the model — the LSM ANTI-RECORD: the additive
+    * store needs no tombstones, a delete is the NEGATED partial counts
+    * of the deleted docs appended like any other delta. Reads merge
+    * them away immediately; compaction annihilates them physically.
+    * Contract: `docs` must be rows that were indexed (build/append)
+    * exactly once — negating never-indexed text corrupts the counts
+    * (the additive store has no membership to check against; the
+    * takedown feed carries the stored rows by construction).
+    */
+  def delete(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
+      Config, What)
+    val cur = dataDir(s, path)
+    bigramCounts(docs)
+      .select(col("gh"), (-col("freq")).as("freq"))
+      .write.mode("append").parquet(cur)
+    IndexMaintenance.publishManifest(s, path, ManifestName,
+      cur.substring(path.length + 1))
   }
 
   /** q76's per-document quality scores computed against the MAINTAINED
@@ -969,7 +1093,8 @@ object NgramIndex {
     IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes,
       merge = Some(df =>
-        df.groupBy(col("gh")).agg(sum(col("freq")).as("freq"))))
+        df.groupBy(col("gh")).agg(sum(col("freq")).as("freq"))
+          .filter(col("freq") > 0)))
   }
 }
 

@@ -304,9 +304,16 @@ object TextAnalysis {
   }
 
   /** Oracle CTE block ending in `bm25(doc_id, score)` — shared q74/q79. */
-  private val bm25Ctes = """WITH toks AS (
+  private val bm25Ctes = bm25CtesOver("TRUE")
+
+  /** q74's BM25 replay parameterized by a corpus predicate — q210
+    * scores over `documents` minus the taken-down docs, with N/avgdl
+    * from the remaining corpus (exactly what TextIndex.delete's
+    * lockstep stats adjustment claims).
+    */
+  private def bm25CtesOver(pred: String): String = s"""WITH toks AS (
               SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
-              FROM documents
+              FROM documents WHERE $pred
             ), tf AS (
               SELECT doc_id, w, COUNT(*) AS tf FROM toks
               WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w
@@ -318,14 +325,14 @@ object TextAnalysis {
                   ELSE length(trim(text))
                        - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
                   END AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
-              FROM documents
+              FROM documents WHERE $pred
             ), dl AS (
               SELECT doc_id,
                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE length(trim(text))
                        - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
                   END AS BIGINT) AS dl
-              FROM documents
+              FROM documents WHERE $pred
             ), scored AS (
               SELECT tf.doc_id, tf.w,
                 ((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
@@ -395,6 +402,46 @@ object TextAnalysis {
     (s, dir) => TextIndex.search(s, existingTextIndex(s, dir),
       bm25Terms, topk = 15),
     Some(bm25Ctes +
+      """
+         SELECT doc_id, score FROM bm25
+         ORDER BY score DESC, doc_id LIMIT 15"""))
+
+  /** A SEPARATE persisted text index for the takedown gate (deleting
+    * from [[existingTextIndex]] would corrupt q184's view): full-corpus
+    * build, then every doc_id divisible by 10 DELETED
+    * ([[TextIndex.delete]] — tombstoned postings + lockstep stats
+    * adjustment, no rewrite).
+    */
+  private def existingDeletedTextIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("text_del_index", app)}/td_$tag"
+    graft.ops.SessionScratch.once("text_del_index", app, dir) {
+      val docs = Tables(s, dir).documents
+      TextIndex.build(docs, path)
+      TextIndex.delete(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        path)
+    }
+    path
+  }
+
+  /** BM25 search after TAKEDOWNS — the retrieval side of the q208
+    * delete contract, with the part IVF doesn't have: BM25's scores
+    * depend on CORPUS-LEVEL state (N, avgdl, df), so a delete that
+    * only masked rows would still score with the old statistics. The
+    * oracle replays q74's BM25 over `documents` minus the deleted ids
+    * — N and avgdl over the REMAINING corpus, df from the remaining
+    * postings — so a stale stats sidecar, an unmasked df, or a
+    * tombstone that missed the tf rows each hash-mismatch.
+    */
+  val q210 = EngineQuery(
+    "q210_bm25_after_takedown",
+    (s, dir) => TextIndex.search(s, existingDeletedTextIndex(s, dir),
+      bm25Terms, topk = 15),
+    Some(bm25CtesOver("doc_id % 10 <> 0") +
       """
          SELECT doc_id, score FROM bm25
          ORDER BY score DESC, doc_id LIMIT 15"""))
@@ -716,5 +763,5 @@ object TextAnalysis {
             ORDER BY source"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186)
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186, q210)
 }

@@ -1549,6 +1549,80 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(res3.forall(_.getLong(1) % 10 != 0))
   }
 
+  test("TextIndex.delete: masked search == rebuilt-without-deleted " +
+    "(stats adjusted in lockstep); torn delete detected + repairable; " +
+    "compact drops + clears") {
+    import graft.llmops.TextIndex
+    val terms = Seq("spark", "data", "join")
+    val path = freshDir("text_del")
+    TextIndex.build(docs, path)
+    TextIndex.delete(
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), path)
+    val rebuilt = freshDir("text_del_rb")
+    TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0), rebuilt)
+    assert(TextIndex.stats(spark, path) == TextIndex.stats(spark, rebuilt),
+      "deleted-store stats must equal a rebuild without the docs")
+    def rows(p: String) = TextIndex.search(spark, p, terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows(path).sameElements(rows(rebuilt)),
+      "masked BM25 search != rebuild-without-deleted")
+    // torn delete: recreate the stats-never-adjusted state by
+    // restoring the pre-delete sidecar content
+    val statsFile = new java.io.File(path, "_text_index_stats")
+    val live = new String(java.nio.file.Files.readAllBytes(
+      statsFile.toPath), "UTF-8")
+    val (rn, rd) = TextIndex.stats(spark, rebuilt)
+    // direct tamper leaves Hadoop's checksum sibling stale — drop it
+    val crc = new java.io.File(path, "._text_index_stats.crc")
+    java.nio.file.Files.write(statsFile.toPath,
+      s"n_docs=${rn + 50};sum_dl=$rd".getBytes("UTF-8"))
+    if (crc.exists()) assert(crc.delete())
+    val e = intercept[IllegalStateException] {
+      TextIndex.stats(spark, path)
+    }
+    assert(e.getMessage.contains("repairStats"))
+    // remediation recomputes from the masked postings and re-stamps
+    TextIndex.repairStats(spark, path)
+    assert(rows(path).sameElements(rows(rebuilt)),
+      "repaired store must search like the rebuild again")
+    java.nio.file.Files.write(statsFile.toPath, live.getBytes("UTF-8"))
+    // compact drops the rows physically, stats numbers unchanged
+    TextIndex.compact(spark, path)
+    assert(spark.read.parquet(TextIndex.dataDir(spark, path))
+      .filter(col("doc_id") % 10 === 0).count() == 0)
+    assert(!new java.io.File(path, "_text_index_manifest_tombs").exists())
+    assert(TextIndex.stats(spark, path) == TextIndex.stats(spark, rebuilt))
+    assert(rows(path).sameElements(rows(rebuilt)),
+      "search changed across compaction")
+  }
+
+  test("NgramIndex.delete: the LSM anti-record — negated partials == " +
+    "rebuilt-without-deleted; compaction annihilates them physically") {
+    import graft.llmops.NgramIndex
+    val path = freshDir("ngram_del")
+    NgramIndex.build(docs, path)
+    val dead = docs.filter(col("doc_id") % 10 === 0)
+    NgramIndex.delete(dead, path)
+    val rebuilt = freshDir("ngram_del_rb")
+    NgramIndex.build(docs.filter(col("doc_id") % 10 =!= 0), rebuilt)
+    val probe = docs.filter(col("doc_id") % 7 === 3)
+    def scores(p: String) = NgramIndex.score(probe, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scores(path).sameElements(scores(rebuilt)),
+      "anti-record model must score like a rebuild without the docs")
+    // the merged model itself is row-identical (annihilated keys gone)
+    val a = NgramIndex.lm(spark, path)
+    val b = NgramIndex.lm(spark, rebuilt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // compaction annihilates physically: no non-positive net rows
+    // remain stored, and scoring is unchanged
+    NgramIndex.compact(spark, path)
+    val stored = spark.read.parquet(NgramIndex.dataDir(spark, path))
+    assert(stored.filter(col("freq") <= 0).count() == 0,
+      "compaction must annihilate anti-records, not store them")
+    assert(scores(path).sameElements(scores(rebuilt)))
+  }
+
   test("tombstone store inherits the manifest crash contract: a torn " +
     "delete-append is detected, vacuumable, and never silently read") {
     val path = freshDir("dedup_del_torn")
