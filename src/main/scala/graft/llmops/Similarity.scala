@@ -1320,17 +1320,14 @@ object Similarity {
     * compare the exact fixed-point cosine — the oracle replays day-0
     * training, both waves of admission, and the candidate counts.
     */
-  val q197 = EngineQuery(
-    "q197_semdedup_day3_increment",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val path = existingSemdedupIndex(s, dir)
-      IvfIndex.semanticProbe(
-          t.embeddings.filter(col("vec_id") % 3 === 2), path)
-        .orderBy(col("vec_id"))
-    },
-    Some(kmeansTrainCtes(4, "vec_id % 3 = 0") +
-      """
+  /** Oracle CTEs shared by q197/q211: the two-wave semantic-dedup
+    * admission replay over the day-0-trained cells — probes for every
+    * non-day-0 vector (`pr`/`probes`), day-2 admission (`surv2`), and
+    * day-3 drop verdicts (`pd3` — survivors are the ids NOT in it at
+    * dot >= 0.35). Assumes kmeansTrainCtes(4, "vec_id %% 3 = 0") ran.
+    */
+  private def semdedupDay3Ctes: String =
+    """
          , pr AS (
              SELECT vec_id, cell, row_number() OVER (
                PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
@@ -1368,7 +1365,20 @@ object Similarity {
              JOIN ex ea ON ea.vec_id = c.nid
              JOIN ex eb ON eb.vec_id = c.mid AND eb.pos = ea.pos
              GROUP BY c.nid, c.mid
-           ), nc AS (
+           )"""
+
+  val q197 = EngineQuery(
+    "q197_semdedup_day3_increment",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingSemdedupIndex(s, dir)
+      IvfIndex.semanticProbe(
+          t.embeddings.filter(col("vec_id") % 3 === 2), path)
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 3 = 0") + semdedupDay3Ctes +
+      """
+         , nc AS (
              SELECT e.vec_id, COALESCE(cnt.n, 0) AS n_cand
              FROM embeddings e LEFT JOIN (
                SELECT nid, COUNT(*) n FROM cand3 GROUP BY nid) cnt
@@ -1760,6 +1770,117 @@ object Similarity {
                UNION ALL SELECT dst AS src, src AS dst FROM sedges)
            )""" + beamTailSql))
 
+  /** The fully-INGESTED multi-day semantic-dedup index for q211
+    * ([[existingSemdedupIndex]] stops before day-3 so q197 can gate
+    * the probe; this store ADMITS day-3 too — the pipeline's end
+    * state).
+    */
+  private[llmops] def existingIngestedDay3Index(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("semdedup3_index", app)}/s3_$tag"
+    graft.ops.SessionScratch.once("semdedup3_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 3 === 0), path, k = 4)
+      IvfIndex.dedupIngest(em.filter(col("vec_id") % 3 === 1), path)
+        .count()
+      IvfIndex.dedupIngest(em.filter(col("vec_id") % 3 === 2), path)
+        .count()
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** The COMPOSED day-3 embedding pipeline — admission then
+    * auto-labeling as ONE operational flow over the maintained store
+    * (the embedding-side q178: operators composing without re-scans):
+    * day-3 arrivals are semantically dedup-INGESTED ([[IvfIndex
+    * .dedupIngest]] — only survivors' rows enter the index), and the
+    * gate then kNN-labels exactly the ADMITTED batch, read back OFF
+    * THE INDEX, by majority vote of its 8 nearest LABELED members
+    * (day-0 ∪ day-2 survivors — the q204 pre-filter discipline; a
+    * day-3 row voting for a day-3 row would be self-labeling). The
+    * oracle replays training, BOTH admission waves, the day-3
+    * admission, and the vote — so an ingest that admitted a reject,
+    * dropped a survivor, or let the new batch vote on itself
+    * hash-mismatches.
+    *
+    * 100 TB shape: per day, admission is q197's delta×occupancy probe
+    * + a delta-sized append; labeling reuses the SAME probes shape
+    * over the same store — nothing corpus-sized runs twice, the corpus
+    * is never re-read.
+    */
+  val q211 = EngineQuery(
+    "q211_ingest_label_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val path = existingIngestedDay3Index(s, dir)
+      val m = IvfIndex.members(s, path)
+      val day3 = m.filter(col("member_id") % 3 === 2)
+        .select(col("member_id").as("qid"), col("em").as("eq"))
+      val centDf = IvfIndex.centroids(s, path)
+        .map(c => (c.cell, c.centroid.toSeq)).toDF("ccell", "ec")
+      val probes = probeCells(day3, centDf, nprobe = 2)
+      val labeled = m.filter(col("member_id") % 3 =!= 2)
+      val labels = t.embeddings
+        .select(col("vec_id").as("member_id"), col("label").as("mlabel"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("member_id"))
+      val nn = probes.join(labeled, Seq("cell"))
+        .select(col("qid"), col("member_id"),
+          exactDot(col("eq"), col("em")).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 8)
+        .join(labels, Seq("member_id"))
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("mlabel"))
+      nn.groupBy(col("qid"), col("mlabel"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("qid").as("vec_id"), col("mlabel").as("pred_label"),
+          col("n_votes"))
+        .orderBy(col("vec_id"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 3 = 0") + semdedupDay3Ctes +
+      """
+         , surv3 AS (
+             SELECT vec_id FROM embeddings
+             WHERE vec_id % 3 = 2 AND vec_id NOT IN (
+               SELECT nid FROM pd3 WHERE dot >= 0.35)
+           ), lcand AS (
+             SELECT p.vec_id AS qid, a.vec_id AS member_id
+             FROM probes p JOIN a3 a ON a.cell = p.cell
+             WHERE p.vec_id IN (SELECT vec_id FROM surv3)
+               AND (a.vec_id % 3 = 0 OR
+                 a.vec_id IN (SELECT vec_id FROM surv2))
+           ), ldots AS (
+             SELECT c.qid, c.member_id,
+               CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS sim
+             FROM lcand c
+             JOIN ex q ON q.vec_id = c.qid
+             JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+             GROUP BY 1, 2
+           ), lnn AS (
+             SELECT qid, member_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, member_id) rn FROM ldots) x
+             WHERE rn <= 8
+           ), votes AS (
+             SELECT lnn.qid, e.label AS mlabel, COUNT(*) AS n_votes
+             FROM lnn JOIN embeddings e ON e.vec_id = lnn.member_id
+             GROUP BY 1, 2
+           )
+           SELECT qid AS vec_id, mlabel AS pred_label, n_votes FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY n_votes DESC, mlabel) vr FROM votes) x
+           WHERE vr = 1 ORDER BY vec_id"""))
+
   /** Graph ANN after TWO append waves — the q196/q197 multi-day
     * admission cadence applied to the graph family: day-0 build, day-2
     * and day-3 appends, then the walk over the twice-grown store. The
@@ -2076,5 +2197,5 @@ object Similarity {
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202, q204, q208, q209)
+      q197, q198, q199, q201, q202, q204, q208, q209, q211)
 }
