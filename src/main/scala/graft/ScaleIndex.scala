@@ -303,13 +303,11 @@ object ScaleIndex {
         llmops.IvfIndex.semanticProbe(vDelta, sPath).count()
         ops.SessionScratch.evictTransients()
       }
-      val gAppend = timed {
-        llmops.GraphIndex.append(vDelta, gPath)
-        ops.SessionScratch.evictTransients()
-      }
       // the occupancy claim as a ROW-COUNT fact (fixture timings mix
       // in the n·k training term): Σ_cell occ·(occ-1) = the build's
-      // same-cell pair space, and max occupancy = the quadratic bound
+      // same-cell pair space, and max occupancy = the quadratic bound.
+      // Measured BEFORE the append so the numbers are the quantity the
+      // label claims (the BUILD's pair space, not build ∪ delta).
       val occ = spark.read.parquet(
           llmops.GraphIndex.dataDir(spark, gPath))
         .filter(col("kind") === "m")
@@ -317,6 +315,10 @@ object ScaleIndex {
         .agg(sum(col("n") * (col("n") - 1)).as("pairs"),
           max(col("n")).as("occ_max"))
         .head()
+      val gAppend = timed {
+        llmops.GraphIndex.append(vDelta, gPath)
+        ops.SessionScratch.evictTransients()
+      }
       println(f"""{"protocol":"occupancy_constant","corpus_scale":$f,""" +
         f""""k":$k,"n_base":$nVBase,"n_delta":$nVecDelta,""" +
         f""""pair_space":${occ.getLong(0)},""" +

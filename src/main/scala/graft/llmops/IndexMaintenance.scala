@@ -283,7 +283,27 @@ object IndexMaintenance {
     val tn = tombManifest(manifestName)
     val cur = readSidecar(s, path, tn) match {
       case Some(_) => verifiedDir(s, path, tn, s"$what tombstones")
-      case None => s"$path/tombs-g0"
+      case None =>
+        // no tombstone manifest = no delete ever COMMITTED. Any
+        // existing tombs-g* directory is provably-uncommitted garbage
+        // (a first delete that crashed before its manifest publish, or
+        // a clearTombstones that crashed after its retraction) —
+        // adopting its files would silently commit a delete that never
+        // happened (and, for TextIndex, one whose stats adjustment
+        // never ran, with a fingerprint stamp that would then
+        // VALIDATE the mismatch). Sweep it before starting fresh.
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        if (fs.exists(root))
+          fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.matches("^tombs-g\\d+$"))
+            .foreach { st =>
+              require(fs.delete(st.getPath, true) || !fs.exists(st.getPath),
+                s"could not sweep orphaned tombstone dir ${st.getPath}")
+            }
+        s"$path/tombs-g0"
     }
     ids.toDF("id").select(col("id").cast("long"))
       .distinct()
@@ -317,6 +337,20 @@ object IndexMaintenance {
       case Some(t) =>
         val tt = t.select(col("id").as("__tomb_id"))
         rows.join(tt, rows(idCol) === tt("__tomb_id"), "left_anti")
+    }
+
+  /** The physical-drop closure for [[compactStore]]'s merge hook:
+    * rows minus tombstoned ids on `idCol`, or None when no deletes
+    * pend (compaction then stays the plain file rewrite). One
+    * definition so the mask semantics cannot drift between stores.
+    */
+  private[llmops] def tombstoneDropper(s: SparkSession, path: String,
+      manifestName: String, what: String, idCol: String)
+      : Option[DataFrame => DataFrame] =
+    tombstones(s, path, manifestName, what).map { t =>
+      val tt = t.select(col("id").as("__tomb_id"))
+      (df: DataFrame) =>
+        df.join(tt, df(idCol) === tt("__tomb_id"), "left_anti")
     }
 
   /** Vacuum BOTH stores under one root: the data store and, when one
@@ -357,7 +391,12 @@ object IndexMaintenance {
       fs.listStatus(root).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.matches("^tombs-g\\d+$"))
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach { st =>
+          // verified like retractSidecar: a silently-failed delete
+          // would leave files a future first-delete must then sweep
+          require(fs.delete(st.getPath, true) || !fs.exists(st.getPath),
+            s"could not clear tombstone dir ${st.getPath}")
+        }
     }
   }
 
@@ -671,12 +710,8 @@ object DedupIndex {
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
     IndexMaintenance.requireConfig(s, path, "_dedup_index_config",
       Config, What)
-    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
-      .map { t =>
-        val tt = t.select(col("id").as("__tomb_id"))
-        (df: DataFrame) =>
-          df.join(tt, df("doc_id") === tt("__tomb_id"), "left_anti")
-      }
+    val drop = IndexMaintenance.tombstoneDropper(s, path, ManifestName,
+      What, "doc_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
     IndexMaintenance.clearTombstones(s, path, ManifestName)
@@ -827,10 +862,18 @@ object TextIndex {
     IndexMaintenance.requireConfig(s, path, "_text_index_config",
       Config, What)
     val ids = docIds.toDF("id").select(col("id").cast("long"))
-    // effective set: present in the (already-masked) postings
-    val eff = postings(s, path)
-      .join(ids, col("doc_id") === col("id"), "left_semi")
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    // effective set: present in the (already-masked) postings —
+    // CHECKPOINTED so the stats rollup and the tombstone write share
+    // one postings scan instead of re-running the lineage twice (the
+    // dedupIngest discipline). Caveat shared with [[repairStats]]: a
+    // doc whose text trims to ZERO tokens has no posting rows, so it
+    // can neither be tombstoned nor decrement n_docs here — it also
+    // can never match a term, but idf's N keeps counting it until a
+    // rebuild; takedown feeds for such docs are a corpus-side concern.
+    val eff = SessionScratch.transientCheckpoint(
+      postings(s, path)
+        .join(ids, col("doc_id") === col("id"), "left_semi")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
     val r = eff.agg(count(lit(1)), sum(col("dl"))).head()
     val (nDel, dlDel) =
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -932,12 +975,8 @@ object TextIndex {
     IndexMaintenance.requireConfig(s, path, "_text_index_config",
       Config, What)
     val (n0, dl0) = stats(s, path)
-    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
-      .map { t =>
-        val tt = t.select(col("id").as("__tomb_id"))
-        (df: DataFrame) =>
-          df.join(tt, df("doc_id") === tt("__tomb_id"), "left_anti")
-      }
+    val drop = IndexMaintenance.tombstoneDropper(s, path, ManifestName,
+      What, "doc_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
     IndexMaintenance.clearTombstones(s, path, ManifestName)
@@ -1484,12 +1523,8 @@ object IvfIndex {
       targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
     IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
       config(recordedKOf(s, path)), What)
-    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
-      .map { t =>
-        val tt = t.select(col("id").as("__tomb_id"))
-        (df: DataFrame) =>
-          df.join(tt, df("member_id") === tt("__tomb_id"), "left_anti")
-      }
+    val drop = IndexMaintenance.tombstoneDropper(s, path, ManifestName,
+      What, "member_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
     IndexMaintenance.clearTombstones(s, path, ManifestName)
@@ -1861,8 +1896,12 @@ object GraphIndex {
     * ([[IvfIndex.republish]]'s retract-then-build discipline).
     */
   def republish(embeddings: DataFrame, path: String, k: Int,
-      degree: Int = Degree): Unit = {
+      degree: Option[Int] = None): Unit = {
     val s = embeddings.sparkSession
+    // default = the RECORDED degree, not the compile-time one: a
+    // drift-remediation rebuild of a degree-8 store must not silently
+    // halve its connectivity (R is the recall knob — SCALING.md r12)
+    val r = degree.getOrElse(recordedDegree(s, path))
     IndexMaintenance.requireConfig(s, path, ConfigName,
       config(k, recordedDegree(s, path)), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
@@ -1871,7 +1910,7 @@ object GraphIndex {
     // consolidate_deletes): the graph is rebuilt over the corpus it is
     // handed, so pending lazy-delete tombstones are consumed here
     IndexMaintenance.clearTombstones(s, path, ManifestName)
-    build(embeddings, path, k, degree)
+    build(embeddings, path, k, r)
     if (!stale.endsWith("/graph-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2077,12 +2116,8 @@ object IvfPqIndex {
       .getOrElse(0)
     IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
       config(k), What)
-    val drop = IndexMaintenance.tombstones(s, path, ManifestName, What)
-      .map { t =>
-        val tt = t.select(col("id").as("__tomb_id"))
-        (df: DataFrame) =>
-          df.join(tt, df("vec_id") === tt("__tomb_id"), "left_anti")
-      }
+    val drop = IndexMaintenance.tombstoneDropper(s, path, ManifestName,
+      What, "vec_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
     IndexMaintenance.clearTombstones(s, path, ManifestName)

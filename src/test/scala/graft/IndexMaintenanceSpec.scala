@@ -1623,6 +1623,33 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(scores(path).sameElements(scores(rebuilt)))
   }
 
+  test("a torn FIRST delete is never adopted: a later delete sweeps " +
+    "the orphaned tombs files instead of committing them") {
+    import spark.implicits._
+    val path = freshDir("dedup_del_orphan")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    DedupIndex.build(even, path)
+    // simulate a first delete that crashed BEFORE its manifest publish:
+    // real parquet tombstone rows exist, no tombstone manifest does
+    val orphanIds = Seq(2L, 4L, 6L).toDF("id")
+    orphanIds.write.mode("overwrite").parquet(s"$path/tombs-g0")
+    assert(!new java.io.File(path, "_dedup_index_manifest_tombs")
+      .exists())
+    // the crashed delete never committed — reads stay unmasked
+    assert(DedupIndex.signatures(spark, path)
+      .filter(col("doc_id").isin(2L, 4L, 6L)).count() > 0)
+    // a LATER delete of different ids must not resurrect the orphans
+    DedupIndex.delete(even.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")), path)
+    val sigs = DedupIndex.signatures(spark, path)
+    assert(sigs.filter(col("doc_id") % 10 === 0).count() == 0,
+      "the committed delete must mask")
+    assert(sigs.filter(col("doc_id").isin(2L, 4L, 6L) &&
+        col("doc_id") % 10 =!= 0).count() > 0,
+      "orphaned tombstone rows were adopted — a delete that never " +
+        "committed became live")
+  }
+
   test("tombstone store inherits the manifest crash contract: a torn " +
     "delete-append is detected, vacuumable, and never silently read") {
     val path = freshDir("dedup_del_torn")
