@@ -62,7 +62,14 @@ class DeterminismSpec extends SparkTestBase {
     "q204_knn_label_propagation",      // majority vote over exact ranks
     "q205_media_perceptual_dedup",     // decode-seam fingerprint groups
     "q206_corpus_datasheet",           // three-family per-source rollup
-    "q207_curation_day2_datasheet")    // batch datasheet vs artifacts
+    "q207_curation_day2_datasheet",    // batch datasheet vs artifacts
+    "q208_knn_ivf_deleted",            // tombstone mask before ranking
+    "q209_knn_graph_day3",             // two-wave edges, wave-ordered
+    "q210_bm25_after_takedown",        // lockstep stats + masked df
+    "q211_ingest_label_pipeline")      // admission + vote composed
+    // (q192 above now also exercises PqCodebook.fit's trained
+    // codebooks — the per-subspace Lloyd loop must be partition-count
+    // independent for its oracle replay to hold)
     // (q166 BPE is probed UNMEMOIZED below — the gate query's
     // per-(app, dir) memo would hand the sibling the shared result)
 
