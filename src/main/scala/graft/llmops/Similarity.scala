@@ -531,6 +531,50 @@ object Similarity {
     },
     Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfProbeTail()))
 
+  /** A store that has been through the full DRIFT-REMEDIATION loop:
+    * built on the even half, the odd half appended under the stale
+    * even-trained centroids (the drift regime q171 monitors), then
+    * REPUBLISHED over the full corpus — retrain + reassign in place,
+    * crash-detectably ([[IvfIndex.republish]]).
+    */
+  private[llmops] def existingRepublishedIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivf_rep_index", app)}/ivfr_$tag"
+    graft.ops.SessionScratch.once("ivf_rep_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IvfIndex.republish(em, path, k = 4)
+    }
+    path
+  }
+
+  /** IVF search after DRIFT REMEDIATION — the q171-monitor →
+    * republish arm gate-checked end-to-end (republish was spec-only
+    * before round 12): the store is built on half the corpus, grown
+    * under the stale centroids, then republished over everything. The
+    * oracle is the FULL-CORPUS training replay (q54's exact CTEs) —
+    * so a republish that kept the stale centroids, dropped members,
+    * paired new centroids with old assignments, or double-indexed the
+    * append wave hash-mismatches. Together with q180 (the stale-train
+    * form over the same ingest) the pair pins BOTH ends of the drift
+    * lifecycle to their oracles.
+    */
+  val q212 = EngineQuery(
+    "q212_knn_ivf_republished",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingRepublishedIvfIndex(s, dir)
+      IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4) + ivfProbeTail()))
+
   /** A SEPARATE persisted IVF store for the delete gate (deleting from
     * [[existingIvfIndex]] would corrupt q180/q201/q202/q204's shared
     * view): same even-build + odd-append ingest, then every vec_id
@@ -2197,5 +2241,5 @@ object Similarity {
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202, q204, q208, q209, q211)
+      q197, q198, q199, q201, q202, q204, q208, q209, q211, q212)
 }
