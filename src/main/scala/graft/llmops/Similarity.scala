@@ -1481,7 +1481,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         t.embeddings, graph, entries, beam = 4, topk = 8)
     },
-    Some(kmeansTrainCtes(4) + knnGraphCtes + beamTailSql))
+    Some(kmeansTrainCtes(4) + knnGraphCtes() + beamTailSql))
 
   /** Oracle tail shared by q198/q199: the unrolled 2-round beam walk
     * over `graph(src, dst)` + `entries(vec_id)` CTEs (however they
@@ -1669,8 +1669,8 @@ object Similarity {
     * trained cells (d3/a3 from [[kmeansTrainCtes]]) — ends with
     * `graph(src, dst)` and `entries(vec_id)` CTEs.
     */
-  private def knnGraphCtes: String =
-    """
+  private def knnGraphCtes(degree: Int = 4): String =
+    s"""
        , pairg AS (
            SELECT ea.vec_id ia, eb.vec_id ib,
              SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
@@ -1684,7 +1684,7 @@ object Similarity {
            SELECT ia AS src, ib AS dst FROM (
              SELECT ia, ib, row_number() OVER (
                PARTITION BY ia ORDER BY fdot DESC, ib) rn FROM pairg) x
-           WHERE rn <= 4
+           WHERE rn <= $degree
          ), entries AS (
            SELECT vec_id FROM (
              SELECT a.vec_id, a.cell, row_number() OVER (
@@ -1924,6 +1924,48 @@ object Similarity {
              SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY n_votes DESC, mlabel) vr FROM votes) x
            WHERE vr = 1 ORDER BY vec_id"""))
+
+  /** A graph store through the R-UPGRADE loop: built insert-only at
+    * the default R=4, then [[GraphIndex.republish]]ed over the full
+    * corpus at R=8 — the remediation an operator runs when ScaleAnn's
+    * curve shows connectivity (not beam/rounds) binding recall.
+    */
+  private[llmops] def existingRepublishedGraphIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("graph_rep_index", app)}/grr_$tag"
+    graft.ops.SessionScratch.once("graph_rep_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      GraphIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      GraphIndex.republish(em, path, k = 4, degree = Some(8))
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** Graph ANN after an R-UPGRADE republish — q212's drift-arm gate,
+    * graph flavor, ALSO oracle-pinning the out-degree knob itself
+    * (round 12 measured R as the recall lever; this hashes a non-
+    * default R end-to-end): the store is built insert-only at R=4,
+    * then republished over the full corpus at R=8. The oracle replays
+    * full-corpus training + the degree-8 forward-only build graph +
+    * the walk — a republish that kept the old R (or the old
+    * insert-only edge set, or stale centroids/entries) hash-mismatches.
+    */
+  val q213 = EngineQuery(
+    "q213_knn_graph_republished_r8",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingRepublishedGraphIndex(s, dir)
+      GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4) + knnGraphCtes(degree = 8) + beamTailSql))
 
   /** Graph ANN after TWO append waves — the q196/q197 multi-day
     * admission cadence applied to the graph family: day-0 build, day-2
@@ -2241,5 +2283,6 @@ object Similarity {
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
-      q197, q198, q199, q201, q202, q204, q208, q209, q211, q212)
+      q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
+      q213)
 }
