@@ -575,6 +575,52 @@ object Similarity {
     },
     Some(kmeansTrainCtes(4) + ivfProbeTail()))
 
+  /** The IVF-PQ flavor of the remediation loop: built + appended like
+    * [[existingIvfPqIndex]], then REPUBLISHED over the full corpus —
+    * BOTH trained halves (centroids and per-subspace codebooks)
+    * retrained in place, crash-detectably.
+    */
+  private[llmops] def existingRepublishedIvfPqIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivfpq_rep_index", app)}/pqr_$tag"
+    graft.ops.SessionScratch.once("ivfpq_rep_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfPqIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfPqIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IvfPqIndex.republish(em, path, k = 4)
+    }
+    path
+  }
+
+  /** IVF-PQ ADC search after a full-corpus republish — q212's
+    * remediation gate for the store with TWO trained artifacts: a
+    * correct republish must retrain the centroids AND the per-subspace
+    * codebooks and re-encode every vector under both. The oracle
+    * replays full-corpus kmeans + full-corpus codebook training + the
+    * encode + the ADC probe, so a republish that kept either stale
+    * artifact (or mixed re-trained centroids with stale codes — the
+    * torn state config retraction exists to detect) hash-mismatches.
+    */
+  val q214 = EngineQuery(
+    "q214_knn_ivfpq_republished",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingRepublishedIvfPqIndex(s, dir)
+      IvfPqIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4) + ivfPqAdcCtes("TRUE") +
+      """
+         SELECT qid, cid, f, rn FROM (
+           SELECT qid, cid, f, row_number() OVER (
+             PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
+
   /** A SEPARATE persisted IVF store for the delete gate (deleting from
     * [[existingIvfIndex]] would corrupt q180/q201/q202/q204's shared
     * view): same even-build + odd-append ingest, then every vec_id
@@ -1268,7 +1314,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         path)
     },
-    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes +
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes() +
       """
          SELECT qid, cid, f, rn FROM (
            SELECT qid, cid, f, row_number() OVER (
@@ -1279,12 +1325,13 @@ object Similarity {
     * encode of every vector, the probe set, and the ADC candidate
     * scores — ends with `adc(qid, cid, f)`.
     */
-  private def ivfPqAdcCtes: String =
+  private def ivfPqAdcCtes(trainPred: String = "vec_id % 2 = 0")
+      : String =
     """, sub AS (
            SELECT vec_id, CAST((pos-1)//16 AS INT) s, (pos-1)%16 pi,
              CAST(FLOOR(v*10000000.0) AS BIGINT) fv
            FROM ex
-         )""" + pqTrainCtes("vec_id % 2 = 0") +
+         )""" + pqTrainCtes(trainPred) +
     """, pqd AS (
            SELECT v.vec_id, v.s, c.cw,
              SUM((v.fv - c.fc)*(v.fv - c.fc)) AS d
@@ -2173,7 +2220,7 @@ object Similarity {
         .select(col("qid"), col("cid"), col("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     },
-    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes +
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + ivfPqAdcCtes() +
       """
          , short AS (
              SELECT qid, cid FROM (
@@ -2284,5 +2331,5 @@ object Similarity {
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213)
+      q213, q214)
 }
