@@ -327,6 +327,41 @@ object ScaleIndex {
         f""""graph_append_sec":$gAppend%.2f,""" +
         f""""sem_probe_sec":$semProbe%.2f}""")
     }
+
+    // DELETE cost shape: the takedown claim is "one manifested
+    // tombstone append, deletes-sized" — so with a FIXED delete set,
+    // delete time must stay flat as the corpus grows 8x, the masked
+    // probe pays one deletes-sized anti-join on top of its normal
+    // cost, and only the physical drop (compact = corpus rewrite)
+    // scales with the corpus.
+    Seq(1, 8).foreach { f =>
+      val root = fresh(s"del_${f}x")
+      val dBase = amplify(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", f, s"$root/docs_base")
+      val nD = dBase.count()
+      val path = s"$root/dedup"
+      llmops.DedupIndex.build(dBase, path)
+      // fixed-size delete set at every scale: the UN-amplified ids
+      val delIds = docs.filter(col("doc_id") % 10 =!= 0)
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      val nDel = delIds.count()
+      val tDelete = timed(llmops.DedupIndex.delete(delIds, path))
+      val tProbe = timed {
+        llmops.DedupIndex.probe(dDelta, path).count()
+        ops.SessionScratch.evictTransients()
+      }
+      var files = (0, 0)
+      val tCompact = timed { files = llmops.DedupIndex.compact(spark, path) }
+      val tProbePost = timed {
+        llmops.DedupIndex.probe(dDelta, path).count()
+        ops.SessionScratch.evictTransients()
+      }
+      println(f"""{"protocol":"delete_cost","corpus_scale":$f,""" +
+        f""""n_base":$nD,"n_deleted":$nDel,""" +
+        f""""delete_sec":$tDelete%.2f,"probe_masked_sec":$tProbe%.2f,""" +
+        f""""compact_drop_sec":$tCompact%.2f,""" +
+        f""""probe_post_sec":$tProbePost%.2f}""")
+    }
     spark.stop()
   }
 }
