@@ -53,7 +53,8 @@ object ExplainAudit {
     "q208_knn_ivf_deleted", "q209_knn_graph_day3",
     "q210_bm25_after_takedown", "q211_ingest_label_pipeline",
     "q212_knn_ivf_republished", "q213_knn_graph_republished_r8",
-    "q214_knn_ivfpq_republished")
+    "q214_knn_ivfpq_republished", "q215_dedup_after_takedown",
+    "q216_knn_graph_deleted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

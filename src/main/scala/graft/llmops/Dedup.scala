@@ -431,6 +431,58 @@ object Dedup {
            WHERE d.doc_id % 2 = 1
            ORDER BY d.doc_id"""))
 
+  /** The incremental-dedup store with takedowns applied (q215's
+    * state): built on the even half, then every doc_id divisible by
+    * 10 DELETED ([[DedupIndex.delete]] — tombstoned signatures).
+    */
+  private[llmops] def existingDeletedDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("dedup_del_index", app)}/dd_$tag"
+    graft.ops.SessionScratch.once("dedup_del_index", app, dir) {
+      val docs = Tables(s, dir).documents
+      DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+      DedupIndex.delete(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")), path)
+    }
+    path
+  }
+
+  /** Incremental dedup probe AFTER takedowns — the q208 gate, dedup
+    * flavor, hashing the semantic that makes deletes matter for THIS
+    * store: a taken-down doc must stop SUPPRESSING future arrivals
+    * immediately (its signatures are masked), so a new doc whose only
+    * near-dup was a deleted doc is now ADMITTED. The oracle resolves
+    * the cross-corpus pairs with the deleted existing-side endpoints
+    * excluded — an index that kept masking (or that over-masked and
+    * admitted a doc colliding with a live one) hash-mismatches.
+    */
+  val q215 = EngineQuery(
+    "q215_dedup_after_takedown",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingDeletedDedupIndex(s, dir)
+      DedupIndex.probe(t.documents.filter(col("doc_id") % 2 === 1), path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashPairsCtes +
+      """
+         , cross_dupes AS (
+             SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a
+                                  ELSE doc_b END AS doc_id
+             FROM pairs
+             WHERE n_bands >= 4 AND (doc_a % 2) != (doc_b % 2)
+               AND (CASE WHEN doc_a % 2 = 0 THEN doc_a
+                         ELSE doc_b END) % 10 <> 0
+           )
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d ANTI JOIN cross_dupes x ON d.doc_id = x.doc_id
+           WHERE d.doc_id % 2 = 1
+           ORDER BY d.doc_id"""))
+
   /** The MULTI-DAY index: built on day-0's corpus (doc_id % 3 == 0),
     * then day-2's batch (% 3 == 1) APPENDED — probed against the index
     * and only the survivors' signatures admitted ([[DedupIndex.append]]).
@@ -785,5 +837,6 @@ object Dedup {
             FROM regions GROUP BY doc_id ORDER BY doc_id"""))
 
   val all: Seq[EngineQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165, q196)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165, q196,
+      q215)
 }

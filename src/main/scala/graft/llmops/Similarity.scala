@@ -1534,8 +1534,16 @@ object Similarity {
     * over `graph(src, dst)` + `entries(vec_id)` CTEs (however they
     * were built), scored against `ex`.
     */
-  private def beamTailSql: String =
-    """
+  private def beamTailSql: String = beamTail()
+
+  /** The beam-walk oracle tail with a RESULT predicate — q216's
+    * lazy-delete replay: masked ids still route (v1/b1/v2 include
+    * them), the predicate applies only where the implementation's
+    * excludeFromResults does — before the FINAL ranking, so ranks
+    * close over the survivors.
+    */
+  private def beamTail(resultPred: String = "TRUE"): String =
+    s"""
          , q AS (
              SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10
            ), v1 AS (
@@ -1578,7 +1586,8 @@ object Similarity {
            )
            SELECT qid, cid, sim, rn FROM (
              SELECT qid, cid, sim, row_number() OVER (
-               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2) x
+               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2
+             WHERE $resultPred) x
            WHERE rn <= 8
            ORDER BY qid, rn"""
 
@@ -1811,8 +1820,16 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         path)
     },
-    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
-      """
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + evenOddGraphCtes +
+      beamTailSql))
+
+  /** Oracle CTEs shared by q199/q216: the even-build + odd-append
+    * insert-only graph (build edges, append forward+reverse edges,
+    * day-0 entries, the stray/entry-fallback arm) — ends with
+    * `graph(src, dst)` and `entries(vec_id)`.
+    */
+  private def evenOddGraphCtes: String =
+    """
          , pairg AS (
              SELECT ea.vec_id ia, eb.vec_id ib,
                SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
@@ -1859,7 +1876,7 @@ object Similarity {
                UNION ALL SELECT dst AS src, src AS dst FROM fedges
                UNION ALL SELECT src, dst FROM sedges
                UNION ALL SELECT dst AS src, src AS dst FROM sedges)
-           )""" + beamTailSql))
+           )"""
 
   /** The fully-INGESTED multi-day semantic-dedup index for q211
     * ([[existingSemdedupIndex]] stops before day-3 so q197 can gate
@@ -1971,6 +1988,52 @@ object Similarity {
              SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY n_votes DESC, mlabel) vr FROM votes) x
            WHERE vr = 1 ORDER BY vec_id"""))
+
+  /** The even/odd graph store with takedowns applied (q216's state):
+    * build(even) + append(odd), then every vec_id divisible by 10
+    * LAZY-deleted ([[GraphIndex.delete]] — masked from results, still
+    * routing).
+    */
+  private[llmops] def existingDeletedGraphIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("graph_del_index", app)}/grd_$tag"
+    graft.ops.SessionScratch.once("graph_del_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      GraphIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      GraphIndex.delete(
+        em.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** Graph ANN after LAZY deletes — the q208 takedown gate, graph
+    * flavor, hashing the DiskANN lazy-delete semantics exactly: a
+    * tombstoned member never occupies a result rank (ranks close over
+    * survivors) but keeps ROUTING — it can hold beam slots and its
+    * edges are still walked, so the reachable set is UNCHANGED. The
+    * oracle replays the full insert-only graph and the walk with the
+    * mask applied only at the final ranking — a mask that leaked into
+    * the beam selection (changing what routes) or a physical row drop
+    * (changing reachability) hash-mismatches just as surely as a
+    * deleted id in the results.
+    */
+  val q216 = EngineQuery(
+    "q216_knn_graph_deleted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingDeletedGraphIndex(s, dir)
+      GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + evenOddGraphCtes +
+      beamTail("cid % 10 <> 0")))
 
   /** A graph store through the R-UPGRADE loop: built insert-only at
     * the default R=4, then [[GraphIndex.republish]]ed over the full
@@ -2331,5 +2394,5 @@ object Similarity {
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213, q214)
+      q213, q214, q216)
 }
