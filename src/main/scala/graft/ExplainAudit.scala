@@ -54,7 +54,9 @@ object ExplainAudit {
     "q210_bm25_after_takedown", "q211_ingest_label_pipeline",
     "q212_knn_ivf_republished", "q213_knn_graph_republished_r8",
     "q214_knn_ivfpq_republished", "q215_dedup_after_takedown",
-    "q216_knn_graph_deleted")
+    "q216_knn_graph_deleted", "q217_ann_eval_recall",
+    "q218_rrf_fusion", "q219_mmr_rerank", "q220_kanon_risk_audit",
+    "q221_budget_waterfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -823,6 +825,50 @@ object ExplainAudit {
           "keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined &&
           "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
           !p.contains("CartesianProduct")
+      }),
+      ("q217 ANN eval harness: the system side reads the persisted " +
+        "assignment store (cell equi-join, query fetch pushed); the " +
+        "exact-truth side is q50's broadcast two-phase scan; the " +
+        "metric join touches |queries|*8 rows; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q217_ann_eval_recall")
+        p.contains("assignments") &&
+          p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q218 RRF fusion: each arm ends in a TakeOrdered top-20 (never " +
+        "a global window over the corpus) and the ONLY windows are the " +
+        "two 20-row rank assignments above the limits; the fusion is a " +
+        "full-outer join of two 20-row frames; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q218_rrf_fusion")
+        "\\(\\d+\\) TakeOrderedAndProject".r.findAllIn(p).size >= 2 &&
+          "\\(\\d+\\) Window".r.findAllIn(p).size == 2 &&
+          p.contains("FullOuter") && !p.contains("CartesianProduct")
+      }),
+      ("q219 MMR rerank: the five greedy rounds are checkpointed " +
+        "1-row-per-query picks (the q159 Pregel discipline) — the gate " +
+        "plan is a UNION of the five materialized selections with NO " +
+        "parquet scan and no corpus-sized stage; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q219_mmr_rerank")
+        !p.contains("Scan parquet") && p.contains("Union") &&
+          "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(p).size == 5 &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q220 k-anonymity audit: one pure hash-agg per generalization " +
+        "level over one scan each — no join, no window, nothing " +
+        "beyond a grouped count at any scale", {
+        val p = planOf(spark, byName, sfDir, "q220_kanon_risk_audit")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2 &&
+          p.contains("HashAggregate") && p.contains("Union") &&
+          !p.contains("Join") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q221 waterfill allocation: the corpus is scanned ONCE into the " +
+        "checkpointed per-source table; every window (prefix sums, " +
+        "bonus rank) runs over that |sources|-row ExistingRDD — the " +
+        "gate plan scans zero parquet; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q221_budget_waterfill")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("Window") && !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

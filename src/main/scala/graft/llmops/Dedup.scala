@@ -836,7 +836,97 @@ object Dedup {
                 AS BIGINT) AS n_strong
             FROM regions GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Dedup-quality EVALUATION harness — q217's "eval as an operator"
+    * discipline applied to the dedup family: precision and recall of
+    * the q41/q45 MinHash-LSH admission rule (strong pairs, ≥ 4 shared
+    * bands) against exact n-gram Jaccard ground truth. The truth pair
+    * space is COMPLETE by construction: ground truth = pairs with
+    * J ≥ 0.5 over the dfCap-capped global shingle sets, and any pair
+    * with J ≥ 0.5 > 0 shares a capped shingle, so the share-a-shingle
+    * self-join (bounded per shingle by dfCap², the q43 discipline)
+    * enumerates every true pair. The J ≥ 0.5 test is the INTEGER
+    * comparison 3·ni ≥ na+nb (no float threshold), so membership —
+    * and therefore both metrics — is exact and the sheet hash-gates.
+    * This is the tuning loop a dedup owner actually runs when picking
+    * bands/rows: precision says how much the LSH admission over-drops,
+    * recall says what escapes it.
+    *
+    * Scale shape: the truth side is one capped shingle self-join (the
+    * q43 bound); the prediction side is q41's band-bucket join; the
+    * metric joins touch |pairs| rows. Output is ONE summary row.
+    */
+  val q223 = EngineQuery(
+    "q223_dedup_eval_prf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val shAll = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(shingles3(col("ws"))).as("s"))
+      val wDf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s"))
+      val sh = shAll.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= dfCap).drop("df")
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .filter(col("ni") * 3 >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"))
+      val pred = minhashPairs(s, dir)
+        .filter(col("n_bands") >= 4)
+        .select(col("doc_a"), col("doc_b"))
+      val nPred = pred.agg(count(lit(1)).as("n_pred"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nHit = pred.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nPred.crossJoin(nTrue).crossJoin(nHit)
+        .select(col("n_pred"), col("n_true"), col("n_hit"),
+          expr("case when n_pred = 0 then 0L " +
+            "else n_hit * 1000000 div n_pred end").as("precision_e6"),
+          expr("case when n_true = 0 then 0L " +
+            "else n_hit * 1000000 div n_true end").as("recall_e6"))
+    },
+    Some(minhashPairsCtes +
+      s""", rare AS (
+           SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCap
+         ), shc AS (
+           SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+         ), cnt AS (
+           SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+           FROM shc a JOIN shc b
+             ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), truthp AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN cnt ca ON doc_a = ca.doc_id
+           JOIN cnt cb ON doc_b = cb.doc_id
+           WHERE 3*ni >= ca.n + cb.n
+         ), predp AS (
+           SELECT doc_a, doc_b FROM pairs WHERE n_bands >= 4
+         ), np AS (SELECT COUNT(*) AS n_pred FROM predp),
+         nt AS (SELECT COUNT(*) AS n_true FROM truthp),
+         nh AS (
+           SELECT COUNT(*) AS n_hit
+           FROM predp JOIN truthp USING (doc_a, doc_b)
+         )
+         SELECT n_pred, n_true, n_hit,
+           CAST(CASE WHEN n_pred = 0 THEN 0
+             ELSE n_hit * 1000000 // n_pred END AS BIGINT)
+             AS precision_e6,
+           CAST(CASE WHEN n_true = 0 THEN 0
+             ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_e6
+         FROM np CROSS JOIN nt CROSS JOIN nh"""))
+
   val all: Seq[EngineQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165, q196,
-      q215)
+      q215, q223)
 }

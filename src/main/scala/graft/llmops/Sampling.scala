@@ -523,6 +523,131 @@ object Sampling {
               CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_sum
             FROM sharded GROUP BY shard ORDER BY shard"""))
 
+  /** Token-budget WATERFILLING allocation (the UniMax rule, Chung et
+    * al. 2023) — the third member of the mixing family: q49 reweights
+    * by a fixed temperature, q115 greedily fills per-source caps; this
+    * operator allocates a GLOBAL token budget across sources under a
+    * per-source epoch cap (cap = 2 epochs of the source), maximizing
+    * uniformity: every source gets min(cap, T) where the water level T
+    * is the largest integer with Σ min(cap_i, T) ≤ B, and the
+    * sub-|sources| integer remainder goes +1 each to the largest
+    * unsaturated sources (deterministic ties). T has a CLOSED FORM
+    * over sorted prefix sums — no iteration: with caps ascending and
+    * prefix sums P_j, the saturated prefix is the largest j with
+    * cap_j·(n−j) + P_j ≤ B, and T = (B − P_j*) div (n − j*).
+    *
+    * Exactness: all integers (whitespace token counts via the shared
+    * q62/BM25 dl rule); maximality of j* guarantees every source past
+    * it has cap > T, so the +1 bonus never breaches a cap and the
+    * allocation sums to exactly B (invariants spec-proven).
+    *
+    * Scale shape: ONE corpus scan into a source-keyed hash agg; every
+    * window after that runs over the |sources|-row table (tiny by
+    * construction — a registry, not a corpus). Σcap = 2B > B
+    * structurally, so the all-saturated division-by-zero branch
+    * cannot occur.
+    */
+  val q221 = EngineQuery(
+    "q221_budget_waterfill",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val W = org.apache.spark.sql.expressions.Window
+      val tokCount = when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(tokens(col("text"))).cast(LongType))
+      // the per-source table is consumed by four downstream branches
+      // (totals, the sorted prefix scan, the level lookup, the final
+      // allocation) — checkpoint it so the corpus is scanned ONCE,
+      // not once per branch
+      val src = graft.ops.SessionScratch.transientCheckpoint(
+        t.documents
+          .select(col("source"), tokCount.as("tk"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tok"))
+          .withColumn("cap", lit(2L) * col("tok")))
+      val tot = src.agg(sum(col("tok")).as("b"), count(lit(1)).as("n"))
+      val wOrd = W.orderBy(col("cap"), col("source"))
+      val ord = src.crossJoin(broadcast(tot))
+        .withColumn("j", row_number().over(wOrd).cast(LongType))
+        .withColumn("p", sum(col("cap")).over(
+          wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val jst = ord
+        .agg(max(when(
+          col("cap") * (col("n") - col("j")) + col("p") <= col("b"),
+          col("j")).otherwise(lit(0L))).as("js"))
+      val lvl = jst.crossJoin(broadcast(tot))
+        .join(ord.select(col("j").as("js"), col("p").as("pj")),
+          Seq("js"), "left")
+        .select(col("b"), col("n"), col("js"),
+          coalesce(col("pj"), lit(0L)).as("pj"))
+        .withColumn("t_lvl", expr("(b - pj) div (n - js)"))
+        .withColumn("rem", (col("b") - col("pj")) % (col("n") - col("js")))
+        .select(col("t_lvl"), col("rem"))
+      val wBonus = W.orderBy(
+        when(col("cap") > col("t_lvl"), lit(0)).otherwise(lit(1)),
+        col("cap").desc, col("source"))
+      src.crossJoin(broadcast(lvl))
+        .withColumn("alloc0", least(col("cap"), col("t_lvl")))
+        .withColumn("brank", row_number().over(wBonus).cast(LongType))
+        .withColumn("alloc", col("alloc0") +
+          when(col("cap") > col("t_lvl") && col("brank") <= col("rem"),
+            lit(1L)).otherwise(lit(0L)))
+        .select(col("source"), col("n_docs"), col("tok"), col("cap"),
+          col("alloc"),
+          when(col("alloc") === col("cap"), lit(1)).otherwise(lit(0))
+            .as("saturated"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH dl AS (
+              SELECT source,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text))
+                       - length(regexp_replace(trim(text), ' ', '', 'g')) + 1
+                END AS BIGINT) AS tk
+              FROM documents
+            ), src AS (
+              SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(tk) AS BIGINT) AS tok,
+                CAST(2*SUM(tk) AS BIGINT) AS cap
+              FROM dl GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(tok) AS BIGINT) AS b, COUNT(*) AS n FROM src
+            ), ord AS (
+              SELECT s.source, s.cap, t.b, t.n,
+                CAST(row_number() OVER (ORDER BY s.cap, s.source)
+                  AS BIGINT) AS j,
+                CAST(SUM(s.cap) OVER (ORDER BY s.cap, s.source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS p
+              FROM src s CROSS JOIN tot t
+            ), jst AS (
+              SELECT MAX(CASE WHEN cap*(n - j) + p <= b
+                THEN j ELSE 0 END) AS js
+              FROM ord
+            ), lvl AS (
+              SELECT t.b, t.n, j.js, COALESCE(o.p, 0) AS pj
+              FROM tot t CROSS JOIN jst j
+              LEFT JOIN ord o ON o.j = j.js
+            ), lv2 AS (
+              SELECT CAST((b - pj) // (n - js) AS BIGINT) AS t_lvl,
+                CAST((b - pj) % (n - js) AS BIGINT) AS rem
+              FROM lvl
+            ), br AS (
+              SELECT s.source, s.n_docs, s.tok, s.cap, l.t_lvl, l.rem,
+                CAST(row_number() OVER (ORDER BY
+                  CASE WHEN s.cap > l.t_lvl THEN 0 ELSE 1 END,
+                  s.cap DESC, s.source) AS BIGINT) AS brank
+              FROM src s CROSS JOIN lv2 l
+            )
+            SELECT source, n_docs, tok, cap,
+              CAST(LEAST(cap, t_lvl)
+                + CASE WHEN cap > t_lvl AND brank <= rem
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+              CASE WHEN LEAST(cap, t_lvl)
+                  + CASE WHEN cap > t_lvl AND brank <= rem
+                      THEN 1 ELSE 0 END = cap
+                THEN 1 ELSE 0 END AS saturated
+            FROM br ORDER BY source"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172, q203)
+    Seq(q49, q65, q66, q67, q75, q77, q78, q114, q115, q172, q203, q221)
 }

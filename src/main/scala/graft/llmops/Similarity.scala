@@ -2391,8 +2391,388 @@ object Similarity {
              ORDER BY n_votes DESC, mlabel) vr FROM votes) x
          WHERE vr = 1 ORDER BY vec_id"""))
 
+  /** Index-quality EVALUATION harness over the persisted IVF store —
+    * the nightly job a production retrieval team runs: per query,
+    * recall@8 and reciprocal rank of the MAINTAINED index
+    * ([[existingIvfIndex]] — the same session-once store q180/q201/
+    * q202/q204 read) against the exact brute-force ground truth
+    * (q50's two-phase exact top-8). The metrics themselves are the
+    * gate: n_hit (|index top-8 ∩ exact top-8|), the index rank of the
+    * first true neighbor, and its reciprocal rank in exact fixed
+    * point (1e12 div rank) — all integers, so the whole eval sheet
+    * hash-gates.
+    *
+    * Scale shape: ground truth rides q50's broadcast two-phase scan
+    * (the one corpus-sized stage — at 100 TB the truth set is a
+    * sampled query panel, |panel|·corpus bounded exactly like q50);
+    * the system side is the probe-bounded index read; the metric join
+    * touches |queries|·8 rows. A drifted index (missed append,
+    * re-trained centroids, wrong probe order) moves a rank and
+    * hash-mismatches — this is q180's contract read through the lens
+    * a retrieval team actually monitors.
+    */
+  val q217 = EngineQuery(
+    "q217_ann_eval_recall",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      val truth = q50.run(s, dir).select(col("qid"), col("cid"))
+      val sys = IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+        .select(col("qid"), col("cid"), col("rn"))
+      val nrel = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+      val hits = sys
+        .join(truth.withColumn("rel", lit(1)), Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
+          min(when(col("rel") === 1, col("rn"))).as("fr"))
+      nrel.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_rel"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+          coalesce(expr("1000000000000 div fr"), lit(0L)).as("rr_e12"))
+        .orderBy(col("qid"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), sdots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM cand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), sys AS (
+           SELECT qid, member_id AS cid, rn FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM sdots) x
+           WHERE rn <= 8
+         ), tdots AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2
+         ), truth AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) rn FROM tdots) x
+           WHERE rn <= 8
+         ), nrel AS (
+           SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid
+         ), hits AS (
+           SELECT s.qid,
+             CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             MIN(CASE WHEN t.cid IS NOT NULL THEN s.rn END) AS fr
+           FROM sys s LEFT JOIN truth t
+             ON t.qid = s.qid AND t.cid = s.cid
+           GROUP BY s.qid
+         )
+         SELECT n.qid, n.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rank,
+           CAST(COALESCE(1000000000000 // h.fr, 0) AS BIGINT) AS rr_e12
+         FROM nrel n LEFT JOIN hits h ON h.qid = n.qid
+         ORDER BY n.qid"""))
+
+  /** Fixed-point DCG discount: floor(1e9 / log2(rank+1)) for ranks
+    * 1..8, as literals so both engines use the identical integer table
+    * (log2 is not bit-specified across engines; a literal table is).
+    */
+  private val NdcgDisc: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000L, 2 -> 630929753L, 3 -> 500000000L,
+    4 -> 430676558L, 5 -> 386852807L, 6 -> 356207187L,
+    7 -> 333333333L, 8 -> 315464876L)
+
+  private def discOf(rank: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    NdcgDisc.foldLeft(lit(0L)) { case (acc, (r, d)) =>
+      when(rank === r, lit(d)).otherwise(acc)
+    }
+
+  private val discSqlCase: String =
+    "CASE %s " + NdcgDisc.map { case (r, d) => s"WHEN $r THEN $d" }
+      .mkString(" ") + " ELSE 0 END"
+
+  /** nDCG@8 of the persisted IVF store — q217's eval harness extended
+    * to the GRADED ranking metric a search team actually reports:
+    * gains derive from the exact ground-truth ranks (gain = 9 − true
+    * rank, so the true top-1 is worth 8), discounts are the literal
+    * fixed-point table [[NdcgDisc]] (floor(1e9/log2(r+1)) — log2 is
+    * not bit-specified across engines, a shared integer table is),
+    * DCG sums gain·disc over the index's hits at their INDEX ranks,
+    * IDCG places the gains at their ideal ranks (= the exact ranking
+    * itself, since gains are rank-derived), and ndcg_e6 = DCG·1e6 div
+    * IDCG — every quantity exact int64, so the metric sheet
+    * hash-gates.
+    *
+    * Scale shape: identical to q217 (truth = q50's broadcast
+    * two-phase scan, system = the probe-bounded index read, metric
+    * join over |queries|·8 rows).
+    */
+  val q222 = EngineQuery(
+    "q222_ann_eval_ndcg",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      val truth = q50.run(s, dir)
+        .select(col("qid"), col("cid"),
+          (lit(9) - col("rn")).cast("long").as("gain"),
+          discOf(col("rn")).as("tdisc"))
+      val sys = IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+        .select(col("qid"), col("cid"), discOf(col("rn")).as("sdisc"))
+      val idcg = truth.groupBy(col("qid"))
+        .agg(sum(col("gain") * col("tdisc")).as("idcg_e9"))
+      val dcg = sys
+        .join(truth.select(col("qid"), col("cid"), col("gain")),
+          Seq("qid", "cid"))
+        .groupBy(col("qid"))
+        .agg(sum(col("gain") * col("sdisc")).as("dcg0"))
+      idcg.join(dcg, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("dcg0"), lit(0L)).as("dcg_e9"),
+          col("idcg_e9"),
+          expr("coalesce(dcg0, 0L) * 1000000 div idcg_e9").as("ndcg_e6"))
+        .orderBy(col("qid"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      s""", probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), sdots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM cand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), sys AS (
+           SELECT qid, member_id AS cid,
+             ${discSqlCase.format("rn")} AS sdisc
+           FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM sdots) x
+           WHERE rn <= 8
+         ), tdots AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2
+         ), truth AS (
+           SELECT qid, cid, 9 - rn AS gain,
+             ${discSqlCase.format("rn")} AS tdisc
+           FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) rn FROM tdots) x
+           WHERE rn <= 8
+         ), idcg AS (
+           SELECT qid, CAST(SUM(gain * tdisc) AS BIGINT) AS idcg_e9
+           FROM truth GROUP BY qid
+         ), dcg AS (
+           SELECT s.qid, CAST(SUM(t.gain * s.sdisc) AS BIGINT) AS dcg0
+           FROM sys s JOIN truth t ON t.qid = s.qid AND t.cid = s.cid
+           GROUP BY s.qid
+         )
+         SELECT i.qid, COALESCE(d.dcg0, 0) AS dcg_e9, i.idcg_e9,
+           CAST(COALESCE(d.dcg0, 0) * 1000000 // i.idcg_e9 AS BIGINT)
+             AS ndcg_e6
+         FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid
+         ORDER BY i.qid"""))
+
+  /** Oracle rounds 2..`rounds` of the q219 MMR loop — assumes CTEs
+    * `cand16(qid, cid, fq)`, `cpairs(qid, ca, cb, fab)`, `sel1`, and
+    * `selu1` exist; emits penN/scN/selN/seluN per round. Every score
+    * is exact int64 (7·fq − 3·max-pairwise), ties → smaller cid, so
+    * the greedy selection replays bit-exactly.
+    */
+  private def mmrRoundCtes(rounds: Int): String =
+    (2 to rounds).map { t =>
+      // MATERIALIZED (the WordPiece-oracle discipline): each round
+      // references the previous selection twice and the shared
+      // candidate CTEs once more — inlined, DuckDB would replay the
+      // whole training+probe chain ~3^rounds times
+      s""", pen$t AS MATERIALIZED (
+           SELECT p.qid, p.ca AS cid, MAX(p.fab) AS pen
+           FROM cpairs p JOIN selu${t - 1} s
+             ON s.qid = p.qid AND s.cid = p.cb
+           GROUP BY 1, 2
+         ), sc$t AS MATERIALIZED (
+           SELECT c.qid, c.cid, 7*c.fq - 3*p.pen AS score
+           FROM cand16 c
+           JOIN pen$t p ON p.qid = c.qid AND p.cid = c.cid
+           LEFT JOIN selu${t - 1} sl
+             ON sl.qid = c.qid AND sl.cid = c.cid
+           WHERE sl.cid IS NULL
+         ), sel$t AS MATERIALIZED (
+           SELECT qid, cid, $t AS pick, CAST(score AS BIGINT) AS score
+           FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, cid) rn FROM sc$t) x
+           WHERE rn = 1
+         ), selu$t AS MATERIALIZED (
+           SELECT qid, cid FROM selu${t - 1}
+           UNION ALL SELECT qid, cid FROM sel$t
+         )"""
+    }.mkString
+
+  /** MMR diversified rerank over the persisted IVF store (Carbonell &
+    * Goldstein 1998) — the production answer to redundant top-k: from
+    * the index's top-16 candidates, greedily select 5 maximizing
+    * λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s) with λ=0.7, all in exact
+    * int64 fixed-point (score = 7·fdot_q − 3·max-pairwise-fdot, the
+    * ×10 common scale dropped), ties → smaller cid. Round 1 falls out
+    * of the same rule (empty S ⇒ penalty 0).
+    *
+    * Scale shape: candidates come off the MAINTAINED index
+    * (probe-bounded — never |corpus|); pairwise similarity is
+    * |queries|·16² rows; the 5 greedy rounds iterate joins over those
+    * bounded frames, each round's 1-row-per-query pick
+    * transient-checkpointed (the q159 Pregel discipline) so round t+1
+    * never replays round t's selection tree. The oracle replays
+    * training, probe, candidate ranking, and all 5 greedy rounds
+    * unrolled ([[mmrRoundCtes]]).
+    */
+  val q219 = EngineQuery(
+    "q219_mmr_rerank",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingIvfIndex(s, dir)
+      val qs = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val sys = IvfIndex.search(qs, path, topk = 16)
+        .select(col("qid"), col("cid"))
+      val emb = t.embeddings
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      val cand = graft.ops.SessionScratch.transientCheckpoint(
+        sys.join(emb, Seq("cid"))
+          .join(broadcast(qs), Seq("qid"))
+          .select(col("qid"), col("cid"), col("ec"),
+            graft.functions.VectorDot.fixedDotSum(
+              col("eq"), col("ec")).as("fq")))
+      val pairs = graft.ops.SessionScratch.transientCheckpoint(
+        cand.select(col("qid"), col("cid").as("ca"), col("ec").as("ea"))
+          .join(cand.select(col("qid"), col("cid").as("cb"),
+            col("ec").as("eb")), Seq("qid"))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("qid"), col("ca"), col("cb"),
+            graft.functions.VectorDot.fixedDotSum(
+              col("ea"), col("eb")).as("fab")))
+      val base = cand.select(col("qid"), col("cid"), col("fq"))
+      val wPick = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      var sel = graft.ops.SessionScratch.transientCheckpoint(
+        base.withColumn("score", lit(7L) * col("fq"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), lit(1).as("pick"),
+            col("score")))
+      var selected = sel.select(col("qid"), col("cid"))
+      for (round <- 2 to 5) {
+        val pen = pairs
+          .join(selected.withColumnRenamed("cid", "cb"), Seq("qid", "cb"))
+          .groupBy(col("qid"), col("ca"))
+          .agg(max(col("fab")).as("pen"))
+          .withColumnRenamed("ca", "cid")
+        val pick = graft.ops.SessionScratch.transientCheckpoint(
+          base
+            .join(selected.withColumn("in_sel", lit(1)),
+              Seq("qid", "cid"), "left")
+            .filter(col("in_sel").isNull)
+            .join(pen, Seq("qid", "cid"))
+            .select(col("qid"), col("cid"),
+              (lit(7L) * col("fq") - lit(3L) * col("pen")).as("score"))
+            .withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("cid"), lit(round).as("pick"),
+              col("score")))
+        sel = sel.unionByName(pick)
+        selected = selected.unionByName(pick.select(col("qid"), col("cid")))
+      }
+      sel.orderBy(col("qid"), col("pick"))
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id < 10) x
+           WHERE crn <= 2
+         ), cand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), cdots AS (
+           SELECT c.qid, c.member_id,
+             SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+               * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS fq,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM cand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), cand16 AS MATERIALIZED (
+           SELECT qid, member_id AS cid, CAST(fq AS BIGINT) AS fq FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM cdots) x
+           WHERE rn <= 16
+         ), cpairs AS MATERIALIZED (
+           SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             CAST(SUM(CAST(FLOOR(x.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(y.v*10000000.0) AS BIGINT)) AS BIGINT)
+               AS fab
+           FROM cand16 a
+           JOIN cand16 b ON a.qid = b.qid AND a.cid != b.cid
+           JOIN ex x ON x.vec_id = a.cid
+           JOIN ex y ON y.vec_id = b.cid AND y.pos = x.pos
+           GROUP BY 1, 2, 3
+         ), sel1 AS MATERIALIZED (
+           SELECT qid, cid, 1 AS pick, CAST(7*fq AS BIGINT) AS score
+           FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY fq DESC, cid) rn FROM cand16) x
+           WHERE rn = 1
+         ), selu1 AS MATERIALIZED (SELECT qid, cid FROM sel1)""" +
+      mmrRoundCtes(5) +
+      """
+         SELECT qid, pick, cid, score FROM (
+           SELECT * FROM sel1
+           UNION ALL SELECT * FROM sel2
+           UNION ALL SELECT * FROM sel3
+           UNION ALL SELECT * FROM sel4
+           UNION ALL SELECT * FROM sel5) u
+         ORDER BY qid, pick"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213, q214, q216)
+      q213, q214, q216, q217, q219, q222)
 }

@@ -762,6 +762,87 @@ object TextAnalysis {
             FROM tc GROUP BY source
             ORDER BY source"""))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the OTHER standard
+    * hybrid-retrieval combiner next to q79's cascade: instead of
+    * re-ranking BM25 candidates by cosine (which can only ever return
+    * docs the keyword stage found), RRF fuses the two systems' top-20
+    * lists symmetrically — rrf(d) = Σ_sys 1/(60 + rank_sys(d)) — so a
+    * doc either system ranks highly can win. Scores are exact
+    * integers (1e12 div (60+rank)), so the fused ranking hash-gates.
+    *
+    * Scale shape: each arm ends in a TakeOrdered top-20 (never a
+    * global window over the corpus); the rank windows run over the
+    * 20-row lists; the fusion is a full-outer join of two 20-row
+    * frames. The cosine arm's scan is |corpus|·1-query broadcast dots
+    * — q50's exact-baseline shape.
+    */
+  val q218 = EngineQuery(
+    "q218_rrf_fusion",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val rb = bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rb", row_number().over(wb))
+        .select(col("doc_id"), col("rb"))
+      val qv = broadcast(t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("doc_id"))
+      val rc = t.embeddings.filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          exactDot(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("rc", row_number().over(wc))
+        .select(col("doc_id"), col("rc"))
+      rb.join(rc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rb"), lit(0)).cast(LongType).as("bm25_rank"),
+          coalesce(col("rc"), lit(0)).cast(LongType).as("cos_rank"),
+          (coalesce(expr("1000000000000 div (60 + rb)"), lit(0L))
+            + coalesce(expr("1000000000000 div (60 + rc)"), lit(0L)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(bm25Ctes +
+      """
+         , rb AS (
+             SELECT doc_id, r AS rb FROM (
+               SELECT doc_id, row_number() OVER (
+                 ORDER BY score DESC, doc_id) r FROM bm25) x
+             WHERE r <= 20
+           ), ex AS (
+             SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
+               generate_subscripts(embedding, 1) pos
+             FROM embeddings
+           ), qv AS (SELECT * FROM ex WHERE vec_id = 0),
+           dots AS (
+             SELECT c.vec_id AS doc_id,
+               CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                      * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+                 / 100000000000000.0 AS cos
+             FROM ex c JOIN qv q ON c.pos = q.pos
+             WHERE c.vec_id != 0
+             GROUP BY c.vec_id
+           ), rc AS (
+             SELECT doc_id, r AS rc FROM (
+               SELECT doc_id, row_number() OVER (
+                 ORDER BY cos DESC, doc_id) r FROM dots) x
+             WHERE r <= 20
+           )
+           SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+             CAST(COALESCE(rb.rb, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(rc.rc, 0) AS BIGINT) AS cos_rank,
+             CAST(COALESCE(1000000000000 // (60 + rb.rb), 0)
+               + COALESCE(1000000000000 // (60 + rc.rc), 0) AS BIGINT)
+               AS rrf
+           FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+           ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186, q210)
+    Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186,
+      q210, q218)
 }

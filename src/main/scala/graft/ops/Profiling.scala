@@ -92,5 +92,68 @@ object Profiling {
             FROM orders, stats
             GROUP BY 1 ORDER BY bin"""))
 
-  val all: Seq[EngineQuery] = Seq(q99, q108)
+  /** k-anonymity / quasi-identifier re-identification risk audit
+    * (Sweeney 2002) — the governance check a training corpus with
+    * person-derived rows runs before release (the q206 datasheet's
+    * privacy column): group rows by their quasi-identifier tuple
+    * (nation, market segment, account-balance band) and report each
+    * equivalence class's size k; a class with k < 5 re-identifies its
+    * members. Emitted at TWO generalization levels (100-currency
+    * bands, then 1000-currency bands) so the audit shows the
+    * generalization ladder: coarsening the band merges classes and
+    * lifts k — the standard k-anonymity remediation, measured rather
+    * than assumed.
+    *
+    * Exactness: the band is integer arithmetic on exact cents
+    * (double→DECIMAL(18,2)→×100, the Det.dec2 money rule), shifted
+    * positive before the integer division so Spark's `div` (truncate)
+    * and DuckDB's `//` (floor) agree. k and the risky flag are
+    * integers — the whole audit sheet hash-gates.
+    *
+    * Scale shape: one hash-agg per level over one scan each (pure
+    * map-side-combined GROUP BY — no window, no join); the class
+    * table is |QI-space|-bounded, never |rows|. At 100 TB the audit
+    * is exactly as parallel as a grouped count.
+    */
+  val q220 = EngineQuery(
+    "q220_kanon_risk_audit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def level(lvl: Int, width: Long) =
+        t.customer
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            (Det.dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr(s"(cents + 10000000) div $width").as("band"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+          .agg(count(lit(1)).as("k"))
+          .select(lit(lvl).as("lvl"), col("c_nationkey"),
+            col("c_mktsegment"), col("band"), col("k"),
+            when(col("k") < 5, lit(1)).otherwise(lit(0)).as("risky"))
+      level(0, 10000L).unionByName(level(1, 100000L))
+        .orderBy(col("lvl"), col("c_nationkey"), col("c_mktsegment"),
+          col("band"))
+    },
+    Some("""WITH cents AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents
+              FROM customer
+            ), l0 AS (
+              SELECT 0 AS lvl, c_nationkey, c_mktsegment,
+                CAST((cents + 10000000) // 10000 AS BIGINT) AS band,
+                COUNT(*) AS k
+              FROM cents GROUP BY 2, 3, 4
+            ), l1 AS (
+              SELECT 1 AS lvl, c_nationkey, c_mktsegment,
+                CAST((cents + 10000000) // 100000 AS BIGINT) AS band,
+                COUNT(*) AS k
+              FROM cents GROUP BY 2, 3, 4
+            )
+            SELECT lvl, c_nationkey, c_mktsegment, band, k,
+              CASE WHEN k < 5 THEN 1 ELSE 0 END AS risky
+            FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1) u
+            ORDER BY lvl, c_nationkey, c_mktsegment, band"""))
+
+  val all: Seq[EngineQuery] = Seq(q99, q108, q220)
 }

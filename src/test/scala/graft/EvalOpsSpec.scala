@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{IvfIndex, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Profiling, Tables}
+
+/** Proofs for the round-12 retrieval-quality / governance / mixing
+  * operators: the ANN eval harness (q217), RRF fusion (q218), MMR
+  * diversified rerank (q219), the k-anonymity audit (q220), and the
+  * UniMax waterfilling allocation (q221). Each gate is replayed
+  * independently in plain Scala over collected fixture rows — the
+  * specs check the OPERATOR semantics; the DuckDB oracle checks the
+  * distributed execution.
+  */
+class EvalOpsSpec extends SparkTestBase {
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_eval_${tag}_").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  /** floor(v·1e7) per component — PortableHash.fixedPoint in plain
+    * Scala, so fdots replay bit-exactly.
+    */
+  private def fdot(a: Array[Float], b: Array[Float]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) =>
+      math.floor(x.toDouble * 1e7).toLong *
+        math.floor(y.toDouble * 1e7).toLong
+    }.sum
+
+  private lazy val embMap: Map[Long, Array[Float]] =
+    Tables(spark, sfDir).embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+
+  /** The q180/q217/q219 store recipe on a private path: build on the
+    * even ids, append the odd ids under the recorded centroids.
+    */
+  private lazy val evalStore: String = {
+    val path = freshDir("ivf")
+    val em = Tables(spark, sfDir).embeddings
+    IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+    path
+  }
+
+  test("q217 ANN eval harness: metrics equal an independent replay " +
+    "from exact truth x index results; bounds hold") {
+    val out = Similarity.q217.run(spark, sfDir).collect()
+    assert(out.length == 10)
+
+    val truth = Similarity.q50.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val qs = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val sys = IvfIndex.search(qs, evalStore).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Int]("rn")))
+      .groupBy(_._1)
+
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val nRel = r.getAs[Long]("n_rel")
+      val nHit = r.getAs[Long]("n_hit")
+      val fr = r.getAs[Long]("first_rank")
+      val rr = r.getAs[Long]("rr_e12")
+      val t = truth(qid)
+      val s = sys(qid).sortBy(_._3)
+      assert(nRel == t.size && nRel <= 8)
+      assert(nHit == s.count(x => t.contains(x._2)), s"q$qid n_hit")
+      val expFr = s.find(x => t.contains(x._2)).map(_._3.toLong)
+      assert(fr == expFr.getOrElse(0L), s"q$qid first_rank")
+      assert(rr == expFr.map(1000000000000L / _).getOrElse(0L))
+      assert(nHit <= nRel)
+    }
+  }
+
+  test("q218 RRF fusion: scores recompute from the ranks, the cosine " +
+    "ranks match an exact replay, ordering is total") {
+    val out = Similarity.q50.run(spark, sfDir) // force fixture presence
+    assert(out.columns.nonEmpty)
+    val rows = TextAnalysis.q218.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+
+    // exact cosine top-20 replay (gate tie rule: sim double desc, id)
+    val q0 = embMap(0L)
+    val cosRank = embMap.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, fdot(q0, v).toDouble / 1e14) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+    var prev = Long.MaxValue
+    var prevId = -1L
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val rb = r.getAs[Long]("bm25_rank")
+      val rc = r.getAs[Long]("cos_rank")
+      val rrf = r.getAs[Long]("rrf")
+      assert(rb >= 0 && rb <= 20 && rc >= 0 && rc <= 20)
+      assert(rb > 0 || rc > 0, "a fused doc must come from some system")
+      val exp = (if (rb > 0) 1000000000000L / (60 + rb) else 0L) +
+        (if (rc > 0) 1000000000000L / (60 + rc) else 0L)
+      assert(rrf == exp, s"doc $doc rrf")
+      if (rc > 0) assert(cosRank.get(doc).contains(rc), s"doc $doc cos_rank")
+      assert(rrf < prev || (rrf == prev && doc > prevId), "total order")
+      prev = rrf; prevId = doc
+    }
+  }
+
+  test("q219 MMR rerank: the greedy selection replays exactly from " +
+    "the index candidates (scores, picks, and tie rule)") {
+    val out = Similarity.q219.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pick"),
+        r.getAs[Long]("cid"), r.getAs[Long]("score")))
+    val qs = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val cand = IvfIndex.search(qs, evalStore, topk = 16).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+
+    cand.foreach { case (qid, cids) =>
+      val fq = cids.map(c => c -> fdot(embMap(qid), embMap(c))).toMap
+      var selected = Vector.empty[Long]
+      val replay = (1 to 5).flatMap { pick =>
+        val rem = cids.filterNot(selected.contains)
+        if (rem.isEmpty) None
+        else {
+          val scored = rem.map { c =>
+            val pen =
+              if (selected.isEmpty) 0L
+              else selected.map(s => fdot(embMap(c), embMap(s))).max
+            (c, 7L * fq(c) - 3L * pen)
+          }
+          val (c, sc) = scored.minBy { case (c, sc) => (-sc, c) }
+          selected :+= c
+          Some((qid, pick, c, sc))
+        }
+      }
+      val got = out.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(got == replay, s"q$qid MMR selection")
+    }
+    assert(out.map(_._1).distinct.length == cand.size)
+  }
+
+  test("q220 k-anonymity audit: class sizes cover the table, risky " +
+    "flags bind at k<5, and generalization merges classes exactly") {
+    val rows = Profiling.q220.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("lvl"), r.getAs[Int]("c_nationkey"),
+        r.getAs[String]("c_mktsegment"), r.getAs[Long]("band"),
+        r.getAs[Long]("k"), r.getAs[Int]("risky")))
+    val nCust = Tables(spark, sfDir).customer.count()
+    Seq(0, 1).foreach { lvl =>
+      val l = rows.filter(_._1 == lvl)
+      assert(l.map(_._5).sum == nCust, s"level $lvl covers the table")
+      assert(l.forall(r => (r._6 == 1) == (r._5 < 5)), "risky = k<5")
+    }
+    // 1000-band classes are exact unions of their 100-band children
+    val coarse = rows.filter(_._1 == 0)
+      .groupBy(r => (r._2, r._3, r._4 / 10))
+      .map { case (k, rs) => k -> rs.map(_._5).sum }
+    val l1 = rows.filter(_._1 == 1)
+      .map(r => (r._2, r._3, r._4) -> r._5).toMap
+    assert(coarse == l1, "generalization ladder is a pure merge")
+    // coarsening can only merge classes: every L1 k >= its children's max
+    assert(rows.filter(_._1 == 1).map(_._5).sum ==
+      rows.filter(_._1 == 0).map(_._5).sum)
+  }
+
+  test("q221 waterfill: allocation is feasible, exhausts the budget, " +
+    "is max-min fair, and the +1 remainder goes to the largest caps") {
+    val rows = Sampling.q221.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tok"),
+        r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+        r.getAs[Int]("saturated")))
+    val b = rows.map(_._2).sum
+    assert(rows.map(_._4).sum == b, "allocation exhausts the budget")
+    rows.foreach { case (src, _, cap, alloc, sat) =>
+      assert(alloc <= cap, s"$src within cap")
+      assert((sat == 1) == (alloc == cap), s"$src saturated flag")
+    }
+    val unsat = rows.filter(_._5 == 0)
+    assert(unsat.nonEmpty, "2-epoch caps over a 1-epoch budget must " +
+      "leave unsaturated sources")
+    val t = unsat.map(_._4).min
+    assert(unsat.map(_._4).max <= t + 1, "water level within 1 token")
+    // saturated sources sit at or below the water level
+    rows.filter(_._5 == 1).foreach { case (src, _, cap, _, _) =>
+      assert(cap <= t, s"$src saturated cap below the level")
+    }
+    // the +1 bonus lands on the r largest-cap unsaturated sources
+    val r = unsat.count(_._4 == t + 1)
+    val expected = unsat.sortBy { case (src, _, cap, _, _) => (-cap, src) }
+      .take(r).map(_._1).toSet
+    assert(unsat.filter(_._4 == t + 1).map(_._1).toSet == expected,
+      "deterministic remainder assignment")
+  }
+}
