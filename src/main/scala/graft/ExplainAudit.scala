@@ -56,7 +56,8 @@ object ExplainAudit {
     "q214_knn_ivfpq_republished", "q215_dedup_after_takedown",
     "q216_knn_graph_deleted", "q217_ann_eval_recall",
     "q218_rrf_fusion", "q219_mmr_rerank", "q220_kanon_risk_audit",
-    "q221_budget_waterfill")
+    "q221_budget_waterfill", "q222_ann_eval_ndcg",
+    "q223_dedup_eval_prf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -869,6 +870,22 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q221_budget_waterfill")
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("Window") && !p.contains("CartesianProduct")
+      }),
+      ("q222 nDCG eval shares q217's shape: the graded-metric join " +
+        "reads the persisted assignment store through the cell " +
+        "equi-join with the query fetch pushed; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q222_ann_eval_ndcg")
+        p.contains("assignments") &&
+          p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q223 dedup eval: both pair spaces are key-bounded equi-joins " +
+        "(band+signature buckets for the LSH prediction, capped " +
+        "shingles for the Jaccard truth — the df-cap Window runs " +
+        "partitioned BY SHINGLE, never a global sort); the only " +
+        "nested loops are the 1-row metric cross joins; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q223_dedup_eval_prf")
+        p.contains("Window") && !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

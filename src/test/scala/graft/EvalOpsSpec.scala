@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llmops.{IvfIndex, Sampling, Similarity, TextAnalysis}
+import graft.llmops.{Dedup, IvfIndex, Sampling, Similarity, TextAnalysis}
 import graft.ops.{Profiling, Tables}
 
 /** Proofs for the round-12 retrieval-quality / governance / mixing
@@ -79,6 +79,78 @@ class EvalOpsSpec extends SparkTestBase {
       assert(rr == expFr.map(1000000000000L / _).getOrElse(0L))
       assert(nHit <= nRel)
     }
+  }
+
+  test("q222 nDCG@8: the metric replays from exact truth x index " +
+    "results under the literal discount table; dcg <= idcg") {
+    val disc = Map(1 -> 1000000000L, 2 -> 630929753L, 3 -> 500000000L,
+      4 -> 430676558L, 5 -> 386852807L, 6 -> 356207187L,
+      7 -> 333333333L, 8 -> 315464876L)
+    val truth = Similarity.q50.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Int]("rn")))
+      .groupBy(_._1)
+    val qs = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val sys = IvfIndex.search(qs, evalStore).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Int]("rn")))
+      .groupBy(_._1)
+    val out = Similarity.q222.run(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val gain = truth(qid).map(t => t._2 -> (9L - t._3)).toMap
+      val idcg = truth(qid).map(t => (9L - t._3) * disc(t._3)).sum
+      val dcg = sys(qid)
+        .flatMap(s => gain.get(s._2).map(g => g * disc(s._3))).sum
+      assert(r.getAs[Long]("dcg_e9") == dcg, s"q$qid dcg")
+      assert(r.getAs[Long]("idcg_e9") == idcg, s"q$qid idcg")
+      assert(r.getAs[Long]("ndcg_e6") == dcg * 1000000L / idcg)
+      assert(dcg <= idcg && r.getAs[Long]("ndcg_e6") <= 1000000L)
+    }
+  }
+
+  test("q223 dedup eval: precision/recall replay from an independent " +
+    "Scala computation of the capped-shingle Jaccard truth") {
+    val row = Dedup.q223.run(spark, sfDir).collect().head
+    val (nPred, nTrue, nHit) = (row.getAs[Long]("n_pred"),
+      row.getAs[Long]("n_true"), row.getAs[Long]("n_hit"))
+    assert(nHit <= math.min(nPred, nTrue))
+    assert(row.getAs[Long]("precision_e6") ==
+      (if (nPred == 0) 0L else nHit * 1000000L / nPred))
+    assert(row.getAs[Long]("recall_e6") ==
+      (if (nTrue == 0) 0L else nHit * 1000000L / nTrue))
+
+    // independent truth: per-doc distinct 3-shingle sets, global df cap,
+    // pairs sharing a shingle with 3*|inter| >= |a|+|b|  (J >= 0.5)
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split(" ", -1).toSeq)
+      .filter(_._2.size >= 3)
+      .map { case (id, ws) =>
+        id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    val df = docs.flatMap(_._2).groupBy(identity).map {
+      case (s, o) => s -> o.size }
+    val capped = docs.map { case (id, ss) =>
+      id -> ss.filter(s => df(s) <= Dedup.dfCap) }.toMap
+    val ids = capped.keys.toSeq.sorted
+    val truthPairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = capped(ids(i)); b = capped(ids(j))
+      ni = a.intersect(b).size
+      if ni > 0 && 3L * ni >= a.size + b.size
+    } yield (ids(i), ids(j))).toSet
+    assert(nTrue == truthPairs.size, "independent truth pair count")
+
+    val pred = Dedup.q41.run(spark, sfDir).collect()
+      .filter(_.getAs[Long]("n_bands") >= 4)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(nPred == pred.size)
+    assert(nHit == pred.intersect(truthPairs).size)
   }
 
   test("q218 RRF fusion: scores recompute from the ranks, the cosine " +
