@@ -57,7 +57,8 @@ object ExplainAudit {
     "q216_knn_graph_deleted", "q217_ann_eval_recall",
     "q218_rrf_fusion", "q219_mmr_rerank", "q220_kanon_risk_audit",
     "q221_budget_waterfill", "q222_ann_eval_ndcg",
-    "q223_dedup_eval_prf")
+    "q223_dedup_eval_prf", "q224_decontaminate_train",
+    "q225_ldiversity_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -886,6 +887,25 @@ object ExplainAudit {
         "nested loops are the 1-row metric cross joins; no cartesian", {
         val p = planOf(spark, byName, sfDir, "q223_dedup_eval_prf")
         p.contains("Window") && !p.contains("CartesianProduct")
+      }),
+      ("q224 decontamination: the test-side span index meets the " +
+        "train spans through a LEFT-SEMI join on the 8-byte span hash " +
+        "(never doc x doc), and the rollup is one per-source hash-agg " +
+        "— q48's audit physics reused for enforcement; no cartesian, " +
+        "no nested loop", {
+        val p = planOf(spark, byName, sfDir, "q224_decontaminate_train")
+        p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("q225 l-diversity: ONE scan into the single-distinct aggregate " +
+        "ladder (partial agg on (QI, segment) before the exchange — " +
+        "map-side combined, the one-distinct plan Catalyst picks " +
+        "instead of Expand), no join, no window", {
+        val p = planOf(spark, byName, sfDir, "q225_ldiversity_audit")
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
+          "\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 3 &&
+          !p.contains("Join") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

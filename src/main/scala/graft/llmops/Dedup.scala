@@ -926,7 +926,92 @@ object Dedup {
              ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_e6
          FROM np CROSS JOIN nt CROSS JOIN nh"""))
 
+  /** Benchmark DECONTAMINATION — q48's leakage audit turned into the
+    * ENFORCEMENT operator a training pipeline actually runs (Brown et
+    * al. 2020 appendix C; the GPT-3 13-gram rule with this engine's
+    * 8-token span fingerprints): every TRAIN-split document sharing
+    * any 8-token span with any TEST-split document is dropped from the
+    * training corpus. q48 measures contamination per test doc; this
+    * emits the decontaminated corpus manifest — per source, the train
+    * population, the dropped count, the survivors, and an exact-int64
+    * membership witness (sum of kept doc_ids) so the gate hashes the
+    * kept SET, not just its size.
+    *
+    * Scale shape: identical to q48 — one (span-hash) shuffle of the
+    * exploded spans, the test-side index distinct'd then semi-joined
+    * against the train spans (never doc×doc), one per-source rollup.
+    * Span-less (<8 token) train docs cannot leak and are kept by
+    * construction (they never enter the span join).
+    */
+  val q224 = EngineQuery(
+    "q224_decontaminate_train",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val SpanLen = 8
+      val base = t.documents
+        .select(col("doc_id"), col("source"),
+          splitDraw(col("doc_id")).as("bk"), tokens(col("text")).as("ws"))
+      val spans = base.filter(size(col("ws")) >= SpanLen)
+        .select(col("doc_id"), col("bk"),
+          explode(spanHashesWide(tokenHashes(col("ws")), SpanLen))
+            .as("gh"))
+      val testIdx = spans.filter(col("bk") >= 900)
+        .select(col("gh")).distinct()
+      val dropped = spans.filter(col("bk") < 800)
+        .join(testIdx, Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("d", lit(1))
+      base.filter(col("bk") < 800)
+        .select(col("doc_id"), col("source"))
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("d").isNull, col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .select(col("source"), col("n_train"), col("n_dropped"),
+          (col("n_train") - col("n_dropped")).as("n_kept"),
+          col("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source,
+                (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000
+                  AS bk,
+                string_split(trim(text), ' ') ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id, bk,
+                [coalesce(list_sum([(ascii(w[i])
+                    * (((i*i % 1000000007)*2654435761 + i*97) % 1000000007))
+                    % 1000000007
+                    for i in range(1, length(w)+1)]) % 1000000007, 0)
+                 for w in ws] AS ths
+              FROM toks WHERE len(ws) >= 8
+            ), g AS (
+              SELECT doc_id, bk,
+                UNNEST([(${PortableHash.spanHashWideSql("ths", 8)})
+                        for i in range(1, len(ths)-6)]) AS gh
+              FROM th
+            ), test_idx AS (
+              SELECT DISTINCT gh FROM g WHERE bk >= 900
+            ), dropped AS (
+              SELECT DISTINCT t.doc_id
+              FROM g t SEMI JOIN test_idx x ON t.gh = x.gh
+              WHERE t.bk < 800
+            )
+            SELECT t.source, COUNT(*) AS n_train,
+              CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(COUNT(*) - SUM(CASE WHEN d.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN d.doc_id IS NULL THEN t.doc_id
+                ELSE 0 END) AS BIGINT) AS kept_id_sum
+            FROM toks t LEFT JOIN dropped d ON t.doc_id = d.doc_id
+            WHERE t.bk < 800
+            GROUP BY t.source ORDER BY t.source"""))
+
   val all: Seq[EngineQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q165, q196,
-      q215, q223)
+      q215, q223, q224)
 }

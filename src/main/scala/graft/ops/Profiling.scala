@@ -155,5 +155,51 @@ object Profiling {
             FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1) u
             ORDER BY lvl, c_nationkey, c_mktsegment, band"""))
 
-  val all: Seq[EngineQuery] = Seq(q99, q108, q220)
+  /** l-diversity audit (Machanavalli et al. 2007) — k-anonymity's
+    * blind spot made measurable: a class can satisfy k ≥ 5 yet still
+    * disclose its members' sensitive attribute when every member
+    * SHARES it (homogeneity attack). Quasi-identifiers here are
+    * (nation, 1000-unit balance band) — q220's level-1 ladder rung —
+    * and the sensitive attribute is the market segment: per class,
+    * k (size), l (distinct segments), and a homogeneous flag (l < 2).
+    *
+    * Scale shape: ONE hash-agg over one scan — the distinct count
+    * plans as Catalyst's expand+aggregate (q99's discipline), still
+    * map-side partial, no join, no window.
+    */
+  val q225 = EngineQuery(
+    "q225_ldiversity_audit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .select(col("c_nationkey"),
+          (Det.dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+          col("c_mktsegment"))
+        .select(col("c_nationkey"),
+          expr("(cents + 10000000) div 100000").as("band"),
+          col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("band"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .select(col("c_nationkey"), col("band"), col("k"), col("l"),
+          when(col("l") < 2, lit(1)).otherwise(lit(0))
+            .as("homogeneous"))
+        .orderBy(col("c_nationkey"), col("band"))
+    },
+    Some("""WITH cents AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents
+              FROM customer
+            )
+            SELECT c_nationkey,
+              CAST((cents + 10000000) // 100000 AS BIGINT) AS band,
+              COUNT(*) AS k,
+              COUNT(DISTINCT c_mktsegment) AS l,
+              CASE WHEN COUNT(DISTINCT c_mktsegment) < 2
+                THEN 1 ELSE 0 END AS homogeneous
+            FROM cents
+            GROUP BY 1, 2 ORDER BY c_nationkey, band"""))
+
+  val all: Seq[EngineQuery] = Seq(q99, q108, q220, q225)
 }

@@ -246,6 +246,69 @@ class EvalOpsSpec extends SparkTestBase {
       rows.filter(_._1 == 0).map(_._5).sum)
   }
 
+  test("q224 decontamination: the per-source rollup and the kept-set " +
+    "witness replay from an independent span-set computation") {
+    import graft.llmops.PortableHash
+    val out = Dedup.q224.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_train"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum")))
+      .toMap
+    val base = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        PortableHash.splitDraw(col("doc_id")).as("bk"),
+        PortableHash.tokens(col("text")).as("ws"))
+    val spans = base.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("bk"),
+        explode(PortableHash.spanHashesWide(
+          PortableHash.tokenHashes(col("ws")), 8)).as("gh"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bk"),
+        r.getAs[Long]("gh")))
+    val testSet = spans.filter(_._2 >= 900).map(_._3).toSet
+    val droppedIds = spans
+      .filter(s => s._2 < 800 && testSet.contains(s._3))
+      .map(_._1).toSet
+    assert(droppedIds.nonEmpty, "the fixture must plant cross-split dups")
+    val train = base.filter(col("bk") < 800)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    train.groupBy(_._2).foreach { case (src, docs) =>
+      val (nTrain, nDropped, nKept, keptSum) = out(src)
+      val dropped = docs.count(d => droppedIds.contains(d._1))
+      assert(nTrain == docs.length, s"$src n_train")
+      assert(nDropped == dropped, s"$src n_dropped")
+      assert(nKept == docs.length - dropped)
+      assert(keptSum ==
+        docs.filterNot(d => droppedIds.contains(d._1)).map(_._1).sum,
+        s"$src kept-set witness")
+    }
+    assert(out.keySet == train.map(_._2).toSet)
+  }
+
+  test("q225 l-diversity: classes aggregate q220's level-1 cells " +
+    "exactly (same QI ladder), l bounds hold, homogeneity binds") {
+    val l1 = Profiling.q220.run(spark, sfDir).collect()
+      .filter(_.getAs[Int]("lvl") == 1)
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("band"),
+        r.getAs[String]("c_mktsegment"), r.getAs[Long]("k")))
+    val byClass = l1.groupBy(r => (r._1, r._2))
+    val out = Profiling.q225.run(spark, sfDir).collect()
+    assert(out.length == byClass.size)
+    out.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[Long]("band"))
+      val k = r.getAs[Long]("k")
+      val l = r.getAs[Long]("l")
+      val cells = byClass(key)
+      assert(k == cells.map(_._4).sum, s"$key k aggregates q220 cells")
+      assert(l == cells.map(_._3).distinct.length, s"$key l")
+      assert(l >= 1 && l <= 5 && l <= k)
+      assert((r.getAs[Int]("homogeneous") == 1) == (l < 2))
+    }
+    assert(out.map(_.getAs[Long]("k")).sum ==
+      Tables(spark, sfDir).customer.count())
+  }
+
   test("q221 waterfill: allocation is feasible, exhausts the budget, " +
     "is max-min fair, and the +1 remainder goes to the largest caps") {
     val rows = Sampling.q221.run(spark, sfDir).collect()
