@@ -58,7 +58,7 @@ object ExplainAudit {
     "q218_rrf_fusion", "q219_mmr_rerank", "q220_kanon_risk_audit",
     "q221_budget_waterfill", "q222_ann_eval_ndcg",
     "q223_dedup_eval_prf", "q224_decontaminate_train",
-    "q225_ldiversity_audit")
+    "q225_ldiversity_audit", "q226_graph_eval_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -905,6 +905,14 @@ object ExplainAudit {
         "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
           "\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 3 &&
           !p.contains("Join") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q226 graph-index eval: the system side walks the stored edge " +
+        "rows (the members/edges store scans, kind filters pushed) — " +
+        "never re-deriving the graph; the truth side is q50's " +
+        "broadcast two-phase scan; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q226_graph_eval_recall")
+        p.contains("graph-g") && p.contains("LessThan(vec_id,10)") &&
           !p.contains("CartesianProduct")
       }))
 

@@ -943,35 +943,60 @@ object Dedup {
     * Span-less (<8 token) train docs cannot leak and are kept by
     * construction (they never enter the span join).
     */
+  /** Distinct 8-token span fingerprints of a (…, text) frame — the
+    * "benchmark index" side of decontamination. Shared by the q224
+    * gate and the streaming twin (StreamingSpec).
+    */
+  private[graft] def spanIndex(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = tokens(col("text"))
+    docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(explode(spanHashesWide(tokenHashes(col("ws")), 8)).as("gh"))
+      .distinct()
+  }
+
+  /** Rows of `train` (must carry doc_id + text) whose documents share
+    * NO 8-token span with the static index `testIdx(gh)` — per-doc
+    * stateless, so streaming micro-batches compose trivially (the
+    * StreamingSpec twin proves the seam).
+    */
+  private[graft] def decontaminateSurvivors(
+      train: org.apache.spark.sql.DataFrame,
+      testIdx: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spans = train
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(spanHashesWide(tokenHashes(col("ws")), 8)).as("gh"))
+    val dropped = spans.join(testIdx, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   val q224 = EngineQuery(
     "q224_decontaminate_train",
     (s, dir) => {
       val t = Tables(s, dir)
-      val SpanLen = 8
       val base = t.documents
-        .select(col("doc_id"), col("source"),
-          splitDraw(col("doc_id")).as("bk"), tokens(col("text")).as("ws"))
-      val spans = base.filter(size(col("ws")) >= SpanLen)
-        .select(col("doc_id"), col("bk"),
-          explode(spanHashesWide(tokenHashes(col("ws")), SpanLen))
-            .as("gh"))
-      val testIdx = spans.filter(col("bk") >= 900)
-        .select(col("gh")).distinct()
-      val dropped = spans.filter(col("bk") < 800)
-        .join(testIdx, Seq("gh"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .withColumn("d", lit(1))
-      base.filter(col("bk") < 800)
-        .select(col("doc_id"), col("source"))
-        .join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("text"),
+          splitDraw(col("doc_id")).as("bk"))
+      val testIdx = spanIndex(base.filter(col("bk") >= 900))
+      val train = base.filter(col("bk") < 800)
+        .select(col("doc_id"), col("source"), col("text"))
+      val kept = decontaminateSurvivors(train, testIdx)
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_train"),
-          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dropped"),
-          sum(when(col("d").isNull, col("doc_id")).otherwise(0L))
-            .as("kept_id_sum"))
-        .select(col("source"), col("n_train"), col("n_dropped"),
-          (col("n_train") - col("n_dropped")).as("n_kept"),
-          col("kept_id_sum"))
+        .agg(count(lit(1)).as("n_kept0"),
+          sum(col("doc_id")).as("kept_id_sum0"))
+      train.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_train"),
+          (col("n_train") - coalesce(col("n_kept0"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum0"), lit(0L)).as("kept_id_sum"))
         .orderBy(col("source"))
     },
     Some(s"""WITH toks AS (

@@ -547,10 +547,11 @@ object Sampling {
     * structurally, so the all-saturated division-by-zero branch
     * cannot occur.
     */
-  val q221 = EngineQuery(
-    "q221_budget_waterfill",
-    (s, dir) => {
-      val t = Tables(s, dir)
+  /** The q221 waterfill over any (source, text) docs frame — factored
+    * so the scale harness can run it at amplified source counts.
+    */
+  private[graft] def waterfillOver(docs: org.apache.spark.sql.DataFrame,
+      srcCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
       val W = org.apache.spark.sql.expressions.Window
       val tokCount = when(length(trim(col("text"))) === 0, lit(0L))
         .otherwise(size(tokens(col("text"))).cast(LongType))
@@ -559,8 +560,8 @@ object Sampling {
       // allocation) — checkpoint it so the corpus is scanned ONCE,
       // not once per branch
       val src = graft.ops.SessionScratch.transientCheckpoint(
-        t.documents
-          .select(col("source"), tokCount.as("tk"))
+        docs
+          .select(srcCol.as("source"), tokCount.as("tk"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tok"))
           .withColumn("cap", lit(2L) * col("tok")))
@@ -596,7 +597,11 @@ object Sampling {
           when(col("alloc") === col("cap"), lit(1)).otherwise(lit(0))
             .as("saturated"))
         .orderBy(col("source"))
-    },
+  }
+
+  val q221 = EngineQuery(
+    "q221_budget_waterfill",
+    (s, dir) => waterfillOver(Tables(s, dir).documents, col("source")),
     Some("""WITH dl AS (
               SELECT source,
                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1543,6 +1543,19 @@ object Similarity {
     * close over the survivors.
     */
   private def beamTail(resultPred: String = "TRUE"): String =
+    beamWalkCtes + s"""
+           SELECT qid, cid, sim, rn FROM (
+             SELECT qid, cid, sim, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2
+             WHERE $resultPred) x
+           WHERE rn <= 8
+           ORDER BY qid, rn"""
+
+  /** The 2-round beam walk through `s2(qid, cid, sim)` — split from
+    * [[beamTail]] so q226's eval oracle can rank it into a `sys` CTE
+    * instead of the final select.
+    */
+  private def beamWalkCtes: String =
     s"""
          , q AS (
              SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10
@@ -1583,13 +1596,7 @@ object Similarity {
              JOIN ex ea ON ea.vec_id = v.qid
              JOIN ex eb ON eb.vec_id = v.cid AND eb.pos = ea.pos
              GROUP BY v.qid, v.cid
-           )
-           SELECT qid, cid, sim, rn FROM (
-             SELECT qid, cid, sim, row_number() OVER (
-               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2
-             WHERE $resultPred) x
-           WHERE rn <= 8
-           ORDER BY qid, rn"""
+           )"""
 
   /** Plan-audit probe (ExplainAudit): the UN-checkpointed graph-build
     * frame — the gate checkpoints it, so the cell-blocked pair join
@@ -2411,6 +2418,68 @@ object Similarity {
     * hash-mismatches — this is q180's contract read through the lens
     * a retrieval team actually monitors.
     */
+  /** The q217/q226 metric join: per-query recall@k + reciprocal rank
+    * of `sys(qid, cid, rn)` against `truth(qid, cid)` — all exact
+    * integers, |queries|·k rows.
+    */
+  private def evalMetrics(truth: org.apache.spark.sql.DataFrame,
+      sys: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nrel = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = sys
+      .join(truth.withColumn("rel", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
+        min(when(col("rel") === 1, col("rn"))).as("fr"))
+    nrel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+        coalesce(expr("1000000000000 div fr"), lit(0L)).as("rr_e12"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle metric tail shared by q217/q226 — assumes `sys(qid, cid,
+    * rn)` and `truth(qid, cid)` CTEs exist.
+    */
+  private def evalMetricsSql: String =
+    """, nrel AS (
+           SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid
+         ), hits AS (
+           SELECT s.qid,
+             CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             MIN(CASE WHEN t.cid IS NOT NULL THEN s.rn END) AS fr
+           FROM sys s LEFT JOIN truth t
+             ON t.qid = s.qid AND t.cid = s.cid
+           GROUP BY s.qid
+         )
+         SELECT n.qid, n.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rank,
+           CAST(COALESCE(1000000000000 // h.fr, 0) AS BIGINT) AS rr_e12
+         FROM nrel n LEFT JOIN hits h ON h.qid = n.qid
+         ORDER BY n.qid"""
+
+  /** Exact-truth oracle CTE: brute top-8 per query over all
+    * candidates (q50's replay) as `truth(qid, cid)` — shared by
+    * q217/q226.
+    */
+  private def exactTruthCtes: String =
+    """, tdots AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2
+         ), truth AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) rn FROM tdots) x
+           WHERE rn <= 8
+         )"""
+
   val q217 = EngineQuery(
     "q217_ann_eval_recall",
     (s, dir) => {
@@ -2422,18 +2491,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
         path)
         .select(col("qid"), col("cid"), col("rn"))
-      val nrel = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-      val hits = sys
-        .join(truth.withColumn("rel", lit(1)), Seq("qid", "cid"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
-          min(when(col("rel") === 1, col("rn"))).as("fr"))
-      nrel.join(hits, Seq("qid"), "left")
-        .select(col("qid"), col("n_rel"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
-          coalesce(expr("1000000000000 div fr"), lit(0L)).as("rr_e12"))
-        .orderBy(col("qid"))
+      evalMetrics(truth, sys)
     },
     Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
       """, probes AS (
@@ -2459,35 +2517,7 @@ object Similarity {
              SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY sim DESC, member_id) rn FROM sdots) x
            WHERE rn <= 8
-         ), tdots AS (
-           SELECT q.vec_id AS qid, c.vec_id AS cid,
-             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
-                    * CAST(FLOOR(c.v*10000000.0) AS BIGINT)) AS DOUBLE)
-               / 100000000000000.0 AS sim
-           FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id != c.vec_id
-           WHERE q.vec_id < 10
-           GROUP BY 1, 2
-         ), truth AS (
-           SELECT qid, cid FROM (
-             SELECT qid, cid, row_number() OVER (PARTITION BY qid
-               ORDER BY sim DESC, cid) rn FROM tdots) x
-           WHERE rn <= 8
-         ), nrel AS (
-           SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid
-         ), hits AS (
-           SELECT s.qid,
-             CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hit,
-             MIN(CASE WHEN t.cid IS NOT NULL THEN s.rn END) AS fr
-           FROM sys s LEFT JOIN truth t
-             ON t.qid = s.qid AND t.cid = s.cid
-           GROUP BY s.qid
-         )
-         SELECT n.qid, n.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
-           CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rank,
-           CAST(COALESCE(1000000000000 // h.fr, 0) AS BIGINT) AS rr_e12
-         FROM nrel n LEFT JOIN hits h ON h.qid = n.qid
-         ORDER BY n.qid"""))
+         )""" + exactTruthCtes + evalMetricsSql))
 
   /** Fixed-point DCG discount: floor(1e9 / log2(rank+1)) for ranks
     * 1..8, as literals so both engines use the identical integer table
@@ -2606,6 +2636,41 @@ object Similarity {
              AS ndcg_e6
          FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid
          ORDER BY i.qid"""))
+
+  /** The eval harness over the GRAPH index family — q217's discipline
+    * on the SECOND maintained ANN read path: recall@8 + reciprocal
+    * rank of the persisted insert-only kNN graph's beam search
+    * ([[GraphIndex.search]] over q199's even-build + odd-append store)
+    * against the exact brute-force truth. With q217 the two production
+    * read paths (cell probe, graph walk) are monitored by the same
+    * hash-gated metric sheet — the apples-to-apples comparison an
+    * index owner uses to pick a family.
+    *
+    * Scale shape: q217's (truth = the one corpus-sized scan; the walk
+    * side is |queries|·(entries + beam·degree) — never corpus; the
+    * metric join |queries|·8).
+    */
+  val q226 = EngineQuery(
+    "q226_graph_eval_recall",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingGraphIndex(s, dir)
+      val truth = q50.run(s, dir).select(col("qid"), col("cid"))
+      val sys = GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+        .select(col("qid"), col("cid"), col("rn"))
+      evalMetrics(truth, sys)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + evenOddGraphCtes +
+      beamWalkCtes +
+      """, sys AS (
+           SELECT qid, cid, rn FROM (
+             SELECT qid, cid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2) x
+           WHERE rn <= 8
+         )""" + exactTruthCtes + evalMetricsSql))
 
   /** Oracle rounds 2..`rounds` of the q219 MMR loop — assumes CTEs
     * `cand16(qid, cid, fq)`, `cpairs(qid, ca, cb, fab)`, `sel1`, and
@@ -2774,5 +2839,5 @@ object Similarity {
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213, q214, q216, q217, q219, q222)
+      q213, q214, q216, q217, q219, q222, q226)
 }

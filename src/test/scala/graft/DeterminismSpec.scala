@@ -66,7 +66,13 @@ class DeterminismSpec extends SparkTestBase {
     "q208_knn_ivf_deleted",            // tombstone mask before ranking
     "q209_knn_graph_day3",             // two-wave edges, wave-ordered
     "q210_bm25_after_takedown",        // lockstep stats + masked df
-    "q211_ingest_label_pipeline")      // admission + vote composed
+    "q211_ingest_label_pipeline",      // admission + vote composed
+    "q217_ann_eval_recall",            // truth x index metric join
+    "q218_rrf_fusion",                 // two TakeOrdered arms fused
+    "q219_mmr_rerank",                 // 5 greedy rounds, int64 ties
+    "q221_budget_waterfill",           // sorted prefix sums + bonus rank
+    "q223_dedup_eval_prf",             // two pair spaces intersected
+    "q224_decontaminate_train")        // span semi-join + kept witness
     // (q192 above now also exercises PqCodebook.fit's trained
     // codebooks — the per-subspace Lloyd loop must be partition-count
     // independent for its oracle replay to hold)

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llmops.{Dedup, IvfIndex, Sampling, Similarity, TextAnalysis}
+import graft.llmops.{Dedup, GraphIndex, IvfIndex, Sampling, Similarity,
+  TextAnalysis}
 import graft.ops.{Profiling, Tables}
 
 /** Proofs for the round-12 retrieval-quality / governance / mixing
@@ -78,6 +79,35 @@ class EvalOpsSpec extends SparkTestBase {
       assert(fr == expFr.getOrElse(0L), s"q$qid first_rank")
       assert(rr == expFr.map(1000000000000L / _).getOrElse(0L))
       assert(nHit <= nRel)
+    }
+  }
+
+  test("q226 graph-index eval: metrics equal an independent replay " +
+    "from exact truth x beam-search results") {
+    val out = Similarity.q226.run(spark, sfDir).collect()
+    assert(out.length == 10)
+    val truth = Similarity.q50.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val store = freshDir("graph")
+    val em = Tables(spark, sfDir).embeddings
+    GraphIndex.build(em.filter(col("vec_id") % 2 === 0), store, k = 4)
+    GraphIndex.append(em.filter(col("vec_id") % 2 === 1), store)
+    val qs = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val sys = GraphIndex.search(qs, store).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Int]("rn")))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val t = truth(qid)
+      val s = sys(qid).sortBy(_._3)
+      assert(r.getAs[Long]("n_hit") == s.count(x => t.contains(x._2)))
+      val expFr = s.find(x => t.contains(x._2)).map(_._3.toLong)
+      assert(r.getAs[Long]("first_rank") == expFr.getOrElse(0L))
+      assert(r.getAs[Long]("rr_e12") ==
+        expFr.map(1000000000000L / _).getOrElse(0L))
     }
   }
 

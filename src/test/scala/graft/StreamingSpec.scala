@@ -977,4 +977,55 @@ class StreamingSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "streamed partials must merge to the batch-appended model")
   }
+
+  test("streaming decontamination via foreachBatch == batch q224 " +
+    "survivor set (per-doc stateless against the static test index)") {
+    // the train corpus arrives as a crawl stream; each micro-batch is
+    // decontaminated through the SAME Dedup.decontaminateSurvivors
+    // core the q224 gate runs, against the STATIC test-split span
+    // index. Per-doc decisions are stateless, so N micro-batches must
+    // union to exactly the one-batch survivor set — the q155
+    // stream-static discipline on the decontamination operator.
+    import graft.llmops.{Dedup, PortableHash}
+    val base = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("text"),
+        PortableHash.splitDraw(col("doc_id")).as("bk"))
+    val testIdx = Dedup.spanIndex(base.filter(col("bk") >= 900))
+      .localCheckpoint()
+    val train = base.filter(col("bk") < 800)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    val want = Dedup.decontaminateSurvivors(train, testIdx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.size < train.count(),
+      "the fixture must plant cross-split duplicated spans")
+
+    val inDir = Files.createTempDirectory("decon_in")
+    val outDir = Files.createTempDirectory("decon_out").toString
+    val ckpt = Files.createTempDirectory("decon_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(train.schema)
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.decontaminateSurvivors(batch, testIdx)
+            .select(col("doc_id"), col("source"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageInto(inDir, train.filter(col("doc_id") % 2 === 0), "b1.parquet")
+    runOnce()
+    stageInto(inDir, train.filter(col("doc_id") % 2 === 1), "b2.parquet")
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want,
+      "streamed survivors must equal the one-batch decontamination")
+  }
 }
