@@ -58,7 +58,8 @@ object ExplainAudit {
     "q218_rrf_fusion", "q219_mmr_rerank", "q220_kanon_risk_audit",
     "q221_budget_waterfill", "q222_ann_eval_ndcg",
     "q223_dedup_eval_prf", "q224_decontaminate_train",
-    "q225_ldiversity_audit", "q226_graph_eval_recall")
+    "q225_ldiversity_audit", "q226_graph_eval_recall",
+    "q227_decon_packed_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -913,6 +914,18 @@ object ExplainAudit {
         "broadcast two-phase scan; no cartesian", {
         val p = planOf(spark, byName, sfDir, "q226_graph_eval_recall")
         p.contains("graph-g") && p.contains("LessThan(vec_id,10)") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q227 decontaminated pack: the whole chain still runs off the " +
+        "survivor checkpoint — the gate plan scans ZERO parquet, the " +
+        "decon stage enters as a LEFT-SEMI + LEFT-ANTI over the span " +
+        "hashes, the tokenizer applies join-free (chained replace), " +
+        "and the pack window runs per source; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q227_decon_packed_pipeline")
+        !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
+          p.contains("LeftSemi") && p.contains("LeftAnti") &&
+          p.contains("replace(") && p.contains("Window") &&
           !p.contains("CartesianProduct")
       }))
 

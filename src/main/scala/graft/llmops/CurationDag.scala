@@ -295,6 +295,15 @@ object CurationDag {
     val kept = train.join(
       Curation.classifierScores(survivors).filter(col("keep")),
       Seq("doc_id"), "left_semi")
+    packTail(kept, merges)
+  }
+
+  /** The tokenize → pack tail shared by q185/q200 and the
+    * decontaminated variant (q227): per-doc token mass under the given
+    * merge table, then the per-source 2048-token running-sum binning.
+    */
+  private def packTail(kept: org.apache.spark.sql.DataFrame,
+      merges: Seq[Bpe.Merge]): org.apache.spark.sql.DataFrame = {
     val words = kept
       .select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), Bpe.WordSplitRe)).as("word"))
@@ -337,10 +346,48 @@ object CurationDag {
     * score-filter → tokenize → pack replay, ending with
     * `binned(source, doc_id, n_tok, cum, bin)`.
     */
-  private def packedOracleCtes: String = {
+  private def packedOracleCtes: String = packedOracleCtesImpl(false)
+
+  /** q227's replay: the same chain with the DECONTAMINATION stage
+    * between split and scoring — train docs sharing an 8-token span
+    * with any TEST-split doc are dropped, and the tokenizer trains on
+    * the decontaminated train split (the production ordering).
+    */
+  private def deconOracleCtes: String = packedOracleCtesImpl(true)
+
+  private def packedOracleCtesImpl(decon: Boolean): String = {
+      val trainCte = if (decon) "tdocs2" else "tdocs"
+      // q227 runs the DOC-LEVEL split (q78's rule): the group split
+      // moves whole sources, so the fixture has no cross-split span
+      // sharing and a decon stage under it would never fire — the
+      // doc-level split is exactly the regime where decontamination
+      // is load-bearing
+      val docDraw =
+        "(doc_id % 1000000007) * 2654435761 % 1000000007 % 1000"
+      val deconBlock = if (!decon) "" else s"""
+         , tstg AS MATERIALIZED (
+             SELECT DISTINCT gh FROM (
+               SELECT UNNEST([(${PortableHash.spanHashWideSql("ths", 8)})
+                       for i in range(1, len(ths)-6)]) AS gh
+               FROM sth h JOIN spl p ON h.doc_id = p.doc_id
+               WHERE p.split = 'test')
+           ), trg AS (
+             SELECT h.doc_id,
+               UNNEST([(${PortableHash.spanHashWideSql("ths", 8)})
+                       for i in range(1, len(ths)-6)]) AS gh
+             FROM sth h JOIN spl p ON h.doc_id = p.doc_id
+             WHERE p.split = 'train'
+           ), decdrop AS (
+             SELECT DISTINCT t.doc_id
+             FROM trg t SEMI JOIN tstg x ON t.gh = x.gh
+           ), tdocs2 AS MATERIALIZED (
+             SELECT t.doc_id, t.source, t.text
+             FROM tdocs t ANTI JOIN decdrop d ON t.doc_id = d.doc_id
+           )"""
       val B = Curation.ClfBuckets
-      val bucket = PortableHash.splitDrawSql(
-        PortableHash.charHashSql("source"))
+      val bucket =
+        if (decon) docDraw
+        else PortableHash.splitDrawSql(PortableHash.charHashSql("source"))
       Dedup.minhashPairsCtes + s"""
          , losers AS (
              SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE n_bands >= 4
@@ -381,11 +428,11 @@ object CurationDag {
              SELECT f.doc_id, CAST(SUM(cw.wt) AS BIGINT) AS w_sum
              FROM sfeats f JOIN cw ON f.b = cw.b
              GROUP BY f.doc_id
-           ), kept AS MATERIALIZED (
+           )$deconBlock, kept AS MATERIALIZED (
              SELECT t.doc_id, t.source, t.text
-             FROM tdocs t JOIN sscored sc ON t.doc_id = sc.doc_id
+             FROM $trainCte t JOIN sscored sc ON t.doc_id = sc.doc_id
              WHERE sc.w_sum >= 0
-           ), ${Bpe.oracleChainBody("tdocs")}, enc AS MATERIALIZED (
+           ), ${Bpe.oracleChainBody(trainCte)}, enc AS MATERIALIZED (
              SELECT word,
                (length(s) - length(replace(s, chr(31) || chr(31), ''))) // 2
                  + 1 AS n_toks
@@ -1054,6 +1101,99 @@ object CurationDag {
            LEFT JOIN tksrc tk ON tk.source = b.source
            GROUP BY b.source ORDER BY b.source"""))
 
+  /** q78's DOC-LEVEL split rule — q227 deliberately runs this instead
+    * of the group split: group splits move whole sources, so the
+    * fixture (like any corpus with source-atomic provenance) has no
+    * cross-split span sharing under them and a decon stage would never
+    * fire; the doc-level split is exactly the regime where
+    * decontamination is load-bearing.
+    */
+  private def docSplit: org.apache.spark.sql.Column = {
+    val bk = PortableHash.splitDraw(col("doc_id"))
+    when(bk < 800, "train").when(bk < 900, "val").otherwise("test")
+  }
+
+  /** The decontaminated train split's BPE model — trained AFTER the
+    * span drop (the production ordering: a tokenizer trained on
+    * contaminated text bakes eval n-grams into its vocabulary).
+    * Memoized separately from [[dagTrain]]: it is a DIFFERENT model.
+    */
+  private def deconTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): Bpe.Trained =
+    SessionScratch.memo("bpe_train_dag_decon",
+      s.sparkContext.applicationId, dir) {
+      val losers = Dedup.minhashLosers(s, dir)
+      val base = Tables(s, dir).documents
+        .join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("split", docSplit)
+      val testIdx = Dedup.spanIndex(base.filter(col("split") === "test"))
+      val trainDocs = Dedup.decontaminateSurvivors(
+        base.filter(col("split") === "train")
+          .select(col("doc_id"), col("text")),
+        testIdx)
+      Bpe.trainOn(Bpe.wordFreqOf(trainDocs.select(col("text"))),
+        Bpe.Rounds)
+    }
+
+  /** The COMPLETE pipeline with the DECONTAMINATION stage (q224's
+    * operator composed into the q185 chain at its production slot):
+    * dedup → DOC-LEVEL split ([[docSplit]] — the regime where
+    * decontamination is load-bearing; under q185's group split the
+    * fixture has no cross-split span sharing and the stage would
+    * never fire) → DECONTAMINATE the train split against the test
+    * split's 8-token span index → score-filter → tokenize (the BPE
+    * model trains on the DECONTAMINATED train split — a tokenizer
+    * trained before the drop would bake eval n-grams into its
+    * vocabulary) → pack into 2048-token bins. The gate hashes the
+    * same per-(source, bin) readout as q185, so a decontamination
+    * stage that dropped the wrong docs — or a tokenizer that saw the
+    * contaminated text — shifts a token mass and mismatches.
+    *
+    * MEASURED composition fact (EvalOpsSpec pins it): stage-1 near-dup
+    * dedup SUBSUMES the fixture's planted cross-split contamination —
+    * post-dedup survivor drops are 0 at sf0.001/sf0.01 and exactly 1
+    * at sf0.1 (the shares-a-span-but-not-near-dup tail, precisely the
+    * case decontamination exists for; q224 on the RAW corpus drops 41
+    * at sf0.1). The spec proves the fire case on a crafted corpus
+    * through the same composed helpers and that the gate population
+    * equals the scored decon survivors.
+    *
+    * Scale shape: q185's plus q224's one span-hash shuffle +
+    * semi-join — the decon stage reads the SAME survivor checkpoint
+    * as split/scoring (no extra corpus scan; the gate plan stays
+    * parquet-free, PLANS.md asserts it).
+    */
+  val q227 = EngineQuery(
+    "q227_decon_packed_pipeline",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val merges = deconTrain(s, dir).merges
+      val losers = Dedup.minhashLosers(s, dir)
+      val survivors = SessionScratch.transientCheckpoint(
+        t.documents.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("text")))
+      val withSplit = survivors.withColumn("split", docSplit)
+      val testIdx = Dedup.spanIndex(
+        withSplit.filter(col("split") === "test"))
+      val train = Dedup.decontaminateSurvivors(
+        withSplit.filter(col("split") === "train")
+          .select(col("doc_id"), col("source"), col("text")),
+        testIdx)
+      val kept = train.join(
+        Curation.classifierScores(survivors).filter(col("keep")),
+        Seq("doc_id"), "left_semi")
+      packTail(kept, merges)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some(deconOracleCtes +
+      """
+           SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+           FROM binned GROUP BY 1, 2
+           ORDER BY source, bin"""))
+
   val all: Seq[EngineQuery] =
-    Seq(q178, q181, q185, q187, q190, q191, q200, q207)
+    Seq(q178, q181, q185, q187, q190, q191, q200, q207, q227)
 }

@@ -72,7 +72,8 @@ class DeterminismSpec extends SparkTestBase {
     "q219_mmr_rerank",                 // 5 greedy rounds, int64 ties
     "q221_budget_waterfill",           // sorted prefix sums + bonus rank
     "q223_dedup_eval_prf",             // two pair spaces intersected
-    "q224_decontaminate_train")        // span semi-join + kept witness
+    "q224_decontaminate_train",        // span semi-join + kept witness
+    "q227_decon_packed_pipeline")      // decon composed into the pack
     // (q192 above now also exercises PqCodebook.fit's trained
     // codebooks — the per-subspace Lloyd loop must be partition-count
     // independent for its oracle replay to hold)

@@ -316,6 +316,75 @@ class EvalOpsSpec extends SparkTestBase {
     assert(out.keySet == train.map(_._2).toSet)
   }
 
+  test("q227 decon pipeline: the decontamination stage FIRES (drops " +
+    "are non-empty) and the packed doc population is exactly the " +
+    "scored decon survivors") {
+    import graft.llmops.{Curation, CurationDag, PortableHash}
+    val docs = Tables(spark, sfDir).documents
+    // stage 1 replay: q41/q45's greedy losers
+    val losers = Dedup.q41.run(spark, sfDir).collect()
+      .filter(_.getAs[Long]("n_bands") >= 4)
+      .map(_.getAs[Long]("doc_b")).toSet
+    val surv = docs
+      .filter(!col("doc_id").isin(losers.toSeq: _*))
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 2: the DOC-LEVEL split q227 runs
+    val bk = PortableHash.splitDraw(col("doc_id"))
+    val withSplit = surv.withColumn("split",
+      when(bk < 800, "train").when(bk < 900, "val").otherwise("test"))
+    val testIdx = Dedup.spanIndex(
+      withSplit.filter(col("split") === "test")).localCheckpoint()
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"), col("text"))
+    val keptDecon = Dedup.decontaminateSurvivors(train, testIdx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val trainIds = train.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // MEASURED COMPOSITION FACT (pinned, not assumed): stage-1
+    // near-dup dedup SUBSUMES the fixture's planted cross-split
+    // contamination at this scale — every doc q224 would drop on the
+    // raw corpus is already a minhash loser, so the composed decon
+    // stage correctly no-ops here (and catches exactly the
+    // shares-a-span-but-not-near-dup tail at sf0.1: 1 doc). A change
+    // to the dedup threshold or the split rule that re-opens the leak
+    // flips this assert.
+    assert(keptDecon == trainIds,
+      "post-dedup sf0.001 survivors have no cross-split span sharing")
+    // stage 3: classifier keeps over the survivor corpus
+    val keeps = Curation.classifierScores(surv)
+      .filter(col("keep")).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val expectedPacked = keptDecon.intersect(keeps)
+    val packedDocs = CurationDag.q227.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(packedDocs == expectedPacked.size,
+      "the packed population must be the scored decon survivors")
+
+    // the FIRE case, proven on a crafted corpus through the SAME
+    // composed helpers: a train doc sharing one 8-token span with a
+    // test doc — but NOT a near-dup of it — must drop, while a
+    // span-free sibling survives
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val crafted = Seq(
+      // doc_id 1 -> splitDraw 747 (train); shares the span
+      (1L, s"$span completely different trailing content words " +
+        "one two three four five six seven eight nine ten"),
+      // doc_id 3 -> splitDraw 234 (train); no shared span
+      (3L, "unrelated filler text with plenty of its own words " +
+        "and no overlap at all beyond tiny bits"),
+      // doc_id 4 -> splitDraw 974 (test); the benchmark doc
+      (4L, s"benchmark question preamble $span benchmark answer tail")
+    ).toDF("doc_id", "text")
+    val cbk = PortableHash.splitDraw(col("doc_id"))
+    val cIdx = Dedup.spanIndex(crafted.filter(cbk >= 900))
+    val cKept = Dedup.decontaminateSurvivors(
+      crafted.filter(cbk < 800), cIdx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(cKept == Set(3L),
+      "the span-sharing train doc drops; the clean one survives")
+  }
+
   test("q225 l-diversity: classes aggregate q220's level-1 cells " +
     "exactly (same QI ladder), l bounds hold, homogeneity binds") {
     val l1 = Profiling.q220.run(spark, sfDir).collect()
