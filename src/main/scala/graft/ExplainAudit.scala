@@ -59,7 +59,7 @@ object ExplainAudit {
     "q221_budget_waterfill", "q222_ann_eval_ndcg",
     "q223_dedup_eval_prf", "q224_decontaminate_train",
     "q225_ldiversity_audit", "q226_graph_eval_recall",
-    "q227_decon_packed_pipeline")
+    "q227_decon_packed_pipeline", "q228_rrf_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -926,6 +926,16 @@ object ExplainAudit {
         !p.contains("Scan parquet") && p.contains("Scan ExistingRDD") &&
           p.contains("LeftSemi") && p.contains("LeftAnti") &&
           p.contains("replace(") && p.contains("Window") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q228 persisted RRF: BOTH arms answer off maintained stores — " +
+        "the keyword arm scans the postings index with the term " +
+        "filter pushed, the semantic arm the assignment store via the " +
+        "cell equi-join; no documents/corpus re-scan at query time, " +
+        "no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q228_rrf_persisted")
+        p.contains("postings") && p.contains("assignments") &&
+          !p.contains("documents.parquet") &&
           !p.contains("CartesianProduct")
       }))
 

@@ -306,7 +306,7 @@ object Similarity {
     * corpus and later arrivals are assigned under the recorded
     * centroids without retraining.
     */
-  private def kmeansTrainCtes(k: Int, trainPred: String = "TRUE"): String =
+  private[llmops] def kmeansTrainCtes(k: Int, trainPred: String = "TRUE"): String =
     s"""WITH ex AS (
          SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) v,
            generate_subscripts(embedding, 1) pos

@@ -842,7 +842,90 @@ object TextAnalysis {
            FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
            ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
+  /** RRF over the PERSISTED stores — q218's fusion read operationally:
+    * the keyword arm answers off the maintained BM25 postings index
+    * (q184's store, term filter pushed to the index scan) and the
+    * semantic arm off the maintained IVF index (q180's store,
+    * probe-bounded candidates) — the production hybrid-serving shape,
+    * where neither arm re-tokenizes nor re-scans the corpus at query
+    * time. Ranks fuse by the same exact-integer 1e12 div (60+rank)
+    * rule. With q202 (cross-store refine) this is the second
+    * cross-store read-path composition: two independently MAINTAINED
+    * artifacts must agree with their from-scratch twins for the fused
+    * ranking to hash-match.
+    *
+    * The semantic arm is the INDEX's ranking (top-2 probed cells), so
+    * the oracle replays the even-half training + probe for query
+    * vector 0 — a stale append or drifted centroid shifts a fused
+    * rank and mismatches.
+    */
+  val q228 = EngineQuery(
+    "q228_rrf_persisted",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val rb = TextIndex.search(s, existingTextIndex(s, dir),
+        bm25Terms, topk = 20)
+        .withColumn("rb", row_number().over(wb))
+        .select(col("doc_id"), col("rb"))
+      val qv = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val rc = IvfIndex.search(qv,
+        Similarity.existingIvfIndex(s, dir), topk = 20)
+        .select(col("cid").as("doc_id"), col("rn").as("rc"))
+      rb.join(rc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rb"), lit(0)).cast(LongType).as("bm25_rank"),
+          coalesce(col("rc"), lit(0)).cast(LongType).as("cos_rank"),
+          (coalesce(expr("1000000000000 div (60 + rb)"), lit(0L))
+            + coalesce(expr("1000000000000 div (60 + rc)"), lit(0L)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(Similarity.kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      """, probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id = 0) x
+           WHERE crn <= 2
+         ), icand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), idots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM icand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), rc AS (
+           SELECT member_id AS doc_id, rn AS rc FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM idots) x
+           WHERE rn <= 20
+         ), """ + bm25Ctes.stripPrefix("WITH ") +
+      """
+         , rb AS (
+             SELECT doc_id, r AS rb FROM (
+               SELECT doc_id, row_number() OVER (
+                 ORDER BY score DESC, doc_id) r FROM bm25) x
+             WHERE r <= 20
+           )
+           SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+             CAST(COALESCE(rb.rb, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(rc.rc, 0) AS BIGINT) AS cos_rank,
+             CAST(COALESCE(1000000000000 // (60 + rb.rb), 0)
+               + COALESCE(1000000000000 // (60 + rc.rc), 0) AS BIGINT)
+               AS rrf
+           FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+           ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   val all: Seq[EngineQuery] =
     Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186,
-      q210, q218)
+      q210, q218, q228)
 }

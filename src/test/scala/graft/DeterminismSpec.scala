@@ -73,7 +73,8 @@ class DeterminismSpec extends SparkTestBase {
     "q221_budget_waterfill",           // sorted prefix sums + bonus rank
     "q223_dedup_eval_prf",             // two pair spaces intersected
     "q224_decontaminate_train",        // span semi-join + kept witness
-    "q227_decon_packed_pipeline")      // decon composed into the pack
+    "q227_decon_packed_pipeline",      // decon composed into the pack
+    "q228_rrf_persisted")              // cross-store rank fusion
     // (q192 above now also exercises PqCodebook.fit's trained
     // codebooks — the per-subspace Lloyd loop must be partition-count
     // independent for its oracle replay to hold)

@@ -216,6 +216,34 @@ class EvalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q228 persisted RRF: scores recompute from the ranks, both " +
+    "arms match their maintained-store replays") {
+    val rows = TextAnalysis.q228.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // semantic arm replay off an identically-built store
+    val qv = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val cosRank = IvfIndex.search(qv, evalStore, topk = 20).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Int]("rn").toLong).toMap
+    // keyword arm: the q184 gate's top-15 is the top-20's prefix
+    val bmTop = TextAnalysis.q184.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val rb = r.getAs[Long]("bm25_rank")
+      val rc = r.getAs[Long]("cos_rank")
+      val exp = (if (rb > 0) 1000000000000L / (60 + rb) else 0L) +
+        (if (rc > 0) 1000000000000L / (60 + rc) else 0L)
+      assert(r.getAs[Long]("rrf") == exp, s"doc $doc rrf")
+      if (rc > 0) assert(cosRank.get(doc).contains(rc), s"doc $doc rc")
+      if (rb > 0 && rb <= 15)
+        assert(bmTop.get(doc).contains(rb), s"doc $doc rb vs q184")
+      assert(rb > 0 || rc > 0)
+    }
+  }
+
   test("q219 MMR rerank: the greedy selection replays exactly from " +
     "the index candidates (scores, picks, and tie rule)") {
     val out = Similarity.q219.run(spark, sfDir).collect()
