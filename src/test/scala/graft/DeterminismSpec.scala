@@ -74,7 +74,10 @@ class DeterminismSpec extends SparkTestBase {
     "q223_dedup_eval_prf",             // two pair spaces intersected
     "q224_decontaminate_train",        // span semi-join + kept witness
     "q227_decon_packed_pipeline",      // decon composed into the pack
-    "q228_rrf_persisted")              // cross-store rank fusion
+    "q228_rrf_persisted",              // cross-store rank fusion
+    "q222_ann_eval_ndcg",              // graded metric, literal discounts
+    "q225_ldiversity_audit",           // single-distinct agg ladder
+    "q226_graph_eval_recall")          // beam walk x exact truth
     // (q192 above now also exercises PqCodebook.fit's trained
     // codebooks — the per-subspace Lloyd loop must be partition-count
     // independent for its oracle replay to hold)
