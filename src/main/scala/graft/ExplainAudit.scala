@@ -59,7 +59,10 @@ object ExplainAudit {
     "q221_budget_waterfill", "q222_ann_eval_ndcg",
     "q223_dedup_eval_prf", "q224_decontaminate_train",
     "q225_ldiversity_audit", "q226_graph_eval_recall",
-    "q227_decon_packed_pipeline", "q228_rrf_persisted")
+    "q227_decon_packed_pipeline", "q228_rrf_persisted",
+    "q229_knn_ivf_lifecycle", "q230_republish_decision",
+    "q231_knn_graph_consolidated", "q232_rrf_three_system",
+    "q233_store_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -937,6 +940,52 @@ object ExplainAudit {
         p.contains("postings") && p.contains("assignments") &&
           !p.contains("documents.parquet") &&
           !p.contains("CartesianProduct")
+      }),
+      ("q229 lifecycle search: after build→append→takedown→compact→" +
+        "republish-from-store, the gate reads the REBUILT assignment " +
+        "store (generation reset to g0) via the cell equi-join — no " +
+        "corpus re-scan beyond the 10-query probe (pushed filter), no " +
+        "tombstone anti-join left (compact consumed the mask), no " +
+        "cartesian; each lifecycle stage's own cost shape is the " +
+        "arms' proven plans (delta projections, takedown-sized " +
+        "tombstone appends) — only the republish is corpus-sized", {
+        val p = planOf(spark, byName, sfDir, "q229_knn_ivf_lifecycle")
+        p.contains("assignments-g0") &&
+          p.contains("LessThan(vec_id,10)") &&
+          !p.contains("tombs") && !p.contains("CartesianProduct")
+      }),
+      ("q230 republish decision: the monitor→decision sweep reads " +
+        "SIDECARS only — the gate plan scans zero parquet (a " +
+        "LocalTableScan of the per-store provenance rows), so " +
+        "auditing a warehouse of stores costs one bounded metadata " +
+        "read per store", {
+        val p = planOf(spark, byName, sfDir, "q230_republish_decision")
+        !p.contains("Scan parquet") && !p.contains("Join")
+      }),
+      ("q231 consolidated graph search: the walk reads the REBUILT " +
+        "row store (graph-g0 — republish consumed the lazy-delete " +
+        "mask, so no tombstone anti-join remains) with kind filters " +
+        "pushed; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q231_knn_graph_consolidated")
+        p.contains("graph-g0") && !p.contains("tombs") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q232 three-system RRF: ALL THREE arms answer off maintained " +
+        "stores — postings (term filter pushed), IVF assignments " +
+        "(cell equi-join), graph row store (kind filters) — no " +
+        "documents/corpus re-scan at query time, no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q232_rrf_three_system")
+        p.contains("postings") && p.contains("assignments") &&
+          p.contains("graph-g") && !p.contains("documents.parquet") &&
+          !p.contains("CartesianProduct")
+      }),
+      ("q233 store-audit gate: the catalog sweep is pure metadata — " +
+        "the gate plan scans zero parquet (sidecar reads happen " +
+        "driver-side, bounded per store), no join, no window", {
+        val p = planOf(spark, byName, sfDir, "q233_store_audit")
+        !p.contains("Scan parquet") && !p.contains("Join") &&
+          !p.contains("Window")
       }))
 
     val summary = checks.map { case (label, ok) =>

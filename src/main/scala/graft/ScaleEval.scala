@@ -30,7 +30,7 @@ import graft.llmops.{IvfIndex, PortableHash, Sampling}
   *    doc-id hash): same corpus, 32× the allocation table, expect a
   *    flat total.
   *
-  * Usage: runMain graft.ScaleEval
+  * Usage: runMain graft.ScaleEval [fixtureDir]   (default sf0.1)
   * Output: one JSON line per measured point.
   */
 object ScaleEval {
@@ -88,7 +88,7 @@ object ScaleEval {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
     def timeIt(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -139,6 +139,13 @@ object ScaleEval {
         println(f"""{"op":"waterfill","point":"$label",""" +
           f""""sec":$sec%.2f}""")
     }
+    // remove the temp IVF store (the other dev tools' cleanup rule)
+    def del(f: java.io.File): Unit = {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(store))
     spark.stop()
   }
 }

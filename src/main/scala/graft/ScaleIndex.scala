@@ -286,17 +286,27 @@ object ScaleIndex {
     // WITH the corpus (HNSW's hierarchy, SemDeDup's 11k cells on
     // LAION) so occupancy stays constant; this block measures exactly
     // that remediation: the same 8x corpus at k=16 (occupancy 8x) vs
-    // k=128 (occupancy ~1x).
-    Seq((1, 16), (8, 16), (8, 128)).foreach { case (f, k) =>
-      val root = fresh(s"occ_${f}x_k$k")
+    // k=128 (occupancy ~1x). The `None` points run the AUTO-k default
+    // (k = kFor(n), occ-256 policy — round-13 verdict #5): the builder
+    // must restore the pair_space/n invariant at 8x WITHOUT the caller
+    // choosing k.
+    Seq((1, Some(16)), (8, Some(16)), (8, Some(128)),
+      (1, None), (8, None)).foreach { case (f, kOpt) =>
+      val kTag = kOpt.map(_.toString).getOrElse("auto")
+      val root = fresh(s"occ_${f}x_k$kTag")
       val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
         "vec_id", f, s"$root/base")
       val nVBase = vBase.count()
       val gPath = s"$root/graph"
       val gBuild = timed {
-        llmops.GraphIndex.build(vBase, gPath, k = k)
+        kOpt match {
+          case Some(k) => llmops.GraphIndex.build(vBase, gPath, k = k)
+          case None    => llmops.GraphIndex.build(vBase, gPath)
+        }
         ops.SessionScratch.evictTransients()
       }
+      val k = kOpt.getOrElse(
+        llmops.IndexMaintenance.kFor(nVBase))
       val sPath = s"$root/ivf"
       llmops.IvfIndex.build(vBase, sPath, k = k)
       val semProbe = timed {
@@ -320,8 +330,10 @@ object ScaleIndex {
         ops.SessionScratch.evictTransients()
       }
       println(f"""{"protocol":"occupancy_constant","corpus_scale":$f,""" +
-        f""""k":$k,"n_base":$nVBase,"n_delta":$nVecDelta,""" +
+        f""""k":$k,"k_policy":"${kOpt.fold("auto")(_ => "explicit")}",""" +
+        f""""n_base":$nVBase,"n_delta":$nVecDelta,""" +
         f""""pair_space":${occ.getLong(0)},""" +
+        f""""pair_space_per_n":${occ.getLong(0).toDouble / nVBase}%.1f,""" +
         f""""occ_max":${occ.getLong(1)},""" +
         f""""graph_build_sec":$gBuild%.2f,""" +
         f""""graph_append_sec":$gAppend%.2f,""" +

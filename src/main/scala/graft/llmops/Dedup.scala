@@ -839,12 +839,17 @@ object Dedup {
   /** Dedup-quality EVALUATION harness — q217's "eval as an operator"
     * discipline applied to the dedup family: precision and recall of
     * the q41/q45 MinHash-LSH admission rule (strong pairs, ≥ 4 shared
-    * bands) against exact n-gram Jaccard ground truth. The truth pair
-    * space is COMPLETE by construction: ground truth = pairs with
-    * J ≥ 0.5 over the dfCap-capped global shingle sets, and any pair
-    * with J ≥ 0.5 > 0 shares a capped shingle, so the share-a-shingle
-    * self-join (bounded per shingle by dfCap², the q43 discipline)
-    * enumerates every true pair. The J ≥ 0.5 test is the INTEGER
+    * bands) against Jaccard ground truth computed over the
+    * dfCap-CAPPED shingle sets — i.e. the truth is exact RELATIVE TO
+    * the capped approximation, not to uncapped Jaccard: a pair whose
+    * overlap lies entirely in hot (df > dfCap) shingles is outside
+    * recall's denominator by construction (SCALING.md round 12
+    * measured the metric cap-insensitive on the fixtures: n_true is
+    * identical at cap ∈ {10, 50, 200}). Within that universe the pair
+    * space is COMPLETE: any pair with capped-J ≥ 0.5 > 0 shares a
+    * capped shingle, so the share-a-shingle self-join (bounded per
+    * shingle by dfCap², the q43 discipline) enumerates every true
+    * pair. The J ≥ 0.5 test is the INTEGER
     * comparison 3·ni ≥ na+nb (no float threshold), so membership —
     * and therefore both metrics — is exact and the sheet hash-gates.
     * This is the tuning loop a dedup owner actually runs when picking
@@ -934,8 +939,11 @@ object Dedup {
     * training corpus. q48 measures contamination per test doc; this
     * emits the decontaminated corpus manifest — per source, the train
     * population, the dropped count, the survivors, and an exact-int64
-    * membership witness (sum of kept doc_ids) so the gate hashes the
-    * kept SET, not just its size.
+    * membership witness (sum of kept doc_ids mod 1000003 — the q49
+    * order_sum pattern, bounded by n·1e6 so it never overflows int64
+    * at any corpus size; a raw id sum would wrap in Spark but ERROR in
+    * DuckDB past int64) so the gate hashes the kept SET, not just its
+    * size.
     *
     * Scale shape: identical to q48 — one (span-hash) shuffle of the
     * exploded spans, the test-side index distinct'd then semi-joined
@@ -988,7 +996,7 @@ object Dedup {
       val kept = decontaminateSurvivors(train, testIdx)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept0"),
-          sum(col("doc_id")).as("kept_id_sum0"))
+          sum(col("doc_id") % 1000003L).as("kept_id_sum0"))
       train.groupBy(col("source"))
         .agg(count(lit(1)).as("n_train"))
         .join(kept, Seq("source"), "left")
@@ -1030,7 +1038,7 @@ object Dedup {
                 AS BIGINT) AS n_dropped,
               CAST(COUNT(*) - SUM(CASE WHEN d.doc_id IS NOT NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-              CAST(SUM(CASE WHEN d.doc_id IS NULL THEN t.doc_id
+              CAST(SUM(CASE WHEN d.doc_id IS NULL THEN t.doc_id % 1000003
                 ELSE 0 END) AS BIGINT) AS kept_id_sum
             FROM toks t LEFT JOIN dropped d ON t.doc_id = d.doc_id
             WHERE t.bk < 800

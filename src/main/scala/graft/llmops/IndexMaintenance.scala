@@ -494,7 +494,8 @@ object IndexMaintenance {
       manifestPresent: Boolean, generation: Int,
       committedFiles: Int, committedBytes: Long,
       uncommittedFiles: Int, missingFiles: Int,
-      staleGenerations: Int, orphanedTemps: Int) {
+      staleGenerations: Int, orphanedTemps: Int,
+      trainStats: Option[TrainStats] = None) {
     /** Every read path would succeed and nothing needs sweeping. */
     def healthy: Boolean = configPresent && configMatches.forall(identity) &&
       manifestPresent && uncommittedFiles == 0 && missingFiles == 0 &&
@@ -506,6 +507,92 @@ object IndexMaintenance {
       missingFiles == 0 && (uncommittedFiles > 0 ||
         staleGenerations > 0 || orphanedTemps > 0)
   }
+
+  // ---- training provenance (_train_stats sidecar) --------------------------
+  //
+  // The trained stores (IVF / IVF-PQ / graph) record WHERE their trained
+  // artifacts came from: the training-sample size (n_train, measured for
+  // free inside KMeans.fitStats / PqCodebook.fitStats), the FAISS 39·k
+  // undertraining verdict at build time, the k-selection policy, and a
+  // running count of rows appended SINCE training (n_appended, bumped
+  // atomically by every append). Together they make the two operational
+  // decisions pure METADATA reads: "is this store undertrained?"
+  // (fsck/StoreAudit) and "has it grown enough since training to need a
+  // republish?" (the q230 drift→decision sweep) — neither touches data.
+
+  /** Parsed `_train_stats` sidecar. `drift` is the appended share of the
+    * current membership — the staleness metric the republish decision
+    * thresholds on (FAISS/DiskANN "rebuild when inserts exceed X% of
+    * build size").
+    */
+  final case class TrainStats(nTrain: Long, k: Int, undertrained: Boolean,
+      nAppended: Long, kPolicy: String) {
+    def drift: Double =
+      if (nTrain + nAppended == 0) 0.0
+      else nAppended.toDouble / (nTrain + nAppended).toDouble
+  }
+
+  private[llmops] val TrainStatsName = "_train_stats"
+
+  /** Record training provenance at build time (n_appended resets to 0 —
+    * a rebuild consumes all prior appends by definition).
+    */
+  private[llmops] def writeTrainStats(s: SparkSession, path: String,
+      nTrain: Long, k: Int, kPolicy: String): Unit =
+    writeSidecar(s, path, TrainStatsName,
+      s"n_train=$nTrain;k=$k;floor=${KMeans.minTrainPoints(k)};" +
+        s"undertrained=${KMeans.undertrained(nTrain, k)};" +
+        s"n_appended=0;k_policy=$kPolicy;v=1")
+
+  /** The recorded training provenance; None when the store predates the
+    * sidecar or was never built by a trained-store builder.
+    */
+  private[llmops] def readTrainStats(s: SparkSession, path: String)
+      : Option[TrainStats] =
+    readSidecar(s, path, TrainStatsName).flatMap { body =>
+      def field(name: String): Option[String] =
+        s"(^|;)$name=([^;]*)".r.findFirstMatchIn(body.trim)
+          .map(_.group(2))
+      scala.util.Try(TrainStats(
+        field("n_train").get.toLong,
+        field("k").get.toInt,
+        field("undertrained").get.toBoolean,
+        field("n_appended").get.toLong,
+        field("k_policy").get)).toOption
+    }
+
+  /** Add `delta` appended rows to the recorded provenance (atomic
+    * sidecar replace). No-op for stores without the sidecar — appends
+    * must keep working on stores built before it existed.
+    */
+  private[llmops] def bumpAppended(s: SparkSession, path: String,
+      delta: Long): Unit =
+    readTrainStats(s, path).foreach { ts =>
+      writeSidecar(s, path, TrainStatsName,
+        s"n_train=${ts.nTrain};k=${ts.k};" +
+          s"floor=${KMeans.minTrainPoints(ts.k)};" +
+          s"undertrained=${ts.undertrained};" +
+          s"n_appended=${ts.nAppended + delta};" +
+          s"k_policy=${ts.kPolicy};v=1")
+    }
+
+  // ---- occupancy-constant default k ----------------------------------------
+
+  /** Default per-cell occupancy target for [[kFor]] — the value the
+    * ScaleIndex occupancy-constant protocol measured as keeping the
+    * cell-blocked pair space linear in n (SCALING.md round 12: at fixed
+    * k an 8× corpus grows occupancy 8× and the occupancy-bounded costs
+    * quadratically; k∝n restores the pair_space/n invariant).
+    */
+  val OccTarget = 256L
+
+  /** Occupancy-constant cell count: k = max(4, ⌈n / occTarget⌉) — the
+    * default-k path for the trained-store builders, so a 100 TB
+    * operator gets the measured protocol without knowing it. Floor 4
+    * keeps tiny corpora at the gate-pinned minimum cell count.
+    */
+  def kFor(n: Long, occTarget: Long = OccTarget): Int =
+    math.max(4L, (n + occTarget - 1) / occTarget).toInt
 
   private[llmops] def fsckStore(s: SparkSession, path: String,
       manifestName: String, configName: String,
@@ -538,10 +625,12 @@ object IndexMaintenance {
         (subdir, recorded)
       }.toOption
     }
+    val trainStats = readTrainStats(s, path)
     parsed match {
       case None =>
         FsckReport(what, path, config.isDefined, matches,
-          manifestPresent = false, generation = -1, 0, 0L, 0, 0, 0, temps)
+          manifestPresent = false, generation = -1, 0, 0L, 0, 0, 0, temps,
+          trainStats)
       case Some((subdir, recorded)) =>
         val actual = listDataFiles(s, s"$path/$subdir")
         val gen = "-g(\\d+)$".r.findFirstMatchIn(subdir)
@@ -556,7 +645,7 @@ object IndexMaintenance {
           manifestPresent = true, gen,
           recorded.size, recorded.map(_._2).sum,
           (actual -- recorded).size, (recorded -- actual).size,
-          stale, temps)
+          stale, temps, trainStats)
     }
   }
 }
@@ -1422,10 +1511,25 @@ object IvfIndex {
     * config last — the "ingest complete" marker. After this, appends
     * never retrain.
     */
-  def build(embeddings: DataFrame, path: String, k: Int): Unit = {
+  def build(embeddings: DataFrame, path: String, k: Int): Unit =
+    buildImpl(embeddings, path, k, "explicit")
+
+  /** Auto-k build: k = [[IndexMaintenance.kFor]](n) — the measured
+    * occupancy-constant protocol as the default, so the caller never
+    * has to know it (the one extra cost is the count that sizes k,
+    * paid once per build). The chosen policy lands in `_train_stats`.
+    */
+  def build(embeddings: DataFrame, path: String): Unit =
+    buildImpl(embeddings, path,
+      IndexMaintenance.kFor(embeddings.count()),
+      s"occ${IndexMaintenance.OccTarget}")
+
+  private def buildImpl(embeddings: DataFrame, path: String, k: Int,
+      kPolicy: String): Unit = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
+    val (cents, nTrain) =
+      KMeans.fitStats(s, embeddings, k = k, iters = Iters)
     cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centDir(path))
@@ -1435,6 +1539,7 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/assignments-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName,
       "assignments-g0")
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k, kPolicy)
     IndexMaintenance.writeSidecar(s, path, "_ivf_index_config", config(k))
   }
 
@@ -1513,6 +1618,8 @@ object IvfIndex {
       .write.mode("append").parquet(cur)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
+    // provenance: grown-since-training mass (one delta-sized count)
+    IndexMaintenance.bumpAppended(s, path, newVecs.count())
   }
 
   /** Compact the accumulated assignment appends (config preserved,
@@ -1695,6 +1802,18 @@ object GraphIndex {
   private[graft] def dataDir(s: SparkSession, path: String): String =
     IndexMaintenance.verifiedDir(s, path, ManifestName, What)
 
+  /** The graph's member rows (member_id, cell, em) with tombstoned
+    * members MASKED — [[IvfIndex.members]]'s read surface for the graph
+    * store. This is the RESULT-side mask only: the walk still routes
+    * through tombstoned members ([[delete]]'s lazy contract); use it to
+    * enumerate the surviving corpus (the [[republish]] consolidation
+    * input), not to reconstruct reachability.
+    */
+  def members(s: SparkSession, path: String): DataFrame =
+    IndexMaintenance.minusTombstones(s, path, ManifestName, What,
+      s.read.parquet(dataDir(s, path)).filter(col("kind") === "m")
+        .select(col("member_id"), col("cell"), col("em")), "member_id")
+
   private def recordedK(s: SparkSession, path: String): Int =
     IndexMaintenance.readSidecar(s, path, ConfigName)
       .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
@@ -1730,10 +1849,24 @@ object GraphIndex {
     * publish the config LAST (the ingest-complete marker).
     */
   def build(embeddings: DataFrame, path: String, k: Int,
-      degree: Int = Degree): Unit = {
+      degree: Int = Degree): Unit =
+    buildImpl(embeddings, path, k, degree, "explicit")
+
+  /** Auto-k build — [[IvfIndex.build]]'s occupancy-constant default
+    * applied to the routing cells (k = [[IndexMaintenance.kFor]](n));
+    * the out-degree stays the explicit connectivity budget.
+    */
+  def build(embeddings: DataFrame, path: String): Unit =
+    buildImpl(embeddings, path,
+      IndexMaintenance.kFor(embeddings.count()), Degree,
+      s"occ${IndexMaintenance.OccTarget}")
+
+  private def buildImpl(embeddings: DataFrame, path: String, k: Int,
+      degree: Int, kPolicy: String): Unit = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
+    val (cents, nTrain) =
+      KMeans.fitStats(s, embeddings, k = k, iters = Iters)
     cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centDir(path))
@@ -1748,6 +1881,7 @@ object GraphIndex {
     edgeShape(Similarity.knnGraphOf(embeddings, cents, degree = degree))
       .write.mode("append").parquet(dir)
     IndexMaintenance.publishManifest(s, path, ManifestName, "graph-g0")
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k, kPolicy)
     IndexMaintenance.writeSidecar(s, path, ConfigName,
       config(k, degree))
   }
@@ -1843,6 +1977,7 @@ object GraphIndex {
     edgeShape(edges).write.mode("append").parquet(cur)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
+    IndexMaintenance.bumpAppended(s, path, newM.count())
   }
 
   /** Search the MAINTAINED graph: q198's unrolled beam walk with
@@ -2035,10 +2170,24 @@ object IvfPqIndex {
     * train-then-add contract covers both halves), encode every vector,
     * and publish — config LAST as the ingest-complete marker.
     */
-  def build(embeddings: DataFrame, path: String, k: Int): Unit = {
+  def build(embeddings: DataFrame, path: String, k: Int): Unit =
+    buildImpl(embeddings, path, k, "explicit")
+
+  /** Auto-k build — [[IvfIndex.build]]'s occupancy-constant default
+    * (k = [[IndexMaintenance.kFor]](n)); the PQ shape (m/cb/subDim) is
+    * the recorded recipe either way.
+    */
+  def build(embeddings: DataFrame, path: String): Unit =
+    buildImpl(embeddings, path,
+      IndexMaintenance.kFor(embeddings.count()),
+      s"occ${IndexMaintenance.OccTarget}")
+
+  private def buildImpl(embeddings: DataFrame, path: String, k: Int,
+      kPolicy: String): Unit = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val cents = KMeans.fit(s, embeddings, k = k, iters = Iters)
+    val (cents, nTrain) =
+      KMeans.fitStats(s, embeddings, k = k, iters = Iters)
     cents.map(c => (c.cell, c.centroid.toSeq)).toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centDir(path))
@@ -2049,6 +2198,10 @@ object IvfPqIndex {
     encodeUnder(embeddings, cents, cbRows)
       .write.mode("overwrite").parquet(s"$path/codes-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName, "codes-g0")
+    // n_train covers BOTH trained halves (one corpus, two fits); the
+    // recorded floor uses the larger requirement (cb=16 > k=4 here)
+    IndexMaintenance.writeTrainStats(s, path, nTrain,
+      math.max(k, Cb), kPolicy)
     IndexMaintenance.writeSidecar(s, path, "_ivfpq_index_config",
       config(k))
   }
@@ -2089,6 +2242,7 @@ object IvfPqIndex {
       .write.mode("append").parquet(cur)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
+    IndexMaintenance.bumpAppended(s, path, newVecs.count())
   }
 
   /** DELETE vectors from the index ([[IvfIndex.delete]]'s contract,
@@ -2220,11 +2374,18 @@ object StoreAudit {
         r.configPresent, r.configMatches, r.manifestPresent,
         r.generation, r.committedFiles, r.committedBytes,
         r.uncommittedFiles, r.missingFiles, r.staleGenerations,
-        r.orphanedTemps)
+        r.orphanedTemps,
+        // training provenance (trained ANN stores only — the
+        // `_train_stats` sidecar): sample size, grown-since-training
+        // mass, the FAISS 39·k undertraining verdict, and the
+        // staleness fraction the republish decision thresholds on
+        r.trainStats.map(_.nTrain), r.trainStats.map(_.nAppended),
+        r.trainStats.map(_.undertrained), r.trainStats.map(_.drift))
     }.toDF("kind", "store", "path", "healthy", "vacuum_repairs",
       "config_present", "config_matches", "manifest_present",
       "generation", "committed_files", "committed_bytes",
       "uncommitted_files", "missing_files", "stale_generations",
-      "orphaned_temps")
+      "orphaned_temps", "n_train", "n_appended", "undertrained",
+      "drift")
   }
 }

@@ -38,6 +38,32 @@ object KMeans {
   /** One row per centroid: (cell id, centroid vector). */
   final case class Centroid(cell: Long, centroid: Array[Double])
 
+  /** The FAISS training-set guidance floor: ~39 points per centroid
+    * (faiss/Clustering min_points_per_centroid — below it the trainer
+    * warns of undertraining). SCALING.md round 12 measured the regime
+    * this guards: at ~3 points/codeword the trained quantizer LOSES to
+    * the seeded one (q194 spec-fixture recall 0.238 vs 0.300) while at
+    * ≥39·k it wins — so the floor is a measured line, not folklore.
+    */
+  def minTrainPoints(k: Int): Long = 39L * k
+
+  /** True when a training sample of `nTrain` rows is below the FAISS
+    * guidance floor for `k` centroids/codewords.
+    */
+  def undertrained(nTrain: Long, k: Int): Boolean =
+    nTrain < minTrainPoints(k)
+
+  private[llmops] def warnIfUndertrained(what: String, nTrain: Long,
+      k: Int): Unit =
+    if (undertrained(nTrain, k))
+      // stderr, not log4j: the dev tools run at log level ERROR and a
+      // silently-swallowed diagnostic guards nothing
+      System.err.println(
+        s"WARN $what: training sample n_train=$nTrain is below the " +
+          s"FAISS guidance floor ${minTrainPoints(k)} (39*k for k=$k) " +
+          "— the trained artifact is likely undertrained (SCALING.md " +
+          "round-12 measurement); train on a larger sample or lower k.")
+
   /** Per-row argmax over the k centroids: struct(fdot, neg_cell)
     * compares field-by-field, so array_max = highest dot, ties →
     * smallest cell. The comparison runs on the EXACT int64 fixed-point
@@ -65,9 +91,22 @@ object KMeans {
 
   /** Train k centroids with `iters` Lloyd iterations. */
   def fit(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Centroid] = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Centroid] =
+    fitStats(spark, embeddings, k, iters, idCol, vecCol)._1
+
+  /** [[fit]] plus the TRAINING-SAMPLE SIZE, measured for free off the
+    * first iteration's update aggregate (every training row lands in
+    * exactly one (cell, pos=0) count — no extra corpus pass). Emits the
+    * [[warnIfUndertrained]] diagnostic; store builders persist the
+    * returned n_train in their `_train_stats` sidecar so fsck /
+    * StoreAudit can surface undertrained stores.
+    */
+  def fitStats(spark: SparkSession, embeddings: DataFrame, k: Int,
+      iters: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[Centroid], Long) = {
     import spark.implicits._
 
+    var nTrain = -1L
     val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
 
     // deterministic seed: the first k vectors by id (kmeans|| would
@@ -84,19 +123,22 @@ object KMeans {
     for (_ <- 0 until iters) {
       // update step: exact fixed-point sums per (cell, dimension) in one
       // combiner-reduced hash-agg; k × dim result rows to the driver
-      val next = assign(embeddings, centroids, idCol, vecCol)
+      val rows = assign(embeddings, centroids, idCol, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("v").cast(DoubleType) * lit(1e7)).cast(LongType))
           .as("fsum"), count(lit(1)).as("n"))
         .select(col("cell"), col("pos"),
-          (col("fsum").cast(DoubleType) / lit(1e7) / col("n")).as("m"))
-        .as[(Long, Int, Double)]
+          (col("fsum").cast(DoubleType) / lit(1e7) / col("n")).as("m"),
+          col("n"))
+        .as[(Long, Int, Double, Long)]
         .collect()
+      if (nTrain < 0) nTrain = rows.filter(_._2 == 0).map(_._4).sum
+      val next = rows
         .groupBy(_._1)
-        .map { case (cell, rows) =>
+        .map { case (cell, rs) =>
           val vec = new Array[Double](dims)
-          rows.foreach { case (_, pos, m) => vec(pos) = m }
+          rs.foreach { case (_, pos, m, _) => vec(pos) = m }
           // spherical update: renormalize the mean so the next argmax-dot
           // assignment minimizes the same cosine objective. The norm is
           // computed from the FIXED-POINT mean (exact int64 sum of
@@ -112,7 +154,11 @@ object KMeans {
       val byCell = next.map(c => c.cell -> c).toMap
       centroids = centroids.map(c => byCell.getOrElse(c.cell, c))
     }
-    centroids
+    // iters=0 never observes the update agg — pay one count for the
+    // diagnostic (no production caller trains with zero iterations)
+    if (nTrain < 0) nTrain = embeddings.count()
+    warnIfUndertrained(s"KMeans.fit(k=$k)", nTrain, k)
+    (centroids, nTrain)
   }
 
   /** Within-cluster cost: SUM(1 - dot(v, nearest centroid)) — for unit

@@ -75,9 +75,21 @@ object PqCodebook {
     */
   def fit(spark: SparkSession, vecs: DataFrame, m: Int, cb: Int,
       subDim: Int, iters: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Seq[Codeword] = {
+      vecCol: String = "embedding"): Seq[Codeword] =
+    fitStats(spark, vecs, m, cb, subDim, iters, idCol, vecCol)._1
+
+  /** [[fit]] plus the training-sample size, measured for free off the
+    * first iteration's update aggregate ([[KMeans.fitStats]]'s
+    * discipline — every training vector lands in exactly one
+    * (s=0, cw, pi=0) count). Emits the FAISS 39·cb undertraining
+    * diagnostic; builders persist n_train in `_train_stats`.
+    */
+  def fitStats(spark: SparkSession, vecs: DataFrame, m: Int, cb: Int,
+      subDim: Int, iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Seq[Codeword], Long) = {
     import spark.implicits._
 
+    var nTrain = -1L
     var cbRows: Seq[Codeword] = vecs.orderBy(col(idCol)).limit(cb)
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -95,7 +107,7 @@ object PqCodebook {
       // combiner-reduced hash-agg keyed by (s, cw, pi); the update
       // mean floor(double(Σfv)/n) replays as
       // FLOOR(CAST(SUM(fv) AS DOUBLE)/COUNT(*)) in SQL
-      val next = vecs
+      val rows = vecs
         .select(col(vecCol).cast("array<double>").as("v"))
         .withColumn("codes", codesOf(col("v"), cbRows, m, subDim))
         .select(posexplode(col("v")).as(Seq("pos0", "x")), col("codes"))
@@ -108,17 +120,22 @@ object PqCodebook {
         .agg(sum(col("fv")).as("fsum"), count(lit(1)).as("n"))
         .select(col("s"), col("cw"), col("pi"),
           floor(col("fsum").cast(DoubleType) / col("n"))
-            .cast(LongType).as("fc"))
-        .as[(Int, Long, Int, Long)]
+            .cast(LongType).as("fc"), col("n"))
+        .as[(Int, Long, Int, Long, Long)]
         .collect()
-        .map { case (s, cw, pi, fc) => (s, cw, pi) -> fc }
+      if (nTrain < 0)
+        nTrain = rows.filter(r => r._1 == 0 && r._3 == 0).map(_._5).sum
+      val next = rows
+        .map { case (s, cw, pi, fc, _) => (s, cw, pi) -> fc }
         .toMap
       // empty codewords keep their previous components
       cbRows = cbRows.map(c =>
         next.get((c.cs, c.cw, c.cpi)).map(fc => c.copy(fc = fc))
           .getOrElse(c))
     }
-    cbRows
+    if (nTrain < 0) nTrain = vecs.count()
+    KMeans.warnIfUndertrained(s"PqCodebook.fit(cb=$cb)", nTrain, cb)
+    (cbRows, nTrain)
   }
 
   /** The trained codebook as a broadcast-tier DataFrame

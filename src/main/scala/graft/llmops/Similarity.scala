@@ -1136,8 +1136,19 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val t = Tables(s, dir)
+      // Both trained artifacts are memoized once per (session, dir) —
+      // the `existingIvfIndex` discipline applied to the in-query form
+      // (round-12 verdict #3): the fits are deterministic functions of
+      // the corpus, so re-running them per invocation bought nothing
+      // but two iterative trainings' latency. The oracle is unchanged
+      // (it replays the same training from the fixture either way).
+      val (cents, cbRows) = graft.ops.SessionScratch.memo(
+        "ivfpq_q192_trained", s.sparkContext.applicationId, dir) {
+        (KMeans.fit(s, t.embeddings, k = 4, iters = 2),
+          PqCodebook.fit(s, t.embeddings,
+            m = 4, cb = 16, subDim = 16, iters = 2))
+      }
       // IVF half: trained cells + full-corpus assignment (q54's shape)
-      val cents = KMeans.fit(s, t.embeddings, k = 4, iters = 2)
       val assigned = KMeans.assign(t.embeddings, cents)
         .select(col("vec_id").as("member_id"), col("cell"))
       val centDf = cents.map(c => (c.cell, c.centroid.toSeq))
@@ -1151,8 +1162,6 @@ object Similarity {
           (col("pos0") / 16).cast("int").as("s"),
           (col("pos0") % 16).as("pi"),
           fixedPoint(col("v")).as("fv"))
-      val cbRows = PqCodebook.fit(s, t.embeddings,
-        m = 4, cb = 16, subDim = 16, iters = 2)
       val cb = PqCodebook.toDf(s, cbRows)
       val codes = t.embeddings
         .select(col("vec_id"), posexplode(PqCodebook.codesOf(
@@ -1543,7 +1552,7 @@ object Similarity {
     * close over the survivors.
     */
   private def beamTail(resultPred: String = "TRUE"): String =
-    beamWalkCtes + s"""
+    beamWalkCtes() + s"""
            SELECT qid, cid, sim, rn FROM (
              SELECT qid, cid, sim, row_number() OVER (
                PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s2
@@ -1553,12 +1562,14 @@ object Similarity {
 
   /** The 2-round beam walk through `s2(qid, cid, sim)` — split from
     * [[beamTail]] so q226's eval oracle can rank it into a `sys` CTE
-    * instead of the final select.
+    * instead of the final select, and parameterized by the query-set
+    * predicate so q232's single-query fusion arm can reuse it.
     */
-  private def beamWalkCtes: String =
+  private[llmops] def beamWalkCtes(
+      queryPred: String = "vec_id < 10"): String =
     s"""
          , q AS (
-             SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10
+             SELECT vec_id AS qid FROM embeddings WHERE $queryPred
            ), v1 AS (
              SELECT DISTINCT qid, cid FROM (
                SELECT q.qid, e.vec_id AS cid FROM q CROSS JOIN entries e
@@ -1730,17 +1741,23 @@ object Similarity {
 
   /** Oracle CTE fragment building the same graph + entries over the
     * trained cells (d3/a3 from [[kmeansTrainCtes]]) — ends with
-    * `graph(src, dst)` and `entries(vec_id)` CTEs.
+    * `graph(src, dst)` and `entries(vec_id)` CTEs. `memberPred`
+    * restricts the graph's MEMBER population (q231's post-consolidation
+    * replay: deleted members are gone from edges AND entry points, not
+    * just masked at ranking) — the default TRUE is the full corpus.
     */
-  private def knnGraphCtes(degree: Int = 4): String =
+  private def knnGraphCtes(degree: Int = 4,
+      memberPred: String = "TRUE"): String =
     s"""
-       , pairg AS (
+       , mg AS (
+           SELECT vec_id, cell FROM a3 WHERE $memberPred
+         ), pairg AS (
            SELECT ea.vec_id ia, eb.vec_id ib,
              SUM(CAST(FLOOR(ea.v*10000000.0) AS BIGINT)
                * CAST(FLOOR(eb.v*10000000.0) AS BIGINT)) AS fdot
            FROM ex ea
-           JOIN a3 sa ON sa.vec_id = ea.vec_id
-           JOIN a3 sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
+           JOIN mg sa ON sa.vec_id = ea.vec_id
+           JOIN mg sb ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id
            JOIN ex eb ON eb.vec_id = sb.vec_id AND eb.pos = ea.pos
            GROUP BY 1, 2
          ), graph AS (
@@ -1752,7 +1769,7 @@ object Similarity {
            SELECT vec_id FROM (
              SELECT a.vec_id, a.cell, row_number() OVER (
                PARTITION BY a.cell ORDER BY d.fdot DESC, a.vec_id) rn
-             FROM a3 a JOIN d3 d
+             FROM mg a JOIN d3 d
                ON d.vec_id = a.vec_id AND d.cell = a.cell) x
            WHERE rn = 1
          )"""
@@ -1835,7 +1852,7 @@ object Similarity {
     * day-0 entries, the stray/entry-fallback arm) — ends with
     * `graph(src, dst)` and `entries(vec_id)`.
     */
-  private def evenOddGraphCtes: String =
+  private[llmops] def evenOddGraphCtes: String =
     """
          , pairg AS (
              SELECT ea.vec_id ia, eb.vec_id ib,
@@ -2664,7 +2681,7 @@ object Similarity {
       evalMetrics(truth, sys)
     },
     Some(kmeansTrainCtes(4, "vec_id % 2 = 0") + evenOddGraphCtes +
-      beamWalkCtes +
+      beamWalkCtes() +
       """, sys AS (
            SELECT qid, cid, rn FROM (
              SELECT qid, cid, row_number() OVER (
@@ -2836,8 +2853,258 @@ object Similarity {
            UNION ALL SELECT * FROM sel5) u
          ORDER BY qid, pick"""))
 
+  /** An IVF store through the FULL operational lifecycle — the
+    * quarter-long runbook every arm-gate covers separately, composed:
+    * build on the day-0 corpus (even ids) → an append wave (odd ids,
+    * assigned under the recorded centroids) → a takedown (vec_id % 10,
+    * tombstoned) → COMPACT (the physical drop: masked rows rewritten
+    * away, tombstones cleared, atomic generation swap) → a
+    * drift-remediation REPUBLISH whose corpus is read OFF THE
+    * COMPACTED STORE ([[IvfIndex.members]]) → search. Feeding the
+    * republish from the store (not the source table) is what makes the
+    * whole history gate-observable: a compaction that dropped the
+    * wrong rows, resurrected a tombstone, or lost an append wave
+    * changes the republish's training corpus and the final hash.
+    */
+  private[llmops] def existingLifecycleIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivf_lc_index", app)}/lc_$tag"
+    graft.ops.SessionScratch.once("ivf_lc_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IvfIndex.delete(
+        em.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+      IvfIndex.compact(s, path)
+      // checkpointed BEFORE republish retracts the config: the lazy
+      // lineage would otherwise re-read a store that is mid-rebuild
+      val survivors = graft.ops.SessionScratch.transientCheckpoint(
+        IvfIndex.members(s, path)
+          .select(col("member_id").as("vec_id"),
+            col("em").as("embedding")))
+      IvfIndex.republish(survivors, path, k = 4)
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** IVF ANN after the FULL lifecycle (build → append → takedown →
+    * compact → republish-from-store) — round-12 verdict #1: every arm
+    * gates separately (q180/q208/q212 and the compact specs) but the
+    * COMPOSITION is where arm-interaction bugs live (compaction
+    * meeting tombstones meeting a later republish). The oracle replays
+    * the net history: training on exactly the surviving corpus
+    * (vec_id % 10 <> 0 — the takedown survivors that build ∪ append
+    * produced and compact physically kept) and a candidate set without
+    * the deleted ids; IndexMaintenanceSpec separately proves the end
+    * state row-identical to a fresh build of the survivors. Deleted
+    * vectors still act as queries (q208's contract).
+    */
+  val q229 = EngineQuery(
+    "q229_knn_ivf_lifecycle",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingLifecycleIvfIndex(s, dir)
+      IvfIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 10 <> 0") +
+      ivfProbeTail("a.vec_id % 10 <> 0")))
+
+  /** The monitor → DECISION readout closing the drift-remediation loop
+    * (round-12 verdict #2): q171 measures drift, q212–q214 remediate,
+    * and THIS is the threshold rule connecting them — which stores a
+    * monitoring sweep flags for republish. The staleness metric is the
+    * `_train_stats` provenance every trained build records and every
+    * append bumps: n_train (the training-sample size, measured inside
+    * KMeans.fitStats) and n_appended (rows added since training). The
+    * decision is the FAISS/DiskANN production rule "rebuild when
+    * inserts exceed X% of the trained base", thresholded at 25% of the
+    * current membership as the EXACT integer test
+    * 3·n_appended > n_train; the sweep also surfaces the 39·k
+    * undertraining verdict, so one readout reports both training-side
+    * health and growth-side staleness. The oracle replays the metric
+    * and the rule from the ingest predicates (even-half build + odd
+    * append → 50% appended → republish; full-corpus republish → 0% →
+    * ok), so a builder that miscounted its training set, an append
+    * that failed to bump, or a republish that kept stale provenance
+    * all hash-mismatch.
+    *
+    * 100 TB shape: the sweep reads SIDECARS only — no data file is
+    * touched, so auditing a warehouse of stores costs one bounded
+    * metadata read per store.
+    */
+  val q230 = EngineQuery(
+    "q230_republish_decision",
+    (s, dir) => {
+      import s.implicits._
+      val stores = Seq(
+        ("graph_stale", existingGraphIndex(s, dir),
+          (p: String) => GraphIndex.fsck(s, p)),
+        ("ivf_republished", existingRepublishedIvfIndex(s, dir),
+          (p: String) => IvfIndex.fsck(s, p)),
+        ("ivf_stale", existingIvfIndex(s, dir),
+          (p: String) => IvfIndex.fsck(s, p)))
+      stores.map { case (label, path, fsck) =>
+        val ts = fsck(path).trainStats.getOrElse(
+          throw new IllegalStateException(
+            s"store $label at $path records no _train_stats sidecar — " +
+              "it was not built by a trained-store builder; rebuild it."))
+        (label, ts.nTrain, ts.nAppended,
+          if (ts.undertrained) 1L else 0L,
+          if (3L * ts.nAppended > ts.nTrain) "republish" else "ok")
+      }.toDF("store", "n_train", "n_appended", "undertrained", "verdict")
+        .orderBy(col("store"))
+    },
+    Some("""WITH c AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ne
+              FROM embeddings
+            ), sweep AS (
+              SELECT 'graph_stale' AS store, ne AS n_train,
+                n - ne AS n_appended FROM c
+              UNION ALL
+              SELECT 'ivf_republished', n, 0 FROM c
+              UNION ALL
+              SELECT 'ivf_stale', ne, n - ne FROM c
+            )
+            SELECT store, CAST(n_train AS BIGINT) AS n_train,
+              CAST(n_appended AS BIGINT) AS n_appended,
+              -- 156 = the FAISS floor 39*k at the recorded k=4
+              CAST(CASE WHEN n_train < 156 THEN 1 ELSE 0 END AS BIGINT)
+                AS undertrained,
+              CASE WHEN 3 * n_appended > n_train
+                THEN 'republish' ELSE 'ok' END AS verdict
+            FROM sweep ORDER BY store"""))
+
+  /** The even/odd graph store taken through DiskANN's
+    * consolidate_deletes: build(even) + append(odd), vec_id % 10
+    * LAZY-deleted (q216's state — masked from results, still routing),
+    * then [[GraphIndex.republish]]ed over the SURVIVORS READ OFF THE
+    * STORE ([[GraphIndex.members]] — the tombstone mask is consumed by
+    * the rebuild, not re-derived from the source table).
+    */
+  private[llmops] def existingConsolidatedGraphIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("graph_cons_index", app)}/gc_$tag"
+    graft.ops.SessionScratch.once("graph_cons_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      GraphIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      GraphIndex.delete(
+        em.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+      val survivors = graft.ops.SessionScratch.transientCheckpoint(
+        GraphIndex.members(s, path)
+          .select(col("member_id").as("vec_id"),
+            col("em").as("embedding")))
+      GraphIndex.republish(survivors, path, k = 4)
+      graft.ops.SessionScratch.evictTransients()
+    }
+    path
+  }
+
+  /** Graph ANN after CONSOLIDATION — the read path q216 deliberately
+    * does not pin: q216 hashes the LAZY state (deleted members gone
+    * from result ranks but still ROUTING), this gate hashes the
+    * post-consolidate_deletes state where routing through deleted
+    * members is gone too — the oracle's graph and entry points are
+    * built over survivors only (training replay restricted to
+    * vec_id % 10 <> 0, the full-rebuild contract), so a republish that
+    * kept a deleted member's rows, its edges, or a deleted entry point
+    * hash-mismatches. IndexMaintenanceSpec proves the two states
+    * actually differ on a crafted case (a deleted hub that q216 still
+    * routes through) and that the end state equals a fresh build of
+    * the survivors.
+    */
+  val q231 = EngineQuery(
+    "q231_knn_graph_consolidated",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = existingConsolidatedGraphIndex(s, dir)
+      GraphIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4, "vec_id % 10 <> 0") +
+      knnGraphCtes(4, "vec_id % 10 <> 0") + beamTailSql))
+
+  /** The catalog HEALTH SWEEP as a gate (round-12 verdict #8): one
+    * [[StoreAudit]] readout over three maintained stores — the graph
+    * (q199), IVF (q180), and BM25 text (q184) session stores — with
+    * the host-dependent columns (paths, byte sizes, file counts)
+    * projected out, so the remaining sheet is a pure function of the
+    * ingest recipes: crash-triad health booleans, the generation
+    * counter, and the `_train_stats` provenance (n_train / n_appended
+    * / undertrained / the drift fraction the q230 decision thresholds
+    * on; NULL for the untrained text store). The oracle states the
+    * expected catalog outright — counts from the ingest predicates,
+    * health flags from the publish protocol — so a store left
+    * unhealthy by any earlier gate in the session, a wrong generation,
+    * or drifted provenance fails the sweep.
+    */
+  val q233 = EngineQuery(
+    "q233_store_audit",
+    (s, dir) => {
+      val frame = StoreAudit.audit(s, Seq(
+        "graph" -> existingGraphIndex(s, dir),
+        "ivf" -> existingIvfIndex(s, dir),
+        "bm25" -> TextAnalysis.existingTextIndex(s, dir)))
+      frame.select(col("kind"),
+          col("healthy").cast("int").as("healthy"),
+          col("vacuum_repairs").cast("int").as("vacuum_repairs"),
+          col("config_present").cast("int").as("config_present"),
+          col("config_matches").cast("int").as("config_matches"),
+          col("manifest_present").cast("int").as("manifest_present"),
+          col("generation"),
+          col("uncommitted_files"), col("missing_files"),
+          col("stale_generations"), col("orphaned_temps"),
+          col("n_train"), col("n_appended"),
+          col("undertrained").cast("int").as("undertrained"),
+          col("drift"))
+        .orderBy(col("kind"))
+    },
+    Some("""WITH c AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ne
+              FROM embeddings
+            )
+            SELECT kind,
+              1 AS healthy, 0 AS vacuum_repairs, 1 AS config_present,
+              1 AS config_matches, 1 AS manifest_present,
+              0 AS generation, 0 AS uncommitted_files,
+              0 AS missing_files, 0 AS stale_generations,
+              0 AS orphaned_temps,
+              n_train, n_appended, undertrained,
+              CAST(n_appended AS DOUBLE) / (n_train + n_appended)
+                AS drift
+            FROM (
+              SELECT 'graph' AS kind, ne AS n_train, n - ne AS n_appended,
+                CAST(CASE WHEN ne < 156 THEN 1 ELSE 0 END AS INT)
+                  AS undertrained
+              FROM c
+              UNION ALL
+              SELECT 'ivf', ne, n - ne,
+                CAST(CASE WHEN ne < 156 THEN 1 ELSE 0 END AS INT)
+              FROM c
+              UNION ALL
+              SELECT 'bm25', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS INT)
+              FROM c
+            ) ORDER BY kind"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213, q214, q216, q217, q219, q222, q226)
+      q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233)
 }

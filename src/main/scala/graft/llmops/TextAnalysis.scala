@@ -372,8 +372,8 @@ object TextAnalysis {
     * APPENDED as the arriving delta — the `existingDedupIndex` pattern
     * applied to retrieval.
     */
-  private def existingTextIndex(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+  private[llmops] def existingTextIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val app = s.sparkContext.applicationId
     val tag = graft.ops.SessionScratch.dirTag(dir)
     val path =
@@ -925,7 +925,106 @@ object TextAnalysis {
            FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
            ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
+  /** THREE-system RRF over the persisted stores — q228 extended with
+    * the third maintained read path (round-12 verdict #7): the keyword
+    * arm off the BM25 postings index (q184's store), the cell-probed
+    * semantic arm off the IVF index (q180's store), and the walked
+    * semantic arm off the kNN-graph index (q199's store) fuse their
+    * top-20 lists by the same exact-integer 1e12 div (60+rank) rule —
+    * the serving layer is now family-complete: every maintained
+    * retrieval artifact feeds one fused ranking, and all three must
+    * agree with their from-scratch twins for the hash to match.
+    *
+    * Scale shape: each arm is its own store's proven probe-bounded
+    * read (postings term fetch / |cell|·nprobe candidates /
+    * |queries|·beam·degree walk); the fusion is two full-outer joins
+    * of ≤20-row frames. Nothing re-tokenizes or re-scans the corpus.
+    */
+  val q232 = EngineQuery(
+    "q232_rrf_three_system",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val rb = TextIndex.search(s, existingTextIndex(s, dir),
+        bm25Terms, topk = 20)
+        .withColumn("rb", row_number().over(wb))
+        .select(col("doc_id"), col("rb"))
+      val qv = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      val rc = IvfIndex.search(qv,
+        Similarity.existingIvfIndex(s, dir), topk = 20)
+        .select(col("cid").as("doc_id"), col("rn").as("rc"))
+      val rg = GraphIndex.search(qv,
+        Similarity.existingGraphIndex(s, dir), topk = 20)
+        .select(col("cid").as("doc_id"), col("rn").as("rg"))
+      rb.join(rc, Seq("doc_id"), "full_outer")
+        .join(rg, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rb"), lit(0)).cast(LongType).as("bm25_rank"),
+          coalesce(col("rc"), lit(0)).cast(LongType).as("cos_rank"),
+          coalesce(col("rg"), lit(0)).cast(LongType).as("graph_rank"),
+          (coalesce(expr("1000000000000 div (60 + rb)"), lit(0L))
+            + coalesce(expr("1000000000000 div (60 + rc)"), lit(0L))
+            + coalesce(expr("1000000000000 div (60 + rg)"), lit(0L)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(Similarity.kmeansTrainCtes(4, "vec_id % 2 = 0") +
+      Similarity.evenOddGraphCtes +
+      Similarity.beamWalkCtes("vec_id = 0") +
+      """, rg AS (
+           SELECT cid AS doc_id, rn AS rg FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) rn FROM s2) x
+           WHERE rn <= 20
+         ), probes AS (
+           SELECT qid, cell FROM (
+             SELECT vec_id AS qid, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY fdot DESC, cell) crn
+             FROM d3 WHERE vec_id = 0) x
+           WHERE crn <= 2
+         ), icand AS (
+           SELECT p.qid, a.vec_id AS member_id FROM probes p
+           JOIN a3 a ON a.cell = p.cell AND a.vec_id != p.qid
+         ), idots AS (
+           SELECT c.qid, c.member_id,
+             CAST(SUM(CAST(FLOOR(q.v*10000000.0) AS BIGINT)
+                    * CAST(FLOOR(m.v*10000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000000000.0 AS sim
+           FROM icand c
+           JOIN ex q ON q.vec_id = c.qid
+           JOIN ex m ON m.vec_id = c.member_id AND m.pos = q.pos
+           GROUP BY 1, 2
+         ), rc AS (
+           SELECT member_id AS doc_id, rn AS rc FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, member_id) rn FROM idots) x
+           WHERE rn <= 20
+         ), """ + bm25Ctes.stripPrefix("WITH ") +
+      """
+         , rb AS (
+             SELECT doc_id, r AS rb FROM (
+               SELECT doc_id, row_number() OVER (
+                 ORDER BY score DESC, doc_id) r FROM bm25) x
+             WHERE r <= 20
+           )
+           SELECT COALESCE(rb.doc_id, rc.doc_id, rg.doc_id) AS doc_id,
+             CAST(COALESCE(rb.rb, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(rc.rc, 0) AS BIGINT) AS cos_rank,
+             CAST(COALESCE(rg.rg, 0) AS BIGINT) AS graph_rank,
+             CAST(COALESCE(1000000000000 // (60 + rb.rb), 0)
+               + COALESCE(1000000000000 // (60 + rc.rc), 0)
+               + COALESCE(1000000000000 // (60 + rg.rg), 0) AS BIGINT)
+               AS rrf
+           FROM rb
+           FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+           FULL OUTER JOIN rg
+             ON COALESCE(rb.doc_id, rc.doc_id) = rg.doc_id
+           ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   val all: Seq[EngineQuery] =
     Seq(q58, q60, q61, q62, q63, q73, q74, q76, q79, q160, q184, q186,
-      q210, q218, q228)
+      q210, q218, q228, q232)
 }

@@ -107,8 +107,13 @@ object Profiling {
     * Exactness: the band is integer arithmetic on exact cents
     * (double→DECIMAL(18,2)→×100, the Det.dec2 money rule), shifted
     * positive before the integer division so Spark's `div` (truncate)
-    * and DuckDB's `//` (floor) agree. k and the risky flag are
-    * integers — the whole audit sheet hash-gates.
+    * and DuckDB's `//` (floor) agree. DOMAIN ASSUMPTION: the +10^7
+    * shift covers c_acctbal ≥ -100,000.00 (TPC-H generates
+    * [-999.99, 9999.99]); below that the shifted cents go negative
+    * and truncating vs flooring division diverge — EvalOpsSpec's q220
+    * test asserts the fixture domain so a fixture change surfaces as
+    * a test failure, not a silent gate desync. k and the risky flag
+    * are integers — the whole audit sheet hash-gates.
     *
     * Scale shape: one hash-agg per level over one scan each (pure
     * map-side-combined GROUP BY — no window, no join); the class
@@ -162,6 +167,8 @@ object Profiling {
     * (nation, 1000-unit balance band) — q220's level-1 ladder rung —
     * and the sensitive attribute is the market segment: per class,
     * k (size), l (distinct segments), and a homogeneous flag (l < 2).
+    * The band shares q220's +10^7 shift and its DOMAIN ASSUMPTION
+    * (c_acctbal ≥ -100,000.00 — asserted in EvalOpsSpec).
     *
     * Scale shape: ONE hash-agg over one scan — the distinct count
     * plans as Catalyst's expand+aggregate (q99's discipline), still

@@ -287,6 +287,13 @@ class EvalOpsSpec extends SparkTestBase {
         r.getAs[String]("c_mktsegment"), r.getAs[Long]("band"),
         r.getAs[Long]("k"), r.getAs[Int]("risky")))
     val nCust = Tables(spark, sfDir).customer.count()
+    // domain assumption behind the +10^7 cents shift (Profiling.scala):
+    // below -100,000.00 Spark's truncating div and DuckDB's flooring //
+    // diverge on the banding, silently desyncing the gate
+    val minBal = Tables(spark, sfDir).customer
+      .agg(min(col("c_acctbal"))).head().getDouble(0)
+    assert(minBal >= -100000.0,
+      s"c_acctbal domain left the shifted-div safe range: $minBal")
     Seq(0, 1).foreach { lvl =>
       val l = rows.filter(_._1 == lvl)
       assert(l.map(_._5).sum == nCust, s"level $lvl covers the table")
@@ -338,7 +345,8 @@ class EvalOpsSpec extends SparkTestBase {
       assert(nDropped == dropped, s"$src n_dropped")
       assert(nKept == docs.length - dropped)
       assert(keptSum ==
-        docs.filterNot(d => droppedIds.contains(d._1)).map(_._1).sum,
+        docs.filterNot(d => droppedIds.contains(d._1))
+          .map(_._1 % 1000003L).sum,
         s"$src kept-set witness")
     }
     assert(out.keySet == train.map(_._2).toSet)

@@ -1675,4 +1675,172 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), path)
       .count() > 0)
   }
+
+  // ---- round 13: lifecycle composition, consolidation, provenance ------
+
+  test("IvfIndex: the FULL lifecycle (build -> append -> takedown -> " +
+    "compact -> republish-from-store) ends row-identical to a fresh " +
+    "build of the surviving corpus") {
+    val path = freshDir("ivf_lifecycle")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    IvfIndex.delete(
+      embs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+    IvfIndex.compact(spark, path)
+    // compaction consumed the tombstones PHYSICALLY (not just masked)
+    assert(spark.read.parquet(IvfIndex.dataDir(spark, path))
+      .filter(col("member_id") % 10 === 0).count() == 0,
+      "compact left tombstoned rows in the store")
+    // the republish corpus comes OFF THE COMPACTED STORE — the
+    // composition under test (a compaction bug changes this corpus)
+    val survivors = ops.SessionScratch.transientCheckpoint(
+      IvfIndex.members(spark, path)
+        .select(col("member_id").as("vec_id"), col("em").as("embedding")))
+    IvfIndex.republish(survivors, path, k = 4)
+
+    val fresh = freshDir("ivf_lifecycle_fresh")
+    IvfIndex.build(embs.filter(col("vec_id") % 10 =!= 0), fresh, k = 4)
+    // identical trained centroids
+    assert(IvfIndex.centroids(spark, path)
+      .map(c => c.cell -> c.centroid.toSeq) ==
+      IvfIndex.centroids(spark, fresh)
+        .map(c => c.cell -> c.centroid.toSeq),
+      "lifecycle centroids must equal a fresh build of the survivors")
+    // identical assignment rows
+    def rows(p: String) = IvfIndex.members(spark, p)
+      .select(col("member_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(path) == rows(fresh),
+      "lifecycle assignment rows must equal a fresh build's")
+    // identical search answers
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    def search(p: String) = IvfIndex.search(q, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(search(path).sameElements(search(fresh)))
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("GraphIndex: republish-from-store is consolidate_deletes — " +
+    "deleted members stop ROUTING (not just ranking) and the end " +
+    "state equals a fresh build of the survivors") {
+    import graft.llmops.GraphIndex
+    val path = freshDir("graph_consolidate")
+    GraphIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    GraphIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    GraphIndex.delete(
+      embs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), path)
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    def results(p: String) = GraphIndex.search(q, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // the LAZY state (q216): deleted members keep routing — their
+    // edges are still present in the store
+    val lazyEdges = spark.read.parquet(GraphIndex.dataDir(spark, path))
+      .filter(col("kind") === "e" &&
+        (col("src") % 10 === 0 || col("dst") % 10 === 0)).count()
+    assert(lazyEdges > 0, "fixture must route through deleted members")
+    val maskedResults = results(path)
+    assert(maskedResults.forall(_._2 % 10 != 0),
+      "lazy delete must already mask results")
+
+    // consolidation: survivors read OFF THE STORE (mask consumed)
+    val survivors = ops.SessionScratch.transientCheckpoint(
+      GraphIndex.members(spark, path)
+        .select(col("member_id").as("vec_id"), col("em").as("embedding")))
+    GraphIndex.republish(survivors, path, k = 4)
+    val data = spark.read.parquet(GraphIndex.dataDir(spark, path))
+    assert(data.filter(col("kind") === "m" && col("member_id") % 10 === 0)
+      .count() == 0, "consolidation kept deleted member rows")
+    assert(data.filter(col("kind") === "e" &&
+      (col("src") % 10 === 0 || col("dst") % 10 === 0)).count() == 0,
+      "consolidation kept edges through deleted members — still routing")
+    assert(spark.read.parquet(s"$path/entries")
+      .filter(col("cid") % 10 === 0).count() == 0,
+      "consolidation kept a deleted entry point")
+    // the crafted-difference witness: the post-consolidation walk is a
+    // DIFFERENT computation from q216's masked walk (survivor-trained
+    // centroids, survivor-only graph) — results must actually move
+    val consolidated = results(path)
+    assert(consolidated != maskedResults,
+      "consolidation must change the walk, not just re-label it")
+
+    // end state == fresh build of the survivors
+    val fresh = freshDir("graph_consolidate_fresh")
+    GraphIndex.build(embs.filter(col("vec_id") % 10 =!= 0), fresh, k = 4)
+    def edgeSet(p: String) =
+      spark.read.parquet(GraphIndex.dataDir(spark, p))
+        .filter(col("kind") === "e").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(path) == edgeSet(fresh),
+      "consolidated edge set must equal a fresh build of the survivors")
+    assert(consolidated == results(fresh),
+      "consolidated search must equal a fresh build's")
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("trained stores record _train_stats provenance: n_train " +
+    "measured at build, appends bump n_appended, republish resets, " +
+    "and the FAISS 39k floor flags undertrained builds") {
+    // the undertrained regime (SCALING.md round 12): 100 < 39*4 = 156
+    val tiny = freshDir("ivf_undertrained")
+    IvfIndex.build(embs.filter(col("vec_id") < 100), tiny, k = 4)
+    val tinyTs = IvfIndex.fsck(spark, tiny).trainStats.get
+    assert(tinyTs.nTrain == 100 && tinyTs.undertrained &&
+      tinyTs.nAppended == 0 && tinyTs.kPolicy == "explicit")
+
+    // the healthy regime (the even-half ingest every gate uses):
+    // 250 >= 156 — the diagnostic is ABSENT at the gate fixtures
+    val path = freshDir("ivf_provenance")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    val t0 = IvfIndex.fsck(spark, path).trainStats.get
+    assert(t0.nTrain == 250 && !t0.undertrained && t0.nAppended == 0)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), path)
+    val t1 = IvfIndex.fsck(spark, path).trainStats.get
+    assert(t1.nTrain == 250 && t1.nAppended == 250 && t1.drift == 0.5)
+    IvfIndex.republish(embs, path, k = 4)
+    val t2 = IvfIndex.fsck(spark, path).trainStats.get
+    assert(t2.nTrain == 500 && t2.nAppended == 0 && t2.drift == 0.0)
+
+    // the fit-level measurement and the floor rule themselves
+    assert(KMeans.fitStats(spark, embs, k = 4, iters = 2)._2 == 500)
+    assert(KMeans.minTrainPoints(4) == 156)
+    assert(KMeans.undertrained(155, 4) && !KMeans.undertrained(156, 4))
+
+    // StoreAudit surfaces the provenance: drift for trained stores,
+    // NULL columns for untrained kinds (the dedup signature store)
+    val dedupPath = freshDir("audit_drift_dedup")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), dedupPath)
+    val audit = StoreAudit.audit(spark,
+      Seq("ivf" -> path, "dedup" -> dedupPath)).collect()
+    val ivfRow = audit.find(_.getAs[String]("kind") == "ivf").get
+    assert(ivfRow.getAs[Long]("n_train") == 500 &&
+      ivfRow.getAs[Double]("drift") == 0.0 &&
+      !ivfRow.getAs[Boolean]("undertrained"))
+    val dedupRow = audit.find(_.getAs[String]("kind") == "dedup").get
+    assert(dedupRow.isNullAt(dedupRow.fieldIndex("n_train")) &&
+      dedupRow.isNullAt(dedupRow.fieldIndex("drift")))
+  }
+
+  test("auto-k builds apply the occupancy-constant default " +
+    "(k = kFor(n), policy recorded) without the caller choosing k") {
+    import graft.llmops.{GraphIndex, IvfPqIndex}
+    // the protocol: k = max(4, ceil(n / 256)) — k grows with n so cell
+    // occupancy (and every occupancy-bounded cost) stays constant
+    assert(IndexMaintenance.kFor(500) == 4)
+    assert(IndexMaintenance.kFor(2048) == 8)
+    assert(IndexMaintenance.kFor(256 * 16) == 16)
+    assert(IndexMaintenance.kFor(8 * 256 * 16) == 128)
+    val path = freshDir("ivf_auto_k")
+    IvfIndex.build(embs, path) // n=500 -> k=4
+    assert(IvfIndex.centroids(spark, path).size == 4)
+    assert(IvfIndex.fsck(spark, path).trainStats.get.kPolicy == "occ256")
+    // the graph and IVF-PQ builders share the default-k path
+    val g = freshDir("graph_auto_k")
+    GraphIndex.build(embs, g)
+    assert(GraphIndex.fsck(spark, g).trainStats.get.kPolicy == "occ256")
+    val pq = freshDir("ivfpq_auto_k")
+    IvfPqIndex.build(embs, pq)
+    assert(IvfPqIndex.fsck(spark, pq).trainStats.get.kPolicy == "occ256")
+  }
 }
