@@ -62,7 +62,7 @@ object ExplainAudit {
     "q227_decon_packed_pipeline", "q228_rrf_persisted",
     "q229_knn_ivf_lifecycle", "q230_republish_decision",
     "q231_knn_graph_consolidated", "q232_rrf_three_system",
-    "q233_store_audit")
+    "q233_store_audit", "q234_remediation_loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -986,6 +986,13 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir, "q233_store_audit")
         !p.contains("Scan parquet") && !p.contains("Join") &&
           !p.contains("Window")
+      }),
+      ("q234 remediation loop: the gate plan re-emits the memoized " +
+        "sweep readout (LocalTableScan, zero parquet) — the one-shot " +
+        "act (republish of exactly the flagged stores) ran at ingest " +
+        "and only flagged stores paid the corpus-sized rebuild", {
+        val p = planOf(spark, byName, sfDir, "q234_remediation_loop")
+        !p.contains("Scan parquet") && !p.contains("Join")
       }))
 
     val summary = checks.map { case (label, ok) =>

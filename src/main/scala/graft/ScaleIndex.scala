@@ -374,6 +374,37 @@ object ScaleIndex {
         f""""compact_drop_sec":$tCompact%.2f,""" +
         f""""probe_post_sec":$tProbePost%.2f}""")
     }
+
+    // REMEDIATION cost shape (the q234 loop's claim): DECIDING is a
+    // sidecar read — flat at any corpus size — and ACTING is the
+    // republish only the FLAGGED store pays. Measured: a decide-only
+    // sweep (fresh store, verdict ok) vs a decide+act sweep (store
+    // built on 2/3 and grown by 1/3 — 33% appended, over the 25%
+    // rule) at 1x and 8x.
+    Seq(1, 8).foreach { f =>
+      val root = fresh(s"rem_${f}x")
+      val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", f, s"$root/base")
+      val nVBase = vBase.count()
+      llmops.IvfIndex.build(vBase, s"$root/fresh", k = 16)
+      llmops.IvfIndex.build(vBase.filter(col("vec_id") % 3 =!= 0),
+        s"$root/stale", k = 16)
+      llmops.IvfIndex.append(vBase.filter(col("vec_id") % 3 === 0),
+        s"$root/stale")
+      val tDecide = timed {
+        llmops.StoreRemediator.sweepAndRemediate(spark,
+          Seq(("fresh", "ivf", s"$root/fresh"))).count()
+        ops.SessionScratch.evictTransients()
+      }
+      val tAct = timed {
+        llmops.StoreRemediator.sweepAndRemediate(spark,
+          Seq(("stale", "ivf", s"$root/stale"))).count()
+        ops.SessionScratch.evictTransients()
+      }
+      println(f"""{"protocol":"remediation_cost","corpus_scale":$f,""" +
+        f""""n_base":$nVBase,"decide_only_sec":$tDecide%.2f,""" +
+        f""""decide_and_act_sec":$tAct%.2f}""")
+    }
     spark.stop()
   }
 }

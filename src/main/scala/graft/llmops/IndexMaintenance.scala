@@ -589,10 +589,14 @@ object IndexMaintenance {
   /** Occupancy-constant cell count: k = max(4, ⌈n / occTarget⌉) — the
     * default-k path for the trained-store builders, so a 100 TB
     * operator gets the measured protocol without knowing it. Floor 4
-    * keeps tiny corpora at the gate-pinned minimum cell count.
+    * keeps tiny corpora at the gate-pinned minimum cell count; the
+    * Int.MaxValue clamp keeps the Long→Int cast from silently wrapping
+    * at astronomically large n (at which point the caller should be
+    * raising occTarget, not cell count).
     */
   def kFor(n: Long, occTarget: Long = OccTarget): Int =
-    math.max(4L, (n + occTarget - 1) / occTarget).toInt
+    math.min(Int.MaxValue.toLong,
+      math.max(4L, (n + occTarget - 1) / occTarget)).toInt
 
   private[llmops] def fsckStore(s: SparkSession, path: String,
       manifestName: String, configName: String,
@@ -1499,7 +1503,7 @@ object IvfIndex {
     IndexMaintenance.addTombstones(s, path, ManifestName, What, vecIds)
   }
 
-  private def recordedKOf(s: SparkSession, path: String): Int =
+  private[llmops] def recordedKOf(s: SparkSession, path: String): Int =
     IndexMaintenance.readSidecar(s, path, "_ivf_index_config")
       .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
         .map(_.group(1).toInt))
@@ -1814,7 +1818,7 @@ object GraphIndex {
       s.read.parquet(dataDir(s, path)).filter(col("kind") === "m")
         .select(col("member_id"), col("cell"), col("em")), "member_id")
 
-  private def recordedK(s: SparkSession, path: String): Int =
+  private[llmops] def recordedK(s: SparkSession, path: String): Int =
     IndexMaintenance.readSidecar(s, path, ConfigName)
       .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
         .map(_.group(1).toInt))
@@ -2387,5 +2391,86 @@ object StoreAudit {
       "uncommitted_files", "missing_files", "stale_generations",
       "orphaned_temps", "n_train", "n_appended", "undertrained",
       "drift")
+  }
+}
+
+/** AUTO-REMEDIATION: the q230 decision rule consumed BY CODE — sweep a
+  * catalog of self-contained ANN stores, republish exactly the ones the
+  * staleness rule flags (over the corpus read OFF each store's own
+  * member rows — the q229/q231 composition), and leave the rest
+  * byte-untouched. This is the complete monitor → decide → act loop a
+  * production warehouse runs on a schedule: q171-class metrics observe,
+  * `_train_stats` records growth, [[needsRepublish]] decides, and the
+  * republish arm (q212/q213's gated operation) remediates.
+  *
+  * Scope: `ivf` and `graph` stores only — their member rows carry the
+  * raw vectors, so the store IS the corpus record and remediation needs
+  * no external input. The IVF-PQ store is codes-only BY DESIGN (64×
+  * compression); its republish requires the source corpus and stays the
+  * caller-driven q214 arm.
+  *
+  * 100 TB shape: the sweep reads sidecars; only FLAGGED stores pay the
+  * corpus-sized rebuild — which is the point of thresholding: republish
+  * cost is incurred exactly when the staleness metric says the trained
+  * artifacts no longer represent the membership.
+  */
+object StoreRemediator {
+
+  /** The q230 decision rule: republish when rows appended since
+    * training exceed 25% of the current membership —
+    * 3·n_appended > n_train, exact integers (the FAISS/DiskANN
+    * "rebuild when inserts exceed X% of the trained base" practice).
+    */
+  def needsRepublish(ts: IndexMaintenance.TrainStats): Boolean =
+    3L * ts.nAppended > ts.nTrain
+
+  /** Sweep `(label, kind, path)` stores; republish the flagged ones at
+    * their RECORDED k (same recipe — a remediation must not silently
+    * change the store's shape); return one readout row per store with
+    * the before/after provenance and what was done. Unknown kinds fail
+    * fast (the [[StoreAudit.audit]] rule: a silently-skipped store
+    * would read as "remediated").
+    */
+  def sweepAndRemediate(s: SparkSession,
+      stores: Seq[(String, String, String)]): DataFrame = {
+    import s.implicits._
+    val known = Set("ivf", "graph")
+    val bad = stores.map(_._2).filterNot(known).distinct
+    require(bad.isEmpty,
+      s"unknown/non-self-contained store kind(s) ${bad.mkString(", ")} " +
+        s"— remediation covers ${known.toSeq.sorted.mkString(", ")} " +
+        "(stores whose member rows carry the raw vectors)")
+    stores.map { case (label, kind, path) =>
+      val before = IndexMaintenance.readTrainStats(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"store $label at $path records no _train_stats sidecar — " +
+            "staleness is undecidable; rebuild it with a current " +
+            "builder."))
+      val acted = needsRepublish(before)
+      if (acted) kind match {
+        case "ivf" =>
+          val corpus = SessionScratch.transientCheckpoint(
+            IvfIndex.members(s, path)
+              .select(col("member_id").as("vec_id"),
+                col("em").as("embedding")))
+          IvfIndex.republish(corpus, path,
+            IvfIndex.recordedKOf(s, path))
+        case "graph" =>
+          val corpus = SessionScratch.transientCheckpoint(
+            GraphIndex.members(s, path)
+              .select(col("member_id").as("vec_id"),
+                col("em").as("embedding")))
+          GraphIndex.republish(corpus, path,
+            GraphIndex.recordedK(s, path))
+      }
+      val after =
+        if (acted) IndexMaintenance.readTrainStats(s, path).get
+        else before
+      (label, before.nTrain, before.nAppended,
+        if (acted) "republish" else "ok",
+        if (acted) 1L else 0L,
+        after.nTrain, after.nAppended)
+    }.toDF("store", "n_train_before", "n_appended_before", "verdict",
+      "acted", "n_train_after", "n_appended_after")
   }
 }

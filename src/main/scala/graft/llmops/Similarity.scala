@@ -2928,12 +2928,16 @@ object Similarity {
     * current membership as the EXACT integer test
     * 3·n_appended > n_train; the sweep also surfaces the 39·k
     * undertraining verdict, so one readout reports both training-side
-    * health and growth-side staleness. The oracle replays the metric
+    * health and growth-side staleness — and the IVF-PQ row makes the
+    * undertrained column LIVE at small corpora (floor 39·cb = 624 vs
+    * the 250-vector even-half build). The oracle replays the metric
     * and the rule from the ingest predicates (even-half build + odd
     * append → 50% appended → republish; full-corpus republish → 0% →
     * ok), so a builder that miscounted its training set, an append
     * that failed to bump, or a republish that kept stale provenance
-    * all hash-mismatch.
+    * all hash-mismatch. q234 consumes this rule IN CODE
+    * ([[StoreRemediator]]): flagged stores republish, unflagged stay
+    * byte-untouched.
     *
     * 100 TB shape: the sweep reads SIDECARS only — no data file is
     * touched, so auditing a warehouse of stores costs one bounded
@@ -2949,7 +2953,14 @@ object Similarity {
         ("ivf_republished", existingRepublishedIvfIndex(s, dir),
           (p: String) => IvfIndex.fsck(s, p)),
         ("ivf_stale", existingIvfIndex(s, dir),
-          (p: String) => IvfIndex.fsck(s, p)))
+          (p: String) => IvfIndex.fsck(s, p)),
+        // the IVF-PQ store carries the sweep's LIVE undertrained
+        // signal at small corpora: its recorded floor is 39·cb = 624
+        // (the codebook is the larger trained half), so a 250-vector
+        // even-half build flags undertrained — the sweep reports a
+        // training-side deficiency the growth rule alone cannot see
+        ("ivfpq_stale", existingIvfPqIndex(s, dir),
+          (p: String) => IvfPqIndex.fsck(s, p)))
       stores.map { case (label, path, fsck) =>
         val ts = fsck(path).trainStats.getOrElse(
           throw new IllegalStateException(
@@ -2967,18 +2978,21 @@ object Similarity {
                   AS BIGINT) AS ne
               FROM embeddings
             ), sweep AS (
+              -- floor = 39 * (the larger trained half): 156 at k=4 for
+              -- IVF/graph, 624 at cb=16 for IVF-PQ
               SELECT 'graph_stale' AS store, ne AS n_train,
-                n - ne AS n_appended FROM c
+                n - ne AS n_appended, 156 AS floor_n FROM c
               UNION ALL
-              SELECT 'ivf_republished', n, 0 FROM c
+              SELECT 'ivf_republished', n, 0, 156 FROM c
               UNION ALL
-              SELECT 'ivf_stale', ne, n - ne FROM c
+              SELECT 'ivf_stale', ne, n - ne, 156 FROM c
+              UNION ALL
+              SELECT 'ivfpq_stale', ne, n - ne, 624 FROM c
             )
             SELECT store, CAST(n_train AS BIGINT) AS n_train,
               CAST(n_appended AS BIGINT) AS n_appended,
-              -- 156 = the FAISS floor 39*k at the recorded k=4
-              CAST(CASE WHEN n_train < 156 THEN 1 ELSE 0 END AS BIGINT)
-                AS undertrained,
+              CAST(CASE WHEN n_train < floor_n THEN 1 ELSE 0 END
+                AS BIGINT) AS undertrained,
               CASE WHEN 3 * n_appended > n_train
                 THEN 'republish' ELSE 'ok' END AS verdict
             FROM sweep ORDER BY store"""))
@@ -3103,8 +3117,96 @@ object Similarity {
               FROM c
             ) ORDER BY kind"""))
 
+  /** The auto-remediation sweep's readout, computed ONCE per (session,
+    * dir): three fresh stores (a stale IVF — even build + odd append, a
+    * stale graph — same ingest, and a fresh full-corpus IVF), then
+    * [[StoreRemediator.sweepAndRemediate]] republishes exactly the
+    * flagged two and leaves the fresh store byte-untouched. The rows
+    * are memoized because the act is one-shot: re-running the sweep on
+    * the now-remediated stores would (correctly) report nothing to do,
+    * and a gate must re-emit the SAME readout on every invocation.
+    */
+  private[llmops] def remediationSweepRows(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, Long, Long, String, Long, Long, Long)] = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val base = graft.ops.SessionScratch.base("remediation", app)
+    graft.ops.SessionScratch.memo("remediation_sweep", app, dir) {
+      val em = Tables(s, dir).embeddings
+      val ivfStale = s"$base/rmi_$tag"
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), ivfStale, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), ivfStale)
+      val graphStale = s"$base/rmg_$tag"
+      GraphIndex.build(em.filter(col("vec_id") % 2 === 0), graphStale,
+        k = 4)
+      GraphIndex.append(em.filter(col("vec_id") % 2 === 1), graphStale)
+      val ivfFresh = s"$base/rmf_$tag"
+      IvfIndex.build(em, ivfFresh, k = 4)
+      val rows = StoreRemediator.sweepAndRemediate(s, Seq(
+          ("rm_graph_stale", "graph", graphStale),
+          ("rm_ivf_fresh", "ivf", ivfFresh),
+          ("rm_ivf_stale", "ivf", ivfStale)))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+      graft.ops.SessionScratch.evictTransients()
+      rows
+    }
+  }
+
+  /** The COMPLETE monitor → decide → ACT loop as a gate (q230 decides,
+    * this one also acts): [[StoreRemediator.sweepAndRemediate]] over a
+    * stale IVF store, a stale graph store, and a fresh IVF store —
+    * the flagged two republish over corpora read OFF THEIR OWN member
+    * rows, the fresh one is untouched, and the readout hashes the
+    * whole episode (before-provenance, verdict, whether the rebuild
+    * ran, after-provenance). The oracle states the episode from the
+    * ingest predicates: stale stores report (n/2, n/2) → republish →
+    * (n, 0); the fresh store reports (n, 0) → ok → (n, 0) — so a rule
+    * regression (acting on the fresh store, skipping a stale one) or
+    * a republish that mis-re-trained (wrong n_train_after) shifts a
+    * row and hash-mismatches. IndexMaintenanceSpec proves the
+    * side-effect half: the unflagged store's data files are
+    * byte-identical across the sweep, the flagged store's end state
+    * equals a fresh full-corpus build.
+    */
+  val q234 = EngineQuery(
+    "q234_remediation_loop",
+    (s, dir) => {
+      import s.implicits._
+      remediationSweepRows(s, dir)
+        .toDF("store", "n_train_before", "n_appended_before", "verdict",
+          "acted", "n_train_after", "n_appended_after")
+        .orderBy(col("store"))
+    },
+    Some("""WITH c AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ne
+              FROM embeddings
+            )
+            SELECT store, CAST(n_train_before AS BIGINT) AS n_train_before,
+              CAST(n_appended_before AS BIGINT) AS n_appended_before,
+              verdict, CAST(acted AS BIGINT) AS acted,
+              CAST(n_train_after AS BIGINT) AS n_train_after,
+              CAST(n_appended_after AS BIGINT) AS n_appended_after
+            FROM (
+              SELECT 'rm_graph_stale' AS store, ne AS n_train_before,
+                n - ne AS n_appended_before, 'republish' AS verdict,
+                1 AS acted, n AS n_train_after, 0 AS n_appended_after
+              FROM c
+              UNION ALL
+              SELECT 'rm_ivf_fresh', n, 0, 'ok', 0, n, 0 FROM c
+              UNION ALL
+              SELECT 'rm_ivf_stale', ne, n - ne, 'republish', 1, n, 0
+              FROM c
+            ) ORDER BY store"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
-      q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233)
+      q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233,
+      q234)
 }

@@ -1822,6 +1822,51 @@ class IndexMaintenanceSpec extends SparkTestBase {
       dedupRow.isNullAt(dedupRow.fieldIndex("drift")))
   }
 
+  test("StoreRemediator: the decision rule acts — flagged stores are " +
+    "republished to the fresh-build end state, unflagged stores stay " +
+    "byte-untouched, non-self-contained kinds refuse") {
+    import graft.llmops.StoreRemediator
+    // rule boundary: exactly 25% appended is NOT enough (3a > t strict)
+    def ts(t: Long, a: Long) = IndexMaintenance.TrainStats(
+      t, 4, undertrained = false, a, "explicit")
+    assert(!StoreRemediator.needsRepublish(ts(300, 100)))
+    assert(StoreRemediator.needsRepublish(ts(299, 100)))
+
+    val stale = freshDir("rm_stale")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), stale, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), stale)
+    val freshStore = freshDir("rm_fresh")
+    IvfIndex.build(embs, freshStore, k = 4)
+    val freshFilesBefore = dataFiles(IvfIndex.dataDir(spark, freshStore))
+
+    val rows = StoreRemediator.sweepAndRemediate(spark, Seq(
+        ("fresh", "ivf", freshStore), ("stale", "ivf", stale)))
+      .collect()
+      .map(r => r.getAs[String]("store") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("acted"),
+          r.getAs[Long]("n_train_after"),
+          r.getAs[Long]("n_appended_after"))).toMap
+    assert(rows("stale") == (("republish", 1L, 500L, 0L)))
+    assert(rows("fresh") == (("ok", 0L, 500L, 0L)))
+    // unflagged: data files byte-identical (name+length) — no rebuild
+    assert(dataFiles(IvfIndex.dataDir(spark, freshStore)) ==
+      freshFilesBefore, "remediation touched an unflagged store")
+    // flagged: end state == a fresh full-corpus build
+    val twin = freshDir("rm_twin")
+    IvfIndex.build(embs, twin, k = 4)
+    assert(IvfIndex.centroids(spark, stale)
+      .map(c => c.cell -> c.centroid.toSeq) ==
+      IvfIndex.centroids(spark, twin)
+        .map(c => c.cell -> c.centroid.toSeq))
+    // codes-only stores cannot self-remediate: refuse, don't skip
+    val e = intercept[IllegalArgumentException] {
+      StoreRemediator.sweepAndRemediate(spark,
+        Seq(("pq", "ivfpq", stale)))
+    }
+    assert(e.getMessage.contains("non-self-contained"))
+    ops.SessionScratch.evictTransients()
+  }
+
   test("auto-k builds apply the occupancy-constant default " +
     "(k = kFor(n), policy recorded) without the caller choosing k") {
     import graft.llmops.{GraphIndex, IvfPqIndex}

@@ -656,6 +656,20 @@ class StreamingSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "streamed IVF index must equal the batch-appended index")
     assert(a.count() == embs.count(), "every vector indexed exactly once")
+
+    // provenance twin: n_appended accumulates ADDITIVELY across
+    // micro-batches to exactly the batch store's value, and the
+    // cumulative growth flips the q230/q234 republish decision (two
+    // waves on a one-third base is 67% appended — over the 25% rule)
+    import graft.llmops.StoreRemediator
+    val tsStream = IvfIndex.fsck(spark, streamIdx).trainStats.get
+    val tsBatch = IvfIndex.fsck(spark, batchIdx).trainStats.get
+    assert(tsStream == tsBatch,
+      "streamed provenance must equal the batch twin's")
+    assert(tsStream.nTrain == base.count() &&
+      tsStream.nAppended == wave1.count() + wave2.count())
+    assert(StoreRemediator.needsRepublish(tsStream),
+      "cumulative micro-batch growth must flip the republish decision")
   }
 
   test("streaming takedown feed via foreachBatch == one batch delete " +
