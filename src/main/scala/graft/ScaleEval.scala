@@ -100,9 +100,12 @@ object ScaleEval {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // 1. panel scaling: truth side vs index side
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_scaleeval_ivf").toString
+    // 1. panel scaling: truth side vs index side. The store lives
+    // under SessionScratch.base so the shutdown hook cleans it up even
+    // when a later measurement throws (the crash-safe cleanup pattern,
+    // instead of a hand-rolled inline delete).
+    val store = ops.SessionScratch.base("scaleeval_ivf",
+      spark.sparkContext.applicationId) + "/ivf"
     val em = ops.Tables(spark, dir).embeddings
     IvfIndex.build(em.filter(col("vec_id") % 2 === 0), store, k = 4)
     IvfIndex.append(em.filter(col("vec_id") % 2 === 1), store)
@@ -139,13 +142,6 @@ object ScaleEval {
         println(f"""{"op":"waterfill","point":"$label",""" +
           f""""sec":$sec%.2f}""")
     }
-    // remove the temp IVF store (the other dev tools' cleanup rule)
-    def del(f: java.io.File): Unit = {
-      val cs = f.listFiles()
-      if (cs != null) cs.foreach(del)
-      f.delete(); ()
-    }
-    del(new java.io.File(store))
     spark.stop()
   }
 }

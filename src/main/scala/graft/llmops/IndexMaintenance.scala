@@ -534,15 +534,24 @@ object IndexMaintenance {
 
   private[llmops] val TrainStatsName = "_train_stats"
 
+  /** THE sidecar serialization — one renderer for build-time writes
+    * AND append-time bumps, so the two writers can never drift format
+    * (a drifted bump would parse as None and silently stop counting).
+    */
+  private def renderTrainStats(ts: TrainStats): String =
+    s"n_train=${ts.nTrain};k=${ts.k};" +
+      s"floor=${KMeans.minTrainPoints(ts.k)};" +
+      s"undertrained=${ts.undertrained};" +
+      s"n_appended=${ts.nAppended};k_policy=${ts.kPolicy};v=1"
+
   /** Record training provenance at build time (n_appended resets to 0 —
     * a rebuild consumes all prior appends by definition).
     */
   private[llmops] def writeTrainStats(s: SparkSession, path: String,
       nTrain: Long, k: Int, kPolicy: String): Unit =
     writeSidecar(s, path, TrainStatsName,
-      s"n_train=$nTrain;k=$k;floor=${KMeans.minTrainPoints(k)};" +
-        s"undertrained=${KMeans.undertrained(nTrain, k)};" +
-        s"n_appended=0;k_policy=$kPolicy;v=1")
+      renderTrainStats(TrainStats(nTrain, k,
+        KMeans.undertrained(nTrain, k), nAppended = 0L, kPolicy)))
 
   /** The recorded training provenance; None when the store predates the
     * sidecar or was never built by a trained-store builder.
@@ -564,16 +573,20 @@ object IndexMaintenance {
   /** Add `delta` appended rows to the recorded provenance (atomic
     * sidecar replace). No-op for stores without the sidecar — appends
     * must keep working on stores built before it existed.
+    *
+    * CRASH DIRECTION: callers bump BEFORE publishing the data
+    * manifest, so a crash between the two leaves n_appended
+    * OVER-counted against a store whose extra files are uncommitted
+    * garbage (vacuumed at recovery) — the staleness metric then errs
+    * toward an EARLY republish, which resets it. Bumping after the
+    * publish would instead under-count on a crash: a permanently
+    * stale-looking-fresh store that the decision loop never flags.
     */
   private[llmops] def bumpAppended(s: SparkSession, path: String,
       delta: Long): Unit =
     readTrainStats(s, path).foreach { ts =>
       writeSidecar(s, path, TrainStatsName,
-        s"n_train=${ts.nTrain};k=${ts.k};" +
-          s"floor=${KMeans.minTrainPoints(ts.k)};" +
-          s"undertrained=${ts.undertrained};" +
-          s"n_appended=${ts.nAppended + delta};" +
-          s"k_policy=${ts.kPolicy};v=1")
+        renderTrainStats(ts.copy(nAppended = ts.nAppended + delta)))
     }
 
   // ---- occupancy-constant default k ----------------------------------------
@@ -1616,14 +1629,19 @@ object IvfIndex {
     val s = newVecs.sparkSession
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
-    KMeans.assign(newVecs, cents)
-      .select(col("vec_id").as("member_id"), col("cell"),
-        col("embedding").as("em"))
-      .write.mode("append").parquet(cur)
+    // checkpointed so the provenance count and the write share ONE
+    // evaluation of the delta's upstream lineage
+    val assigned = SessionScratch.transientCheckpoint(
+      KMeans.assign(newVecs, cents)
+        .select(col("vec_id").as("member_id"), col("cell"),
+          col("embedding").as("em")))
+    val nDelta = assigned.count()
+    assigned.write.mode("append").parquet(cur)
+    // provenance BEFORE the manifest publish — see [[IndexMaintenance
+    // .bumpAppended]]'s crash-direction contract
+    IndexMaintenance.bumpAppended(s, path, nDelta)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
-    // provenance: grown-since-training mass (one delta-sized count)
-    IndexMaintenance.bumpAppended(s, path, newVecs.count())
   }
 
   /** Compact the accumulated assignment appends (config preserved,
@@ -1979,9 +1997,9 @@ object GraphIndex {
         .distinct())
     memberShape(newM).write.mode("append").parquet(cur)
     edgeShape(edges).write.mode("append").parquet(cur)
+    IndexMaintenance.bumpAppended(s, path, newM.count())
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
-    IndexMaintenance.bumpAppended(s, path, newM.count())
   }
 
   /** Search the MAINTAINED graph: q198's unrolled beam walk with
@@ -2242,11 +2260,14 @@ object IvfPqIndex {
     val s = newVecs.sparkSession
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
-    encodeUnder(newVecs, cents, codebookRows(s, path))
-      .write.mode("append").parquet(cur)
+    val encoded = SessionScratch.transientCheckpoint(
+      encodeUnder(newVecs, cents, codebookRows(s, path)))
+    // one encoded row per (vector, subspace): members = rows / m
+    val nDelta = encoded.count() / M
+    encoded.write.mode("append").parquet(cur)
+    IndexMaintenance.bumpAppended(s, path, nDelta)
     IndexMaintenance.publishManifest(s, path, ManifestName,
       cur.substring(path.length + 1))
-    IndexMaintenance.bumpAppended(s, path, newVecs.count())
   }
 
   /** DELETE vectors from the index ([[IvfIndex.delete]]'s contract,

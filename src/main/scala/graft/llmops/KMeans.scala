@@ -119,6 +119,13 @@ object KMeans {
       .zipWithIndex
       .map { case ((_, v), i) => Centroid(i.toLong, v) }
       .toSeq
+    // fail FAST on n < k: letting the build succeed with fewer seed
+    // centroids than the config records would make every later read
+    // throw the misleading "centroid table is truncated" error
+    require(centroids.size == k,
+      s"KMeans.fit(k=$k) found only ${centroids.size} training " +
+        "vectors — the corpus has fewer rows than k; lower k (or use " +
+        "the auto-k builders, which floor at 4) or grow the corpus.")
 
     for (_ <- 0 until iters) {
       // update step: exact fixed-point sums per (cell, dimension) in one

@@ -90,10 +90,15 @@ object PqCodebook {
     import spark.implicits._
 
     var nTrain = -1L
-    var cbRows: Seq[Codeword] = vecs.orderBy(col(idCol)).limit(cb)
+    val seedVecs = vecs.orderBy(col(idCol)).limit(cb)
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-      .collect().sortBy(_._1).zipWithIndex
+      .collect()
+    // fail FAST on n < cb — the KMeans.fit seed-count discipline
+    require(seedVecs.length == cb,
+      s"PqCodebook.fit(cb=$cb) found only ${seedVecs.length} training " +
+        "vectors — the corpus has fewer rows than cb; grow the corpus.")
+    var cbRows: Seq[Codeword] = seedVecs.sortBy(_._1).zipWithIndex
       .flatMap { case ((_, v), rank) =>
         v.zipWithIndex.map { case (x, p) =>
           Codeword(rank.toLong, p / subDim, p % subDim,

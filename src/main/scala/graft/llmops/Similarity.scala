@@ -2968,7 +2968,9 @@ object Similarity {
               "it was not built by a trained-store builder; rebuild it."))
         (label, ts.nTrain, ts.nAppended,
           if (ts.undertrained) 1L else 0L,
-          if (3L * ts.nAppended > ts.nTrain) "republish" else "ok")
+          // THE rule — shared with the actor, so decide and act can
+          // never diverge if the threshold is ever tuned
+          if (StoreRemediator.needsRepublish(ts)) "republish" else "ok")
       }.toDF("store", "n_train", "n_appended", "undertrained", "verdict")
         .orderBy(col("store"))
     },
