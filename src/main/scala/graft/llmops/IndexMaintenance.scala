@@ -524,12 +524,36 @@ object IndexMaintenance {
     * current membership — the staleness metric the republish decision
     * thresholds on (FAISS/DiskANN "rebuild when inserts exceed X% of
     * build size").
+    *
+    * APPROXIMATION (deliberate): deletes and compaction do NOT adjust
+    * n_train/n_appended — the sidecar records training-time provenance
+    * plus growth, not live membership, so after heavy takedowns the
+    * n_train + n_appended denominator OVERSTATES the membership and
+    * drift reads LOW relative to "appended share of what remains".
+    * That bias is toward a LATE republish for takedown-heavy stores;
+    * it never misses growth (appends always bump), and the rebuild a
+    * takedown actually needs (physical removal / re-wiring) has its
+    * own arm — compact for IVF, consolidate-deletes republish for the
+    * graph — which resets the provenance anyway. Folding tombstone
+    * counts in would make the sidecar a second membership ledger that
+    * every delete path must keep transactionally consistent; the
+    * decision rule does not need that precision.
+    *
+    * `k` is the store's TRUE trained cell count; `floorK` is the
+    * (possibly larger) shape the 39·x undertraining floor gates on —
+    * they differ only for stores with a second trained half whose
+    * sample requirement dominates (IVF-PQ: floorK = max(k, cb), the
+    * codebook's 39·cb floor vs the usually-smaller cell count). Kept
+    * separate so a consumer sizing a rebuild reads `k` and can never
+    * republish at the floor by mistake.
     */
   final case class TrainStats(nTrain: Long, k: Int, undertrained: Boolean,
-      nAppended: Long, kPolicy: String) {
+      nAppended: Long, kPolicy: String, floorK: Option[Int] = None) {
     def drift: Double =
       if (nTrain + nAppended == 0) 0.0
       else nAppended.toDouble / (nTrain + nAppended).toDouble
+    /** The shape the undertraining floor is computed from. */
+    def floorShape: Int = floorK.getOrElse(k)
   }
 
   private[llmops] val TrainStatsName = "_train_stats"
@@ -540,18 +564,24 @@ object IndexMaintenance {
     */
   private def renderTrainStats(ts: TrainStats): String =
     s"n_train=${ts.nTrain};k=${ts.k};" +
-      s"floor=${KMeans.minTrainPoints(ts.k)};" +
+      s"floor_k=${ts.floorShape};" +
+      s"floor=${KMeans.minTrainPoints(ts.floorShape)};" +
       s"undertrained=${ts.undertrained};" +
-      s"n_appended=${ts.nAppended};k_policy=${ts.kPolicy};v=1"
+      s"n_appended=${ts.nAppended};k_policy=${ts.kPolicy};v=2"
 
   /** Record training provenance at build time (n_appended resets to 0 —
-    * a rebuild consumes all prior appends by definition).
+    * a rebuild consumes all prior appends by definition). `floorK`
+    * overrides the shape the 39·x undertraining floor gates on when a
+    * second trained half's requirement dominates (see [[TrainStats]]);
+    * `k` itself stays the store's true cell count.
     */
   private[llmops] def writeTrainStats(s: SparkSession, path: String,
-      nTrain: Long, k: Int, kPolicy: String): Unit =
+      nTrain: Long, k: Int, kPolicy: String,
+      floorK: Option[Int] = None): Unit =
     writeSidecar(s, path, TrainStatsName,
       renderTrainStats(TrainStats(nTrain, k,
-        KMeans.undertrained(nTrain, k), nAppended = 0L, kPolicy)))
+        KMeans.undertrained(nTrain, floorK.getOrElse(k)),
+        nAppended = 0L, kPolicy, floorK)))
 
   /** The recorded training provenance; None when the store predates the
     * sidecar or was never built by a trained-store builder.
@@ -567,12 +597,24 @@ object IndexMaintenance {
         field("k").get.toInt,
         field("undertrained").get.toBoolean,
         field("n_appended").get.toLong,
-        field("k_policy").get)).toOption
+        field("k_policy").get,
+        // v1 sidecars predate floor_k (floor was derived from k);
+        // absent → the floor shape IS k, which v1 guaranteed
+        field("floor_k").map(_.toInt))).toOption
     }
 
   /** Add `delta` appended rows to the recorded provenance (atomic
     * sidecar replace). No-op for stores without the sidecar — appends
     * must keep working on stores built before it existed.
+    *
+    * SINGLE WRITER ASSUMED (the store family's standing discipline —
+    * [[vacuumStore]] states the same): the bump is a read-modify-write
+    * of the sidecar, so two OVERLAPPING appends to one store could
+    * interleave read/write and silently lose a count, permanently
+    * understating drift. Appends to one store must be serialized by
+    * the caller (concurrent appends already race the data manifest
+    * itself, so this adds no new requirement — it documents why the
+    * RMW needs no lock of its own).
     *
     * CRASH DIRECTION: callers bump BEFORE publishing the data
     * manifest, so a crash between the two leaves n_appended
@@ -610,6 +652,15 @@ object IndexMaintenance {
   def kFor(n: Long, occTarget: Long = OccTarget): Int =
     math.min(Int.MaxValue.toLong,
       math.max(4L, (n + occTarget - 1) / occTarget)).toInt
+
+  /** The recorded k-selection policy's occupancy target, when it IS an
+    * occupancy policy ("occ<target>" — what the auto-k builders
+    * record); None for "explicit" and any other policy string.
+    */
+  private[llmops] def occTargetOf(kPolicy: String): Option[Long] =
+    "^occ(\\d+)$".r.findFirstMatchIn(kPolicy)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+      .filter(_ > 0)
 
   private[llmops] def fsckStore(s: SparkSession, path: String,
       manifestName: String, configName: String,
@@ -1576,12 +1627,30 @@ object IvfIndex {
     val s = embeddings.sparkSession
     IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
       config(k), What)
+    republishAs(embeddings, path, k, "explicit")
+  }
+
+  /** Policy-aware drift remediation — the [[republish]] discipline with
+    * the rebuild shape chosen by the CALLER'S policy decision instead
+    * of pinned to the recorded k: liveness is verified against the
+    * store's OWN recorded config (the new k may legitimately differ —
+    * an occupancy-policy store re-sizes k to the corpus it now holds),
+    * and the recorded `k_policy` is whatever the caller passes, so an
+    * auto-k store remediated by [[StoreRemediator]] keeps its policy
+    * instead of silently becoming 'explicit' at a pinned k (which
+    * would recreate the quadratic fixed-k regime SCALING.md measured).
+    */
+  private[llmops] def republishAs(embeddings: DataFrame, path: String,
+      k: Int, kPolicy: String): Unit = {
+    val s = embeddings.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
+      config(recordedKOf(s, path)), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivf_index_config")
     // a rebuild indexes exactly the corpus it is handed — pending
     // tombstones are moot once the old rows are gone
     IndexMaintenance.clearTombstones(s, path, ManifestName)
-    build(embeddings, path, k)
+    buildImpl(embeddings, path, k, kPolicy)
     // the rebuilt index lives at assignments-g0 again; a post-compaction
     // generation left behind by the old index is unreferenced garbage
     if (!stale.endsWith("/assignments-g0")) {
@@ -2055,19 +2124,30 @@ object GraphIndex {
   def republish(embeddings: DataFrame, path: String, k: Int,
       degree: Option[Int] = None): Unit = {
     val s = embeddings.sparkSession
-    // default = the RECORDED degree, not the compile-time one: a
-    // drift-remediation rebuild of a degree-8 store must not silently
-    // halve its connectivity (R is the recall knob — SCALING.md r12)
-    val r = degree.getOrElse(recordedDegree(s, path))
     IndexMaintenance.requireConfig(s, path, ConfigName,
       config(k, recordedDegree(s, path)), What)
+    republishAs(embeddings, path, k, "explicit", degree)
+  }
+
+  /** Policy-aware drift remediation — [[IvfIndex.republishAs]]'s
+    * contract for the graph store: liveness verified against the
+    * RECORDED shape, rebuild at the caller's (k, kPolicy), degree
+    * defaulting to the RECORDED out-degree (a remediation must not
+    * silently halve connectivity — R is the recall knob, SCALING.md
+    * r12).
+    */
+  private[llmops] def republishAs(embeddings: DataFrame, path: String,
+      k: Int, kPolicy: String, degree: Option[Int] = None): Unit = {
+    val s = embeddings.sparkSession
+    val r = degree.getOrElse(recordedDegree(s, path))
+    requireLive(s, path)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, ConfigName)
     // the re-wiring rebuild IS the physical-delete arm (DiskANN
     // consolidate_deletes): the graph is rebuilt over the corpus it is
     // handed, so pending lazy-delete tombstones are consumed here
     IndexMaintenance.clearTombstones(s, path, ManifestName)
-    build(embeddings, path, k, r)
+    buildImpl(embeddings, path, k, r, kPolicy)
     if (!stale.endsWith("/graph-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2220,13 +2300,25 @@ object IvfPqIndex {
     encodeUnder(embeddings, cents, cbRows)
       .write.mode("overwrite").parquet(s"$path/codes-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName, "codes-g0")
-    // n_train covers BOTH trained halves (one corpus, two fits); the
-    // recorded floor uses the larger requirement (cb=16 > k=4 here)
-    IndexMaintenance.writeTrainStats(s, path, nTrain,
-      math.max(k, Cb), kPolicy)
+    // n_train covers BOTH trained halves (one corpus, two fits). k is
+    // the TRUE cell count; the undertraining floor gates on the larger
+    // trained half (cb=16 > k=4 here) via floorK — recording
+    // max(k, cb) AS k would hand any consumer sizing a rebuild the
+    // wrong cell count
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k, kPolicy,
+      floorK = Some(math.max(k, Cb)))
     IndexMaintenance.writeSidecar(s, path, "_ivfpq_index_config",
       config(k))
   }
+
+  /** The recorded cell count ([[IvfIndex.recordedKOf]]'s accessor for
+    * the codes store).
+    */
+  private[llmops] def recordedKOf(s: SparkSession, path: String): Int =
+    IndexMaintenance.readSidecar(s, path, "_ivfpq_index_config")
+      .flatMap(c => ";k=(\\d+);".r.findFirstMatchIn(c)
+        .map(_.group(1).toInt))
+      .getOrElse(0)
 
   /** The recorded centroids — config-verified k-bounded read (the
     * [[IvfIndex.centroids]] discipline).
@@ -2310,10 +2402,23 @@ object IvfPqIndex {
     val s = embeddings.sparkSession
     IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
       config(k), What)
+    republishAs(embeddings, path, k, "explicit")
+  }
+
+  /** Policy-aware drift remediation — [[IvfIndex.republishAs]]'s
+    * contract for the codes store: BOTH trained halves (IVF centroids
+    * and the per-subspace PQ codebooks) retrain on the corpus handed
+    * in; liveness verified against the RECORDED k.
+    */
+  private[llmops] def republishAs(embeddings: DataFrame, path: String,
+      k: Int, kPolicy: String): Unit = {
+    val s = embeddings.sparkSession
+    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
+      config(recordedKOf(s, path)), What)
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivfpq_index_config")
     IndexMaintenance.clearTombstones(s, path, ManifestName)
-    build(embeddings, path, k)
+    buildImpl(embeddings, path, k, kPolicy)
     if (!stale.endsWith("/codes-g0")) {
       val p = new org.apache.hadoop.fs.Path(stale)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2445,10 +2550,30 @@ object StoreRemediator {
   def needsRepublish(ts: IndexMaintenance.TrainStats): Boolean =
     3L * ts.nAppended > ts.nTrain
 
+  /** The rebuild shape for a flagged store: an occupancy-policy store
+    * ("occ<target>" — what the auto-k builders record) recomputes
+    * k = [[IndexMaintenance.kFor]](current membership) at its RECORDED
+    * occupancy target and keeps the policy string — pinning the stale
+    * recorded k would recreate the quadratic fixed-k regime the
+    * occupancy protocol exists to prevent, and rewriting the policy to
+    * 'explicit' would misstate provenance AND freeze every later
+    * remediation at this k. An 'explicit' store keeps its recorded k
+    * (a remediation must not silently change a shape the operator
+    * chose).
+    */
+  def remediationShape(ts: IndexMaintenance.TrainStats, recordedK: Int,
+      corpusN: Long): (Int, String) =
+    IndexMaintenance.occTargetOf(ts.kPolicy) match {
+      case Some(target) =>
+        (IndexMaintenance.kFor(corpusN, target), ts.kPolicy)
+      case None => (recordedK, "explicit")
+    }
+
   /** Sweep `(label, kind, path)` stores; republish the flagged ones at
-    * their RECORDED k (same recipe — a remediation must not silently
-    * change the store's shape); return one readout row per store with
-    * the before/after provenance and what was done. Unknown kinds fail
+    * their recorded SHAPE POLICY ([[remediationShape]]: explicit stores
+    * at the recorded k, occupancy-policy stores at k re-sized to the
+    * membership); return one readout row per store with the
+    * before/after provenance and what was done. Unknown kinds fail
     * fast (the [[StoreAudit.audit]] rule: a silently-skipped store
     * would read as "remediated").
     */
@@ -2474,15 +2599,17 @@ object StoreRemediator {
             IvfIndex.members(s, path)
               .select(col("member_id").as("vec_id"),
                 col("em").as("embedding")))
-          IvfIndex.republish(corpus, path,
-            IvfIndex.recordedKOf(s, path))
+          val (k, pol) = remediationShape(before,
+            IvfIndex.recordedKOf(s, path), corpus.count())
+          IvfIndex.republishAs(corpus, path, k, pol)
         case "graph" =>
           val corpus = SessionScratch.transientCheckpoint(
             GraphIndex.members(s, path)
               .select(col("member_id").as("vec_id"),
                 col("em").as("embedding")))
-          GraphIndex.republish(corpus, path,
-            GraphIndex.recordedK(s, path))
+          val (k, pol) = remediationShape(before,
+            GraphIndex.recordedK(s, path), corpus.count())
+          GraphIndex.republishAs(corpus, path, k, pol)
       }
       val after =
         if (acted) IndexMaintenance.readTrainStats(s, path).get

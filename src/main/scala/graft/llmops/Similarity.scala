@@ -492,6 +492,14 @@ object Similarity {
     * then APPEND the odd-id half as the arriving delta — assigned under
     * the RECORDED centroids, no retrain. The gate query then exercises
     * [[IvfIndex.search]], the maintained-index read path.
+    *
+    * READ-ONLY after this builder returns: the store is SHARED by every
+    * gate that reads it (q180/q201/q202/q204/q217/q222/q228/q230/q233),
+    * and q233's audit oracle states its exact end state — generation 0,
+    * healthy, n_appended = the odd-half count. A gate that compacts,
+    * deletes from, appends to, or remediates this store breaks those
+    * gates far from the cause; mutation experiments CLONE instead
+    * (the existingDeleted/Republished/Lifecycle builders below).
     */
   private[llmops] def existingIvfIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -1778,6 +1786,12 @@ object Similarity {
     * dir) — q180's ingest shape for the graph family: build on the
     * even-id half, append the odd half as the arriving delta (forward
     * + reverse edges under the recorded centroids, no retrain).
+    *
+    * READ-ONLY after this builder returns (the [[existingIvfIndex]]
+    * contract): shared by q199/q226/q230/q232/q233, and q233's audit
+    * oracle states its exact end state. Mutation experiments clone —
+    * the deleted/republished/consolidated graph builders each ingest
+    * their own store.
     */
   private[llmops] def existingGraphIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {

@@ -371,6 +371,12 @@ object TextAnalysis {
     * postings of the even-id half (the "existing corpus"), odd half
     * APPENDED as the arriving delta — the `existingDedupIndex` pattern
     * applied to retrieval.
+    *
+    * READ-ONLY after this builder returns (the Similarity
+    * `existingIvfIndex` contract): shared by q184/q218/q228/q232/q233,
+    * and q233's audit oracle states its exact end state (generation 0,
+    * healthy, zero garbage). Mutation experiments clone — the takedown
+    * gate (q210) ingests its own store for exactly this reason.
     */
   private[llmops] def existingTextIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {

@@ -1886,6 +1886,53 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(GraphIndex.fsck(spark, g).trainStats.get.kPolicy == "occ256")
     val pq = freshDir("ivfpq_auto_k")
     IvfPqIndex.build(embs, pq)
-    assert(IvfPqIndex.fsck(spark, pq).trainStats.get.kPolicy == "occ256")
+    val pqTs = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(pqTs.kPolicy == "occ256")
+    // the sidecar's k is the TRUE cell count; the 39·x undertraining
+    // floor gates on the LARGER trained half (the cb=16 codebook)
+    // through floorK — recording max(k, cb) as k would hand a
+    // consumer sizing a rebuild the wrong cell count
+    assert(pqTs.k == 4 && pqTs.floorShape == 16)
+    assert(pqTs.undertrained == (pqTs.nTrain < 39L * 16))
+  }
+
+  test("StoreRemediator preserves the k policy: a flagged auto-k " +
+    "store republishes at k = kFor(membership) with its occupancy " +
+    "policy intact; explicit stores keep the recorded k") {
+    import graft.llmops.StoreRemediator
+    // the pure shape rule
+    val occ = IndexMaintenance.TrainStats(200, 4,
+      undertrained = false, 1200, "occ256")
+    assert(StoreRemediator.remediationShape(occ, 4, 1400L) ==
+      ((6, "occ256")))
+    assert(StoreRemediator.remediationShape(
+      occ.copy(kPolicy = "explicit"), 4, 1400L) == ((4, "explicit")))
+
+    // end-to-end: the 500-vector fixture cannot push kFor past the
+    // floor of 4 (needs >1024 members), so the grown membership is
+    // synthesized by replicating the fixture under distinct ids —
+    // build auto-k on 200 (kFor=4), append 1300 more, membership 1500
+    // -> kFor(1500) = 6
+    val path = freshDir("rm_occ")
+    IvfIndex.build(embs.filter(col("vec_id") < 200), path)
+    def shifted(off: Long, pred: org.apache.spark.sql.Column) =
+      embs.filter(pred).select((col("vec_id") + lit(off)).as("vec_id"),
+        col("embedding"))
+    IvfIndex.append(
+      shifted(1000L, lit(true))
+        .union(shifted(2000L, lit(true)))
+        .union(shifted(3000L, col("vec_id") >= 200)), path)
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("occ", "ivf", path))).collect().head
+    assert(row.getAs[String]("verdict") == "republish" &&
+      row.getAs[Long]("n_train_after") == 1500)
+    // the remediation re-sized k to the membership AND kept the policy
+    // (centroids() verifies the stored table against the recorded
+    // config k, so size==6 proves sidecar and store agree)
+    assert(IvfIndex.centroids(spark, path).size == 6)
+    val ts = IvfIndex.fsck(spark, path).trainStats.get
+    assert(ts.kPolicy == "occ256" && ts.k == 6 &&
+      ts.nTrain == 1500 && ts.nAppended == 0)
+    ops.SessionScratch.evictTransients()
   }
 }
