@@ -717,13 +717,15 @@ object ExplainAudit {
           !graphBuildPlan.contains("CartesianProduct") &&
           !graphBuildPlan.contains("BroadcastNestedLoopJoin")
       }),
-      ("q198 graph-ANN search: the gate plan walks the CHECKPOINTED " +
-        "edge rows (the corpus-sized build runs once, not once per " +
-        "expansion round) through equi-joins on the edge source key; " +
-        "the only nested loop is the k-row broadcast entry fan — no " +
-        "cartesian", {
+      ("q198 graph-ANN search: the gate plan reads the MEMOIZED edge " +
+        "rows off session-scratch parquet (the corpus-sized build runs " +
+        "once per session, not once per invocation — the q192 memo " +
+        "precedent, round 14) and walks them through equi-joins on the " +
+        "edge source key; round-1's visited set is the checkpointed " +
+        "frame; no cartesian", {
         val p = planOf(spark, byName, sfDir, "q198_knn_graph_beam")
         p.contains("Scan ExistingRDD") &&
+          p.contains("graph_q198") &&
           !p.contains("CartesianProduct")
       }),
       ("q199 persisted-graph search reads members and edges off the ONE " +
