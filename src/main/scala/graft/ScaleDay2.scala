@@ -92,9 +92,11 @@ object ScaleDay2 {
     val train = base
       .filter(Sampling.groupSplit(col("source")) === "train")
       .select(col("doc_id"), col("text"))
+    val nTrain = train.count()
     BpeModel.save(s, Bpe.trainOn(Bpe.wordFreqOf(train.select(col("text"))),
-      Bpe.Rounds), s"$root/bpe")
-    ClfModel.save(s, Curation.trainClassifierOn(s, train).w, s"$root/clf")
+      Bpe.Rounds), s"$root/bpe", nTrain)
+    ClfModel.save(s, Curation.trainClassifierOn(s, train).w,
+      s"$root/clf", nTrain)
     (BpeModel.load(s, s"$root/bpe"), ClfModel.load(s, s"$root/clf"))
   }
 

@@ -516,7 +516,7 @@ object CurationDag {
         .filter(Sampling.groupSplit(col("source")) === "train")
         .select(col("text"))
       BpeModel.save(s, Bpe.trainOn(Bpe.wordFreqOf(existingTrain),
-        Bpe.Rounds), path)
+        Bpe.Rounds), path, nTrain = existingTrain.count())
     }
     BpeModel.load(s, path)
   }
@@ -754,7 +754,7 @@ object CurationDag {
         .filter(col("split") === "train")
         .select(col("doc_id"), col("text"))
       ClfModel.save(s, Curation.trainClassifierOn(s, existingTrain).w,
-        path)
+        path, nTrain = existingTrain.count())
     }
     ClfModel.load(s, path)
   }

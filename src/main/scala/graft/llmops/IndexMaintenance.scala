@@ -1338,15 +1338,39 @@ object BpeModel {
     * config last as the publish-complete marker (the index-build
     * discipline; a crash mid-save reads as missing-config, never as a
     * silently short merge table).
+    *
+    * `nTrain` is the training-corpus DOC count, recorded as
+    * `_train_stats` provenance (round-13 verdict #3: the frozen
+    * transforms drift too — a tokenizer trained on last month's corpus
+    * silently shifts every downstream token id as the corpus grows,
+    * and without provenance the q230 staleness sweep could never flag
+    * it). The transform has no trained cell count, so k=0 and the
+    * 39·k floor is vacuous; the staleness rule needs only
+    * n_train/n_appended.
     */
-  def save(s: SparkSession, trained: Bpe.Trained, path: String): Unit = {
+  def save(s: SparkSession, trained: Bpe.Trained, path: String,
+      nTrain: Long): Unit = {
     import s.implicits._
     trained.merges.toDF()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/merges-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName, "merges-g0")
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k = 0,
+      kPolicy = "n/a")
     IndexMaintenance.writeSidecar(s, path, "_bpe_model_config", Config)
   }
+
+  /** The day-2 APPLICATION record — the frozen transform's append
+    * analog (round-13 verdict #3): an index append physically grows
+    * the store, but applying a frozen tokenizer to an arriving batch
+    * leaves the artifact byte-identical while the world it was trained
+    * on grows — exactly the drift the staleness rule thresholds on.
+    * Call once per applied batch with the batch's doc count (the q187
+    * day-2 cadence); [[IndexMaintenance.bumpAppended]]'s single-writer
+    * and crash-direction contracts apply unchanged.
+    */
+  def noteApplied(s: SparkSession, path: String, nDocs: Long): Unit =
+    IndexMaintenance.bumpAppended(s, path, nDocs)
 
   /** MAINTENANCE — the explicit retrain + republish this immutable
     * artifact prescribes (the IVF-centroid contract: no append path;
@@ -1361,7 +1385,7 @@ object BpeModel {
     * model and belongs at a different path).
     */
   def republish(s: SparkSession, trained: Bpe.Trained,
-      path: String): Unit = {
+      path: String, nTrain: Long): Unit = {
     IndexMaintenance.requireConfig(s, path, "_bpe_model_config",
       Config, What)
     val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
@@ -1374,6 +1398,10 @@ object BpeModel {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$nextSub")
     IndexMaintenance.publishManifest(s, path, ManifestName, nextSub)
+    // a retrain consumes all prior applications by definition — fresh
+    // provenance, n_appended reset (the index-republish contract)
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k = 0,
+      kPolicy = "n/a")
     val fs = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(cur), true)
@@ -1442,22 +1470,37 @@ object ClfModel {
   private val What = "classifier model"
 
   /** Persist a trained weight table (the [[BpeModel.save]] discipline:
-    * weights → manifest → config last).
+    * weights → manifest → config last). `nTrain` is the training-corpus
+    * doc count, recorded as `_train_stats` provenance so the q230
+    * staleness sweep can flag a scorer whose keep/drop boundary was
+    * trained on a corpus the pipeline has since outgrown (see
+    * [[BpeModel.save]]).
     */
-  def save(s: SparkSession, w: DataFrame, path: String): Unit = {
+  def save(s: SparkSession, w: DataFrame, path: String,
+      nTrain: Long): Unit = {
     w.select(col("b"), col("w"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/weights-g0")
     IndexMaintenance.publishManifest(s, path, ManifestName, "weights-g0")
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k = 0,
+      kPolicy = "n/a")
     IndexMaintenance.writeSidecar(s, path, "_clf_model_config", Config)
   }
+
+  /** The day-2 application record — [[BpeModel.noteApplied]]'s contract
+    * for the frozen scorer: call once per scored batch with its doc
+    * count.
+    */
+  def noteApplied(s: SparkSession, path: String, nDocs: Long): Unit =
+    IndexMaintenance.bumpAppended(s, path, nDocs)
 
   /** MAINTENANCE — retrain + republish into generation N+1 with an
     * atomic manifest swap (the [[BpeModel.republish]] contract: a torn
     * republish leaves the OLD model live; a loader never sees a mixed
     * weight table).
     */
-  def republish(s: SparkSession, w: DataFrame, path: String): Unit = {
+  def republish(s: SparkSession, w: DataFrame, path: String,
+      nTrain: Long): Unit = {
     IndexMaintenance.requireConfig(s, path, "_clf_model_config",
       Config, What)
     val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
@@ -1469,6 +1512,9 @@ object ClfModel {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$nextSub")
     IndexMaintenance.publishManifest(s, path, ManifestName, nextSub)
+    // fresh provenance — a retrain consumes all prior applications
+    IndexMaintenance.writeTrainStats(s, path, nTrain, k = 0,
+      kPolicy = "n/a")
     val fs = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(cur), true)

@@ -2970,15 +2970,81 @@ object Similarity {
     * ([[StoreRemediator]]): flagged stores republish, unflagged stay
     * byte-untouched.
     *
+    * Round 14 extends the sweep to the frozen TRANSFORMS (the
+    * [[existingBpeProvenanceModel]]/[[existingClfProvenanceModel]]
+    * stores): trained on the even docs, applied to the odd docs with
+    * noteApplied as the bump — the same integer rule flags a stale
+    * tokenizer/scorer whose artifact bytes never change.
+    *
     * 100 TB shape: the sweep reads SIDECARS only — no data file is
     * touched, so auditing a warehouse of stores costs one bounded
     * metadata read per store.
     */
+  /** The day-2 TRANSFORM-provenance stores for q230 (round-13 verdict
+    * #3): the staleness loop covered stores whose trained artifact
+    * serves READS (ivf/graph/ivfpq), but the two FROZEN transforms —
+    * the persisted BPE tokenizer and classifier model, whose drift
+    * silently shifts every downstream token id / keep decision
+    * (q187/q190/q191's whole premise) — recorded no provenance and
+    * could never be flagged. Each store here is trained on the
+    * even-doc half (day 0) and then APPLIED to the odd-doc half with
+    * the application recorded via noteApplied (the frozen transform's
+    * append analog — the q187 day-2 cadence; the artifact stays
+    * byte-identical, only the provenance moves). DEDICATED stores, not
+    * the shared day2Model/day2Student artifacts: the existing* builder
+    * read-only contract forbids gate-specific provenance bumps on a
+    * store other gates' oracles pin.
+    */
+  private[llmops] def existingBpeProvenanceModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("bpe_prov_model", app)}/bp_$tag"
+    graft.ops.SessionScratch.once("bpe_prov_model", app, dir) {
+      val d = Tables(s, dir).documents
+      val train = d.filter(col("doc_id") % 2 === 0).select(col("text"))
+      BpeModel.save(s, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
+        path, nTrain = train.count())
+      BpeModel.noteApplied(s, path,
+        d.filter(col("doc_id") % 2 === 1).count())
+    }
+    path
+  }
+
+  /** The classifier-model twin of [[existingBpeProvenanceModel]]. */
+  private[llmops] def existingClfProvenanceModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("clf_prov_model", app)}/cp_$tag"
+    graft.ops.SessionScratch.once("clf_prov_model", app, dir) {
+      val d = Tables(s, dir).documents
+      val train = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      ClfModel.save(s, Curation.trainClassifierOn(s, train).w,
+        path, nTrain = train.count())
+      ClfModel.noteApplied(s, path,
+        d.filter(col("doc_id") % 2 === 1).count())
+    }
+    path
+  }
+
   val q230 = EngineQuery(
     "q230_republish_decision",
     (s, dir) => {
       import s.implicits._
       val stores = Seq(
+        // the two frozen TRANSFORMS (round-14): trained day-0 on the
+        // even docs, applied day-2 to the odd docs — noteApplied is
+        // the bump, so the same 3a > t rule flags a stale tokenizer/
+        // scorer from sidecar reads alone. No trained cell count →
+        // the undertrained floor is vacuous (k = 0)
+        ("bpe_stale", existingBpeProvenanceModel(s, dir),
+          (p: String) => BpeModel.fsck(s, p)),
+        ("clf_stale", existingClfProvenanceModel(s, dir),
+          (p: String) => ClfModel.fsck(s, p)),
         ("graph_stale", existingGraphIndex(s, dir),
           (p: String) => GraphIndex.fsck(s, p)),
         ("ivf_republished", existingRepublishedIvfIndex(s, dir),
@@ -3010,11 +3076,21 @@ object Similarity {
                 CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS ne
               FROM embeddings
+            ), d AS (
+              SELECT COUNT(*) AS nd,
+                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nde
+              FROM documents
             ), sweep AS (
               -- floor = 39 * (the larger trained half): 156 at k=4 for
-              -- IVF/graph, 624 at cb=16 for IVF-PQ
-              SELECT 'graph_stale' AS store, ne AS n_train,
-                n - ne AS n_appended, 156 AS floor_n FROM c
+              -- IVF/graph, 624 at cb=16 for IVF-PQ; the transforms
+              -- have no trained cell count (floor vacuous at 0)
+              SELECT 'bpe_stale' AS store, nde AS n_train,
+                nd - nde AS n_appended, 0 AS floor_n FROM d
+              UNION ALL
+              SELECT 'clf_stale', nde, nd - nde, 0 FROM d
+              UNION ALL
+              SELECT 'graph_stale', ne, n - ne, 156 FROM c
               UNION ALL
               SELECT 'ivf_republished', n, 0, 156 FROM c
               UNION ALL

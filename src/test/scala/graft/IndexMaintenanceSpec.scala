@@ -615,7 +615,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val path = freshDir("bpe_model")
     val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
     val trained = Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds)
-    BpeModel.save(spark, trained, path)
+    BpeModel.save(spark, trained, path, nTrain = 250)
     val loaded = BpeModel.load(spark, path)
     assert(loaded == trained.merges,
       "loaded merge table must equal the trained one, in rank order")
@@ -636,7 +636,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val path = freshDir("bpe_model_cfg")
     val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
     BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
-      path)
+      path, nTrain = 250)
     graft.llmops.IndexMaintenance.writeSidecar(spark, path,
       "_bpe_model_config", BpeModel.Config.replace(
         s"rounds=${Bpe.Rounds}", s"rounds=${Bpe.Rounds + 4}"))
@@ -651,7 +651,8 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // a model trained for fewer rounds than the recorded recipe: save
     // publishes the full-recipe config, so load's rank check must fire
     BpeModel.save(spark,
-      Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds - 4), path)
+      Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds - 4), path,
+      nTrain = 250)
     val e = intercept[IllegalStateException](BpeModel.load(spark, path))
     assert(e.getMessage.contains("truncated or doubled"),
       s"short-table error must be structural: ${e.getMessage}")
@@ -666,7 +667,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val modelB = Bpe.trainOn(Bpe.wordFreqOf(trainB), Bpe.Rounds)
     assert(modelA.merges != modelB.merges,
       "fixture halves must train distinct models for this test to bind")
-    BpeModel.save(spark, modelA, path)
+    BpeModel.save(spark, modelA, path, nTrain = 250)
     // a torn republish: a stray next-generation directory exists but
     // the manifest was never swapped — the OLD model must stay live
     import spark.implicits._
@@ -675,13 +676,13 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(BpeModel.load(spark, path) == modelA.merges,
       "an unpublished generation must be invisible to load")
     // the real republish: manifest swap, old generation deleted
-    BpeModel.republish(spark, modelB, path)
+    BpeModel.republish(spark, modelB, path, nTrain = 250)
     assert(BpeModel.load(spark, path) == modelB.merges,
       "load must return the republished model")
     assert(!new java.io.File(path, "merges-g0").exists(),
       "the old generation is deleted after the swap")
     // a second republish keeps incrementing generations
-    BpeModel.republish(spark, modelA, path)
+    BpeModel.republish(spark, modelA, path, nTrain = 250)
     assert(BpeModel.load(spark, path) == modelA.merges)
     assert(new java.io.File(path, "merges-g2").exists())
   }
@@ -695,7 +696,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val trainA = docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
     val wA = Curation.trainClassifierOn(spark, trainA).w
-    ClfModel.save(spark, wA, path)
+    ClfModel.save(spark, wA, path, nTrain = 250)
     // roundtrip: the loaded table equals the trained one row-for-row
     val loaded = ClfModel.load(spark, path)
     assert(loaded.exceptAll(wA).isEmpty && wA.exceptAll(loaded).isEmpty,
@@ -712,12 +713,13 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val bad = freshDir("clf_model_bad")
     import spark.implicits._
     ClfModel.save(spark,
-      Seq((Curation.ClfBuckets + 7, 5L)).toDF("b", "w"), bad)
+      Seq((Curation.ClfBuckets + 7, 5L)).toDF("b", "w"), bad,
+      nTrain = 1)
     val e2 = intercept[IllegalStateException](ClfModel.load(spark, bad))
     assert(e2.getMessage.contains("structural check"), e2.getMessage)
     // torn save: config never published -> rebuild-required
     val torn = freshDir("clf_model_torn")
-    ClfModel.save(spark, wA, torn)
+    ClfModel.save(spark, wA, torn, nTrain = 250)
     assert(new java.io.File(torn, "_clf_model_config").delete())
     val e3 = intercept[IllegalStateException](ClfModel.load(spark, torn))
     assert(e3.getMessage.contains("did not complete"), e3.getMessage)
@@ -725,7 +727,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val trainB = docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("text"))
     val wB = Curation.trainClassifierOn(spark, trainB).w
-    ClfModel.republish(spark, wB, path)
+    ClfModel.republish(spark, wB, path, nTrain = 250)
     val reloaded = ClfModel.load(spark, path)
     assert(reloaded.exceptAll(wB).isEmpty && wB.exceptAll(reloaded).isEmpty)
     assert(!new java.io.File(path, "weights-g0").exists(),
@@ -738,7 +740,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val path = freshDir("bpe_model_torn")
     val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
     BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
-      path)
+      path, nTrain = 250)
     // config is written LAST by save(); deleting it replays the state
     // of a crash between the merges write and the publish
     assert(new java.io.File(path, "_bpe_model_config").delete())
@@ -1820,6 +1822,53 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val dedupRow = audit.find(_.getAs[String]("kind") == "dedup").get
     assert(dedupRow.isNullAt(dedupRow.fieldIndex("n_train")) &&
       dedupRow.isNullAt(dedupRow.fieldIndex("drift")))
+  }
+
+  test("frozen TRANSFORMS record _train_stats: save records n_train, " +
+    "noteApplied (the day-2 application) bumps the staleness metric " +
+    "until the rule flips, and republish resets it") {
+    import graft.llmops.{ClfModel, Curation, StoreRemediator}
+    // --- BPE tokenizer model ---
+    val bp = freshDir("bpe_prov")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
+      bp, nTrain = 250)
+    val b0 = BpeModel.fsck(spark, bp).trainStats.get
+    assert(b0.nTrain == 250 && b0.nAppended == 0 && b0.k == 0 &&
+      !b0.undertrained && b0.kPolicy == "n/a")
+    assert(!StoreRemediator.needsRepublish(b0))
+    // day-2 applications accumulate; the rule flips strictly past 25%
+    // of the current membership: 83 appended on 250 trained is under
+    // (3*83=249 <= 250), one more flips it
+    BpeModel.noteApplied(spark, bp, 83)
+    assert(!StoreRemediator.needsRepublish(
+      BpeModel.fsck(spark, bp).trainStats.get))
+    BpeModel.noteApplied(spark, bp, 1)
+    val b1 = BpeModel.fsck(spark, bp).trainStats.get
+    assert(b1.nAppended == 84 && StoreRemediator.needsRepublish(b1))
+    // retrain + republish resets the provenance (and the artifact)
+    val all = docs.select(col("text"))
+    BpeModel.republish(spark,
+      Bpe.trainOn(Bpe.wordFreqOf(all), Bpe.Rounds), bp, nTrain = 500)
+    val b2 = BpeModel.fsck(spark, bp).trainStats.get
+    assert(b2.nTrain == 500 && b2.nAppended == 0 &&
+      !StoreRemediator.needsRepublish(b2))
+    // --- classifier model (same contract) ---
+    val cp = freshDir("clf_prov")
+    val ctrain = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    ClfModel.save(spark, Curation.trainClassifierOn(spark, ctrain).w,
+      cp, nTrain = 250)
+    ClfModel.noteApplied(spark, cp, 250)
+    val c1 = ClfModel.fsck(spark, cp).trainStats.get
+    assert(c1.nTrain == 250 && c1.nAppended == 250 &&
+      StoreRemediator.needsRepublish(c1))
+    ClfModel.republish(spark,
+      Curation.trainClassifierOn(spark,
+        docs.select(col("doc_id"), col("text"))).w, cp, nTrain = 500)
+    val c2 = ClfModel.fsck(spark, cp).trainStats.get
+    assert(c2.nTrain == 500 && c2.nAppended == 0 &&
+      !StoreRemediator.needsRepublish(c2))
   }
 
   test("StoreRemediator: the decision rule acts — flagged stores are " +
