@@ -62,7 +62,8 @@ object ExplainAudit {
     "q227_decon_packed_pipeline", "q228_rrf_persisted",
     "q229_knn_ivf_lifecycle", "q230_republish_decision",
     "q231_knn_graph_consolidated", "q232_rrf_three_system",
-    "q233_store_audit", "q234_remediation_loop")
+    "q233_store_audit", "q234_remediation_loop",
+    "q235_knn_ivfpq_autoremediated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -995,6 +996,19 @@ object ExplainAudit {
         "and only flagged stores paid the corpus-sized rebuild", {
         val p = planOf(spark, byName, sfDir, "q234_remediation_loop")
         !p.contains("Scan parquet") && !p.contains("Join")
+      }),
+      ("q235 auto-remediated IVF-PQ search: the gate reads the store " +
+        "the remediator REBUILT (codes-g0 + broadcast-tier codebook — " +
+        "q194's codes-only read path verbatim) and the corpus appears " +
+        "only as the pushed vec_id<10 query fetch: the remediation's " +
+        "corpus-sized work happened at the one-shot sweep, none of it " +
+        "recurs in the serving plan; no cartesian", {
+        val p = planOf(spark, byName, sfDir,
+          "q235_knn_ivfpq_autoremediated")
+        p.contains("codes-g0") && p.contains("/codebook") &&
+          "LessThan\\(vec_id,10\\)".r.findAllIn(p).size == 2 &&
+          "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

@@ -2366,6 +2366,35 @@ object IvfPqIndex {
         .map(_.group(1).toInt))
       .getOrElse(0)
 
+  private val RawLocatorName = "_ivfpq_raw_locator"
+
+  /** Record WHERE this codes-only store's raw vectors live: the paired
+    * [[IvfIndex]] store whose member rows carry the same corpus — the
+    * production FAISS pairing (IndexRefineFlat keeps a raw store
+    * alongside the codes; q202 composes exactly this pair). With a
+    * locator recorded, [[StoreRemediator]] can republish BOTH trained
+    * halves of a drift-flagged IVF-PQ store off the raw pair instead
+    * of refusing (round-13 verdict #4).
+    *
+    * LOCKSTEP ASSUMED: the caller maintains the pair together (every
+    * append/delete lands on both stores — q202's contract), so at
+    * remediation time the raw store's membership IS the codes store's
+    * corpus. The locator names a store, not a snapshot; pointing it at
+    * a foreign or diverged store rebuilds over that store's membership.
+    */
+  def recordRawSource(s: SparkSession, path: String,
+      rawIvfPath: String): Unit =
+    IndexMaintenance.writeSidecar(s, path, RawLocatorName,
+      s"kind=ivf;path=$rawIvfPath;v=1")
+
+  /** The recorded raw-vector locator, if any. */
+  private[llmops] def rawSourceOf(s: SparkSession,
+      path: String): Option[String] =
+    IndexMaintenance.readSidecar(s, path, RawLocatorName)
+      .flatMap(b => "(^|;)path=([^;]*)".r.findFirstMatchIn(b.trim)
+        .map(_.group(2)))
+      .filter(_.nonEmpty)
+
   /** The recorded centroids — config-verified k-bounded read (the
     * [[IvfIndex.centroids]] discipline).
     */
@@ -2575,11 +2604,16 @@ object StoreAudit {
   * `_train_stats` records growth, [[needsRepublish]] decides, and the
   * republish arm (q212/q213's gated operation) remediates.
   *
-  * Scope: `ivf` and `graph` stores only — their member rows carry the
-  * raw vectors, so the store IS the corpus record and remediation needs
-  * no external input. The IVF-PQ store is codes-only BY DESIGN (64×
-  * compression); its republish requires the source corpus and stays the
-  * caller-driven q214 arm.
+  * Scope: `ivf` and `graph` stores are self-contained — their member
+  * rows carry the raw vectors, so the store IS the corpus record and
+  * remediation needs no external input. The IVF-PQ store is codes-only
+  * BY DESIGN (64× compression): a flagged one remediates through its
+  * recorded raw-vector locator ([[IvfPqIndex.recordRawSource]] — the
+  * FAISS IndexRefineFlat pairing, the q202 composition), republishing
+  * BOTH trained halves off the paired store's member rows; with no
+  * locator recorded it REFUSES descriptively (acting would require a
+  * corpus the warehouse does not know about — the caller-driven q214
+  * arm remains that path).
   *
   * 100 TB shape: the sweep reads sidecars; only FLAGGED stores pay the
   * corpus-sized rebuild — which is the point of thresholding: republish
@@ -2626,12 +2660,12 @@ object StoreRemediator {
   def sweepAndRemediate(s: SparkSession,
       stores: Seq[(String, String, String)]): DataFrame = {
     import s.implicits._
-    val known = Set("ivf", "graph")
+    val known = Set("ivf", "graph", "ivfpq")
     val bad = stores.map(_._2).filterNot(known).distinct
     require(bad.isEmpty,
-      s"unknown/non-self-contained store kind(s) ${bad.mkString(", ")} " +
-        s"— remediation covers ${known.toSeq.sorted.mkString(", ")} " +
-        "(stores whose member rows carry the raw vectors)")
+      s"unknown store kind(s) ${bad.mkString(", ")} — remediation " +
+        s"covers ${known.toSeq.sorted.mkString(", ")} (self-contained " +
+        "member rows, or codes-only with a recorded raw-vector locator)")
     stores.map { case (label, kind, path) =>
       val before = IndexMaintenance.readTrainStats(s, path).getOrElse(
         throw new IllegalStateException(
@@ -2656,6 +2690,25 @@ object StoreRemediator {
           val (k, pol) = remediationShape(before,
             GraphIndex.recordedK(s, path), corpus.count())
           GraphIndex.republishAs(corpus, path, k, pol)
+        case "ivfpq" =>
+          // codes-only: the raw vectors live in the PAIRED store the
+          // locator names; refuse descriptively without one — silently
+          // skipping a FLAGGED store would read as "remediated"
+          val raw = IvfPqIndex.rawSourceOf(s, path).getOrElse(
+            throw new IllegalStateException(
+              s"store $label at $path is flagged for republish but is " +
+                "codes-only with no _ivfpq_raw_locator recorded — " +
+                "remediation cannot reconstruct the corpus from codes; " +
+                "record the paired raw store " +
+                "(IvfPqIndex.recordRawSource) or republish it " +
+                "caller-driven with the source corpus."))
+          val corpus = SessionScratch.transientCheckpoint(
+            IvfIndex.members(s, raw)
+              .select(col("member_id").as("vec_id"),
+                col("em").as("embedding")))
+          val (k, pol) = remediationShape(before,
+            IvfPqIndex.recordedKOf(s, path), corpus.count())
+          IvfPqIndex.republishAs(corpus, path, k, pol)
       }
       val after =
         if (acted) IndexMaintenance.readTrainStats(s, path).get

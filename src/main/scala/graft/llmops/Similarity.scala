@@ -3227,10 +3227,11 @@ object Similarity {
             ) ORDER BY kind"""))
 
   /** The auto-remediation sweep's readout, computed ONCE per (session,
-    * dir): three fresh stores (a stale IVF — even build + odd append, a
-    * stale graph — same ingest, and a fresh full-corpus IVF), then
+    * dir): four fresh stores (a stale IVF — even build + odd append, a
+    * stale graph — same ingest, a stale codes-only IVF-PQ with its
+    * recorded raw pair, and a fresh full-corpus IVF), then
     * [[StoreRemediator.sweepAndRemediate]] republishes exactly the
-    * flagged two and leaves the fresh store byte-untouched. The rows
+    * flagged three and leaves the fresh store byte-untouched. The rows
     * are memoized because the act is one-shot: re-running the sweep on
     * the now-remediated stores would (correctly) report nothing to do,
     * and a gate must re-emit the SAME readout on every invocation.
@@ -3252,10 +3253,25 @@ object Similarity {
       GraphIndex.append(em.filter(col("vec_id") % 2 === 1), graphStale)
       val ivfFresh = s"$base/rmf_$tag"
       IvfIndex.build(em, ivfFresh, k = 4)
+      // the codes-only store + its raw pair (round-13 verdict #4 —
+      // the FAISS IndexRefineFlat pairing): same stale ingest, with
+      // the locator pointing at a full-corpus raw IVF store, so the
+      // flagged IVF-PQ store republishes BOTH trained halves off the
+      // pair instead of refusing. The raw store is maintained in
+      // lockstep (it holds the same membership the codes store
+      // reached after its append — build ∪ append = the full corpus).
+      val ivfpqRaw = s"$base/rmr_$tag"
+      IvfIndex.build(em, ivfpqRaw, k = 4)
+      val ivfpqStale = s"$base/rmq_$tag"
+      IvfPqIndex.build(em.filter(col("vec_id") % 2 === 0), ivfpqStale,
+        k = 4)
+      IvfPqIndex.append(em.filter(col("vec_id") % 2 === 1), ivfpqStale)
+      IvfPqIndex.recordRawSource(s, ivfpqStale, ivfpqRaw)
       val rows = StoreRemediator.sweepAndRemediate(s, Seq(
           ("rm_graph_stale", "graph", graphStale),
           ("rm_ivf_fresh", "ivf", ivfFresh),
-          ("rm_ivf_stale", "ivf", ivfStale)))
+          ("rm_ivf_stale", "ivf", ivfStale),
+          ("rm_ivfpq_stale", "ivfpq", ivfpqStale)))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
@@ -3311,11 +3327,51 @@ object Similarity {
               UNION ALL
               SELECT 'rm_ivf_stale', ne, n - ne, 'republish', 1, n, 0
               FROM c
+              UNION ALL
+              -- the codes-only store remediated through its raw pair:
+              -- trained on the even half, flagged at 50% drift, both
+              -- halves retrained over the pair's full membership
+              SELECT 'rm_ivfpq_stale', ne, n - ne, 'republish', 1, n, 0
+              FROM c
             ) ORDER BY store"""))
+
+  /** ADC search over the AUTO-remediated IVF-PQ store — the artifact
+    * half of q234's ivfpq row: the readout hashes the episode's
+    * COUNTS, this gate hashes what the remediation actually TRAINED.
+    * The store was flagged at 50% drift and republished by
+    * [[StoreRemediator]] off its raw pair's member rows, so its end
+    * state must equal a caller-driven full-corpus republish — the
+    * oracle is exactly q214's: full-corpus kmeans + full-corpus
+    * per-subspace codebook training + encode + ADC probe. A remediator
+    * that retrained only one half, rebuilt over the wrong corpus
+    * (e.g. the codes store's even half instead of the pair's full
+    * membership), or re-sized k despite the explicit policy
+    * hash-mismatches here even where the counts agree.
+    */
+  val q235 = EngineQuery(
+    "q235_knn_ivfpq_autoremediated",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // ensure the one-shot sweep has acted (memoized per session/dir)
+      remediationSweepRows(s, dir)
+      val path = s"${graft.ops.SessionScratch.base("remediation",
+        s.sparkContext.applicationId)}/rmq_${
+          graft.ops.SessionScratch.dirTag(dir)}"
+      IvfPqIndex.search(
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("eq")),
+        path)
+    },
+    Some(kmeansTrainCtes(4) + ivfPqAdcCtes("TRUE") +
+      """
+         SELECT qid, cid, f, rn FROM (
+           SELECT qid, cid, f, row_number() OVER (
+             PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
+         WHERE rn <= 8 ORDER BY qid, rn"""))
 
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
       q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233,
-      q234)
+      q234, q235)
 }

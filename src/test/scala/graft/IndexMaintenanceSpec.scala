@@ -1907,12 +1907,61 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .map(c => c.cell -> c.centroid.toSeq) ==
       IvfIndex.centroids(spark, twin)
         .map(c => c.cell -> c.centroid.toSeq))
-    // codes-only stores cannot self-remediate: refuse, don't skip
+    // kinds outside the remediable set still refuse, don't skip
     val e = intercept[IllegalArgumentException] {
       StoreRemediator.sweepAndRemediate(spark,
-        Seq(("pq", "ivfpq", stale)))
+        Seq(("txt", "bm25", stale)))
     }
-    assert(e.getMessage.contains("non-self-contained"))
+    assert(e.getMessage.contains("unknown store kind"))
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("StoreRemediator on IVF-PQ: a flagged codes-only store with no " +
+    "raw locator refuses descriptively; with the paired raw store " +
+    "recorded it republishes BOTH trained halves to the fresh-build " +
+    "end state") {
+    import graft.llmops.{IvfPqIndex, StoreRemediator}
+    // a flagged store (even build + odd append = 50% drift), no locator
+    val pq = freshDir("rm_pq")
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), pq, k = 4)
+    IvfPqIndex.append(embs.filter(col("vec_id") % 2 === 1), pq)
+    val e = intercept[IllegalStateException] {
+      StoreRemediator.sweepAndRemediate(spark, Seq(("pq", "ivfpq", pq)))
+    }
+    assert(e.getMessage.contains("_ivfpq_raw_locator") &&
+      e.getMessage.contains("codes-only"), e.getMessage)
+    // record the raw pair (full membership) and sweep again: both
+    // trained halves republish over the pair's member rows
+    val raw = freshDir("rm_pq_raw")
+    IvfIndex.build(embs, raw, k = 4)
+    IvfPqIndex.recordRawSource(spark, pq, raw)
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("pq", "ivfpq", pq))).collect().head
+    assert(row.getAs[String]("verdict") == "republish" &&
+      row.getAs[Long]("acted") == 1L &&
+      row.getAs[Long]("n_train_after") == 500 &&
+      row.getAs[Long]("n_appended_after") == 0L)
+    // end state == a caller-driven full-corpus republish twin: same
+    // centroids AND same search answers (covers the codebook half)
+    val twin = freshDir("rm_pq_twin")
+    IvfPqIndex.build(embs, twin, k = 4)
+    assert(IvfPqIndex.centroids(spark, pq)
+      .map(c => c.cell -> c.centroid.toSeq) ==
+      IvfPqIndex.centroids(spark, twin)
+        .map(c => c.cell -> c.centroid.toSeq))
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val got = IvfPqIndex.search(q, pq).collect().map(_.toSeq).toSeq
+    val want = IvfPqIndex.search(q, twin).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "remediated IVF-PQ search must equal the fresh-build twin's")
+    // an unflagged store never consults the locator (fresh pair store)
+    val fresh = freshDir("rm_pq_fresh")
+    IvfPqIndex.build(embs, fresh, k = 4)
+    val row2 = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("fr", "ivfpq", fresh))).collect().head
+    assert(row2.getAs[String]("verdict") == "ok" &&
+      row2.getAs[Long]("acted") == 0L)
     ops.SessionScratch.evictTransients()
   }
 
