@@ -63,7 +63,7 @@ object ExplainAudit {
     "q229_knn_ivf_lifecycle", "q230_republish_decision",
     "q231_knn_graph_consolidated", "q232_rrf_three_system",
     "q233_store_audit", "q234_remediation_loop",
-    "q235_knn_ivfpq_autoremediated")
+    "q235_knn_ivfpq_autoremediated", "q236_warehouse_maintenance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -1009,6 +1009,15 @@ object ExplainAudit {
           "LessThan\\(vec_id,10\\)".r.findAllIn(p).size == 2 &&
           "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
           !p.contains("CartesianProduct")
+      }),
+      ("q236 warehouse maintenance: the gate plan re-emits the " +
+        "memoized fsck->vacuum->remediate readout (LocalTableScan, " +
+        "zero parquet) — per store the sweep reads sidecars/listings, " +
+        "vacuum touches only garbage files, and only a healthy AND " +
+        "flagged store paid a corpus-sized republish at ingest", {
+        val p = planOf(spark, byName, sfDir,
+          "q236_warehouse_maintenance")
+        !p.contains("Scan parquet") && !p.contains("Join")
       }))
 
     val summary = checks.map { case (label, ok) =>

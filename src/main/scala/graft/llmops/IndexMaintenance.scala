@@ -2673,43 +2673,7 @@ object StoreRemediator {
             "staleness is undecidable; rebuild it with a current " +
             "builder."))
       val acted = needsRepublish(before)
-      if (acted) kind match {
-        case "ivf" =>
-          val corpus = SessionScratch.transientCheckpoint(
-            IvfIndex.members(s, path)
-              .select(col("member_id").as("vec_id"),
-                col("em").as("embedding")))
-          val (k, pol) = remediationShape(before,
-            IvfIndex.recordedKOf(s, path), corpus.count())
-          IvfIndex.republishAs(corpus, path, k, pol)
-        case "graph" =>
-          val corpus = SessionScratch.transientCheckpoint(
-            GraphIndex.members(s, path)
-              .select(col("member_id").as("vec_id"),
-                col("em").as("embedding")))
-          val (k, pol) = remediationShape(before,
-            GraphIndex.recordedK(s, path), corpus.count())
-          GraphIndex.republishAs(corpus, path, k, pol)
-        case "ivfpq" =>
-          // codes-only: the raw vectors live in the PAIRED store the
-          // locator names; refuse descriptively without one — silently
-          // skipping a FLAGGED store would read as "remediated"
-          val raw = IvfPqIndex.rawSourceOf(s, path).getOrElse(
-            throw new IllegalStateException(
-              s"store $label at $path is flagged for republish but is " +
-                "codes-only with no _ivfpq_raw_locator recorded — " +
-                "remediation cannot reconstruct the corpus from codes; " +
-                "record the paired raw store " +
-                "(IvfPqIndex.recordRawSource) or republish it " +
-                "caller-driven with the source corpus."))
-          val corpus = SessionScratch.transientCheckpoint(
-            IvfIndex.members(s, raw)
-              .select(col("member_id").as("vec_id"),
-                col("em").as("embedding")))
-          val (k, pol) = remediationShape(before,
-            IvfPqIndex.recordedKOf(s, path), corpus.count())
-          IvfPqIndex.republishAs(corpus, path, k, pol)
-      }
+      if (acted) act(s, label, kind, path, before)
       val after =
         if (acted) IndexMaintenance.readTrainStats(s, path).get
         else before
@@ -2719,5 +2683,152 @@ object StoreRemediator {
         after.nTrain, after.nAppended)
     }.toDF("store", "n_train_before", "n_appended_before", "verdict",
       "acted", "n_train_after", "n_appended_after")
+  }
+
+  /** The act itself — republish one FLAGGED store at its
+    * [[remediationShape]], corpus read off its own member rows (or the
+    * recorded raw pair for codes-only stores). Shared by
+    * [[sweepAndRemediate]] and [[WarehouseMaintenance.sweep]] so the
+    * two operational entry points can never diverge.
+    */
+  private[llmops] def act(s: SparkSession, label: String, kind: String,
+      path: String, before: IndexMaintenance.TrainStats): Unit =
+    kind match {
+      case "ivf" =>
+        val corpus = SessionScratch.transientCheckpoint(
+          IvfIndex.members(s, path)
+            .select(col("member_id").as("vec_id"),
+              col("em").as("embedding")))
+        val (k, pol) = remediationShape(before,
+          IvfIndex.recordedKOf(s, path), corpus.count())
+        IvfIndex.republishAs(corpus, path, k, pol)
+      case "graph" =>
+        val corpus = SessionScratch.transientCheckpoint(
+          GraphIndex.members(s, path)
+            .select(col("member_id").as("vec_id"),
+              col("em").as("embedding")))
+        val (k, pol) = remediationShape(before,
+          GraphIndex.recordedK(s, path), corpus.count())
+        GraphIndex.republishAs(corpus, path, k, pol)
+      case "ivfpq" =>
+        // codes-only: the raw vectors live in the PAIRED store the
+        // locator names; refuse descriptively without one — silently
+        // skipping a FLAGGED store would read as "remediated"
+        val raw = IvfPqIndex.rawSourceOf(s, path).getOrElse(
+          throw new IllegalStateException(
+            s"store $label at $path is flagged for republish but is " +
+              "codes-only with no _ivfpq_raw_locator recorded — " +
+              "remediation cannot reconstruct the corpus from codes; " +
+              "record the paired raw store " +
+              "(IvfPqIndex.recordRawSource) or republish it " +
+              "caller-driven with the source corpus."))
+        val corpus = SessionScratch.transientCheckpoint(
+          IvfIndex.members(s, raw)
+            .select(col("member_id").as("vec_id"),
+              col("em").as("embedding")))
+        val (k, pol) = remediationShape(before,
+          IvfPqIndex.recordedKOf(s, path), corpus.count())
+        IvfPqIndex.republishAs(corpus, path, k, pol)
+    }
+}
+
+/** The nightly warehouse-maintenance job COMPOSED (round-13 verdict
+  * #6): fsck every store (observe), vacuum exactly the ones fsck says
+  * vacuum repairs (recover), then run the staleness decide-and-act on
+  * the stores that record training provenance (remediate) — the three
+  * proven arms (q233 observes, the per-store vacuums are spec-proven,
+  * q234 acts) as ONE sweep whose readout hashes the whole episode.
+  *
+  * Damage tolerance: a crash-damaged store must never abort the sweep
+  * — fsck is non-throwing by construction, vacuum runs only where the
+  * report says it restores health (garbage present, no data loss, no
+  * config drift), and remediation sees the POST-repair state, so a
+  * torn append is repaired and the store still gets its staleness
+  * verdict in the same pass. Damage beyond vacuum (data LOSS, config
+  * drift) reads out as verdict `damaged` with healthy_after=0 — a
+  * rebuild is the only remediation, and acting on such a store would
+  * just hit its read paths' refusal — never a silent skip. What DOES
+  * abort: a FLAGGED codes-only store with no raw locator
+  * ([[StoreRemediator.act]]'s refusal) — an operator error to
+  * surface, not damage to absorb.
+  *
+  * 100 TB shape: per store, fsck is a bounded sidecar/listing read and
+  * vacuum touches only garbage files; the only corpus-sized work is
+  * the republish of stores BOTH healthy and flagged — the q234
+  * thresholding economics, now downstream of repair.
+  */
+object WarehouseMaintenance {
+
+  private val Fscks: Map[String,
+      (SparkSession, String) => IndexMaintenance.FsckReport] = Map(
+    "dedup" -> (DedupIndex.fsck _),
+    "bm25" -> (TextIndex.fsck _),
+    "ngram" -> (NgramIndex.fsck _),
+    "bpe" -> (BpeModel.fsck _),
+    "clf" -> (ClfModel.fsck _),
+    "ivf" -> (IvfIndex.fsck _),
+    "ivfpq" -> (IvfPqIndex.fsck _),
+    "graph" -> (GraphIndex.fsck _))
+
+  private val Vacuums: Map[String,
+      (SparkSession, String) => IndexMaintenance.VacuumReport] = Map(
+    "dedup" -> (DedupIndex.vacuum _),
+    "bm25" -> (TextIndex.vacuum _),
+    "ngram" -> (NgramIndex.vacuum _),
+    "bpe" -> (BpeModel.vacuum _),
+    "clf" -> (ClfModel.vacuum _),
+    "ivf" -> (IvfIndex.vacuum _),
+    "ivfpq" -> (IvfPqIndex.vacuum _),
+    "graph" -> (GraphIndex.vacuum _))
+
+  /** Stores that can be ACTED on when flagged ([[StoreRemediator]]'s
+    * scope); other kinds get verdict `n/a` — untrained stores have no
+    * staleness to decide (their maintenance IS the append/compact
+    * family).
+    */
+  private val Remediable = Set("ivf", "graph", "ivfpq")
+
+  /** Run fsck → vacuum-if-repairable → decide-and-act over `(label,
+    * kind, path)` stores; one readout row per store. Unknown kinds
+    * fail fast (the [[StoreAudit.audit]] rule).
+    */
+  def sweep(s: SparkSession,
+      stores: Seq[(String, String, String)]): DataFrame = {
+    import s.implicits._
+    val bad = stores.map(_._2).filterNot(Fscks.contains).distinct
+    require(bad.isEmpty,
+      s"unknown store kind(s) ${bad.mkString(", ")} — expected one of " +
+        Fscks.keys.toSeq.sorted.mkString(", "))
+    stores.map { case (label, kind, path) =>
+      val before = Fscks(kind)(s, path)
+      val repaired =
+        if (before.vacuumRepairs) Some(Vacuums(kind)(s, path)) else None
+      val post = if (repaired.isDefined) Fscks(kind)(s, path) else before
+      val (verdict, acted) = post.trainStats match {
+        // damaged beyond vacuum (data loss, config drift): acting
+        // would read a store whose read paths refuse — surface it as
+        // its own verdict (rebuild territory), never absorb or abort
+        case Some(_) if Remediable(kind) && !post.healthy =>
+          ("damaged", 0L)
+        case Some(ts) if Remediable(kind) =>
+          if (StoreRemediator.needsRepublish(ts)) {
+            StoreRemediator.act(s, label, kind, path, ts)
+            ("republish", 1L)
+          } else ("ok", 0L)
+        case _ => ("n/a", 0L)
+      }
+      val after = Fscks(kind)(s, path)
+      (label, kind,
+        if (before.healthy) 1 else 0,
+        repaired.map(_.uncommittedRemoved).getOrElse(0),
+        repaired.map(_.staleGenerationsRemoved).getOrElse(0),
+        verdict, acted,
+        after.trainStats.map(_.nTrain),
+        after.trainStats.map(_.nAppended),
+        if (after.healthy) 1 else 0,
+        after.generation)
+    }.toDF("store", "kind", "healthy_before", "uncommitted_removed",
+      "stale_generations_removed", "verdict", "acted", "n_train_after",
+      "n_appended_after", "healthy_after", "generation_after")
   }
 }

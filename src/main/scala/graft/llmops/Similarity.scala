@@ -3369,9 +3369,125 @@ object Similarity {
              PARTITION BY qid ORDER BY f DESC, cid) rn FROM adc) x
          WHERE rn <= 8 ORDER BY qid, rn"""))
 
+  /** The composed warehouse-maintenance episode, run ONCE per (session,
+    * dir) over three fresh stores: an IVF store that is both
+    * crash-DAMAGED (an uncommitted file injected into its live
+    * generation — the torn-append state every read path refuses) and
+    * STALE (even build + odd append, 50% drift), a fresh full-corpus
+    * graph store, and an untrained BM25 text store. The sweep must
+    * repair the damage (vacuum removes exactly the one uncommitted
+    * file), then act on the staleness it can now decide (republish off
+    * the repaired store's own member rows), touch neither healthy
+    * store, and report the whole episode — memoized because the act is
+    * one-shot (the q234 rule).
+    */
+  private[llmops] def warehouseSweepRows(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, String, Int, Int, Int, String, Long,
+        Option[Long], Option[Long], Int, Int)] = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val base = graft.ops.SessionScratch.base("warehouse", app)
+    graft.ops.SessionScratch.memo("warehouse_sweep", app, dir) {
+      val t = Tables(s, dir)
+      val em = t.embeddings
+      val torn = s"$base/whi_$tag"
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), torn, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 2 === 1), torn)
+      // inject the torn-append state: an uncommitted file inside the
+      // live generation (what a crash mid-append leaves behind) —
+      // verifiedDir refuses the store until vacuum removes it
+      val dd = IvfIndex.dataDir(s, torn)
+      val fs = new org.apache.hadoop.fs.Path(dd)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dd, "zzzz-torn-append.parquet"),
+        true)
+      out.write("torn-append".getBytes("UTF-8"))
+      out.close()
+      val gFresh = s"$base/whg_$tag"
+      GraphIndex.build(em, gFresh, k = 4)
+      val bm = s"$base/wht_$tag"
+      TextIndex.build(t.documents, bm)
+      val rows = WarehouseMaintenance.sweep(s, Seq(
+          ("wh_bm25", "bm25", bm),
+          ("wh_graph_fresh", "graph", gFresh),
+          ("wh_ivf_torn", "ivf", torn)))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getString(5), r.getLong(6),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)),
+          r.getInt(9), r.getInt(10)))
+        .toSeq
+      graft.ops.SessionScratch.evictTransients()
+      rows
+    }
+  }
+
+  /** The crash triad COMPOSED into one gate (round-13 verdict #6):
+    * fsck observes → vacuum repairs → remediation acts — the nightly
+    * job a store warehouse actually runs, where the three arms were
+    * previously only proven separately (q233 observes, vacuum is
+    * spec-proven per store, q234 acts). The oracle states the episode
+    * outright from the ingest predicates and the publish protocol: the
+    * torn+stale IVF store reports unhealthy → exactly one uncommitted
+    * file removed → republish over the repaired membership → healthy
+    * with fresh provenance; the fresh graph store reads ok and
+    * byte-untouched; the untrained BM25 store reads n/a (no staleness
+    * to decide). A sweep that aborted on the damaged store, vacuumed a
+    * healthy one, skipped the post-repair remediation, or left the
+    * repaired store unhealthy shifts a row and hash-mismatches;
+    * IndexMaintenanceSpec proves the side-effect half (damage aborts
+    * nothing; vacuum-only repair is search-identical; the remediated
+    * end state equals a fresh build).
+    */
+  val q236 = EngineQuery(
+    "q236_warehouse_maintenance",
+    (s, dir) => {
+      import s.implicits._
+      warehouseSweepRows(s, dir)
+        .toDF("store", "kind", "healthy_before", "uncommitted_removed",
+          "stale_generations_removed", "verdict", "acted",
+          "n_train_after", "n_appended_after", "healthy_after",
+          "generation_after")
+        .orderBy(col("store"))
+    },
+    Some("""WITH c AS (SELECT COUNT(*) AS n FROM embeddings)
+            SELECT store, kind,
+              CAST(healthy_before AS INT) AS healthy_before,
+              CAST(uncommitted_removed AS INT) AS uncommitted_removed,
+              CAST(stale_generations_removed AS INT)
+                AS stale_generations_removed,
+              verdict, CAST(acted AS BIGINT) AS acted,
+              CAST(n_train_after AS BIGINT) AS n_train_after,
+              CAST(n_appended_after AS BIGINT) AS n_appended_after,
+              CAST(healthy_after AS INT) AS healthy_after,
+              CAST(generation_after AS INT) AS generation_after
+            FROM (
+              SELECT 'wh_bm25' AS store, 'bm25' AS kind,
+                1 AS healthy_before, 0 AS uncommitted_removed,
+                0 AS stale_generations_removed, 'n/a' AS verdict,
+                0 AS acted, NULL AS n_train_after,
+                NULL AS n_appended_after, 1 AS healthy_after,
+                0 AS generation_after
+              FROM c
+              UNION ALL
+              SELECT 'wh_graph_fresh', 'graph', 1, 0, 0, 'ok', 0,
+                n, 0, 1, 0
+              FROM c
+              UNION ALL
+              -- torn (unhealthy) -> 1 uncommitted file vacuumed ->
+              -- flagged at 50% drift -> republished over the repaired
+              -- membership -> healthy, fresh provenance, generation 0
+              SELECT 'wh_ivf_torn', 'ivf', 0, 1, 0, 'republish', 1,
+                n, 0, 1, 0
+              FROM c
+            ) ORDER BY store"""))
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
       q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233,
-      q234, q235)
+      q234, q235, q236)
 }

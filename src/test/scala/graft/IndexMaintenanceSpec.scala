@@ -1965,6 +1965,94 @@ class IndexMaintenanceSpec extends SparkTestBase {
     ops.SessionScratch.evictTransients()
   }
 
+  private def injectTorn(dataDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dataDir, "zzzz-torn-append.parquet"),
+      true)
+    out.write("torn-append".getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("WarehouseMaintenance: a crash-damaged store aborts nothing — " +
+    "vacuum-only repair is search-identical, and a torn+stale store " +
+    "is repaired THEN remediated to the fresh-build end state") {
+    import graft.llmops.{GraphIndex, WarehouseMaintenance}
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    // 1. a FRESH store takes damage: the sweep repairs it, does NOT
+    //    republish (provenance reads (n, 0) -> ok), and post-repair
+    //    search answers are byte-identical to pre-damage
+    val freshStore = freshDir("wh_fresh")
+    IvfIndex.build(embs, freshStore, k = 4)
+    val res0 = IvfIndex.search(q, freshStore).collect().map(_.toSeq).toSeq
+    injectTorn(IvfIndex.dataDir(spark, freshStore))
+    assert(!IvfIndex.fsck(spark, freshStore).healthy)
+    // every read path refuses the damaged store until repair
+    val eTorn = intercept[IllegalStateException](
+      IvfIndex.search(q, freshStore).count())
+    assert(eTorn.getMessage.contains("torn append"), eTorn.getMessage)
+    val g = freshDir("wh_g")
+    GraphIndex.build(embs, g, k = 4)
+    val rows = WarehouseMaintenance.sweep(spark, Seq(
+        ("a_fresh_torn", "ivf", freshStore), ("b_graph", "graph", g)))
+      .collect()
+      .map(r => r.getAs[String]("store") ->
+        (r.getAs[Int]("healthy_before"),
+          r.getAs[Int]("uncommitted_removed"),
+          r.getAs[String]("verdict"), r.getAs[Long]("acted"),
+          r.getAs[Int]("healthy_after"))).toMap
+    assert(rows("a_fresh_torn") == ((0, 1, "ok", 0L, 1)),
+      s"damaged-but-fresh store must repair without a rebuild: $rows")
+    assert(rows("b_graph") == ((1, 0, "ok", 0L, 1)))
+    assert(IvfIndex.search(q, freshStore).collect().map(_.toSeq).toSeq
+      == res0, "vacuum-only repair must be search-identical")
+    // 2. a store BOTH torn and stale: one sweep repairs the damage and
+    //    then acts on the staleness it can now decide — the end state
+    //    equals a fresh build of the membership
+    val st = freshDir("wh_stale")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), st, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), st)
+    injectTorn(IvfIndex.dataDir(spark, st))
+    val row2 = WarehouseMaintenance.sweep(spark,
+      Seq(("c_torn_stale", "ivf", st))).collect().head
+    assert(row2.getAs[Int]("healthy_before") == 0 &&
+      row2.getAs[Int]("uncommitted_removed") == 1 &&
+      row2.getAs[String]("verdict") == "republish" &&
+      row2.getAs[Long]("acted") == 1L &&
+      row2.getAs[Long]("n_train_after") == 500L &&
+      row2.getAs[Int]("healthy_after") == 1)
+    val twin = freshDir("wh_twin")
+    IvfIndex.build(embs, twin, k = 4)
+    assert(IvfIndex.centroids(spark, st)
+      .map(c => c.cell -> c.centroid.toSeq) ==
+      IvfIndex.centroids(spark, twin)
+        .map(c => c.cell -> c.centroid.toSeq))
+    assert(IvfIndex.search(q, st).collect().map(_.toSeq).toSeq ==
+      IvfIndex.search(q, twin).collect().map(_.toSeq).toSeq,
+      "repaired+remediated store must answer like a fresh build")
+    // 3. data LOSS is reported, never silently absorbed: the sweep
+    //    completes with healthy_after=0 and no vacuum/republish
+    val lost = freshDir("wh_lost")
+    IvfIndex.build(embs, lost, k = 4)
+    val dd = IvfIndex.dataDir(spark, lost)
+    val victim = new java.io.File(dd).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    assert(victim.delete())
+    val row3 = WarehouseMaintenance.sweep(spark,
+      Seq(("d_lost", "ivf", lost))).collect().head
+    assert(row3.getAs[Int]("healthy_before") == 0 &&
+      row3.getAs[Int]("uncommitted_removed") == 0 &&
+      row3.getAs[String]("verdict") == "damaged" &&
+      row3.getAs[Long]("acted") == 0L &&
+      row3.getAs[Int]("healthy_after") == 0,
+      s"data loss must surface as verdict=damaged, healthy_after=0: " +
+        s"$row3")
+    ops.SessionScratch.evictTransients()
+  }
+
   test("auto-k builds apply the occupancy-constant default " +
     "(k = kFor(n), policy recorded) without the caller choosing k") {
     import graft.llmops.{GraphIndex, IvfPqIndex}
