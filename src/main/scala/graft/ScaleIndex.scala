@@ -405,6 +405,51 @@ object ScaleIndex {
         f""""n_base":$nVBase,"decide_only_sec":$tDecide%.2f,""" +
         f""""decide_and_act_sec":$tAct%.2f}""")
     }
+
+    // WAREHOUSE-maintenance cost shape (the q236 composition's claim):
+    // fsck is a sidecar/listing read and vacuum touches only garbage
+    // files, so repair-without-act is ~FLAT as the corpus grows; the
+    // only corpus-sized work is the republish of a store BOTH healthy
+    // and flagged. Measured: a maintain-only sweep (healthy fresh
+    // store + torn fresh store — repair happens, no act) vs a
+    // maintain+act sweep (torn AND stale store — repair, then the
+    // rebuild) at 1x and 8x.
+    def injectTorn(dataDir: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dataDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dataDir,
+        "zzzz-torn-append.parquet"), true)
+      out.write("torn-append".getBytes("UTF-8"))
+      out.close()
+    }
+    Seq(1, 8).foreach { f =>
+      val root = fresh(s"wh_${f}x")
+      val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", f, s"$root/base")
+      val nVBase = vBase.count()
+      llmops.IvfIndex.build(vBase, s"$root/healthy", k = 16)
+      llmops.IvfIndex.build(vBase, s"$root/torn", k = 16)
+      injectTorn(llmops.IvfIndex.dataDir(spark, s"$root/torn"))
+      llmops.IvfIndex.build(vBase.filter(col("vec_id") % 3 =!= 0),
+        s"$root/torn_stale", k = 16)
+      llmops.IvfIndex.append(vBase.filter(col("vec_id") % 3 === 0),
+        s"$root/torn_stale")
+      injectTorn(llmops.IvfIndex.dataDir(spark, s"$root/torn_stale"))
+      val tMaintain = timed {
+        llmops.WarehouseMaintenance.sweep(spark, Seq(
+          ("healthy", "ivf", s"$root/healthy"),
+          ("torn", "ivf", s"$root/torn"))).count()
+        ops.SessionScratch.evictTransients()
+      }
+      val tMaintainAct = timed {
+        llmops.WarehouseMaintenance.sweep(spark, Seq(
+          ("torn_stale", "ivf", s"$root/torn_stale"))).count()
+        ops.SessionScratch.evictTransients()
+      }
+      println(f"""{"protocol":"warehouse_cost","corpus_scale":$f,""" +
+        f""""n_base":$nVBase,"maintain_only_sec":$tMaintain%.2f,""" +
+        f""""maintain_and_act_sec":$tMaintainAct%.2f}""")
+    }
     spark.stop()
   }
 }
