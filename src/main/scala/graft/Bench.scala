@@ -113,6 +113,14 @@ object Bench {
       spark.read.parquet(s"$ioDir/probe")
         .selectExpr("sum(cast(a as bigint) + cast(b as bigint))")
         .collect()
+      // delete the probe INSIDE the timed window: unlinking discards
+      // the parquet write's still-dirty pages, so the sentinel's own
+      // writeback can never bleed into the pass it precedes (a bias
+      // present in EVERY pass, which min-over-passes cannot remove)
+      val probeDir = new java.io.File(ioDir, "probe")
+      Option(probeDir.listFiles()).foreach(_.foreach(_.delete()))
+      probeDir.delete()
+      java.nio.file.Files.deleteIfExists(raw)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -414,14 +414,8 @@ object ScaleIndex {
     // store + torn fresh store — repair happens, no act) vs a
     // maintain+act sweep (torn AND stale store — repair, then the
     // rebuild) at 1x and 8x.
-    def injectTorn(dataDir: String): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(dataDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(dataDir,
-        "zzzz-torn-append.parquet"), true)
-      out.write("torn-append".getBytes("UTF-8"))
-      out.close()
-    }
+    def injectTorn(dataDir: String): Unit =
+      llmops.IndexMaintenance.injectTornAppend(spark, dataDir)
     Seq(1, 8).foreach { f =>
       val root = fresh(s"wh_${f}x")
       val vBase = amplify(embs.filter(col("vec_id") % 10 =!= 0),

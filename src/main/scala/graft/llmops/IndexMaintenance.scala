@@ -662,6 +662,25 @@ object IndexMaintenance {
       .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
       .filter(_ > 0)
 
+  /** CRASH-STATE fixture (specs / gates / scale harnesses): simulate a
+    * torn append by dropping one uncommitted file into the live
+    * generation — exactly what a crash between the data write and the
+    * manifest publish leaves behind. ONE definition so every consumer
+    * injects the identical state the listing rules ([[listDataFiles]] /
+    * [[verifiedDir]] / [[vacuumStore]]) detect: a plain data-looking
+    * file (no `_`/`.` prefix), deterministic bytes, named to sort
+    * last.
+    */
+  private[graft] def injectTornAppend(s: SparkSession,
+      dataDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dataDir,
+      "zzzz-torn-append.parquet"), true)
+    out.write("torn-append".getBytes("UTF-8"))
+    out.close()
+  }
+
   private[llmops] def fsckStore(s: SparkSession, path: String,
       manifestName: String, configName: String,
       expectedConfig: Option[String], what: String): FsckReport = {
@@ -1671,8 +1690,15 @@ object IvfIndex {
     */
   def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
     val s = embeddings.sparkSession
-    IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
-      config(k), What)
+    // pinned-k contract only — liveness (config presence + full recipe
+    // match) is verified ONCE, inside republishAs, against the record
+    val rec = recordedKOf(s, path)
+    if (rec != 0 && k != rec)
+      throw new IllegalStateException(
+        s"republish at k=$k does not match the recorded k=$rec at " +
+          s"$path — a caller-driven republish keeps the store's shape " +
+          "(rebuild at a new path, or use the remediator's occupancy " +
+          "policy, for a shape change).")
     republishAs(embeddings, path, k, "explicit")
   }
 
@@ -2170,8 +2196,14 @@ object GraphIndex {
   def republish(embeddings: DataFrame, path: String, k: Int,
       degree: Option[Int] = None): Unit = {
     val s = embeddings.sparkSession
-    IndexMaintenance.requireConfig(s, path, ConfigName,
-      config(k, recordedDegree(s, path)), What)
+    // pinned-k contract only — liveness is verified once in republishAs
+    val rec = recordedK(s, path)
+    if (rec != 0 && k != rec)
+      throw new IllegalStateException(
+        s"republish at k=$k does not match the recorded k=$rec at " +
+          s"$path — a caller-driven republish keeps the store's shape " +
+          "(rebuild at a new path, or use the remediator's occupancy " +
+          "policy, for a shape change).")
     republishAs(embeddings, path, k, "explicit", degree)
   }
 
@@ -2475,8 +2507,14 @@ object IvfPqIndex {
     */
   def republish(embeddings: DataFrame, path: String, k: Int): Unit = {
     val s = embeddings.sparkSession
-    IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
-      config(k), What)
+    // pinned-k contract only — liveness is verified once in republishAs
+    val rec = recordedKOf(s, path)
+    if (rec != 0 && k != rec)
+      throw new IllegalStateException(
+        s"republish at k=$k does not match the recorded k=$rec at " +
+          s"$path — a caller-driven republish keeps the store's shape " +
+          "(rebuild at a new path, or use the remediator's occupancy " +
+          "policy, for a shape change).")
     republishAs(embeddings, path, k, "explicit")
   }
 
@@ -2551,8 +2589,11 @@ object IvfPqIndex {
   */
 object StoreAudit {
 
-  /** Store kinds accepted by [[audit]], mapped to their fsck. */
-  private val Kinds: Map[String,
+  /** Store kinds accepted by [[audit]], mapped to their fsck — THE
+    * kind registry ([[WarehouseMaintenance]] derives from it; one
+    * list to extend when a ninth store kind lands).
+    */
+  private[llmops] val Kinds: Map[String,
       (SparkSession, String) => IndexMaintenance.FsckReport] = Map(
     "dedup" -> (DedupIndex.fsck _),
     "bm25" -> (TextIndex.fsck _),
@@ -2622,6 +2663,14 @@ object StoreAudit {
   */
 object StoreRemediator {
 
+  /** The kinds whose flagged stores this remediator can ACT on:
+    * self-contained member rows (ivf/graph) or codes-only with a
+    * recorded raw-vector locator (ivfpq). THE single definition —
+    * [[sweepAndRemediate]]'s kind check and
+    * [[WarehouseMaintenance]]'s decide-vs-act split both read it.
+    */
+  private[llmops] val Actable = Set("ivf", "graph", "ivfpq")
+
   /** The q230 decision rule: republish when rows appended since
     * training exceed 25% of the current membership —
     * 3·n_appended > n_train, exact integers (the FAISS/DiskANN
@@ -2646,7 +2695,12 @@ object StoreRemediator {
     IndexMaintenance.occTargetOf(ts.kPolicy) match {
       case Some(target) =>
         (IndexMaintenance.kFor(corpusN, target), ts.kPolicy)
-      case None => (recordedK, "explicit")
+      // non-occupancy policies keep the recorded k AND their recorded
+      // policy string — rewriting an unrecognized policy to 'explicit'
+      // would be exactly the provenance misstatement this function
+      // exists to prevent (for 'explicit' stores the preserved string
+      // IS "explicit", so the known case is unchanged)
+      case None => (recordedK, ts.kPolicy)
     }
 
   /** Sweep `(label, kind, path)` stores; republish the flagged ones at
@@ -2660,12 +2714,12 @@ object StoreRemediator {
   def sweepAndRemediate(s: SparkSession,
       stores: Seq[(String, String, String)]): DataFrame = {
     import s.implicits._
-    val known = Set("ivf", "graph", "ivfpq")
-    val bad = stores.map(_._2).filterNot(known).distinct
+    val bad = stores.map(_._2).filterNot(Actable).distinct
     require(bad.isEmpty,
       s"unknown store kind(s) ${bad.mkString(", ")} — remediation " +
-        s"covers ${known.toSeq.sorted.mkString(", ")} (self-contained " +
-        "member rows, or codes-only with a recorded raw-vector locator)")
+        s"covers ${Actable.toSeq.sorted.mkString(", ")} " +
+        "(self-contained member rows, or codes-only with a recorded " +
+        "raw-vector locator)")
     stores.map { case (label, kind, path) =>
       val before = IndexMaintenance.readTrainStats(s, path).getOrElse(
         throw new IllegalStateException(
@@ -2759,16 +2813,10 @@ object StoreRemediator {
   */
 object WarehouseMaintenance {
 
-  private val Fscks: Map[String,
-      (SparkSession, String) => IndexMaintenance.FsckReport] = Map(
-    "dedup" -> (DedupIndex.fsck _),
-    "bm25" -> (TextIndex.fsck _),
-    "ngram" -> (NgramIndex.fsck _),
-    "bpe" -> (BpeModel.fsck _),
-    "clf" -> (ClfModel.fsck _),
-    "ivf" -> (IvfIndex.fsck _),
-    "ivfpq" -> (IvfPqIndex.fsck _),
-    "graph" -> (GraphIndex.fsck _))
+  /** Kind registry — derived from [[StoreAudit.Kinds]] (one list to
+    * extend when a ninth store kind lands).
+    */
+  private val Fscks = StoreAudit.Kinds
 
   private val Vacuums: Map[String,
       (SparkSession, String) => IndexMaintenance.VacuumReport] = Map(
@@ -2781,16 +2829,29 @@ object WarehouseMaintenance {
     "ivfpq" -> (IvfPqIndex.vacuum _),
     "graph" -> (GraphIndex.vacuum _))
 
-  /** Stores that can be ACTED on when flagged ([[StoreRemediator]]'s
-    * scope); other kinds get verdict `n/a` — untrained stores have no
-    * staleness to decide (their maintenance IS the append/compact
-    * family).
-    */
-  private val Remediable = Set("ivf", "graph", "ivfpq")
-
-  /** Run fsck → vacuum-if-repairable → decide-and-act over `(label,
-    * kind, path)` stores; one readout row per store. Unknown kinds
-    * fail fast (the [[StoreAudit.audit]] rule).
+  /** Run fsck → vacuum-if-repairable → decide(-and-act where the kind
+    * allows) over `(label, kind, path)` stores; one readout row per
+    * store. Unknown kinds fail fast (the [[StoreAudit.audit]] rule).
+    *
+    * The verdict taxonomy distinguishes every state an operator
+    * triages differently:
+    *  - `damaged`   — unhealthy beyond vacuum for ANY kind (data loss,
+    *    config drift): rebuild territory; acting would just hit the
+    *    read paths' refusal, so the sweep reports and moves on.
+    *  - `republish` — provenance flags staleness. acted=1 when the
+    *    kind is in [[StoreRemediator.Actable]] (the rebuild ran HERE);
+    *    acted=0 for decidable-but-not-auto-actable kinds (the frozen
+    *    bpe/clf transforms: retraining needs the training corpus,
+    *    which the artifact does not carry — the row IS the
+    *    manual-action queue).
+    *  - `ok`        — provenance present, under the threshold.
+    *  - `no-provenance` — an Actable kind with no `_train_stats`
+    *    (predates the sidecar): staleness is UNDECIDABLE, which must
+    *    not read as "nothing to do" — where the pure remediator
+    *    throws, the composed sweep surfaces it per-row.
+    *  - `n/a`       — untrained kinds (dedup/bm25/ngram): no trained
+    *    artifact, so no staleness exists; their maintenance is the
+    *    append/compact family.
     */
   def sweep(s: SparkSession,
       stores: Seq[(String, String, String)]): DataFrame = {
@@ -2804,20 +2865,24 @@ object WarehouseMaintenance {
       val repaired =
         if (before.vacuumRepairs) Some(Vacuums(kind)(s, path)) else None
       val post = if (repaired.isDefined) Fscks(kind)(s, path) else before
-      val (verdict, acted) = post.trainStats match {
-        // damaged beyond vacuum (data loss, config drift): acting
-        // would read a store whose read paths refuse — surface it as
-        // its own verdict (rebuild territory), never absorb or abort
-        case Some(_) if Remediable(kind) && !post.healthy =>
-          ("damaged", 0L)
-        case Some(ts) if Remediable(kind) =>
-          if (StoreRemediator.needsRepublish(ts)) {
-            StoreRemediator.act(s, label, kind, path, ts)
-            ("republish", 1L)
-          } else ("ok", 0L)
-        case _ => ("n/a", 0L)
-      }
-      val after = Fscks(kind)(s, path)
+      val (verdict, acted) =
+        if (!post.healthy) ("damaged", 0L)
+        else post.trainStats match {
+          case Some(ts) if StoreRemediator.needsRepublish(ts) =>
+            if (StoreRemediator.Actable(kind)) {
+              StoreRemediator.act(s, label, kind, path, ts)
+              ("republish", 1L)
+            } else ("republish", 0L)
+          case Some(_) => ("ok", 0L)
+          case None if StoreRemediator.Actable(kind) =>
+            ("no-provenance", 0L)
+          case None => ("n/a", 0L)
+        }
+      // re-fsck only when something changed on disk — the all-healthy
+      // warehouse path must cost ONE metadata pass per store, not two
+      val after =
+        if (repaired.isEmpty && acted == 0L) post
+        else Fscks(kind)(s, path)
       (label, kind,
         if (before.healthy) 1 else 0,
         repaired.map(_.uncommittedRemoved).getOrElse(0),

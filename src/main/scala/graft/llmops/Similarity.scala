@@ -3397,20 +3397,19 @@ object Similarity {
       // inject the torn-append state: an uncommitted file inside the
       // live generation (what a crash mid-append leaves behind) —
       // verifiedDir refuses the store until vacuum removes it
-      val dd = IvfIndex.dataDir(s, torn)
-      val fs = new org.apache.hadoop.fs.Path(dd)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(dd, "zzzz-torn-append.parquet"),
-        true)
-      out.write("torn-append".getBytes("UTF-8"))
-      out.close()
+      IndexMaintenance.injectTornAppend(s, IvfIndex.dataDir(s, torn))
       val gFresh = s"$base/whg_$tag"
       GraphIndex.build(em, gFresh, k = 4)
       val bm = s"$base/wht_$tag"
       TextIndex.build(t.documents, bm)
       val rows = WarehouseMaintenance.sweep(s, Seq(
           ("wh_bm25", "bm25", bm),
+          // the stale frozen TRANSFORM (q230's provenance store —
+          // shared READ-ONLY: the sweep only fscks it; bpe is not an
+          // Actable kind, so the verdict is decide-only and the
+          // artifact stays byte-untouched): flagged 'republish' with
+          // acted=0 — the manual-action queue row
+          ("wh_bpe_stale", "bpe", existingBpeProvenanceModel(s, dir)),
           ("wh_graph_fresh", "graph", gFresh),
           ("wh_ivf_torn", "ivf", torn)))
         .collect()
@@ -3435,7 +3434,10 @@ object Similarity {
     * file removed → republish over the repaired membership → healthy
     * with fresh provenance; the fresh graph store reads ok and
     * byte-untouched; the untrained BM25 store reads n/a (no staleness
-    * to decide). A sweep that aborted on the damaged store, vacuumed a
+    * to decide); and the stale frozen TRANSFORM (q230's bpe store,
+    * read-only here — bpe is decidable but not auto-actable) reads
+    * `republish` with acted=0, the manual-action-queue row.
+    * A sweep that aborted on the damaged store, vacuumed a
     * healthy one, skipped the post-repair remediation, or left the
     * repaired store unhealthy shifts a row and hash-mismatches;
     * IndexMaintenanceSpec proves the side-effect half (damage aborts
@@ -3453,7 +3455,13 @@ object Similarity {
           "generation_after")
         .orderBy(col("store"))
     },
-    Some("""WITH c AS (SELECT COUNT(*) AS n FROM embeddings)
+    Some("""WITH c AS (SELECT COUNT(*) AS n FROM embeddings),
+            d AS (
+              SELECT COUNT(*) AS nd,
+                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nde
+              FROM documents
+            )
             SELECT store, kind,
               CAST(healthy_before AS INT) AS healthy_before,
               CAST(uncommitted_removed AS INT) AS uncommitted_removed,
@@ -3468,10 +3476,18 @@ object Similarity {
               SELECT 'wh_bm25' AS store, 'bm25' AS kind,
                 1 AS healthy_before, 0 AS uncommitted_removed,
                 0 AS stale_generations_removed, 'n/a' AS verdict,
-                0 AS acted, NULL AS n_train_after,
-                NULL AS n_appended_after, 1 AS healthy_after,
-                0 AS generation_after
+                0 AS acted, CAST(NULL AS BIGINT) AS n_train_after,
+                CAST(NULL AS BIGINT) AS n_appended_after,
+                1 AS healthy_after, 0 AS generation_after
               FROM c
+              UNION ALL
+              -- the frozen transform: healthy, flagged at 50% applied
+              -- share, NOT auto-actable (bpe retraining needs the
+              -- training corpus) -> decide-only row, artifact and
+              -- provenance byte-untouched
+              SELECT 'wh_bpe_stale', 'bpe', 1, 0, 0, 'republish', 0,
+                nde, nd - nde, 1, 0
+              FROM d
               UNION ALL
               SELECT 'wh_graph_fresh', 'graph', 1, 0, 0, 'ok', 0,
                 n, 0, 1, 0

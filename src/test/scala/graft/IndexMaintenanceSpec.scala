@@ -1965,15 +1965,8 @@ class IndexMaintenanceSpec extends SparkTestBase {
     ops.SessionScratch.evictTransients()
   }
 
-  private def injectTorn(dataDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dataDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dataDir, "zzzz-torn-append.parquet"),
-      true)
-    out.write("torn-append".getBytes("UTF-8"))
-    out.close()
-  }
+  private def injectTorn(dataDir: String): Unit =
+    IndexMaintenance.injectTornAppend(spark, dataDir)
 
   test("WarehouseMaintenance: a crash-damaged store aborts nothing — " +
     "vacuum-only repair is search-identical, and a torn+stale store " +
@@ -2050,6 +2043,33 @@ class IndexMaintenanceSpec extends SparkTestBase {
       row3.getAs[Int]("healthy_after") == 0,
       s"data loss must surface as verdict=damaged, healthy_after=0: " +
         s"$row3")
+    // 4. an Actable kind with NO _train_stats (predates the sidecar):
+    //    undecidable must not read as "nothing to do" (where the pure
+    //    remediator throws, the composed sweep surfaces it per-row)
+    val noProv = freshDir("wh_noprov")
+    IvfIndex.build(embs, noProv, k = 4)
+    assert(new java.io.File(noProv, "_train_stats").delete())
+    val row4 = WarehouseMaintenance.sweep(spark,
+      Seq(("e_noprov", "ivf", noProv))).collect().head
+    assert(row4.getAs[String]("verdict") == "no-provenance" &&
+      row4.getAs[Long]("acted") == 0L &&
+      row4.getAs[Int]("healthy_after") == 1, s"$row4")
+    // 5. a flagged frozen TRANSFORM is decidable but not auto-actable:
+    //    decide-only republish verdict, artifact byte-untouched
+    val bp = freshDir("wh_bpe")
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+    BpeModel.save(spark, Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds),
+      bp, nTrain = 250)
+    BpeModel.noteApplied(spark, bp, 250)
+    val bpFiles = dataFiles(s"$bp/merges-g0")
+    val row5 = WarehouseMaintenance.sweep(spark,
+      Seq(("f_bpe", "bpe", bp))).collect().head
+    assert(row5.getAs[String]("verdict") == "republish" &&
+      row5.getAs[Long]("acted") == 0L &&
+      row5.getAs[Long]("n_train_after") == 250L &&
+      row5.getAs[Long]("n_appended_after") == 250L, s"$row5")
+    assert(dataFiles(s"$bp/merges-g0") == bpFiles,
+      "a decide-only verdict must leave the transform byte-untouched")
     ops.SessionScratch.evictTransients()
   }
 
