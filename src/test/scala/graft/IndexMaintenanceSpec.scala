@@ -1925,6 +1925,12 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val pq = freshDir("rm_pq")
     IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), pq, k = 4)
     IvfPqIndex.append(embs.filter(col("vec_id") % 2 === 1), pq)
+    // the append's bump re-renders the v2 sidecar from the parsed
+    // struct: the true cell count AND the separate floor shape must
+    // round-trip (a drifted re-render would silently reset the floor)
+    val bumped = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(bumped.k == 4 && bumped.floorShape == 16 &&
+      bumped.nTrain == 250 && bumped.nAppended == 250)
     val e = intercept[IllegalStateException] {
       StoreRemediator.sweepAndRemediate(spark, Seq(("pq", "ivfpq", pq)))
     }
