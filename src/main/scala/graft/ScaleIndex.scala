@@ -444,6 +444,41 @@ object ScaleIndex {
         f""""n_base":$nVBase,"maintain_only_sec":$tMaintain%.2f,""" +
         f""""maintain_and_act_sec":$tMaintainAct%.2f}""")
     }
+
+    // MULTI-STORE remediation serialization (round-14 verdict #6):
+    // both sweeps act in a sequential driver loop. Each republish is
+    // itself a parallel Spark job over every executor slot, so the
+    // hypothesis is that the loop costs nothing to amortize — N acts
+    // in one sweep should track N× one act (the rebuilds already
+    // saturate the cores; a driver-side pool could only time-slice
+    // the same slots and interleave their shuffles). Measured: one
+    // flagged store swept alone vs EIGHT flagged stores (same ingest
+    // recipe, disjoint paths) swept in one call.
+    {
+      val root = fresh("fanout")
+      val vBase = embs.filter(col("vec_id") % 10 =!= 0)
+      def staleStore(i: Int): (String, String, String) = {
+        val p = s"$root/stale_$i"
+        llmops.IvfIndex.build(vBase.filter(col("vec_id") % 3 =!= 0),
+          p, k = 16)
+        llmops.IvfIndex.append(vBase.filter(col("vec_id") % 3 === 0), p)
+        (s"stale_$i", "ivf", p)
+      }
+      val single = staleStore(0)
+      val tOne = timed {
+        llmops.StoreRemediator.sweepAndRemediate(spark,
+          Seq(single)).count()
+        ops.SessionScratch.evictTransients()
+      }
+      val eight = (1 to 8).map(staleStore)
+      val tEight = timed {
+        llmops.StoreRemediator.sweepAndRemediate(spark, eight).count()
+        ops.SessionScratch.evictTransients()
+      }
+      println(f"""{"protocol":"remediation_fanout","n_stores":8,""" +
+        f""""one_act_sec":$tOne%.2f,"eight_act_sweep_sec":$tEight%.2f,""" +
+        f""""per_store_ratio":${tEight / (8 * tOne)}%.2f}""")
+    }
     spark.stop()
   }
 }

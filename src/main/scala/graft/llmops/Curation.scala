@@ -689,15 +689,19 @@ object Curation {
     * q190/q191's day-2 student trained on the existing corpus only).
     * `lead` lets the block open a WITH chain (default) or continue an
     * existing one (", " — q191 appends it after the dedup pair CTEs).
+    * `trainPred` replaces the train-split bucket filter wholesale
+    * ("TRUE" for a student trained on EVERY doc — q239's remediated
+    * model, whose recorded locator selects the whole corpus).
     */
   private[llmops] def clfOracleCtesOver(extra: String,
-      lead: String = "WITH ", featTag: String = ""): String = {
+      lead: String = "WITH ", featTag: String = "",
+      trainPred: String = "bkt < 800"): String = {
     val bucket = PortableHash.splitDrawSql(
       PortableHash.charHashSql("source"))
     val head = s"""${lead}sp AS MATERIALIZED (
           SELECT doc_id, text, $bucket AS bkt FROM documents
         ), train AS MATERIALIZED (
-          SELECT doc_id, text FROM sp WHERE bkt < 800$extra
+          SELECT doc_id, text FROM sp WHERE $trainPred$extra
         )""" + clfFeatCtes(featTag, "train") + s""", tw AS MATERIALIZED (
           SELECT p AS b,
             ((p+1)*2654435761 % 1000000007) % 2001 - 1000 AS tw

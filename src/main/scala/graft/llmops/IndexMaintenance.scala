@@ -121,6 +121,44 @@ object IndexMaintenance {
       case _ => ()
     }
 
+  // ---- shared read-only stores (_shared_readonly marker) ------------------
+  //
+  // Session stores built by the shared existing*Index/Model builders
+  // are pinned by MANY gates' oracles at their exact ingest recipe; a
+  // gate-specific append/delete/bump on one breaks hashes far from the
+  // mutation site (the round-13 q233 postmortem class). The builders
+  // therefore stamp a `_shared_readonly` marker naming the owning
+  // gates, and every mutation chokepoint (manifest publish, tombstone
+  // add, provenance bump) refuses on it AT THE MUTATION SITE with the
+  // clone guidance — turning a far-from-cause hash mismatch into an
+  // immediate descriptive failure. Reads, fsck, and vacuum (repair of
+  // provably-uncommitted garbage — it cannot change committed state)
+  // stay allowed.
+
+  private[llmops] val SharedReadonlyName = "_shared_readonly"
+
+  /** Stamp a store read-only, recording the gates whose oracles pin it
+    * (called by the shared builders as the LAST step of their one-time
+    * ingest, after every legitimate build/append/bump of their own).
+    */
+  private[graft] def markSharedReadonly(s: SparkSession, path: String,
+      owners: String): Unit =
+    writeSidecar(s, path, SharedReadonlyName, s"owners=$owners;v=1")
+
+  /** Refuse `op` on a store stamped [[markSharedReadonly]]. */
+  private[llmops] def requireMutable(s: SparkSession, path: String,
+      op: String): Unit =
+    readSidecar(s, path, SharedReadonlyName).foreach { body =>
+      val owners = "(^|;)owners=([^;]*)".r.findFirstMatchIn(body.trim)
+        .map(_.group(2)).getOrElse("unrecorded")
+      throw new IllegalStateException(
+        s"store at $path is a SHARED session store marked read-only " +
+          s"(owning gates: $owners) — a $op would silently shift " +
+          "those gates' pinned oracles far from the mutation site. " +
+          "Clone the store into a dedicated path first (the q210 " +
+          "pattern) and mutate the clone.")
+    }
+
   // ---- manifested data-file store ----------------------------------------
   //
   // `write.mode("append").parquet(dir)` has no commit marker: a crash
@@ -160,6 +198,10 @@ object IndexMaintenance {
     */
   private[llmops] def publishManifest(s: SparkSession, path: String,
       name: String, subdir: String): Unit = {
+    // every mutation that COMMITS (append, compaction swap, republish)
+    // flows through this publish — the one chokepoint that makes the
+    // read-only stamp mechanical rather than documentation
+    requireMutable(s, path, s"manifest publish ($name)")
     val files = listDataFiles(s, s"$path/$subdir")
     val body = (s"dir=$subdir" +:
       files.toSeq.sorted.map { case (n, l) => s"$n:$l" }).mkString("\n")
@@ -218,6 +260,7 @@ object IndexMaintenance {
   private[llmops] def compactStore(s: SparkSession, path: String,
       name: String, what: String, targetBytes: Long,
       merge: Option[DataFrame => DataFrame] = None): (Int, Int) = {
+    requireMutable(s, path, "compaction")
     val cur = verifiedDir(s, path, name, what)
     val curSub = cur.substring(path.length + 1)
     val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
@@ -275,11 +318,15 @@ object IndexMaintenance {
   /** Record `ids` (a one-column frame of int64 ids) as DELETED.
     * Appends to the manifested `tombs-g<N>` store (created on first
     * delete) and publishes its manifest — the same commit discipline
-    * as a data append. Duplicate ids across calls are harmless (reads
-    * mask via anti-join).
+    * as a data append. Ids already tombstoned are dropped before the
+    * write (re-deleting is a no-op, and the NEW-id count is what
+    * [[bumpDeleted]] folds into the provenance; an id that never was
+    * a member still counts — the safe early-republish direction, see
+    * [[TrainStats]]).
     */
   private[llmops] def addTombstones(s: SparkSession, path: String,
       manifestName: String, what: String, ids: DataFrame): Unit = {
+    requireMutable(s, path, "delete")
     val tn = tombManifest(manifestName)
     val cur = readSidecar(s, path, tn) match {
       case Some(_) => verifiedDir(s, path, tn, s"$what tombstones")
@@ -305,10 +352,25 @@ object IndexMaintenance {
             }
         s"$path/tombs-g0"
     }
-    ids.toDF("id").select(col("id").cast("long"))
+    val distinctIds = ids.toDF("id").select(col("id").cast("long"))
       .distinct()
-      .write.mode("append").parquet(cur)
+    val newIds = readSidecar(s, path, tn) match {
+      case Some(_) =>
+        val existing = s.read.parquet(cur).select(col("id").as("__tomb_id"))
+        distinctIds.join(existing,
+          distinctIds("id") === existing("__tomb_id"), "left_anti")
+      case None => distinctIds
+    }
+    // localCheckpoint: the count below and the write must see ONE
+    // snapshot (the anti-join reads the store being appended to)
+    val pinned = newIds.localCheckpoint()
+    val nNew = pinned.count()
+    // bump BEFORE the tombstone publish (the bumpAppended crash
+    // direction: a crash between the two over-counts, erring early)
+    bumpDeleted(s, path, nNew)
+    pinned.write.mode("append").parquet(cur)
     publishManifest(s, path, tn, cur.substring(path.length + 1))
+    SessionScratch.releaseCheckpoint(pinned)
   }
 
   /** The committed tombstone set as a one-column frame (`id`), or
@@ -525,19 +587,30 @@ object IndexMaintenance {
     * thresholds on (FAISS/DiskANN "rebuild when inserts exceed X% of
     * build size").
     *
-    * APPROXIMATION (deliberate): deletes and compaction do NOT adjust
-    * n_train/n_appended — the sidecar records training-time provenance
-    * plus growth, not live membership, so after heavy takedowns the
-    * n_train + n_appended denominator OVERSTATES the membership and
-    * drift reads LOW relative to "appended share of what remains".
-    * That bias is toward a LATE republish for takedown-heavy stores;
-    * it never misses growth (appends always bump), and the rebuild a
-    * takedown actually needs (physical removal / re-wiring) has its
-    * own arm — compact for IVF, consolidate-deletes republish for the
-    * graph — which resets the provenance anyway. Folding tombstone
-    * counts in would make the sidecar a second membership ledger that
-    * every delete path must keep transactionally consistent; the
-    * decision rule does not need that precision.
+    * DELETE-AWARE (round 15, closing the round-14 documented bias):
+    * `nDeleted` counts members tombstoned since training — bumped by
+    * [[bumpDeleted]] on every delete, folded into the base by
+    * [[foldDeletesIntoTrain]] when a compaction physically drops the
+    * tombstoned rows, reset (with everything else) by a republish.
+    * Without it, takedown-heavy stores republish LATE: the
+    * n_train + n_appended denominator overstates a membership most of
+    * which is gone, so appends that dominate the LIVE store read as a
+    * small share of a phantom large one. The decision rule
+    * ([[StoreRemediator.needsRepublish]]) therefore thresholds
+    * appended rows against the live trained base (n_train − n_deleted),
+    * not the historical build size.
+    *
+    * APPROXIMATION (deliberate, safe direction): the counter does not
+    * know WHICH rows a delete hit, so the compact fold attributes all
+    * drops to the trained base. When deletes actually removed appended
+    * rows, the post-fold base reads LOW and drift reads HIGH — an
+    * EARLY republish, which resets the ledger. Same direction for ids
+    * deleted twice across a compact boundary or ids that never were
+    * members: [[addTombstones]] bumps only ids not already tombstoned,
+    * but a foreign id still counts — again early, never late. Keeping
+    * the exact per-row provenance would make the sidecar a second
+    * membership ledger every delete path must keep transactionally
+    * consistent; the decision rule does not need that precision.
     *
     * `k` is the store's TRUE trained cell count; `floorK` is the
     * (possibly larger) shape the 39·x undertraining floor gates on —
@@ -548,12 +621,18 @@ object IndexMaintenance {
     * republish at the floor by mistake.
     */
   final case class TrainStats(nTrain: Long, k: Int, undertrained: Boolean,
-      nAppended: Long, kPolicy: String, floorK: Option[Int] = None) {
+      nAppended: Long, kPolicy: String, floorK: Option[Int] = None,
+      nDeleted: Long = 0L) {
     def drift: Double =
       if (nTrain + nAppended == 0) 0.0
       else nAppended.toDouble / (nTrain + nAppended).toDouble
     /** The shape the undertraining floor is computed from. */
     def floorShape: Int = floorK.getOrElse(k)
+    /** The live trained base the republish rule thresholds against —
+      * training rows minus tombstoned members (clamped: the fold/bump
+      * approximation can overshoot on foreign-id deletes).
+      */
+    def liveTrainBase: Long = math.max(0L, nTrain - nDeleted)
   }
 
   private[llmops] val TrainStatsName = "_train_stats"
@@ -567,7 +646,8 @@ object IndexMaintenance {
       s"floor_k=${ts.floorShape};" +
       s"floor=${KMeans.minTrainPoints(ts.floorShape)};" +
       s"undertrained=${ts.undertrained};" +
-      s"n_appended=${ts.nAppended};k_policy=${ts.kPolicy};v=2"
+      s"n_appended=${ts.nAppended};n_deleted=${ts.nDeleted};" +
+      s"k_policy=${ts.kPolicy};v=3"
 
   /** Record training provenance at build time (n_appended resets to 0 —
     * a rebuild consumes all prior appends by definition). `floorK`
@@ -600,7 +680,10 @@ object IndexMaintenance {
         field("k_policy").get,
         // v1 sidecars predate floor_k (floor was derived from k);
         // absent → the floor shape IS k, which v1 guaranteed
-        field("floor_k").map(_.toInt))).toOption
+        field("floor_k").map(_.toInt),
+        // v1/v2 sidecars predate n_deleted; absent → no delete was
+        // ever counted, which those versions guaranteed
+        field("n_deleted").map(_.toLong).getOrElse(0L))).toOption
     }
 
   /** Add `delta` appended rows to the recorded provenance (atomic
@@ -625,10 +708,97 @@ object IndexMaintenance {
     * stale-looking-fresh store that the decision loop never flags.
     */
   private[llmops] def bumpAppended(s: SparkSession, path: String,
-      delta: Long): Unit =
+      delta: Long): Unit = {
+    requireMutable(s, path, "provenance append bump")
     readTrainStats(s, path).foreach { ts =>
       writeSidecar(s, path, TrainStatsName,
         renderTrainStats(ts.copy(nAppended = ts.nAppended + delta)))
+    }
+  }
+
+  /** Add `delta` tombstoned members to the recorded provenance — the
+    * delete-side twin of [[bumpAppended]] (same single-writer RMW
+    * contract, same no-op on sidecar-less stores). Callers bump BEFORE
+    * publishing the tombstone manifest, so a crash between the two
+    * OVER-counts deletes against a store whose tombstones never
+    * committed — drift then errs toward an EARLY republish, which
+    * resets the ledger (the [[bumpAppended]] crash direction).
+    */
+  private[llmops] def bumpDeleted(s: SparkSession, path: String,
+      delta: Long): Unit = {
+    requireMutable(s, path, "provenance delete bump")
+    readTrainStats(s, path).foreach { ts =>
+      writeSidecar(s, path, TrainStatsName,
+        renderTrainStats(ts.copy(nDeleted = ts.nDeleted + delta)))
+    }
+  }
+
+  /** Fold counted deletes into the trained base after a compaction
+    * PHYSICALLY dropped the tombstoned rows: n_train −= n_deleted
+    * (clamped), n_deleted = 0. The republish rule is invariant under
+    * the fold (it thresholds on n_train − n_deleted either way), so
+    * compacting never changes a store's staleness verdict — it only
+    * keeps the sidecar aligned with the store that now exists on disk.
+    * No-op for sidecar-less stores and for kinds whose compaction
+    * preserves tombstoned rows (the graph keeps them routing until
+    * republish — its delete counter keeps accruing until then).
+    */
+  private[llmops] def foldDeletesIntoTrain(s: SparkSession,
+      path: String): Unit =
+    readTrainStats(s, path).filter(_.nDeleted > 0).foreach { ts =>
+      writeSidecar(s, path, TrainStatsName,
+        renderTrainStats(ts.copy(nTrain = ts.liveTrainBase,
+          nDeleted = 0L)))
+    }
+
+  // ---- training-corpus locator (_train_source_locator) ---------------------
+  //
+  // The frozen transforms (BPE tokenizer, classifier model) are
+  // trained artifacts whose training corpus the artifact itself does
+  // not carry — without a recorded locator, a staleness-flagged model
+  // can only be QUEUED for manual retraining (q236's acted=0 row).
+  // The locator is the ivfpq raw-pair pattern applied to transforms:
+  // it names WHERE the training corpus lives (a parquet path) plus the
+  // reproducible selection rule (a SQL predicate — the split rule the
+  // day-0 training applied, e.g. the q190 train-split derivation), so
+  // [[StoreRemediator.act]] can replay "read corpus, filter, retrain,
+  // republish" end-to-end.
+  //
+  // LIVE-CORPUS SEMANTICS: the locator names a corpus LOCATION, not a
+  // snapshot — at remediation time the retrain reads what is there
+  // NOW, which is exactly the point (the model drifted because that
+  // corpus grew). Pointing it at a foreign path retrains over that
+  // path's rows; the predicate must not contain ';' (the sidecar field
+  // separator — enforced at record time, not discovered at parse).
+
+  private[llmops] val TrainSourceName = "_train_source_locator"
+
+  /** Record the training-corpus locator: `corpusPath` (parquet) +
+    * `where` (SQL predicate selecting the training rows; "true" for
+    * the whole corpus).
+    */
+  private[llmops] def recordTrainSource(s: SparkSession, path: String,
+      corpusPath: String, where: String): Unit = {
+    require(!where.contains(";"),
+      s"train-source predicate must not contain ';' (the sidecar " +
+        s"field separator): [$where]")
+    writeSidecar(s, path, TrainSourceName,
+      s"v=1;kind=parquet;where=$where;path=$corpusPath")
+  }
+
+  /** The recorded (corpusPath, where) locator, if any. `path=` is the
+    * LAST field and parsed to end-of-line, so corpus paths containing
+    * ';' cannot corrupt the parse.
+    */
+  private[llmops] def trainSourceOf(s: SparkSession,
+      path: String): Option[(String, String)] =
+    readSidecar(s, path, TrainSourceName).flatMap { b =>
+      val body = b.trim
+      for {
+        w <- "(^|;)where=([^;]*)".r.findFirstMatchIn(body).map(_.group(2))
+        p <- "(^|;)path=(.*)$".r.findFirstMatchIn(body).map(_.group(2))
+        if p.nonEmpty
+      } yield (p, w)
     }
 
   // ---- occupancy-constant default k ----------------------------------------
@@ -855,6 +1025,9 @@ object DedupIndex {
     */
   def append(newDocs: DataFrame, path: String): DataFrame = {
     val s = newDocs.sparkSession
+    // refuse BEFORE any write — a late refusal would leave uncommitted
+    // garbage inside a store other gates' oracles pin
+    IndexMaintenance.requireMutable(s, path, "signature append")
     val newSigs = SessionScratch.transientCheckpoint(
       Dedup.bandSignaturesOf(newDocs))
     val survivors = SessionScratch.transientCheckpoint(
@@ -1094,6 +1267,7 @@ object TextIndex {
     val s = newDocs.sparkSession
     IndexMaintenance.requireConfig(s, path, "_text_index_config",
       Config, What)
+    IndexMaintenance.requireMutable(s, path, "postings append")
     val cur = dataDir(s, path)
     val (n0, dl0) = stats(s, path)
     postingsOf(newDocs).write.mode("append").parquet(cur)
@@ -1232,6 +1406,7 @@ object NgramIndex {
     val s = newDocs.sparkSession
     IndexMaintenance.requireConfig(s, path, "_ngram_index_config",
       Config, What)
+    IndexMaintenance.requireMutable(s, path, "bigram append")
     val cur = dataDir(s, path)
     bigramCounts(newDocs).write.mode("append").parquet(cur)
     IndexMaintenance.publishManifest(s, path, ManifestName,
@@ -1391,6 +1566,23 @@ object BpeModel {
   def noteApplied(s: SparkSession, path: String, nDocs: Long): Unit =
     IndexMaintenance.bumpAppended(s, path, nDocs)
 
+  /** Record where this model's training corpus lives (parquet path +
+    * the train-split predicate — the reproducible recipe day-0
+    * training applied), enabling [[StoreRemediator.act]]'s bpe arm:
+    * a staleness-flagged model with a locator auto-retrains under the
+    * recorded recipe and republishes; without one it stays a
+    * manual-action-queue row (see
+    * [[IndexMaintenance.recordTrainSource]]).
+    */
+  def recordTrainSource(s: SparkSession, path: String,
+      corpusPath: String, where: String): Unit =
+    IndexMaintenance.recordTrainSource(s, path, corpusPath, where)
+
+  /** The recorded (corpusPath, wherePredicate) locator, if any. */
+  private[llmops] def trainSourceOf(s: SparkSession,
+      path: String): Option[(String, String)] =
+    IndexMaintenance.trainSourceOf(s, path)
+
   /** MAINTENANCE — the explicit retrain + republish this immutable
     * artifact prescribes (the IVF-centroid contract: no append path;
     * a new model is a new VERSION). The retrained merge table is
@@ -1407,6 +1599,7 @@ object BpeModel {
       path: String, nTrain: Long): Unit = {
     IndexMaintenance.requireConfig(s, path, "_bpe_model_config",
       Config, What)
+    IndexMaintenance.requireMutable(s, path, "model republish")
     val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     val curSub = cur.substring(path.length + 1)
     val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
@@ -1513,6 +1706,19 @@ object ClfModel {
   def noteApplied(s: SparkSession, path: String, nDocs: Long): Unit =
     IndexMaintenance.bumpAppended(s, path, nDocs)
 
+  /** Record where this model's training corpus lives — see
+    * [[BpeModel.recordTrainSource]] (the clf arm retrains via
+    * [[Curation.trainClassifierOn]] over the located rows).
+    */
+  def recordTrainSource(s: SparkSession, path: String,
+      corpusPath: String, where: String): Unit =
+    IndexMaintenance.recordTrainSource(s, path, corpusPath, where)
+
+  /** The recorded (corpusPath, wherePredicate) locator, if any. */
+  private[llmops] def trainSourceOf(s: SparkSession,
+      path: String): Option[(String, String)] =
+    IndexMaintenance.trainSourceOf(s, path)
+
   /** MAINTENANCE — retrain + republish into generation N+1 with an
     * atomic manifest swap (the [[BpeModel.republish]] contract: a torn
     * republish leaves the OLD model live; a loader never sees a mixed
@@ -1522,6 +1728,7 @@ object ClfModel {
       nTrain: Long): Unit = {
     IndexMaintenance.requireConfig(s, path, "_clf_model_config",
       Config, What)
+    IndexMaintenance.requireMutable(s, path, "model republish")
     val cur = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     val curSub = cur.substring(path.length + 1)
     val gen = "-g(\\d+)$".r.findFirstMatchIn(curSub)
@@ -1717,6 +1924,9 @@ object IvfIndex {
     val s = embeddings.sparkSession
     IndexMaintenance.requireConfig(s, path, "_ivf_index_config",
       config(recordedKOf(s, path)), What)
+    // refuse BEFORE the config retraction — a late refusal would take
+    // a read-only shared store OFFLINE
+    IndexMaintenance.requireMutable(s, path, "republish")
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivf_index_config")
     // a rebuild indexes exactly the corpus it is handed — pending
@@ -1768,6 +1978,7 @@ object IvfIndex {
     */
   def append(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
+    IndexMaintenance.requireMutable(s, path, "vector append")
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
     // checkpointed so the provenance count and the write share ONE
@@ -1797,6 +2008,9 @@ object IvfIndex {
       What, "member_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
+    // the tombstoned rows are now PHYSICALLY gone — fold their count
+    // into the trained base so the sidecar matches the store on disk
+    IndexMaintenance.foldDeletesIntoTrain(s, path)
     IndexMaintenance.clearTombstones(s, path, ManifestName)
     r
   }
@@ -2088,6 +2302,7 @@ object GraphIndex {
     */
   def append(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
+    IndexMaintenance.requireMutable(s, path, "vector append")
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
     // the batch is assigned once; the edge set is checkpointed BEFORE
@@ -2219,6 +2434,7 @@ object GraphIndex {
     val s = embeddings.sparkSession
     val r = degree.getOrElse(recordedDegree(s, path))
     requireLive(s, path)
+    IndexMaintenance.requireMutable(s, path, "republish")
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, ConfigName)
     // the re-wiring rebuild IS the physical-delete arm (DiskANN
@@ -2457,6 +2673,7 @@ object IvfPqIndex {
     */
   def append(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
+    IndexMaintenance.requireMutable(s, path, "vector append")
     val cents = centroids(s, path)
     val cur = dataDir(s, path)
     val encoded = SessionScratch.transientCheckpoint(
@@ -2498,6 +2715,8 @@ object IvfPqIndex {
       What, "vec_id")
     val r = IndexMaintenance.compactStore(s, path, ManifestName, What,
       targetBytes, merge = drop)
+    // physical drop done — fold the delete count into the trained base
+    IndexMaintenance.foldDeletesIntoTrain(s, path)
     IndexMaintenance.clearTombstones(s, path, ManifestName)
     r
   }
@@ -2528,6 +2747,7 @@ object IvfPqIndex {
     val s = embeddings.sparkSession
     IndexMaintenance.requireConfig(s, path, "_ivfpq_index_config",
       config(recordedKOf(s, path)), What)
+    IndexMaintenance.requireMutable(s, path, "republish")
     val stale = IndexMaintenance.verifiedDir(s, path, ManifestName, What)
     IndexMaintenance.retractSidecar(s, path, "_ivfpq_index_config")
     IndexMaintenance.clearTombstones(s, path, ManifestName)
@@ -2664,20 +2884,55 @@ object StoreAudit {
 object StoreRemediator {
 
   /** The kinds whose flagged stores this remediator can ACT on:
-    * self-contained member rows (ivf/graph) or codes-only with a
-    * recorded raw-vector locator (ivfpq). THE single definition —
-    * [[sweepAndRemediate]]'s kind check and
+    * self-contained member rows (ivf/graph), codes-only with a
+    * recorded raw-vector locator (ivfpq), or frozen transforms with a
+    * recorded training-corpus locator (bpe/clf — round-14 verdict #1).
+    * THE single definition — [[sweepAndRemediate]]'s kind check and
     * [[WarehouseMaintenance]]'s decide-vs-act split both read it.
     */
-  private[llmops] val Actable = Set("ivf", "graph", "ivfpq")
+  private[llmops] val Actable = Set("ivf", "graph", "ivfpq", "bpe", "clf")
+
+  /** The kinds that RECORD training provenance when built by current
+    * code — the set the warehouse sweep's `no-provenance` verdict
+    * gates on. Distinct from [[Actable]] on purpose (the round-14
+    * ADVICE): "records provenance when healthy" is about whether a
+    * missing `_train_stats` means UNDECIDABLE staleness (any trained
+    * kind, actable or not) vs "no staleness exists" (the untrained
+    * dedup/bm25/ngram kinds, whose maintenance is append/compact).
+    */
+  private[llmops] val TrainedKinds =
+    Set("ivf", "graph", "ivfpq", "bpe", "clf")
+
+  /** Whether the warehouse sweep can auto-act on a FLAGGED store of
+    * this kind at this path, or must queue it for manual action:
+    * self-contained kinds always act; a frozen transform acts only
+    * with a recorded training-corpus locator (pre-locator models are
+    * the installed base — their flagged rows ARE the manual-action
+    * queue, never an abort); a codes-only ivfpq store claims actable
+    * even without its raw locator so [[act]]'s refusal SURFACES — the
+    * raw pair is the deployment contract (FAISS IndexRefineFlat), and
+    * a codes store without one is an operator error to abort on, not
+    * an installed base to queue.
+    */
+  private[llmops] def canAutoAct(s: SparkSession, kind: String,
+      path: String): Boolean = kind match {
+    case "ivf" | "graph" | "ivfpq" => true
+    case "bpe" => BpeModel.trainSourceOf(s, path).isDefined
+    case "clf" => ClfModel.trainSourceOf(s, path).isDefined
+    case _ => false
+  }
 
   /** The q230 decision rule: republish when rows appended since
-    * training exceed 25% of the current membership —
-    * 3·n_appended > n_train, exact integers (the FAISS/DiskANN
-    * "rebuild when inserts exceed X% of the trained base" practice).
+    * training exceed 25% of the LIVE trained base —
+    * 3·n_appended > n_train − n_deleted, exact integers (the
+    * FAISS/DiskANN "rebuild when inserts exceed X% of the trained
+    * base" practice, delete-aware since round 15: after heavy
+    * takedowns the historical n_train overstates what remains, and a
+    * store whose appends dominate its LIVE membership must flag even
+    * though they are small against the phantom build size).
     */
   def needsRepublish(ts: IndexMaintenance.TrainStats): Boolean =
-    3L * ts.nAppended > ts.nTrain
+    3L * ts.nAppended > ts.liveTrainBase
 
   /** The rebuild shape for a flagged store: an occupancy-policy store
     * ("occ<target>" — what the auto-k builders record) recomputes
@@ -2718,8 +2973,9 @@ object StoreRemediator {
     require(bad.isEmpty,
       s"unknown store kind(s) ${bad.mkString(", ")} — remediation " +
         s"covers ${Actable.toSeq.sorted.mkString(", ")} " +
-        "(self-contained member rows, or codes-only with a recorded " +
-        "raw-vector locator)")
+        "(self-contained member rows, codes-only with a recorded " +
+        "raw-vector locator, or frozen transforms with a recorded " +
+        "training-corpus locator)")
     stores.map { case (label, kind, path) =>
       val before = IndexMaintenance.readTrainStats(s, path).getOrElse(
         throw new IllegalStateException(
@@ -2780,9 +3036,63 @@ object StoreRemediator {
           IvfIndex.members(s, raw)
             .select(col("member_id").as("vec_id"),
               col("em").as("embedding")))
+        val nRaw = corpus.count()
+        // LOCKSTEP cross-check (round-14 ADVICE): the locator names a
+        // store, not a snapshot — if the pair missed an append/delete
+        // or points at a foreign store, retraining would silently
+        // rebuild over the wrong corpus AND reset provenance to look
+        // fresh. The codes store's own sidecar knows its live
+        // membership (n_train + n_appended − n_deleted, exact in the
+        // lockstep contract); refuse descriptively on mismatch, the
+        // no-locator rule's second half.
+        val nCodes = before.nTrain + before.nAppended - before.nDeleted
+        if (nRaw != nCodes)
+          throw new IllegalStateException(
+            s"store $label at $path records raw pair $raw, but the " +
+              s"pair holds $nRaw member(s) while the codes store's " +
+              s"provenance says $nCodes live member(s) " +
+              s"(n_train=${before.nTrain} + " +
+              s"n_appended=${before.nAppended} − " +
+              s"n_deleted=${before.nDeleted}) — the pair has diverged " +
+              "(a missed append/delete, or the locator points at a " +
+              "foreign store). Remediating would silently retrain " +
+              "over the wrong corpus; repair the pairing first " +
+              "(re-point the locator or replay the missed " +
+              "maintenance), then re-run the sweep.")
         val (k, pol) = remediationShape(before,
-          IvfPqIndex.recordedKOf(s, path), corpus.count())
+          IvfPqIndex.recordedKOf(s, path), nRaw)
         IvfPqIndex.republishAs(corpus, path, k, pol)
+      case "bpe" =>
+        // frozen transform: the artifact does not carry its training
+        // corpus — the recorded locator names it (the ivfpq raw-pair
+        // pattern). Refuse descriptively without one; the WAREHOUSE
+        // sweep never routes a locator-less transform here (it queues
+        // — see canAutoAct), so this refusal fires only on the pure
+        // remediator's direct path, mirroring ivfpq's.
+        val (src, where) = BpeModel.trainSourceOf(s, path).getOrElse(
+          throw new IllegalStateException(
+            s"store $label at $path is flagged for republish but " +
+              "records no _train_source_locator — a frozen tokenizer " +
+              "cannot be retrained from its merge table; record the " +
+              "training corpus (BpeModel.recordTrainSource) or " +
+              "republish it caller-driven with the training rows."))
+        val train = s.read.parquet(src).where(expr(where))
+          .select(col("text"))
+        BpeModel.republish(s,
+          Bpe.trainOn(Bpe.wordFreqOf(train), Bpe.Rounds), path,
+          nTrain = train.count())
+      case "clf" =>
+        val (src, where) = ClfModel.trainSourceOf(s, path).getOrElse(
+          throw new IllegalStateException(
+            s"store $label at $path is flagged for republish but " +
+              "records no _train_source_locator — a frozen classifier " +
+              "cannot be retrained from its weight table; record the " +
+              "training corpus (ClfModel.recordTrainSource) or " +
+              "republish it caller-driven with the training rows."))
+        val train = s.read.parquet(src).where(expr(where))
+          .select(col("doc_id"), col("text"))
+        ClfModel.republish(s, Curation.trainClassifierOn(s, train).w,
+          path, nTrain = train.count())
     }
 }
 
@@ -2802,9 +3112,13 @@ object StoreRemediator {
   * drift) reads out as verdict `damaged` with healthy_after=0 — a
   * rebuild is the only remediation, and acting on such a store would
   * just hit its read paths' refusal — never a silent skip. What DOES
-  * abort: a FLAGGED codes-only store with no raw locator
-  * ([[StoreRemediator.act]]'s refusal) — an operator error to
-  * surface, not damage to absorb.
+  * abort: a FLAGGED codes-only ivfpq store with no raw locator, or
+  * with a raw pair whose membership diverged from the codes store's
+  * provenance ([[StoreRemediator.act]]'s refusals) — operator errors
+  * to surface, not damage to absorb. A FLAGGED frozen transform with
+  * no training-corpus locator does NOT abort: pre-locator models are
+  * the installed base, so their rows queue as `republish`/acted=0
+  * ([[StoreRemediator.canAutoAct]]).
   *
   * 100 TB shape: per store, fsck is a bounded sidecar/listing read and
   * vacuum touches only garbage files; the only corpus-sized work is
@@ -2839,16 +3153,23 @@ object WarehouseMaintenance {
     *    config drift): rebuild territory; acting would just hit the
     *    read paths' refusal, so the sweep reports and moves on.
     *  - `republish` — provenance flags staleness. acted=1 when the
-    *    kind is in [[StoreRemediator.Actable]] (the rebuild ran HERE);
-    *    acted=0 for decidable-but-not-auto-actable kinds (the frozen
-    *    bpe/clf transforms: retraining needs the training corpus,
-    *    which the artifact does not carry — the row IS the
+    *    store can be auto-acted ([[StoreRemediator.canAutoAct]]: a
+    *    self-contained ivf/graph, an ivfpq with its raw pair, a
+    *    bpe/clf transform with a recorded training-corpus locator —
+    *    the rebuild/retrain ran HERE); acted=0 for a
+    *    decidable-but-not-auto-actable store (a frozen transform with
+    *    no locator: retraining needs the training corpus, which the
+    *    artifact does not carry and no sidecar names — the row IS the
     *    manual-action queue).
     *  - `ok`        — provenance present, under the threshold.
-    *  - `no-provenance` — an Actable kind with no `_train_stats`
-    *    (predates the sidecar): staleness is UNDECIDABLE, which must
-    *    not read as "nothing to do" — where the pure remediator
-    *    throws, the composed sweep surfaces it per-row.
+    *  - `no-provenance` — a TRAINED kind
+    *    ([[StoreRemediator.TrainedKinds]]: ivf/ivfpq/graph/bpe/clf)
+    *    with no `_train_stats` (predates the sidecar): staleness is
+    *    UNDECIDABLE, which must not read as "nothing to do" — where
+    *    the pure remediator throws, the composed sweep surfaces it
+    *    per-row. Gated on "records provenance when healthy", NOT on
+    *    actability (the round-14 ADVICE): a pre-provenance BpeModel
+    *    is exactly as undecidable as a pre-provenance IVF store.
     *  - `n/a`       — untrained kinds (dedup/bm25/ngram): no trained
     *    artifact, so no staleness exists; their maintenance is the
     *    append/compact family.
@@ -2869,12 +3190,12 @@ object WarehouseMaintenance {
         if (!post.healthy) ("damaged", 0L)
         else post.trainStats match {
           case Some(ts) if StoreRemediator.needsRepublish(ts) =>
-            if (StoreRemediator.Actable(kind)) {
+            if (StoreRemediator.canAutoAct(s, kind, path)) {
               StoreRemediator.act(s, label, kind, path, ts)
               ("republish", 1L)
             } else ("republish", 0L)
           case Some(_) => ("ok", 0L)
-          case None if StoreRemediator.Actable(kind) =>
+          case None if StoreRemediator.TrainedKinds(kind) =>
             ("no-provenance", 0L)
           case None => ("n/a", 0L)
         }

@@ -511,6 +511,12 @@ object Similarity {
       val em = Tables(s, dir).embeddings
       IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
       IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      // the documented contract above, made MECHANICAL (round-14
+      // verdict #5): any later append/delete/compact/republish fails
+      // AT the mutation site naming the owners, instead of shifting
+      // the owners' hashes far from the cause
+      IndexMaintenance.markSharedReadonly(s, path,
+        "q180,q201,q202,q204,q217,q222,q228,q230,q233")
     }
     path
   }
@@ -556,6 +562,7 @@ object Similarity {
       IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
       IvfIndex.append(em.filter(col("vec_id") % 2 === 1), path)
       IvfIndex.republish(em, path, k = 4)
+      IndexMaintenance.markSharedReadonly(s, path, "q212,q230")
     }
     path
   }
@@ -1301,6 +1308,7 @@ object Similarity {
       val em = Tables(s, dir).embeddings
       IvfPqIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
       IvfPqIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IndexMaintenance.markSharedReadonly(s, path, "q194,q202,q230")
     }
     path
   }
@@ -1820,6 +1828,8 @@ object Similarity {
       val em = Tables(s, dir).embeddings
       GraphIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
       GraphIndex.append(em.filter(col("vec_id") % 2 === 1), path)
+      IndexMaintenance.markSharedReadonly(s, path,
+        "q199,q226,q230,q232,q233")
       graft.ops.SessionScratch.evictTransients()
     }
     path
@@ -2976,6 +2986,14 @@ object Similarity {
     * noteApplied as the bump — the same integer rule flags a stale
     * tokenizer/scorer whose artifact bytes never change.
     *
+    * Round 15 makes the rule DELETE-AWARE and adds the takedown-heavy
+    * row ([[existingTakedownIvfIndex]]): the readout now carries
+    * n_deleted, and the verdict thresholds appended rows against the
+    * LIVE trained base (n_train − n_deleted) — the takedown store's
+    * small append wave reads `ok` against its historical build size
+    * and `republish` against what actually remains, so a rule that
+    * ignores deletes shifts exactly that row.
+    *
     * 100 TB shape: the sweep reads SIDECARS only — no data file is
     * touched, so auditing a warehouse of stores costs one bounded
     * metadata read per store.
@@ -3008,6 +3026,10 @@ object Similarity {
         path, nTrain = train.count())
       BpeModel.noteApplied(s, path,
         d.filter(col("doc_id") % 2 === 1).count())
+      // NO train-source locator on purpose: this store is the
+      // decide-only fixture (q230's sweep row; q236's manual-action
+      // queue row) — and read-only besides
+      IndexMaintenance.markSharedReadonly(s, path, "q230,q236")
     }
     path
   }
@@ -3027,6 +3049,33 @@ object Similarity {
         path, nTrain = train.count())
       ClfModel.noteApplied(s, path,
         d.filter(col("doc_id") % 2 === 1).count())
+      IndexMaintenance.markSharedReadonly(s, path, "q230")
+    }
+    path
+  }
+
+  /** The TAKEDOWN-HEAVY store for q230's delete-aware row (round-14
+    * verdict #4): built on the even half, a SMALL append wave
+    * (vec_id % 8 == 1 — odd ids, disjoint from the build), then HALF
+    * the training rows deleted (vec_id % 4 == 0 — all inside the even
+    * build half, all live). Under the historical-base rule the store
+    * reads fresh (3·⅛n ≤ ½n); against the LIVE trained base it is
+    * stale (3·⅛n > ½n − ¼n) — the append wave is over 25% of what
+    * actually remains. Exactly the late-republish bias the round-14
+    * provenance approximation documented, now measured and flagged.
+    */
+  private[llmops] def existingTakedownIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId
+    val tag = graft.ops.SessionScratch.dirTag(dir)
+    val path =
+      s"${graft.ops.SessionScratch.base("ivf_take_index", app)}/tk_$tag"
+    graft.ops.SessionScratch.once("ivf_take_index", app, dir) {
+      val em = Tables(s, dir).embeddings
+      IvfIndex.build(em.filter(col("vec_id") % 2 === 0), path, k = 4)
+      IvfIndex.append(em.filter(col("vec_id") % 8 === 1), path)
+      IvfIndex.delete(
+        em.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
     }
     path
   }
@@ -3051,6 +3100,12 @@ object Similarity {
           (p: String) => IvfIndex.fsck(s, p)),
         ("ivf_stale", existingIvfIndex(s, dir),
           (p: String) => IvfIndex.fsck(s, p)),
+        // the takedown-heavy store (round-14 verdict #4): a small
+        // append wave that is FRESH against the historical build size
+        // but STALE against what survives the deletes — only the
+        // delete-aware rule flags it
+        ("ivf_takedown", existingTakedownIvfIndex(s, dir),
+          (p: String) => IvfIndex.fsck(s, p)),
         // the IVF-PQ store carries the sweep's LIVE undertrained
         // signal at small corpora: its recorded floor is 39·cb = 624
         // (the codebook is the larger trained half), so a 250-vector
@@ -3063,18 +3118,23 @@ object Similarity {
           throw new IllegalStateException(
             s"store $label at $path records no _train_stats sidecar — " +
               "it was not built by a trained-store builder; rebuild it."))
-        (label, ts.nTrain, ts.nAppended,
+        (label, ts.nTrain, ts.nAppended, ts.nDeleted,
           if (ts.undertrained) 1L else 0L,
           // THE rule — shared with the actor, so decide and act can
           // never diverge if the threshold is ever tuned
           if (StoreRemediator.needsRepublish(ts)) "republish" else "ok")
-      }.toDF("store", "n_train", "n_appended", "undertrained", "verdict")
+      }.toDF("store", "n_train", "n_appended", "n_deleted",
+          "undertrained", "verdict")
         .orderBy(col("store"))
     },
     Some("""WITH c AS (
               SELECT COUNT(*) AS n,
                 CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS ne
+                  AS BIGINT) AS ne,
+                CAST(SUM(CASE WHEN vec_id % 8 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na8,
+                CAST(SUM(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nd4
               FROM embeddings
             ), d AS (
               SELECT COUNT(*) AS nd,
@@ -3086,23 +3146,33 @@ object Similarity {
               -- IVF/graph, 624 at cb=16 for IVF-PQ; the transforms
               -- have no trained cell count (floor vacuous at 0)
               SELECT 'bpe_stale' AS store, nde AS n_train,
-                nd - nde AS n_appended, 0 AS floor_n FROM d
+                nd - nde AS n_appended, CAST(0 AS BIGINT) AS n_deleted,
+                0 AS floor_n FROM d
               UNION ALL
-              SELECT 'clf_stale', nde, nd - nde, 0 FROM d
+              SELECT 'clf_stale', nde, nd - nde, 0, 0 FROM d
               UNION ALL
-              SELECT 'graph_stale', ne, n - ne, 156 FROM c
+              SELECT 'graph_stale', ne, n - ne, 0, 156 FROM c
               UNION ALL
-              SELECT 'ivf_republished', n, 0, 156 FROM c
+              SELECT 'ivf_republished', n, 0, 0, 156 FROM c
               UNION ALL
-              SELECT 'ivf_stale', ne, n - ne, 156 FROM c
+              SELECT 'ivf_stale', ne, n - ne, 0, 156 FROM c
               UNION ALL
-              SELECT 'ivfpq_stale', ne, n - ne, 624 FROM c
+              -- takedown-heavy: even build, a % 8 = 1 append wave,
+              -- half the build half deleted (% 4 = 0 of the even ids)
+              SELECT 'ivf_takedown', ne, na8, nd4, 156 FROM c
+              UNION ALL
+              SELECT 'ivfpq_stale', ne, n - ne, 0, 624 FROM c
             )
             SELECT store, CAST(n_train AS BIGINT) AS n_train,
               CAST(n_appended AS BIGINT) AS n_appended,
+              CAST(n_deleted AS BIGINT) AS n_deleted,
               CAST(CASE WHEN n_train < floor_n THEN 1 ELSE 0 END
                 AS BIGINT) AS undertrained,
-              CASE WHEN 3 * n_appended > n_train
+              -- the delete-aware rule: appended vs the LIVE trained
+              -- base (n_deleted = 0 keeps every pre-existing row's
+              -- verdict bit-identical to the round-14 rule)
+              CASE WHEN 3 * n_appended >
+                     GREATEST(n_train - n_deleted, 0)
                 THEN 'republish' ELSE 'ok' END AS verdict
             FROM sweep ORDER BY store"""))
 
@@ -3236,22 +3306,31 @@ object Similarity {
     * the now-remediated stores would (correctly) report nothing to do,
     * and a gate must re-emit the SAME readout on every invocation.
     */
+  /** ONE definition of the remediation-fixture store paths, read by
+    * the builder ([[remediationSweepRows]]) AND the artifact gate
+    * (q235) — hoisted so a renamed purpose/prefix breaks at the
+    * single definition, not at q235's runtime (round-14 ADVICE).
+    */
+  private def remediationPath(s: org.apache.spark.sql.SparkSession,
+      dir: String, sub: String): String =
+    s"${graft.ops.SessionScratch.base("remediation",
+      s.sparkContext.applicationId)}/${sub}_${
+        graft.ops.SessionScratch.dirTag(dir)}"
+
   private[llmops] def remediationSweepRows(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(String, Long, Long, String, Long, Long, Long)] = {
     val app = s.sparkContext.applicationId
-    val tag = graft.ops.SessionScratch.dirTag(dir)
-    val base = graft.ops.SessionScratch.base("remediation", app)
     graft.ops.SessionScratch.memo("remediation_sweep", app, dir) {
       val em = Tables(s, dir).embeddings
-      val ivfStale = s"$base/rmi_$tag"
+      val ivfStale = remediationPath(s, dir, "rmi")
       IvfIndex.build(em.filter(col("vec_id") % 2 === 0), ivfStale, k = 4)
       IvfIndex.append(em.filter(col("vec_id") % 2 === 1), ivfStale)
-      val graphStale = s"$base/rmg_$tag"
+      val graphStale = remediationPath(s, dir, "rmg")
       GraphIndex.build(em.filter(col("vec_id") % 2 === 0), graphStale,
         k = 4)
       GraphIndex.append(em.filter(col("vec_id") % 2 === 1), graphStale)
-      val ivfFresh = s"$base/rmf_$tag"
+      val ivfFresh = remediationPath(s, dir, "rmf")
       IvfIndex.build(em, ivfFresh, k = 4)
       // the codes-only store + its raw pair (round-13 verdict #4 —
       // the FAISS IndexRefineFlat pairing): same stale ingest, with
@@ -3260,9 +3339,9 @@ object Similarity {
       // pair instead of refusing. The raw store is maintained in
       // lockstep (it holds the same membership the codes store
       // reached after its append — build ∪ append = the full corpus).
-      val ivfpqRaw = s"$base/rmr_$tag"
+      val ivfpqRaw = remediationPath(s, dir, "rmr")
       IvfIndex.build(em, ivfpqRaw, k = 4)
-      val ivfpqStale = s"$base/rmq_$tag"
+      val ivfpqStale = remediationPath(s, dir, "rmq")
       IvfPqIndex.build(em.filter(col("vec_id") % 2 === 0), ivfpqStale,
         k = 4)
       IvfPqIndex.append(em.filter(col("vec_id") % 2 === 1), ivfpqStale)
@@ -3354,9 +3433,7 @@ object Similarity {
       val t = Tables(s, dir)
       // ensure the one-shot sweep has acted (memoized per session/dir)
       remediationSweepRows(s, dir)
-      val path = s"${graft.ops.SessionScratch.base("remediation",
-        s.sparkContext.applicationId)}/rmq_${
-          graft.ops.SessionScratch.dirTag(dir)}"
+      val path = remediationPath(s, dir, "rmq")
       IvfPqIndex.search(
         t.embeddings.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("eq")),
@@ -3501,9 +3578,232 @@ object Similarity {
               FROM c
             ) ORDER BY store"""))
 
+  /** ONE definition of the transform-remediation fixture paths (the
+    * [[remediationPath]] discipline) — read by the builder and by the
+    * q238/q239 artifact gates.
+    */
+  private def transformRemPath(s: org.apache.spark.sql.SparkSession,
+      dir: String, sub: String): String =
+    s"${graft.ops.SessionScratch.base("transform_rem",
+      s.sparkContext.applicationId)}/${sub}_${
+        graft.ops.SessionScratch.dirTag(dir)}"
+
+  /** The frozen-transform remediation episode, run ONCE per (session,
+    * dir) — the round-14 verdict #1 fixture. Three dedicated stores:
+    *
+    *  - `tb_` BPE model: trained day-0 on the even docs, applied day-2
+    *    to the odd docs (noteApplied), WITH a recorded training-corpus
+    *    locator (`documents.parquet`, predicate `true` — the live
+    *    corpus). Flagged at 50% applied share → the sweep's bpe arm
+    *    RETRAINS over the located corpus and republishes: acted=1,
+    *    fresh provenance, generation 1.
+    *  - `tc_` classifier model: same lifecycle, clf arm — acted=1.
+    *  - `tn_` BPE model: the SAME day-0 artifact saved WITHOUT a
+    *    locator (the pre-locator installed base). Flagged, cannot
+    *    auto-act → `republish`/acted=0, the manual-action queue row —
+    *    and the proof the locator-less path queues rather than aborts.
+    *
+    * Memoized because the act is one-shot (the q234 rule): re-running
+    * the sweep on the now-remediated stores would correctly report
+    * nothing to do, and a gate must re-emit the same readout on every
+    * invocation.
+    */
+  private[llmops] def transformRemediationRows(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, String, Int, Int, Int, String, Long,
+        Option[Long], Option[Long], Int, Int)] = {
+    val app = s.sparkContext.applicationId
+    graft.ops.SessionScratch.memo("transform_rem_sweep", app, dir) {
+      val d = Tables(s, dir).documents
+      val corpus = s"$dir/documents.parquet"
+      val even = d.filter(col("doc_id") % 2 === 0)
+      val nEven = even.count()
+      val nOdd = d.filter(col("doc_id") % 2 === 1).count()
+      // day-0: one training each, the bpe artifact saved into BOTH
+      // bpe stores (identical installed models; only the locator
+      // differs — exactly the upgrade-path contrast the gate states)
+      val trainedBpe =
+        Bpe.trainOn(Bpe.wordFreqOf(even.select(col("text"))), Bpe.Rounds)
+      val bpeActed = transformRemPath(s, dir, "tb")
+      BpeModel.save(s, trainedBpe, bpeActed, nTrain = nEven)
+      BpeModel.noteApplied(s, bpeActed, nOdd)
+      BpeModel.recordTrainSource(s, bpeActed, corpus, "true")
+      val bpeQueued = transformRemPath(s, dir, "tn")
+      BpeModel.save(s, trainedBpe, bpeQueued, nTrain = nEven)
+      BpeModel.noteApplied(s, bpeQueued, nOdd)
+      val clfActed = transformRemPath(s, dir, "tc")
+      ClfModel.save(s,
+        Curation.trainClassifierOn(s,
+          even.select(col("doc_id"), col("text"))).w,
+        clfActed, nTrain = nEven)
+      ClfModel.noteApplied(s, clfActed, nOdd)
+      ClfModel.recordTrainSource(s, clfActed, corpus, "true")
+      val rows = WarehouseMaintenance.sweep(s, Seq(
+          ("tr_bpe_acted", "bpe", bpeActed),
+          ("tr_bpe_nolocator", "bpe", bpeQueued),
+          ("tr_clf_acted", "clf", clfActed)))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getString(5), r.getLong(6),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)),
+          r.getInt(9), r.getInt(10)))
+        .toSeq
+      graft.ops.SessionScratch.evictTransients()
+      rows
+    }
+  }
+
+  /** Frozen-transform remediation CLOSED (round-14 verdict #1): q236's
+    * bpe row was `republish`/acted=0 — a manual-action queue — because
+    * the artifacts didn't record where their training corpus lives.
+    * With the [[BpeModel.recordTrainSource]] locator (the q234
+    * raw-pair pattern applied to transforms), the warehouse sweep's
+    * bpe/clf arms now RETRAIN a flagged model over the located corpus
+    * under the recorded recipe and republish it — acted=1, fresh
+    * provenance, generation bumped — while a locator-less model (the
+    * pre-locator installed base) still queues rather than aborts. The
+    * oracle states the whole episode from the ingest predicates: both
+    * located stores retrain to the full doc count with the counter
+    * reset; the locator-less twin keeps its day-0 provenance
+    * untouched. A sweep that aborted on the queue row, acted on it,
+    * skipped a locator, or retrained over the wrong corpus (wrong
+    * n_train_after) shifts a row and hash-mismatches; q238/q239 hash
+    * what the retrains actually TRAINED.
+    */
+  val q237 = EngineQuery(
+    "q237_transform_remediation",
+    (s, dir) => {
+      import s.implicits._
+      transformRemediationRows(s, dir)
+        .toDF("store", "kind", "healthy_before", "uncommitted_removed",
+          "stale_generations_removed", "verdict", "acted",
+          "n_train_after", "n_appended_after", "healthy_after",
+          "generation_after")
+        .orderBy(col("store"))
+    },
+    Some("""WITH d AS (
+              SELECT COUNT(*) AS nd,
+                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nde
+              FROM documents
+            )
+            SELECT store, kind,
+              CAST(healthy_before AS INT) AS healthy_before,
+              CAST(uncommitted_removed AS INT) AS uncommitted_removed,
+              CAST(stale_generations_removed AS INT)
+                AS stale_generations_removed,
+              verdict, CAST(acted AS BIGINT) AS acted,
+              CAST(n_train_after AS BIGINT) AS n_train_after,
+              CAST(n_appended_after AS BIGINT) AS n_appended_after,
+              CAST(healthy_after AS INT) AS healthy_after,
+              CAST(generation_after AS INT) AS generation_after
+            FROM (
+              -- located + flagged -> retrained over the live corpus
+              -- (all docs), provenance reset, generation swapped to 1
+              SELECT 'tr_bpe_acted' AS store, 'bpe' AS kind,
+                1 AS healthy_before, 0 AS uncommitted_removed,
+                0 AS stale_generations_removed,
+                'republish' AS verdict, 1 AS acted,
+                nd AS n_train_after, 0 AS n_appended_after,
+                1 AS healthy_after, 1 AS generation_after
+              FROM d
+              UNION ALL
+              -- the pre-locator installed base: decidable, flagged,
+              -- NOT auto-actable -> queued with day-0 provenance
+              -- byte-untouched (never an abort)
+              SELECT 'tr_bpe_nolocator', 'bpe', 1, 0, 0,
+                'republish', 0, nde, nd - nde, 1, 0
+              FROM d
+              UNION ALL
+              SELECT 'tr_clf_acted', 'clf', 1, 0, 0,
+                'republish', 1, nd, 0, 1, 1
+              FROM d
+            ) ORDER BY store"""))
+
+  /** The artifact half of q237's bpe row (the q235 pattern): the
+    * readout hashes the episode's COUNTS, this gate hashes what the
+    * remediation actually TRAINED — the auto-retrained model's merge
+    * table, loaded off the republished generation. The recorded
+    * locator selects the whole live corpus, so the retrain must equal
+    * a from-scratch full-corpus training bit-exactly: the oracle is
+    * q166's 12-round replay verbatim. A remediator that retrained
+    * over the wrong rows (e.g. the day-0 even half), under a drifted
+    * recipe, or left a mixed-generation table hash-mismatches here
+    * even where q237's counts agree.
+    */
+  val q238 = EngineQuery(
+    "q238_bpe_autoremediated",
+    (s, dir) => {
+      // ensure the one-shot sweep has acted (memoized per session/dir)
+      transformRemediationRows(s, dir)
+      val merges = BpeModel.load(s, transformRemPath(s, dir, "tb"))
+      s.createDataFrame(merges)
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("cnt"))
+        .orderBy(col("merge_rank"))
+    },
+    Bpe.q166.oracle)
+
+  /** The artifact half of q237's clf row: day-2 scoring (q190's exact
+    * read shape — one batch scan, broadcast weight join, per-source
+    * rollup) with the AUTO-retrained classifier. The remediated model
+    * trained over the located corpus (every doc, predicate `true`),
+    * so the oracle replays all 12 unrolled perceptron epochs with the
+    * train split widened to the whole corpus (trainPred=TRUE) and
+    * scores the odd batch — weights must match the from-scratch
+    * training bit-exactly for the per-source sums to hash.
+    */
+  val q239 = EngineQuery(
+    "q239_clf_autoremediated",
+    (s, dir) => {
+      import graft.llmops.PortableHash.{tokens, tokenHashes}
+      transformRemediationRows(s, dir)
+      val w = ClfModel.load(s, transformRemPath(s, dir, "tc"))
+      val batch = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      val hb = graft.ops.SessionScratch.transientCheckpoint(
+        batch.select(col("source"), col("doc_id"),
+          tokenHashes(tokens(col("text"))).as("ths")))
+      val fx = Curation.bucketsFromTh(hb.select(col("doc_id"), col("ths")))
+        .unionByName(hb.select(col("doc_id"),
+          lit(Curation.ClfBuckets).as("b")))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val sc = fx.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+      hb.select(col("source"), col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("score"), lit(0L)) > 0, 1L)
+            .otherwise(0L)).as("n_keep"),
+          sum(coalesce(col("score"), lit(0L))).as("score_sum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val R = Curation.ClfRounds
+      Curation.clfOracleCtesOver("", trainPred = "TRUE") +
+        s""", batch AS MATERIALIZED (
+            SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 2 = 1
+          )""" + Curation.clfFeatCtes("b", "batch") + s""", bsc AS (
+            SELECT f.doc_id,
+              CAST(COALESCE(SUM(f.c * w.w), 0) AS BIGINT) AS score
+            FROM fxb f LEFT JOIN w$R w ON w.b = f.b
+            GROUP BY f.doc_id
+          )
+          SELECT b.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_keep,
+            CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS score_sum
+          FROM batch b LEFT JOIN bsc s ON s.doc_id = b.doc_id
+          GROUP BY b.source ORDER BY b.source"""
+    })
+
   val all: Seq[EngineQuery] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q169, q180, q192, q194,
       q197, q198, q199, q201, q202, q204, q208, q209, q211, q212,
       q213, q214, q216, q217, q219, q222, q226, q229, q230, q231, q233,
-      q234, q235, q236)
+      q234, q235, q236, q237, q238, q239)
 }

@@ -388,6 +388,10 @@ object TextAnalysis {
       val docs = Tables(s, dir).documents
       TextIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
       TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+      // the documented contract above made mechanical — see
+      // IndexMaintenance.markSharedReadonly
+      IndexMaintenance.markSharedReadonly(s, path,
+        "q184,q218,q228,q232,q233")
     }
     path
   }

@@ -2147,4 +2147,264 @@ class IndexMaintenanceSpec extends SparkTestBase {
       ts.nTrain == 1500 && ts.nAppended == 0)
     ops.SessionScratch.evictTransients()
   }
+
+  // ---- round 15: delete-aware provenance --------------------------------
+
+  test("delete-aware provenance: deletes bump n_deleted exactly once " +
+    "per live id, the rule thresholds on the live trained base, and " +
+    "the compact fold is verdict-invariant") {
+    import graft.llmops.StoreRemediator
+    import IndexMaintenance.TrainStats
+    // the rule's boundary, exact integers: 3a > t − d. At t=100, d=0
+    // the flip is a=33→34 (the round-13 boundary, unchanged) ...
+    assert(!StoreRemediator.needsRepublish(
+      TrainStats(100, 4, false, 33, "explicit")))
+    assert(StoreRemediator.needsRepublish(
+      TrainStats(100, 4, false, 34, "explicit")))
+    // ... and ONE delete moves it: the same 33 appends flag once the
+    // live base drops to 99 (3·33 > 99 is false; d=2 → 98 flips)
+    assert(!StoreRemediator.needsRepublish(
+      TrainStats(100, 4, false, 33, "explicit", None, 1)))
+    assert(StoreRemediator.needsRepublish(
+      TrainStats(100, 4, false, 33, "explicit", None, 2)))
+    // a fully-deleted base with no appends does not flag (nothing to
+    // retrain toward — the clamp keeps the rule total)
+    assert(!StoreRemediator.needsRepublish(
+      TrainStats(100, 4, false, 0, "explicit", None, 200)))
+
+    // a real store (the q230 ivf_takedown recipe): even build (250),
+    // a small append wave (% 8 == 1 → 63), then half the training
+    // rows deleted (% 4 == 0 → 125, all live members of the build)
+    val path = freshDir("takedown")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 8 === 1), path)
+    val pre = IvfIndex.fsck(spark, path).trainStats.get
+    assert(pre.nTrain == 250 && pre.nAppended == 63 && pre.nDeleted == 0)
+    assert(!StoreRemediator.needsRepublish(pre),
+      "fresh against the historical base (189 ≤ 250)")
+    IvfIndex.delete(
+      embs.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+    val post = IvfIndex.fsck(spark, path).trainStats.get
+    assert(post.nTrain == 250 && post.nAppended == 63 &&
+      post.nDeleted == 125)
+    assert(StoreRemediator.needsRepublish(post),
+      "stale against the live base (189 > 125)")
+    // re-deleting the same ids must NOT double-count (the anti-join
+    // against the committed tombstones)
+    IvfIndex.delete(
+      embs.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+    assert(IvfIndex.fsck(spark, path).trainStats.get.nDeleted == 125)
+    // compaction physically drops the tombstoned rows and FOLDS the
+    // count into the base: same live base, same verdict, zero pending
+    IvfIndex.compact(spark, path)
+    val folded = IvfIndex.fsck(spark, path).trainStats.get
+    assert(folded.nTrain == 125 && folded.nDeleted == 0 &&
+      folded.nAppended == 63)
+    assert(StoreRemediator.needsRepublish(folded) ==
+      StoreRemediator.needsRepublish(post),
+      "the fold must never change the staleness verdict")
+    // the remediation the flag demands consumes the whole ledger:
+    // republish trains over the LIVE membership (250+63−125 = 188)
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("tk", "ivf", path))).collect().head
+    assert(row.getAs[String]("verdict") == "republish" &&
+      row.getAs[Long]("n_train_after") == 188 &&
+      row.getAs[Long]("n_appended_after") == 0L)
+    assert(IvfIndex.fsck(spark, path).trainStats.get.nDeleted == 0L)
+    ops.SessionScratch.evictTransients()
+  }
+
+  // ---- round 15: frozen-transform remediation (train-source locator) ----
+
+  test("transform remediation: a locator-less flagged BPE model " +
+    "refuses in the pure remediator, QUEUES in the warehouse sweep, " +
+    "and with a recorded train source retrains to the from-scratch " +
+    "twin and re-reads ok") {
+    import graft.llmops.{StoreRemediator, WarehouseMaintenance}
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val nEven = even.count()
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    val trained = Bpe.trainOn(Bpe.wordFreqOf(even.select(col("text"))),
+      Bpe.Rounds)
+    val path = freshDir("bpe_rem")
+    BpeModel.save(spark, trained, path, nTrain = nEven)
+    BpeModel.noteApplied(spark, path, nOdd)
+    // pure remediator: the no-locator refusal mirrors ivfpq's
+    val e = intercept[IllegalStateException] {
+      StoreRemediator.sweepAndRemediate(spark, Seq(("b", "bpe", path)))
+    }
+    assert(e.getMessage.contains("_train_source_locator") &&
+      e.getMessage.contains("recordTrainSource"), e.getMessage)
+    // warehouse sweep: the same store QUEUES (republish/acted=0) with
+    // its artifact and provenance byte-untouched — never an abort
+    val q = WarehouseMaintenance.sweep(spark,
+      Seq(("b", "bpe", path))).collect().head
+    assert(q.getAs[String]("verdict") == "republish" &&
+      q.getAs[Long]("acted") == 0L &&
+      q.getAs[Long]("n_train_after") == nEven &&
+      q.getAs[Int]("generation_after") == 0)
+    assert(BpeModel.load(spark, path) == trained.merges,
+      "queueing must leave the installed model untouched")
+    // record the corpus locator → the sweep's bpe arm ACTS: retrain
+    // over the located rows, atomic generation swap, fresh provenance
+    BpeModel.recordTrainSource(spark, path,
+      s"$sfDir/documents.parquet", "true")
+    val a = WarehouseMaintenance.sweep(spark,
+      Seq(("b", "bpe", path))).collect().head
+    assert(a.getAs[String]("verdict") == "republish" &&
+      a.getAs[Long]("acted") == 1L &&
+      a.getAs[Long]("n_train_after") == nEven + nOdd &&
+      a.getAs[Long]("n_appended_after") == 0L &&
+      a.getAs[Int]("generation_after") == 1)
+    // what it trained == a from-scratch full-corpus training
+    val want = Bpe.trainOn(Bpe.wordFreqOf(docs.select(col("text"))),
+      Bpe.Rounds).merges
+    assert(BpeModel.load(spark, path) == want)
+    // one-shot: the remediated store re-reads ok
+    val after = WarehouseMaintenance.sweep(spark,
+      Seq(("b", "bpe", path))).collect().head
+    assert(after.getAs[String]("verdict") == "ok" &&
+      after.getAs[Long]("acted") == 0L)
+    // the locator predicate is a sidecar field — ';' must refuse at
+    // record time, not corrupt the parse at act time
+    val bad = intercept[IllegalArgumentException] {
+      BpeModel.recordTrainSource(spark, path, "/x", "a = 1; drop x")
+    }
+    assert(bad.getMessage.contains("';'"))
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("transform remediation: the clf arm retrains a flagged " +
+    "classifier over the located corpus to the from-scratch weight " +
+    "table") {
+    import graft.llmops.{ClfModel, Curation, StoreRemediator}
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val path = freshDir("clf_rem")
+    ClfModel.save(spark, Curation.trainClassifierOn(spark, even).w,
+      path, nTrain = even.count())
+    ClfModel.noteApplied(spark, path,
+      docs.filter(col("doc_id") % 2 === 1).count())
+    ClfModel.recordTrainSource(spark, path,
+      s"$sfDir/documents.parquet", "true")
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("c", "clf", path))).collect().head
+    assert(row.getAs[String]("verdict") == "republish" &&
+      row.getAs[Long]("acted") == 1L &&
+      row.getAs[Long]("n_train_after") == 500 &&
+      row.getAs[Long]("n_appended_after") == 0L)
+    val got = ClfModel.load(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = Curation.trainClassifierOn(spark,
+        docs.select(col("doc_id"), col("text"))).w.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      "remediated weights must equal the from-scratch training")
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("warehouse sweep verdict: a sidecar-less TRAINED store reads " +
+    "no-provenance (undecidable), never n/a — for transforms too") {
+    import graft.llmops.{TextIndex, WarehouseMaintenance}
+    val p = freshDir("noprov_bpe")
+    BpeModel.save(spark,
+      Bpe.trainOn(Bpe.wordFreqOf(docs.select(col("text"))), Bpe.Rounds),
+      p, nTrain = 500)
+    // strip the provenance sidecar — a model saved by pre-r14 code
+    IndexMaintenance.retractSidecar(spark, p, "_train_stats")
+    val bm = freshDir("noprov_bm")
+    TextIndex.build(docs, bm)
+    val rows = WarehouseMaintenance.sweep(spark, Seq(
+        ("a_bpe", "bpe", p), ("b_bm25", "bm25", bm)))
+      .collect()
+      .map(r => r.getAs[String]("store") ->
+        (r.getAs[String]("verdict"), r.getAs[Int]("healthy_after")))
+      .toMap
+    assert(rows("a_bpe") == ("no-provenance", 1),
+      "undecidable staleness must never read as nothing-to-do")
+    assert(rows("b_bm25") == ("n/a", 1),
+      "untrained kinds keep n/a — no trained artifact, no staleness")
+    ops.SessionScratch.evictTransients()
+  }
+
+  // ---- round 15: shared read-only marker + ivfpq pair cross-check -------
+
+  test("_shared_readonly: every mutation path refuses AT the mutation " +
+    "site naming the owners, before any byte changes; reads, fsck and " +
+    "vacuum stay allowed") {
+    val path = freshDir("ro")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), path, k = 4)
+    IndexMaintenance.markSharedReadonly(spark, path, "q180,q233")
+    val before = dataFiles(IvfIndex.dataDir(spark, path))
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val res = IvfIndex.search(q, path).collect()
+    assert(res.nonEmpty, "reads must keep working on a marked store")
+    def refused(body: => Unit): String = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("read-only") &&
+        e.getMessage.contains("q180") &&
+        e.getMessage.toLowerCase.contains("clone"), e.getMessage)
+      e.getMessage
+    }
+    refused(IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), path))
+    refused(IvfIndex.delete(
+      embs.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path))
+    refused(IvfIndex.compact(spark, path))
+    refused(IvfIndex.republish(embs, path, k = 4))
+    // the provenance-bump chokepoint, via its public transform surface
+    val bp = freshDir("ro_bpe")
+    BpeModel.save(spark,
+      Bpe.trainOn(Bpe.wordFreqOf(docs.select(col("text"))), Bpe.Rounds),
+      bp, nTrain = 500)
+    IndexMaintenance.markSharedReadonly(spark, bp, "q180,q230")
+    val eb = intercept[IllegalStateException](
+      BpeModel.noteApplied(spark, bp, 10L))
+    assert(eb.getMessage.contains("read-only") &&
+      eb.getMessage.contains("q180"), eb.getMessage)
+    // the refusals were EARLY: no garbage entered the store, the
+    // config is still live, and the search answers are unchanged
+    val fsck = IvfIndex.fsck(spark, path)
+    assert(fsck.healthy && fsck.uncommittedFiles == 0 &&
+      fsck.staleGenerations == 0)
+    assert(dataFiles(IvfIndex.dataDir(spark, path)) == before)
+    assert(IvfIndex.search(q, path).collect().map(_.toSeq).toSeq ==
+      res.map(_.toSeq).toSeq)
+    assert(IvfIndex.vacuum(spark, path).uncommittedRemoved == 0,
+      "vacuum (repair) stays allowed on a read-only store")
+    ops.SessionScratch.evictTransients()
+  }
+
+  test("ivfpq auto-remediation cross-checks the raw pair: a diverged " +
+    "or foreign raw store refuses descriptively instead of silently " +
+    "retraining over the wrong corpus") {
+    import graft.llmops.{IvfPqIndex, StoreRemediator}
+    val pq = freshDir("pair_pq")
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), pq, k = 4)
+    IvfPqIndex.append(embs.filter(col("vec_id") % 2 === 1), pq)
+    // the pair DIVERGED: the raw store missed the odd append (holds
+    // 250 members; the codes store's provenance says 500 live)
+    val rawDiverged = freshDir("pair_raw_half")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), rawDiverged,
+      k = 4)
+    IvfPqIndex.recordRawSource(spark, pq, rawDiverged)
+    val e = intercept[IllegalStateException] {
+      StoreRemediator.sweepAndRemediate(spark, Seq(("pq", "ivfpq", pq)))
+    }
+    assert(e.getMessage.contains("diverged") &&
+      e.getMessage.contains("250") && e.getMessage.contains("500"),
+      e.getMessage)
+    // the refusal left the codes store untouched and still flagged
+    val ts = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(ts.nTrain == 250 && ts.nAppended == 250)
+    // re-point at the true pair → the act proceeds to the fresh state
+    val rawFull = freshDir("pair_raw_full")
+    IvfIndex.build(embs, rawFull, k = 4)
+    IvfPqIndex.recordRawSource(spark, pq, rawFull)
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("pq", "ivfpq", pq))).collect().head
+    assert(row.getAs[Long]("acted") == 1L &&
+      row.getAs[Long]("n_train_after") == 500)
+    ops.SessionScratch.evictTransients()
+  }
 }
