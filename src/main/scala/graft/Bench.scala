@@ -275,6 +275,7 @@ object Bench {
     val ioDrainJson = ioDrains.mkString("[", ",", "]")
     val sentinelMidJson = sentinelsMid.mkString("[", ",", "]")
     val ioSentinelMidJson = ioSentinelsMid.mkString("[", ",", "]")
+    val ioDrainMidJson = ioDrainsMid.mkString("[", ",", "]")
     // like-for-like JVM states only: the verdict pools the pre-pass
     // samples of pass 2.. and the final sample, PLUS the mid-pass
     // samples of pass 2.. — everything taken after one full registry
@@ -313,7 +314,9 @@ object Bench {
         s""""sentinel_spread":$spread,""" +
         s""""io_sentinel_sec":$ioSentinelJson,""" +
         s""""io_sentinel_mid_sec":$ioSentinelMidJson,""" +
-        s""""io_drain_sec":$ioDrainJson,"io_spread":$ioSpread,""" +
+        s""""io_drain_sec":$ioDrainJson,""" +
+        s""""io_drain_mid_sec":$ioDrainMidJson,""" +
+        s""""io_spread":$ioSpread,""" +
         s""""cpu_suspect":$cpuSuspect,"io_suspect":$ioSuspect,""" +
         s""""contention_suspect":$suspect,""" +
         s""""failed":$failed,"queries":$qs,"samples":$samples,""" +

@@ -1030,14 +1030,14 @@ object ExplainAudit {
           "q237_transform_remediation")
         !p.contains("Scan parquet") && !p.contains("Join")
       }),
-      ("q238 auto-remediated BPE model: the gate plan is the " +
-        "Rounds-row merge table read off the REPUBLISHED generation " +
-        "(merges-g1 — the retrain's atomic swap) — no corpus scan, " +
-        "no join; applying the remediated model stays the " +
-        "chained-replace projection", {
+      ("q238 auto-remediated BPE model: the gate plan re-emits the " +
+        "Rounds-row merge table (LocalTableScan — BpeModel.load's " +
+        "verified read off the republished merges-g1 generation is a " +
+        "driver-side Rounds-bounded collect, the IVF-centroid-pull " +
+        "class) — zero corpus scans, zero joins; applying the " +
+        "remediated model stays the chained-replace projection", {
         val p = planOf(spark, byName, sfDir, "q238_bpe_autoremediated")
-        p.contains("merges-g1") && !p.contains("documents.parquet") &&
-          !p.contains("Join")
+        !p.contains("Scan parquet") && !p.contains("Join")
       }),
       ("q239 auto-remediated classifier scoring: q190's day-2 read " +
         "shape off the RETRAINED weight table (weights-g1, the " +

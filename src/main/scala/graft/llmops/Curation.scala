@@ -653,6 +653,12 @@ object Curation {
           if (l1r.isNullAt(0)) 0L else l1r.getLong(0)))
       }
       // the converged weights stay pinned — the memo hands them to q177
+      // — but the training-only feature/label checkpoints are dead the
+      // moment the loop ends: releasing them here (not at some caller's
+      // evictTransients) is what keeps a multi-store remediation sweep
+      // over N classifiers at ONE training set resident, not N
+      SessionScratch.releaseCheckpoint(fx)
+      SessionScratch.releaseCheckpoint(lab)
       ClfTrained(curve.result(), w)
     }
 

@@ -3076,6 +3076,9 @@ object Similarity {
       IvfIndex.append(em.filter(col("vec_id") % 8 === 1), path)
       IvfIndex.delete(
         em.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+      // the 250/63/125 ledger is what q230's oracle pins — mutations
+      // by other gates must refuse at the site, not shift q230's hash
+      IndexMaintenance.markSharedReadonly(s, path, "q230")
     }
     path
   }

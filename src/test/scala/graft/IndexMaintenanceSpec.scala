@@ -2407,4 +2407,36 @@ class IndexMaintenanceSpec extends SparkTestBase {
       row.getAs[Long]("n_train_after") == 500)
     ops.SessionScratch.evictTransients()
   }
+
+  test("ivfpq lockstep cross-check tolerates the provenance ledger's " +
+    "blessed over-count: a foreign-id delete (n_deleted bumps, " +
+    "membership unchanged) must not abort the act") {
+    import graft.llmops.{IvfPqIndex, StoreRemediator}
+    val pq = freshDir("pair_pq_tol")
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), pq, k = 4)
+    IvfPqIndex.append(embs.filter(col("vec_id") % 2 === 1), pq)
+    val raw = freshDir("pair_raw_tol")
+    IvfIndex.build(embs, raw, k = 4)
+    IvfPqIndex.recordRawSource(spark, pq, raw)
+    // TrainStats' documented approximation: deleting an id that never
+    // was a member bumps n_deleted ("again early, never late") while
+    // the live membership — and the lockstep raw pair — are unchanged.
+    // The cross-check must read this as inside the tolerated interval
+    // [n_train + n_appended − n_deleted, n_train + n_appended], not as
+    // divergence (an exact-equality check here aborts the whole
+    // warehouse sweep on an input the provenance design blesses).
+    import spark.implicits._
+    IvfPqIndex.delete(Seq(999999L).toDF("vec_id"), pq)
+    val ts0 = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(ts0.nDeleted == 1 && ts0.nAppended == 250)
+    val row = StoreRemediator.sweepAndRemediate(spark,
+      Seq(("pq", "ivfpq", pq))).collect().head
+    assert(row.getAs[Long]("acted") == 1L &&
+      row.getAs[Long]("n_train_after") == 500,
+      s"tolerated over-count must still act: $row")
+    // the republish consumed the ledger: appends and deletes reset
+    val ts = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(ts.nTrain == 500 && ts.nAppended == 0 && ts.nDeleted == 0)
+    ops.SessionScratch.evictTransients()
+  }
 }
