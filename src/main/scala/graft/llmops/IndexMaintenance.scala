@@ -3190,6 +3190,17 @@ object WarehouseMaintenance {
     *    no locator: retraining needs the training corpus, which the
     *    artifact does not carry and no sidecar names — the row IS the
     *    manual-action queue).
+    *  - `blocked`   — the act itself REFUSED (an ivfpq raw pair that
+    *    diverged from the codes store's recorded membership, or a
+    *    locator whose store is unreadable): the staleness stands, the
+    *    auto-path is unsafe, and a human must repair the pairing —
+    *    but one store's broken pairing must not leave the REST of the
+    *    warehouse unswept, so the refusal files as this store's row
+    *    (same composed-sweep principle as `no-provenance`: the pure
+    *    [[StoreRemediator]] throws, the sweep surfaces per-row). Only
+    *    the refusal type ([[IllegalStateException]], the descriptive
+    *    contract-refusal every store's read/act path uses) is caught;
+    *    a true operator error still aborts.
     *  - `ok`        — provenance present, under the threshold.
     *  - `no-provenance` — a TRAINED kind
     *    ([[StoreRemediator.TrainedKinds]]: ivf/ivfpq/graph/bpe/clf)
@@ -3219,10 +3230,18 @@ object WarehouseMaintenance {
         if (!post.healthy) ("damaged", 0L)
         else post.trainStats match {
           case Some(ts) if StoreRemediator.needsRepublish(ts) =>
-            if (StoreRemediator.canAutoAct(s, kind, path)) {
-              StoreRemediator.act(s, label, kind, path, ts)
-              ("republish", 1L)
-            } else ("republish", 0L)
+            if (StoreRemediator.canAutoAct(s, kind, path))
+              try {
+                StoreRemediator.act(s, label, kind, path, ts)
+                ("republish", 1L)
+              } catch { case e: IllegalStateException =>
+                // the act's own refusal (diverged raw pair, unreadable
+                // locator target) — report it and keep sweeping
+                System.err.println(
+                  s"[warehouse] $label blocked: ${e.getMessage}")
+                ("blocked", 0L)
+              }
+            else ("republish", 0L)
           case Some(_) => ("ok", 0L)
           case None if StoreRemediator.TrainedKinds(kind) =>
             ("no-provenance", 0L)

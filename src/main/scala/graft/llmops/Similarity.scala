@@ -3521,7 +3521,8 @@ object Similarity {
     * healthy one, skipped the post-repair remediation, or left the
     * repaired store unhealthy shifts a row and hash-mismatches;
     * IndexMaintenanceSpec proves the side-effect half (damage aborts
-    * nothing; vacuum-only repair is search-identical; the remediated
+    * nothing; an act-REFUSAL files as `blocked` and the sweep keeps
+    * going; vacuum-only repair is search-identical; the remediated
     * end state equals a fresh build).
     */
   val q236 = EngineQuery(

@@ -2439,4 +2439,39 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(ts.nTrain == 500 && ts.nAppended == 0 && ts.nDeleted == 0)
     ops.SessionScratch.evictTransients()
   }
+
+  test("warehouse sweep files an act-refusal as verdict=blocked and " +
+    "keeps sweeping: one diverged pairing must not leave the rest of " +
+    "the warehouse unswept") {
+    import graft.llmops.{IvfPqIndex, StoreRemediator, WarehouseMaintenance}
+    // flagged ivfpq whose recorded raw pair DIVERGED (missed the odd
+    // append): canAutoAct passes (a locator exists), the act refuses
+    val pq = freshDir("blk_pq")
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), pq, k = 4)
+    IvfPqIndex.append(embs.filter(col("vec_id") % 2 === 1), pq)
+    val rawHalf = freshDir("blk_raw_half")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), rawHalf, k = 4)
+    IvfPqIndex.recordRawSource(spark, pq, rawHalf)
+    // a flagged, self-contained ivf store LISTED AFTER the broken one
+    val ivf = freshDir("blk_ivf")
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), ivf, k = 4)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), ivf)
+    val rows = WarehouseMaintenance.sweep(spark, Seq(
+        ("a_pq", "ivfpq", pq), ("b_ivf", "ivf", ivf)))
+      .collect()
+      .map(r => r.getAs[String]("store") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("acted"),
+          r.getAs[Long]("n_train_after")))
+      .toMap
+    assert(rows("a_pq") == (("blocked", 0L, 250L)),
+      s"the refusal files as the store's row: ${rows("a_pq")}")
+    assert(rows("b_ivf") == (("republish", 1L, 500L)),
+      s"the sweep must continue past the blocked store: ${rows("b_ivf")}")
+    // the blocked store is untouched and still flagged — the row is a
+    // repair queue entry, not an absolution
+    val ts = IvfPqIndex.fsck(spark, pq).trainStats.get
+    assert(ts.nTrain == 250 && ts.nAppended == 250)
+    assert(StoreRemediator.needsRepublish(ts))
+    ops.SessionScratch.evictTransients()
+  }
 }
