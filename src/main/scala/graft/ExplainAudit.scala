@@ -285,12 +285,14 @@ object ExplainAudit {
           "q144_tpch_q16_supplier_diversity")
         p.contains("LeftAnti") && p.contains("BroadcastHashJoin")
       }),
-      ("q145 Q21-shape double correlation is one LeftSemi + one " +
-        "LeftAnti over distinct-first pair sets — no cartesian, no " +
-        "nested loop", {
+      ("q145 Q21-shape double correlation is two LeftSemi joins " +
+        "against order-cardinality count aggregates (r15: the EXISTS/" +
+        "NOT-EXISTS pair-set joins reduced to n_supp>=2 / n_late=1 " +
+        "semi-filters — fewer shuffled bytes at any scale) — no " +
+        "cartesian, no nested loop", {
         val p = planOf(spark, byName, sfDir,
           "q145_tpch_q21_waiting_supplier")
-        p.contains("LeftSemi") && p.contains("LeftAnti") &&
+        "LeftSemi".r.findAllIn(p).size >= 2 &&
           !p.contains("CartesianProduct") && !p.contains("NestedLoop")
       }),
       ("q146 Q1-shape is one map-side-combined aggregation with the " +
@@ -319,10 +321,13 @@ object ExplainAudit {
         p.contains("BroadcastHashJoin") && !p.contains("Window")
       }),
       ("q147 Q2-shape argmin: distinct pair reduction feeds dim-bounded " +
-        "broadcasts; the min-balance join-back is a hash join, not a " +
-        "global window or nested loop", {
+        "broadcasts (part filter applied BEFORE the min — r15); the " +
+        "per-part min is a window over ONE partkey exchange (keyed " +
+        "partition, never a global window), no join-back exchange, no " +
+        "nested loop", {
         val p = planOf(spark, byName, sfDir, "q147_tpch_q2_min_cost_supplier")
-        p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+        p.contains("BroadcastHashJoin") &&
+          p.contains("windowspecdefinition(p_partkey") &&
           !p.contains("NestedLoop") && !p.contains("CartesianProduct")
       }),
       ("q156 semdedup pair space is an equi-join blocked on the cell " +
@@ -774,12 +779,14 @@ object ExplainAudit {
       }),
       ("q190 persisted-classifier scoring: the batch is scanned ONCE " +
         "(the token-hash checkpoint feeds features, bias, and the " +
-        "per-source rollup); the ONLY parquet scan in the gate plan is " +
-        "the weight table itself, joined by broadcast; no cartesian", {
+        "per-source rollup); the weight table enters as the memoized " +
+        "session checkpoint (r15 — the read-only store is loaded once " +
+        "per session, so the gate plan scans ZERO parquet), joined by " +
+        "broadcast; no cartesian", {
         val p = planOf(spark, byName, sfDir,
           "q190_classifier_persisted_model")
-        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
-          p.contains("weights") && p.contains("BroadcastHashJoin") &&
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 0 &&
+          p.contains("BroadcastHashJoin") &&
           p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct")
       }),
       ("q191 complete day-2 pipeline: every corpus-sized input enters " +
@@ -789,8 +796,11 @@ object ExplainAudit {
         "applies as a join-free chained-replace projection; the pack " +
         "stage is one Window over per-doc rollups; no cartesian", {
         val p = planOf(spark, byName, sfDir, "q191_curation_day2_packed")
-        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1 &&
-          p.contains("weights") && p.contains("BroadcastHashJoin") &&
+        // r15: the student weight table is the memoized session
+        // checkpoint (read-only store loaded once), so the gate plan
+        // scans ZERO parquet — every row source is a checkpoint scan
+        "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 0 &&
+          p.contains("BroadcastHashJoin") &&
           p.contains("Scan ExistingRDD") && p.contains("Window") &&
           p.contains("replace(") && !p.contains("CartesianProduct")
       }),
@@ -891,11 +901,14 @@ object ExplainAudit {
       }),
       ("q223 dedup eval: both pair spaces are key-bounded equi-joins " +
         "(band+signature buckets for the LSH prediction, capped " +
-        "shingles for the Jaccard truth — the df-cap Window runs " +
-        "partitioned BY SHINGLE, never a global sort); the only " +
-        "nested loops are the 1-row metric cross joins; no cartesian", {
+        "shingles for the Jaccard truth — the df-cap window runs " +
+        "partitioned BY SHINGLE inside the one-pass shingle " +
+        "materialization, r15: the capped-shingle frame is transient-" +
+        "checkpointed so its three consumers read blocks instead of " +
+        "re-deriving the explode+window subtree); the only nested " +
+        "loops are the 1-row metric cross joins; no cartesian", {
         val p = planOf(spark, byName, sfDir, "q223_dedup_eval_prf")
-        p.contains("Window") && !p.contains("CartesianProduct")
+        p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct")
       }),
       ("q224 decontamination: the test-side span index meets the " +
         "train spans through a LEFT-SEMI join on the 8-byte span hash " +

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{EngineQuery, Tables}
@@ -85,23 +86,30 @@ object Components {
     var rounds = 0
     var converged = n == 0
     while (!converged) {
+      // Each star step needs min(neighborhood) next to EVERY edge row
+      // of its node — a window min over the partition key, not an
+      // aggregate joined back (optimization r15, guide §2.4): the
+      // agg+join form shuffled each step's edge set twice (partial-agg
+      // exchange + join exchange) plus an intermediate distinct; the
+      // window form shuffles it once, and the one distinct at the end
+      // of the round absorbs the duplicates both steps emit. 6
+      // exchanges/round → 3, identical row sets (PropertySpec's
+      // star-vs-min-label equivalence covers it).
+      val wU = Window.partitionBy(col("u"))
       // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u});
       // every neighbor v > u re-points to m. Output is canonical by
       // construction (v > u >= m).
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = sym.join(mins, "u")
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: edges already oriented u > v; m = min neighbor
       // (all neighbors < u). Every smaller neighbor and u itself
       // re-point to m.
-      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(mins2, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mins2.select(col("u"), col("m").as("v")))
+      val withM2 = large.withColumn("m", min(col("v")).over(wU))
+      val small = withM2.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()

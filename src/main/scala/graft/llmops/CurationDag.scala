@@ -518,7 +518,14 @@ object CurationDag {
       BpeModel.save(s, Bpe.trainOn(Bpe.wordFreqOf(existingTrain),
         Bpe.Rounds), path, nTrain = existingTrain.count())
     }
-    BpeModel.load(s, path)
+    // the loaded merge list is memoized too (optimization r15): this
+    // store is READ-ONLY once the builder returns (the existing*
+    // shared-store contract), so the three day-2 gates re-reading the
+    // Rounds-row parquet per invocation bought nothing. Remediation
+    // gates load their own cloned stores directly via BpeModel.load —
+    // staleness there is never masked by this memo.
+    SessionScratch.memo("bpe_model_loaded", app, dir)(
+      BpeModel.load(s, path))
   }
 
   /** The DAY-2 INCREMENT — the pipeline run a daily crawl actually
@@ -756,7 +763,12 @@ object CurationDag {
       ClfModel.save(s, Curation.trainClassifierOn(s, existingTrain).w,
         path, nTrain = existingTrain.count())
     }
-    ClfModel.load(s, path)
+    // memoized + checkpointed load (optimization r15, the day2Model
+    // rationale): the shared store is read-only, the weight table is
+    // ≤(buckets+1) rows, and three gates broadcast it per invocation —
+    // one materialization serves the session.
+    SessionScratch.memo("clf_model_loaded", app, dir)(
+      ClfModel.load(s, path).localCheckpoint())
   }
 
   /** Day-2 scoring with the PERSISTED classifier model — the inference

@@ -367,13 +367,25 @@ object TpchSuite2 {
         .distinct()
       val pairs = t.lineitem
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val lateMirror = late.select(col("orderkey").as("okey3"),
-        col("suppkey").as("skey3"))
+      // Optimization r15 (guide §2.3, aggregate before you shuffle):
+      // the two correlations reduce to per-ORDER counts over the
+      // already-distinct pair sets. late ⊆ pairs, so
+      //   EXISTS other supplier        ⇔ n_supp(order) ≥ 2
+      //   NOT EXISTS other late suppl. ⇔ n_late(order) = 1
+      // — the semi/anti joins against PAIR-cardinality sets (with
+      // non-equi residual conditions) become two semi joins against
+      // ORDER-cardinality aggregates: strictly fewer shuffled bytes
+      // at any scale, same rows out (oracle unchanged, hash-green).
+      val lateCnt = late.groupBy(col("orderkey"))
+        .agg(count(lit(1)).as("n_late"))
+      val nSupp = pairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"))
       late
-        .join(pairs, col("orderkey") === col("l_orderkey") &&
-          col("suppkey") =!= col("l_suppkey"), "left_semi")
-        .join(lateMirror, col("orderkey") === col("okey3") &&
-          col("suppkey") =!= col("skey3"), "left_anti")
+        .join(nSupp.filter(col("n_supp") >= 2)
+          .select(col("l_orderkey").as("orderkey")), Seq("orderkey"),
+          "left_semi")
+        .join(lateCnt.filter(col("n_late") === 1)
+          .select(col("orderkey")), Seq("orderkey"), "left_semi")
         .join(broadcast(Tables(s, dir).supplier),
           col("suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))

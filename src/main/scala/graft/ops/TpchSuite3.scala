@@ -97,11 +97,12 @@ object TpchSuite3 {
     *
     * Scale shape: the candidate set reduces lineitem to DISTINCT
     * (part, supplier) pairs first (map-side combine), then everything
-    * is dim-bounded: supplier/nation/region broadcast, the per-part
-    * min is |parts| rows, and the join-back keys on (part, balance).
-    * Ties (two suppliers at the same min balance) are all reported —
-    * the documented Q2 semantics — so the join-back is on values, not
-    * a row_number pick.
+    * is dim-bounded: part/supplier/nation/region broadcast (the part
+    * filter applied BEFORE the min — per-part argmin is unaffected by
+    * dropping whole parts), and the per-part min is a window over one
+    * partkey exchange. Ties (two suppliers at the same min balance)
+    * are all reported — the documented Q2 semantics — so the pick is
+    * a value comparison, not a row_number cut.
     */
   val q147 = EngineQuery(
     "q147_tpch_q2_min_cost_supplier",
@@ -109,19 +110,29 @@ object TpchSuite3 {
       val t = Tables(s, dir)
       val pairs = t.lineitem
         .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // Optimization r15 (guide §2.3/§2.4): (1) the p_size filter is a
+      // broadcast join applied BEFORE the per-part min — the min is
+      // per-part, so dropping whole parts early cannot change it, and
+      // the argmin stage sees only qualifying parts' rows; (2) the
+      // min itself is a window over ONE partkey exchange instead of an
+      // aggregate joined back (agg exchange + join exchange). Tie
+      // semantics unchanged: every supplier at the exact-decimal min
+      // is reported. Oracle unchanged, hash-green.
       val cand = pairs
+        .join(broadcast(t.part.filter(col("p_size") <= 5)),
+          col("l_partkey") === col("p_partkey"))
         .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("l_partkey").as("partkey"), col("s_suppkey"),
-          col("s_name"), col("n_name"), dec2(col("s_acctbal")).as("bal"))
-      val mins = cand.groupBy(col("partkey"))
-        .agg(min(col("bal")).as("min_bal"))
-      cand.join(mins, Seq("partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("s_suppkey"), col("s_name"), col("n_name"),
+          dec2(col("s_acctbal")).as("bal"))
+      cand
+        .withColumn("min_bal",
+          min(col("bal")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("p_partkey"))))
         .filter(col("bal") === col("min_bal"))
-        .join(broadcast(t.part.filter(col("p_size") <= 5)),
-          col("partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
           col("s_suppkey"), col("s_name"), col("n_name"),
           toDouble(col("bal")).as("s_acctbal"))
