@@ -30,11 +30,13 @@ import graft.ops.{EngineQuery, SessionScratch, Tables}
   *    word table, counted with word frequency; the top [[SeedTopK]]
   *    multi-char candidates plus ALL single characters (coverage: any
   *    word can always fall back to chars, so Viterbi is total).
-  *  - E-step: Viterbi DP per word — [[MaxWord]] unrolled steps, each
-  *    cell a `least()` over ≤ [[MaxPiece]] candidates looked up in the
-  *    word's own piece→count map (built once per word by ONE broadcast
-  *    join against the vocab). Backtracking is [[MaxWord]] more
-  *    unrolled projections reading the packed backpointers.
+  *  - E-step: Viterbi DP per word — ≤ [[MaxWord]] cells, each the min
+  *    over ≤ [[MaxPiece]] candidates looked up in the word's own
+  *    piece→count map (built once per word by ONE broadcast join
+  *    against the vocab); DP + backtrack run as one native codegen'd
+  *    expression per row ([[graft.functions.ViterbiPieces]], r15 —
+  *    formerly an unrolled ~34-projection plan whose Catalyst
+  *    re-processing dominated q175's steady state).
   *  - M-step: piece counts over the chosen segmentations; multi-char
   *    pieces that no word used are PRUNED (the SentencePiece shrink
   *    step), single chars persist at count 0.
@@ -44,8 +46,8 @@ import graft.ops.{EngineQuery, SessionScratch, Tables}
   * hash-agg, Zipf-bounded output — same boundedness as q166); seeding,
   * DP, and both M-steps run on word-table-sized frames. The vocab
   * (≤ SeedTopK + |alphabet| rows) broadcasts into the per-word map
-  * build; the DP itself is a pure unrolled projection — no shuffle, no
-  * UDF, bounded width (MaxWord·MaxPiece lookups/row). EM round count
+  * build; the DP itself is a native-codegen projection — no shuffle,
+  * no UDF, bounded work (MaxWord·MaxPiece lookups/row). EM round count
   * is FIXED, so plan depth is bounded; each round's words frame is
   * localCheckpointed and the previous round released (the BPE
   * discipline).
@@ -154,47 +156,26 @@ object UnigramLm {
       .groupBy(col("word"), col("freq"))
       .agg(map_from_entries(collect_list(struct(col("piece"), col("cnt"))))
         .as("m"))
-    // forward DP, unrolled: e_j = packed (score·32 + split), s_j = the
-    // score, a_j = the winning split point (the backpointer)
-    var df = entries.withColumn("s0", lit(0L))
-    for (j <- 1 to MaxWord) {
-      val cands: Seq[Column] = (math.max(0, j - MaxPiece) until j).map { i =>
-        val piece = expr(s"substring(word, ${i + 1}, ${j - i})")
-        val cnt = element_at(col("m"), piece)
-        when(length(col("word")) >= j && cnt.isNotNull,
-          (col(s"s$i") + lit(Big) - least(cnt, lit(CntCap))) * 32 + i)
-      }
-      val enc = if (cands.size == 1) cands.head else least(cands: _*)
-      df = df
-        .withColumn(s"e$j", enc)
-        .withColumn(s"s$j", expr(s"e$j div 32"))
-        .withColumn(s"a$j", expr(s"e$j % 32"))
-    }
-    // backtrack, unrolled: p_t walks the backpointers from the word
-    // end; each step emits the piece it jumped over
-    val aArr = array((1 to MaxWord).map(j => col(s"a$j")): _*)
-    df = df.withColumn("p0", length(col("word")).cast("long"))
-    for (t <- 1 to MaxWord) {
-      df = df
-        .withColumn(s"p$t",
-          when(col(s"p${t - 1}") > 0,
-            element_at(aArr, col(s"p${t - 1}").cast("int"))))
-        .withColumn(s"pc$t",
-          when(col(s"p${t - 1}") > 0, expr(
-            s"substr(word, cast(p$t + 1 as int), " +
-              s"cast(p${t - 1} - p$t as int))")))
-    }
-    // the E-step MATERIALIZES its segmentations (word-table-sized):
-    // composing further operators (the M-step's explode) directly over
-    // the 32-step unrolled DP plan sends the optimizer's project
-    // inlining into exponential expression growth — measured OOM at 8g
-    // on a 2-word corpus. The checkpoint is the analysis barrier; it
-    // registers as transient so harness mains release it, and trainOn
-    // releases it explicitly once the round's recount materializes.
+    // the DP itself is ONE native codegen'd expression per row
+    // (optimization r15 — graft.functions.ViterbiPieces, a bit-exact
+    // port of the formerly unrolled ~34-projection plan): profiling
+    // put ~90% of q175's steady-state wall in Catalyst re-processing
+    // the unrolled plan per invocation (jobWall 0.17 s of a 1.8-2.0 s
+    // gate), and an unrolled DP is exactly the "non-codegen-friendly
+    // plan churn" guide §1.2 says to move into per-task work. The
+    // oracle still replays the cell-level DP (its CTE chain generates
+    // from the SAME MaxWord/MaxPiece/Big/CntCap constants), so q174/
+    // q175 gate the port cell-exactly.
+    //
+    // The E-step still MATERIALIZES its segmentations (word-table-
+    // sized): the checkpoint remains the analysis barrier between the
+    // per-round plans (trainOn releases each round once the recount
+    // materializes) and keeps the M-step's explode off the entries
+    // aggregation's lineage.
     SessionScratch.transientCheckpoint(
-      df.select(col("word"), col("freq"),
-        expr(s"filter(array(${(1 to MaxWord).map("pc" + _).mkString(",")}), " +
-          "x -> x is not null)").as("pieces")))
+      entries.select(col("word"), col("freq"),
+        graft.functions.ViterbiPieces.viterbiPieces(col("word"), col("m"))
+          .as("pieces")))
   }
 
   /** M-step: piece counts over the chosen segmentations, pruned to the

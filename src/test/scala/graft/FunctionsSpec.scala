@@ -172,6 +172,43 @@ class FunctionsSpec extends SparkTestBase {
     edge.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("native ViterbiPieces: packed-argmin DP + backtrack, both eval paths") {
+    import spark.implicits._
+    import graft.functions.ViterbiPieces
+    // the UnigramLmSpec tie-break fixture: every substring of 'abcde'
+    // at count 1 — all four 2-piece segmentations tie on (pieces,
+    // count sum), and the packed candidate encoding (score·32 + i,
+    // minimized) must pick the EARLIEST split at the final cell:
+    // ['bcde', 'a'] back-to-front (the unrolled-plan semantics the
+    // expression ports bit-exactly; the q174/q175 oracles replay the
+    // same cells in SQL).
+    val allSubs = (for {
+      i <- 0 until 5; l <- 1 to 4; if i + l <= 5
+    } yield "abcde".substring(i, i + l)).distinct
+    val tieMap = typedLit(allSubs.map(_ -> 1L).toMap)
+    val edgeMap = typedLit(
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "abcd" -> 9L))
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val got = Seq("abcde").toDF("word")
+          .select(ViterbiPieces.viterbiPieces(col("word"), tieMap).as("p"))
+          .collect().head.getSeq[String](0)
+        assert(got == Seq("bcde", "a"), s"codegen=$codegenOn: $got")
+        val edge = Seq("axz", "abcd").toDF("word")
+          .select(col("word"),
+            ViterbiPieces.viterbiPieces(col("word"), edgeMap).as("p"))
+          .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+        // unreachable word (no cell covers position 2) → empty
+        // segmentation — q175's <unk> accounting depends on this
+        assert(edge("axz").isEmpty, s"codegen=$codegenOn")
+        // fewest-pieces dominates: the whole-word piece beats the
+        // 4-single-char chain despite smaller counts
+        assert(edge("abcd") == Seq("abcd"), s"codegen=$codegenOn")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("native SpanHashesWide == composed-builtin reference, both eval paths") {
     import spark.implicits._
     import graft.llmops.PortableHash
