@@ -136,6 +136,17 @@ object Advanced {
     * exploded across all salt values, and the join key becomes
     * (key, salt) so one hot key spreads over N partitions. The oracle is
     * the UNSALTED join — proving the technique is semantics-preserving.
+    *
+    * The join is PINNED to a shuffled hash join (optimization r15):
+    * salting only mitigates skew under HASH PARTITIONING of the join
+    * key — Catalyst's size estimate of the exploded dim came in under
+    * the broadcast threshold at bench scale, silently planning a
+    * BroadcastHashJoin that both defeated the operator (a broadcast
+    * join has no partitions for the salt to spread over) and paid a
+    * salts·|orders|-row driver-side hash-relation build per invocation
+    * (profiled: ~1.8 s of the gate's wall outside any Spark job). At
+    * production scale the dim never broadcasts and SHJ on (key, salt)
+    * is exactly the plan the technique exists to produce.
     */
   val q38 = EngineQuery(
     "q38_salted_join",
@@ -147,6 +158,7 @@ object Advanced {
       val dim = t.orders
         .select(col("o_orderkey"), col("o_orderstatus"))
         .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        .hint("shuffle_hash")
       fact.join(dim,
           fact("l_orderkey") === dim("o_orderkey")
             && fact("salt") === dim("salt"))
