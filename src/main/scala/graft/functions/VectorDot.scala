@@ -270,6 +270,92 @@ case class SignPackBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric per-vector int8 quantization (q55's memory-side lever) —
+  * optimization r16: the HOF formulation
+  * `transform(d, v => when(mx > 0, floor(v * (127.0/mx))).otherwise(0))`
+  * with `mx = array_max(transform(d, abs))` is CodegenFallback — per
+  * element it allocates and dispatches interpreted lambdas, and
+  * profiling put ~0.6 s of q55's ~1.0 s idle wall in exactly that
+  * projection. This emits one tight loop per row.
+  *
+  * Semantics mirrored EXACTLY from the HOF form (and the DuckDB
+  * oracle): elements cast to double; mx = max over |v_i| of the
+  * non-null elements; mx > 0 → floor(v_i · (127.0/mx)) per element
+  * (the same one-division-then-multiply IEEE sequence — floor is
+  * tie-free), null elements staying null; mx null or ≤ 0 → ALL
+  * elements 0.0 (the `otherwise` branch). NULL array → NULL.
+  * Finite-valued input assumed (the embedding fixtures are NaN-free).
+  */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    QuantizeInt8.quantize(arr.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = elemIsFloat
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.QuantizeInt8.quantize($a, $f);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8 = copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** The quantize core, shared by interpreted eval and generated code
+    * (the CharPolyHash static-helper pattern).
+    */
+  def quantize(arr: ArrayData, elemIsFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var mx = 0.0
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = math.abs(
+          if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        if (!seen || d > mx) { mx = d; seen = true }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (!seen || !(mx > 0)) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]],
+        java.lang.Double.valueOf(0.0))
+    } else {
+      val scale = 127.0 / mx
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val d = if (elemIsFloat) arr.getFloat(j).toDouble
+                  else arr.getDouble(j)
+          out(j) = math.floor(d * scale)
+        }
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorDot {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -287,4 +373,8 @@ object VectorDot {
   def signPackBits(v: Column, signs: Column): Column =
     ColumnBridge.column(
       SignPackBits(ColumnBridge.expression(v), ColumnBridge.expression(signs)))
+
+  /** Symmetric int8 quantization as doubles (see [[QuantizeInt8]]). */
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
 }

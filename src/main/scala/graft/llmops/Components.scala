@@ -75,14 +75,25 @@ object Components {
     * number of hash shuffles on the current edge set, which only
     * shrinks toward one edge per non-min node.
     */
+  /** Materialize a LAZY localCheckpoint and return its row count in
+    * ONE Spark action (optimization r16): the eager-checkpoint job and
+    * the separate count job were two actions per round — the count is
+    * free once the blocks are being computed anyway, and an RDD count
+    * carries no AQE stage-job overhead. ~2 fewer jobs per round on a
+    * driver-glue-bound loop (profiled: 34 jobs, jobWall 0.9 s of a
+    * 1.7 s idle wall).
+    */
+  private def materializeCounting(df: DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   private[graft] def starContract(edges: DataFrame): (DataFrame, Int) = {
     // canonical orientation u > v, self-loops and duplicates dropped
     var e = edges.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
-    var n = e.count()
+      .localCheckpoint(false)
+    var n = materializeCounting(e)
     var rounds = 0
     var converged = n == 0
     while (!converged) {
@@ -112,11 +123,12 @@ object Components {
         .unionByName(withM2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // fixpoint witness: set equality via count + one-way difference
       // (equal cardinality + empty difference ⇒ equal sets). Row
-      // counts never overflow — no label arithmetic involved.
-      val m = small.count()
+      // counts never overflow — no label arithmetic involved. The
+      // count doubles as the checkpoint's materializing action.
+      val m = materializeCounting(small)
       converged = m == n && small.except(e).isEmpty
       // round i's edge blocks are dead once the witness has compared
       // them against round i+1 — release instead of pinning every

@@ -720,12 +720,12 @@ object Similarity {
     "q55_knn_int8",
     (s, dir) => {
       val t = Tables(s, dir)
-      def quant(e: org.apache.spark.sql.Column) = {
-        val d = e.cast("array<double>")
-        val mx = array_max(transform(d, v => abs(v)))
-        transform(d, v =>
-          when(mx > 0, floor(v * (lit(127.0) / mx))).otherwise(lit(0.0)))
-      }
+      // native codegen quantize (optimization r16): identical
+      // arithmetic to the previous array_max/transform HOF chain —
+      // see graft.functions.QuantizeInt8 — without its per-element
+      // interpreted-lambda dispatch (CodegenFallback)
+      def quant(e: org.apache.spark.sql.Column) =
+        graft.functions.VectorDot.quantizeInt8(e)
       val q = t.embeddings.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), quant(col("embedding")).as("eq"))
       val c = t.embeddings
@@ -2771,7 +2771,9 @@ object Similarity {
              ON s.qid = p.qid AND s.cid = p.cb
            GROUP BY 1, 2
          ), sc$t AS MATERIALIZED (
-           SELECT c.qid, c.cid, 7*c.fq - 3*p.pen AS score
+           SELECT c.qid, c.cid,
+             ${graft.functions.MmrPicks.RelW}*c.fq
+               - ${graft.functions.MmrPicks.PenW}*p.pen AS score
            FROM cand16 c
            JOIN pen$t p ON p.qid = c.qid AND p.cid = c.cid
            LEFT JOIN selu${t - 1} sl
@@ -2798,13 +2800,16 @@ object Similarity {
     * of the same rule (empty S ⇒ penalty 0).
     *
     * Scale shape: candidates come off the MAINTAINED index
-    * (probe-bounded — never |corpus|); pairwise similarity is
-    * |queries|·16² rows; the 5 greedy rounds iterate joins over those
-    * bounded frames, each round's 1-row-per-query pick
-    * transient-checkpointed (the q159 Pregel discipline) so round t+1
-    * never replays round t's selection tree. The oracle replays
+    * (probe-bounded — never |corpus|); the greedy selection is
+    * per-query LOCAL work over that bounded frame (≤16 candidates +
+    * their 16² pairwise dots), so it runs as ONE native codegen'd
+    * expression per qid over `collect_list` ([[graft.functions.MmrPicks]]
+    * — optimization r16; the previous 5-round driver loop of
+    * penalty-agg + pick-window + checkpoint stages spent ~1.2 s/gate in
+    * per-job scheduling glue across 56 jobs). The oracle replays
     * training, probe, candidate ranking, and all 5 greedy rounds
-    * unrolled ([[mmrRoundCtes]]).
+    * unrolled ([[mmrRoundCtes]], generated from the SAME
+    * rounds/weights constants as the expression).
     */
   val q219 = EngineQuery(
     "q219_mmr_rerank",
@@ -2817,52 +2822,19 @@ object Similarity {
         .select(col("qid"), col("cid"))
       val emb = t.embeddings
         .select(col("vec_id").as("cid"), col("embedding").as("ec"))
-      val cand = graft.ops.SessionScratch.transientCheckpoint(
-        sys.join(emb, Seq("cid"))
-          .join(broadcast(qs), Seq("qid"))
-          .select(col("qid"), col("cid"), col("ec"),
-            graft.functions.VectorDot.fixedDotSum(
-              col("eq"), col("ec")).as("fq")))
-      val pairs = graft.ops.SessionScratch.transientCheckpoint(
-        cand.select(col("qid"), col("cid").as("ca"), col("ec").as("ea"))
-          .join(cand.select(col("qid"), col("cid").as("cb"),
-            col("ec").as("eb")), Seq("qid"))
-          .filter(col("ca") =!= col("cb"))
-          .select(col("qid"), col("ca"), col("cb"),
-            graft.functions.VectorDot.fixedDotSum(
-              col("ea"), col("eb")).as("fab")))
-      val base = cand.select(col("qid"), col("cid"), col("fq"))
-      val wPick = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("cid"))
-      var sel = graft.ops.SessionScratch.transientCheckpoint(
-        base.withColumn("score", lit(7L) * col("fq"))
-          .withColumn("rn", row_number().over(wPick))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("cid"), lit(1).as("pick"),
-            col("score")))
-      var selected = sel.select(col("qid"), col("cid"))
-      for (round <- 2 to 5) {
-        val pen = pairs
-          .join(selected.withColumnRenamed("cid", "cb"), Seq("qid", "cb"))
-          .groupBy(col("qid"), col("ca"))
-          .agg(max(col("fab")).as("pen"))
-          .withColumnRenamed("ca", "cid")
-        val pick = graft.ops.SessionScratch.transientCheckpoint(
-          base
-            .join(selected.withColumn("in_sel", lit(1)),
-              Seq("qid", "cid"), "left")
-            .filter(col("in_sel").isNull)
-            .join(pen, Seq("qid", "cid"))
-            .select(col("qid"), col("cid"),
-              (lit(7L) * col("fq") - lit(3L) * col("pen")).as("score"))
-            .withColumn("rn", row_number().over(wPick))
-            .filter(col("rn") === 1)
-            .select(col("qid"), col("cid"), lit(round).as("pick"),
-              col("score")))
-        sel = sel.unionByName(pick)
-        selected = selected.unionByName(pick.select(col("qid"), col("cid")))
-      }
-      sel.orderBy(col("qid"), col("pick"))
+      val cand = sys.join(emb, Seq("cid"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("cid"), col("ec"),
+          graft.functions.VectorDot.fixedDotSum(
+            col("eq"), col("ec")).as("fq"))
+      cand.groupBy(col("qid"))
+        .agg(collect_list(struct(col("cid"), col("fq"), col("ec")))
+          .as("cs"))
+        .select(col("qid"),
+          explode(graft.functions.MmrPicks.mmrPicks(col("cs"))).as("p"))
+        .select(col("qid"), col("p.cid").as("cid"),
+          col("p.pick").as("pick"), col("p.score").as("score"))
+        .orderBy(col("qid"), col("pick"))
     },
     Some(kmeansTrainCtes(4, "vec_id % 2 = 0") +
       """, probes AS (
@@ -2901,13 +2873,15 @@ object Similarity {
            JOIN ex y ON y.vec_id = b.cid AND y.pos = x.pos
            GROUP BY 1, 2, 3
          ), sel1 AS MATERIALIZED (
-           SELECT qid, cid, 1 AS pick, CAST(7*fq AS BIGINT) AS score
+           SELECT qid, cid, 1 AS pick,
+             CAST(${RelW}*fq AS BIGINT) AS score
            FROM (
              SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY fq DESC, cid) rn FROM cand16) x
            WHERE rn = 1
-         ), selu1 AS MATERIALIZED (SELECT qid, cid FROM sel1)""" +
-      mmrRoundCtes(5) +
+         ), selu1 AS MATERIALIZED (SELECT qid, cid FROM sel1)"""
+        .replace("${RelW}", graft.functions.MmrPicks.RelW.toString) +
+      mmrRoundCtes(graft.functions.MmrPicks.Rounds) +
       """
          SELECT qid, pick, cid, score FROM (
            SELECT * FROM sel1

@@ -386,8 +386,17 @@ object Advanced {
         col("blk"))
       // thresholded levenshtein (early-exit DP: O(len·threshold) per
       // pair instead of O(len²), returns -1 above the bound) computed
-      // ONCE per candidate pair
-      a.join(b, Seq("blk"))
+      // ONCE per candidate pair.
+      // The explicit block-key spread (optimization r16) pins the
+      // pair+edit-distance stage to the cluster's core count: the
+      // stage's cost is CPU-dense per block, nearly independent of its
+      // BYTES, so AQE's size-based coalescing (and a one-row-group
+      // input file) otherwise serializes it — profiled taskSum ≈
+      // jobWall ≈ 1.4 s at 32 cores, i.e. one task doing all the DP
+      // work. Blocks hold ≤100 rows by construction, so the hash
+      // spread is skew-free at any scale.
+      a.repartition(s.sparkContext.defaultParallelism, col("blk"))
+        .join(b, Seq("blk"))
         .filter(col("k1") < col("k2"))
         .withColumn("dist", levenshtein(col("n1"), col("n2"), 1))
         .filter(col("dist") >= 0)

@@ -486,4 +486,114 @@ class FunctionsSpec extends SparkTestBase {
     assert(gotD.map(_._2) == Seq(4L, 3L, 2L, 5L),
       s"double total-order ranking wrong: $gotD")
   }
+
+  test("native QuantizeInt8 == array_max/transform HOF reference, " +
+      "both eval paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact HOF chain QuantizeInt8 replaced in q55 (optimization
+    // r16) — kept here as the semantic reference
+    def hofQuant(e: org.apache.spark.sql.Column) = {
+      val d = e.cast("array<double>")
+      val mx = array_max(transform(d, v => abs(v)))
+      transform(d, v =>
+        when(mx > 0, floor(v * (lit(127.0) / mx))).otherwise(lit(0.0)))
+    }
+    val emb = Tables(spark, sfDir).embeddings.select(col("embedding"))
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val rows = emb.select(
+            graft.functions.VectorDot.quantizeInt8(col("embedding"))
+              .as("nat"),
+            hofQuant(col("embedding")).as("ref"))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+            s"codegen=$codegenOn")
+        }
+        // degenerate shapes: all-zero vector → all 0.0 (the otherwise
+        // branch), empty vector → empty
+        val edge = Seq(Seq(0.0f, 0.0f, -0.0f), Seq.empty[Float])
+          .toDF("x")
+          .select(graft.functions.VectorDot.quantizeInt8(col("x"))
+            .as("nat"), hofQuant(col("x")).as("ref"))
+          .collect()
+        edge.foreach { r =>
+          assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+            s"edge codegen=$codegenOn")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("native MmrPicks == unrolled greedy reference, both eval paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.MmrPicks
+    // Reference: the exact per-round rule the expression ports (and
+    // the q219 oracle unrolls in SQL) — round 1 score = RelW·fq, later
+    // rounds RelW·fq − PenW·max_{s∈S} fab(c,s), argmax with ties to
+    // the smaller cid, fab = the FixedDotSum fixed-point dot.
+    def fx(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1e7).toLong)
+    def fab(a: Seq[Float], b: Seq[Float]): Long =
+      fx(a).zip(fx(b)).map { case (x, y) => x * y }.sum
+    def reference(cands: Seq[(Long, Long, Seq[Float])])
+        : Seq[(Long, Int, Long)] = {
+      var sel = Vector.empty[(Long, Int, Long)]
+      var rem = cands
+      for (round <- 1 to MmrPicks.Rounds if rem.nonEmpty) {
+        val scored = rem.map { case (cid, fq, ec) =>
+          val pen =
+            if (round == 1) 0L
+            else sel.map(s => fab(ec,
+              cands.find(_._1 == s._1).get._3)).max
+          val sc = if (round == 1) MmrPicks.RelW * fq
+                   else MmrPicks.RelW * fq - MmrPicks.PenW * pen
+          (cid, sc)
+        }
+        val (bc, bs) = scored.minBy { case (cid, sc) => (-sc, cid) }
+        sel :+= ((bc, round, bs))
+        rem = rem.filterNot(_._1 == bc)
+      }
+      sel
+    }
+    // fixture with deliberate score ties (identical vectors → equal fq
+    // and pairwise penalties: the cid tie-break decides), plus a
+    // short-candidate query (fewer candidates than rounds → fewer
+    // picks) and an empty-vector query
+    val g1 = Seq( // qid 1: 7 candidates, two identical (3, 4)
+      (1L, Seq(1.0f, 0.5f)), (2L, Seq(0.9f, 0.7f)),
+      (3L, Seq(0.8f, 0.8f)), (4L, Seq(0.8f, 0.8f)),
+      (5L, Seq(-0.2f, 0.9f)), (6L, Seq(0.1f, -0.4f)),
+      (7L, Seq(0.55f, 0.55f)))
+    val g2 = Seq((11L, Seq(0.3f, 0.3f)), (12L, Seq(0.31f, 0.29f))) // 2 < 5
+    val qv = Seq(0.6f, 0.4f)
+    def mk(g: Seq[(Long, Seq[Float])]) =
+      g.map { case (cid, ec) => (cid, fab(qv, ec), ec) }
+    val data = mk(g1).map { case (c, f, e) => (1L, c, f, e) } ++
+      mk(g2).map { case (c, f, e) => (2L, c, f, e) }
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val got = data.toDF("qid", "cid", "fq", "ec")
+          .groupBy(col("qid"))
+          .agg(collect_list(struct(col("cid"), col("fq"), col("ec")))
+            .as("cs"))
+          .select(col("qid"), explode(MmrPicks.mmrPicks(col("cs")))
+            .as("p"))
+          .select(col("qid"), col("p.cid"), col("p.pick"), col("p.score"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2),
+            r.getLong(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).toSeq)
+          .toMap
+        assert(got(1L) == reference(mk(g1)), s"codegen=$codegenOn g1")
+        assert(got(2L) == reference(mk(g2)), s"codegen=$codegenOn g2")
+        assert(got(2L).size == 2, "short group must stop at 2 picks")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
 }
