@@ -183,9 +183,13 @@ object ExplainAudit {
         planOf(spark, byName, sfDir, "q106_dynamic_partition_pruning")
           .contains("dynamicpruning")),
       ("q107 fuzzy join shuffles on the block key (hash equi-join, " +
-        "no CartesianProduct / BroadcastNestedLoop)", {
+        "no CartesianProduct / BroadcastNestedLoop); the probe side " +
+        "is explicitly hash-spread on blk so the CPU-dense " +
+        "edit-distance stage parallelizes regardless of input file " +
+        "granularity (r16 — it ran in ONE task before)", {
         val p = planOf(spark, byName, sfDir, "q107_fuzzy_blocked_join")
-        !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+        !p.contains("CartesianProduct") && !p.contains("NestedLoop") &&
+          p.contains("hashpartitioning(blk")
       }),
       ("q46 incremental dedup joins new-vs-existing on the LSH bucket " +
         "key (band, sig) — bucket-bounded, never corpus x corpus", {
@@ -865,13 +869,18 @@ object ExplainAudit {
           "\\(\\d+\\) Window".r.findAllIn(p).size == 2 &&
           p.contains("FullOuter") && !p.contains("CartesianProduct")
       }),
-      ("q219 MMR rerank: the five greedy rounds are checkpointed " +
-        "1-row-per-query picks (the q159 Pregel discipline) — the gate " +
-        "plan is a UNION of the five materialized selections with NO " +
-        "parquet scan and no corpus-sized stage; no cartesian", {
+      ("q219 MMR rerank (r16): the greedy selection is ONE native " +
+        "mmrpicks expression over a per-qid collect_list (the " +
+        "ViterbiPieces move — the former 5-round driver loop paid " +
+        "~1.2 s/gate in scheduling glue across 56 jobs); the " +
+        "candidate aggregation REUSES the probe window's qid " +
+        "exchange (partial+final collect with no exchange between), " +
+        "so the whole gate carries exactly two shuffles (probe rank, " +
+        "final order); no cartesian", {
         val p = planOf(spark, byName, sfDir, "q219_mmr_rerank")
-        !p.contains("Scan parquet") && p.contains("Union") &&
-          "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(p).size == 5 &&
+        p.contains("explode(mmrpicks(") &&
+          "\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).size == 2 &&
+          "\\(\\d+\\) Exchange".r.findAllIn(p).size == 2 &&
           !p.contains("CartesianProduct")
       }),
       ("q220 k-anonymity audit: one pure hash-agg per generalization " +

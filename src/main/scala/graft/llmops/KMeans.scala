@@ -72,7 +72,13 @@ object KMeans {
     * BIGINT ORDER BY. The transform runs over k elements (small); each
     * dot is the native codegen'd FixedDotSum.
     */
-  private def best(vec: Column, centroids: Seq[Centroid]): Column = {
+  /** HOF reference form of the nearest-centroid pick — kept ONLY as
+    * the test oracle for [[assign]]'s native expression (the
+    * exactDot/exactDotHof discipline, optimization r16): `transform`/
+    * `array_max` are CodegenFallback, and the assignment runs
+    * corpus-sized per invocation on the live IVF search paths.
+    */
+  private def bestStruct(vec: Column, centroids: Seq[Centroid]): Column = {
     val cents = typedLit(centroids.map(c => (c.cell, c.centroid.toSeq)))
     array_max(transform(cents, c =>
       struct(
@@ -81,13 +87,25 @@ object KMeans {
         (-c.getField("_1")).as("neg_cell"))))
   }
 
-  /** Assign every vector to its nearest centroid — a pure projection. */
+  private[graft] def bestHof(vec: Column,
+      centroids: Seq[Centroid]): Column =
+    -bestStruct(vec, centroids).getField("neg_cell")
+
+  /** Assign every vector to its nearest centroid — a pure projection
+    * (one native codegen'd argmax per row; identical exact fixed-point
+    * dot + smaller-cell tie rule as [[bestHof]], KMeansSpec-pinned).
+    */
   def assign(embeddings: DataFrame, centroids: Seq[Centroid],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sorted = centroids.sortBy(_.cell)
+    val cents = typedLit(sorted.flatMap(_.centroid.toSeq))
+    val cells = typedLit(sorted.map(_.cell))
     embeddings
-      .withColumn("best", best(col(vecCol).cast("array<double>"), centroids))
       .select(col(idCol), col(vecCol),
-        (-col("best.neg_cell")).cast(LongType).as("cell"))
+        graft.functions.BestDotCell.bestDotCell(
+          col(vecCol).cast("array<double>"), cents, cells)
+          .cast(LongType).as("cell"))
+  }
 
   /** Train k centroids with `iters` Lloyd iterations. */
   def fit(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
@@ -176,7 +194,8 @@ object KMeans {
       vecCol: String = "embedding"): Double =
     embeddings
       .select((lit(1.0) -
-        best(col(vecCol).cast("array<double>"), centroids).getField("fdot")
+        bestStruct(col(vecCol).cast("array<double>"), centroids)
+          .getField("fdot")
           .cast(DoubleType) / lit(1e14))
         .as("d"))
       .agg(sum(col("d"))).head().getDouble(0)

@@ -47,6 +47,32 @@ object PqCodebook {
     */
   def codesOf(vec: Column, cbRows: Seq[Codeword], m: Int,
       subDim: Int): Column = {
+    // native codegen argmin (optimization r16) — the previous
+    // transform/zip_with/aggregate chain was CodegenFallback and ran
+    // corpus-sized per invocation on q192's live path; codeword ids
+    // are dense 0..cb-1 by the fit/seed contracts, letting the
+    // codebook ride along as ONE flat int64 literal in (s, cw, pi)
+    // order. Identical exact int64 squared-L2 + smaller-cw tie rule
+    // ([[codesOfHof]] is the pinned test reference).
+    val cws = cbRows.map(_.cw).distinct.sorted
+    val cb = cws.size
+    require(cws == (0L until cb.toLong),
+      s"codesOf requires dense codeword ids 0..${cb - 1}, got $cws")
+    val byKey = cbRows.map(c => (c.cs, c.cw, c.cpi) -> c.fc).toMap
+    val flat = for {
+      s <- 0 until m; cw <- 0 until cb; pi <- 0 until subDim
+    } yield byKey.getOrElse((s, cw.toLong, pi),
+      throw new IllegalArgumentException(
+        s"codesOf: codebook missing component (s=$s, cw=$cw, pi=$pi)"))
+    graft.functions.PqEncodeCodes.pqEncodeCodes(vec, typedLit(flat),
+      m, subDim)
+  }
+
+  /** HOF reference form of [[codesOf]] — kept ONLY as the test oracle
+    * for the native expression (the exactDot/exactDotHof discipline).
+    */
+  private[graft] def codesOfHof(vec: Column, cbRows: Seq[Codeword], m: Int,
+      subDim: Int): Column = {
     // bySub(s) = [(cw, [fc by pi])...] sorted by cw
     val bySub: Seq[Seq[(Long, Seq[Long])]] = (0 until m).map { s =>
       cbRows.filter(_.cs == s).groupBy(_.cw).toSeq.sortBy(_._1)

